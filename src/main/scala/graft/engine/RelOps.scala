@@ -1,0 +1,322 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Dec._
+
+/** Core relational operator surface, re-expressed Spark-first over the driver's
+  * testdata tables. Each function maps one (or a small cluster) of the reference's
+  * operators from SURVEY.md §2 — projection/rename, filters, dedup, joins,
+  * hash aggregates, when-chains, date/string scalar functions, windows — to
+  * idiomatic `org.apache.spark.sql` code that Catalyst can fully optimize
+  * (pushdown, pruning, broadcast, whole-stage codegen).
+  *
+  * Scale notes (100 TB): every query here is a declarative plan — filters and
+  * projections reach the parquet scan; small dimensions (region/nation/part at
+  * dim-scale) broadcast; large-table aggregates are partial (map-side) before the
+  * single shuffle on the group keys. No collect-driven loops except the 1-row
+  * min/max spine seed (same as reference `spark_jobs/reporting.py:56-63`).
+  */
+object RelOps {
+
+  /** TPC-H Q1-style pricing summary: scan-filter-aggregate with exact decimals.
+    * Reference analog: silver filters + gold hash aggregates
+    * (`spark_jobs/reporting.py:260-263,309-321`). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") < to_timestamp(lit("2000-01-01")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum2(col("l_quantity")).as("sum_qty"),
+        sum2(col("l_extendedprice")).as("sum_base_price"),
+        sumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Projection + rename + conjunctive filter (SURVEY §2.2 P1/P2).
+    * Filter and the 4-column projection both push into the parquet scan. */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 100000.0)
+      .select(
+        col("o_orderkey").as("okey"),
+        col("o_custkey").as("ckey"),
+        col("o_totalprice").as("total"),
+        year(col("o_orderdate")).as("oyear"))
+      .orderBy("okey")
+
+  /** Per-key aggregate then equi-join back to the parent table — the exact shape
+    * of the reference's payments-per-order agg + fact join
+    * (`spark_jobs/reporting.py:260-268`). The agg side shuffles once on the join
+    * key; AQE turns the join into a broadcast when the agg output is small. */
+  def perOrderAggJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum2(col("l_extendedprice")).as("order_revenue"),
+        count(lit(1)).as("n_items"),
+        max(col("l_shipdate")).as("last_ship"))
+    Tables.orders(spark, dir)
+      .join(li, col("o_orderkey") === col("l_orderkey"), "inner")
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("total"),
+        col("order_revenue"), col("n_items"), col("last_ship"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Deterministic keyed dedup (SURVEY §2.3 D1): the reference's
+    * `dropDuplicates(['Ord_ID'])` keeps an arbitrary survivor
+    * (`spark_jobs/transformation.py:70,80,93`); a deterministic engine keeps the
+    * first row under a total order — window row_number with full tie-break. */
+  def dedupKeyed(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey").as("first_orderkey"),
+        col("o_orderdate").as("first_orderdate"))
+      .orderBy("o_custkey")
+  }
+
+  /** Full-row distinct (SURVEY §2.3 D2, `spark_jobs/reporting.py:93,194-220`). */
+  def distinctRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"))
+      .distinct()
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** Date spine: range source + date arithmetic + calendar attributes — the
+    * reference's dim_date build (`spark_jobs/reporting.py:56-93`): one 2-value
+    * collect() seeds `spark.range(nDays)`, everything else stays distributed. */
+  def dateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val mm = Tables.orders(spark, dir)
+      .agg(min(to_date(col("o_orderdate"))).as("mn"), max(to_date(col("o_orderdate"))).as("mx"))
+      .head()
+    val mn = mm.getDate(0)
+    val nDays = java.time.temporal.ChronoUnit.DAYS.between(
+      mn.toLocalDate, mm.getDate(1).toLocalDate) + 1
+    spark.range(nDays)
+      .select(date_add(lit(mn), col("id").cast("int")).as("d"))
+      .select(
+        date_format(col("d"), "yyyyMMdd").cast("int").as("date_sk"),
+        col("d").as("date"),
+        year(col("d")).as("year"),
+        month(col("d")).as("month"),
+        quarter(col("d")).as("quarter"),
+        dayofmonth(col("d")).as("day_of_month"),
+        weekofyear(col("d")).as("week_of_year"),
+        date_format(col("d"), "MMMM").as("month_name"),
+        date_format(col("d"), "EEEE").as("day_name"),
+        dayofweek(col("d")).isin(1, 7).as("is_weekend"))
+      .orderBy("date_sk")
+  }
+
+  /** when/otherwise classifier chain + isin set membership (SURVEY §2.2 P8,
+    * §2.8 — the reference's 14 when-chains, e.g. `spark_jobs/reporting.py:84-92,
+    * 103-122,183-188`), retargeted at l_quantity bands. */
+  def whenChainClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val band = when(col("l_quantity") < 10, "XS")
+      .when(col("l_quantity") < 25, "S")
+      .when(col("l_quantity") < 40, "M")
+      .otherwise("L")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag").isin("A", "N"))
+      .select(band.as("qty_band"), col("l_returnflag"))
+      .groupBy("qty_band", "l_returnflag")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("qty_band", "l_returnflag")
+  }
+
+  /** String scalar functions (SURVEY §2.8): upper/length/lpad/concat/
+    * regexp_replace/substring — all Catalyst built-ins, fully codegen'd. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        length(col("p_name")).as("name_len"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        substring(col("p_name"), 1, 3).as("prefix3"))
+      .orderBy("p_partkey")
+
+  /** rlike regex predicates incl. the negated form whose NULL-drop semantics are
+    * load-bearing in the reference (`spark_jobs/transformation.py:94-98`). */
+  def regexFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_name").rlike("^[a-z]+ [a-z]+$") && !col("p_type").rlike("[^A-Z ]"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_clean"))
+      .orderBy("p_brand")
+
+  /** YoY revenue via lag window — the dashboard-parity analytics the reference
+    * delegates to Power BI DAX (`Readme.md:157-159,179-181`; SURVEY §2.6). */
+  def yoyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val yearly = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("oyear"))
+      .agg(sum2(col("o_totalprice")).as("revenue"))
+    val w = Window.orderBy(col("oyear"))
+    yearly.select(
+      col("oyear"), col("revenue"),
+      lag(col("revenue"), 1).over(w).as("prev_revenue"),
+      (col("revenue") - lag(col("revenue"), 1).over(w)).as("yoy_diff"))
+      .orderBy("oyear")
+  }
+
+  /** Top-10 parts by revenue: ranked window with full tie-break, then a join back
+    * to the dimension ("Top-10 products" dashboard metric, `Readme.md:165`). */
+  def topKParts(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum2(col("l_extendedprice")).as("part_revenue"))
+    val w = Window.orderBy(col("part_revenue").desc, col("l_partkey").asc)
+    rev.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"), "inner")
+      .select(col("rank"), col("p_partkey"), col("p_name"), col("part_revenue"))
+      .orderBy("rank")
+  }
+
+  /** Share-of-total per nation ("% of total" dashboard metric, `Readme.md:187`):
+    * empty-frame window sum for the total, double division rounded at 4dp. */
+  def shareOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"), "inner")
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"), "inner")
+      .groupBy(col("n_name"))
+      .agg(sum(d2(col("o_totalprice"))).as("nrd"))
+    val total = Window.partitionBy()
+    rev.select(
+      col("n_name"),
+      col("nrd").cast("double").as("nation_rev"),
+      sum(col("nrd")).over(total).cast("double").as("total_rev"))
+      .withColumn("pct",
+        round(col("nation_rev") * 100.0 / col("total_rev"), 4))
+      .orderBy("n_name")
+  }
+
+  /** Global sort + limit with deterministic tie-break (SURVEY §2.7). */
+  def sortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(15)
+      .select(col("o_orderkey"), col("o_totalprice").as("total"))
+
+  /** Set operations: intersect / except / union (SURVEY §2.7). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nk")).distinct()
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nk")).distinct()
+    c.intersect(s).withColumn("tag", lit("both"))
+      .union(c.except(s).withColumn("tag", lit("customer_only")))
+      .union(s.except(c).withColumn("tag", lit("supplier_only")))
+      .orderBy("nk", "tag")
+  }
+
+  /** Left-anti join: customers with no orders (SURVEY §2.4 extension forms). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Left-outer join + aggregate with null-group coalesce (SURVEY §2.4). */
+  def outerJoinAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(d2(col("o_totalprice"))), lit(0)).cast("double").as("lifetime_value"))
+      .orderBy("c_custkey")
+
+  /** Global min/max aggregate — the reference's date-spine seed
+    * (`spark_jobs/reporting.py:56-63`, SURVEY §2.5 A1). */
+  def globalMinMax(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .agg(
+        to_date(min(col("o_orderdate"))).as("min_date"),
+        to_date(max(col("o_orderdate"))).as("max_date"),
+        count(lit(1)).as("n_rows"))
+
+  /** Data-quality gate aggregates — the reference's Airflow/Postgres SQL checks
+    * (`Dag/E-commerce_dag.py:22-37`, SURVEY §2.5 A5) moved into the engine. */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .agg(
+        count(lit(1)).as("total_rows"),
+        sum(when(col("o_custkey").isNull, 1).otherwise(0)).cast("long").as("null_custkey"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)).cast("long").as("bad_status"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkeys"))
+
+  /** 5-table star join (region⋈nation⋈customer⋈orders⋈lineitem) with a year
+    * filter — the multi-join shape the gold layer feeds to Power BI. The two
+    * tiny dims broadcast; the orders⋈lineitem join shuffles on the order key. */
+  def starJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"), "inner")
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"), "inner")
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"), "inner")
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"), "inner")
+      .filter(year(col("o_orderdate")) === 1997)
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name", "n_name")
+
+  /** Date-part extraction over event timestamps (SURVEY §2.8 date/time fns). */
+  def datePartsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum2(col("value")).as("day_value"))
+      .orderBy("day", "event_type")
+
+  /** Running total window frame (rows unbounded-preceding .. current). */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(d2(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Range (theta) join against an inline band dimension — the non-equi join
+    * form the reference lacks (SURVEY §2.4 "not present"). The band table is a
+    * handful of rows → broadcast nested loop, which is the right plan. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("B1_under10", 0.0, 10.0), ("B2_10to25", 10.0, 25.0),
+      ("B3_25to40", 25.0, 40.0), ("B4_40plus", 40.0, 51.0))
+      .toDF("band", "lo", "hi")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(bands), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), sum2(col("l_quantity")).as("band_qty"))
+      .orderBy("band")
+  }
+
+  /** Deterministic surrogate-key dimension build: the reference uses
+    * `monotonically_increasing_id()` (`spark_jobs/reporting.py:127-221`), which is
+    * partition-dependent; a deterministic engine derives SKs from a total order. */
+  def surrogateDim(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("segment"))
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("segment"))
+      .distinct()
+      .withColumn("segment_sk", row_number().over(w))
+      .select(col("segment_sk"), col("segment"))
+      .orderBy("segment_sk")
+  }
+}
