@@ -217,7 +217,219 @@ object Catalog {
         |ORDER BY segment_sk""".stripMargin),
   )
 
-  val all: Seq[QueryDef] = relational
+  // ---------------------------------------------------------------------------
+  // Extension operators: text analysis / dedup / similarity / event-time
+  // (the training-data-pipeline surface; see ext/ and streaming/ packages)
+  // ---------------------------------------------------------------------------
+
+  /** Shared DuckDB CTE: distinct 3-word shingles per doc (mirrors Dedup.shingles:
+    * 1-based list indexing, list_distinct before unnest). */
+  private val shingleCte =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |       WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
+      |         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS sh FROM d)""".stripMargin
+
+  /** Shared DuckDB CTE: MinHash band hashes (mirrors Dedup.minhashBands). */
+  private val bandsCte =
+    s"""$shingleCte,
+       |seeds AS (SELECT unnest(range(0, 12)) AS seed),
+       |sig AS (SELECT doc_id, seed, min(md5(sh || '#' || CAST(seed AS VARCHAR))) AS sig
+       |        FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+       |bands AS (SELECT doc_id, CAST(seed // 2 AS INT) AS band_idx,
+       |  md5(concat(max(CASE WHEN seed % 2 = 0 THEN sig END),
+       |             max(CASE WHEN seed % 2 = 1 THEN sig END))) AS band_hash
+       |FROM sig GROUP BY doc_id, band_idx)""".stripMargin
+
+  /** DuckDB 16-bit SimHash SQL, generated to mirror Dedup.simhash bit-for-bit. */
+  private val simhashSql: String = {
+    val bitSums = (0 until 16)
+      .map(b => s"  SUM(CASE WHEN (h16 >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bit$b")
+      .mkString(",\n")
+    val sig = (0 until 16)
+      .map(b => s"(CASE WHEN bit$b > 0 THEN ${1 << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) AS h16 FROM t),
+       |b AS (SELECT doc_id,
+       |$bitSums
+       |FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($sig AS INT) AS simhash16 FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared DuckDB CTE: embeddings as double lists + L2 norm + LSH bucket
+    * (mirrors Similarity.vecs / Similarity.lshBuckets). */
+  private val lshBucketExpr: String = (0 until 8).map { p =>
+    s"(CASE WHEN list_sum(list_transform(range(1, len(v) + 1), d -> v[d] * " +
+      s"(CASE WHEN CAST(('0x' || substr(md5('$p' || ',' || CAST(d AS VARCHAR)), 32, 1)) AS BIGINT) % 2 = 1 " +
+      s"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))) > 0 THEN ${1 << p} ELSE 0 END)"
+  }.mkString(" + ")
+
+  private val vecsCte =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
+
+  private val stop9 = "('the','a','of','and','is','to','in','for','on')"
+
+  val extension: Seq[QueryDef] = Seq(
+    q("q24_token_stats", ext.TextStats.tokenStats,
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    q("q25_lang_id", ext.TextStats.langId,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(words, w -> w IN ('the','a','of','and','is','to','in'))) AS BIGINT) AS en_markers,
+        |  CAST(len(list_filter(words, w -> w IN ('el','la','de','y','que','los'))) AS BIGINT) AS es_markers,
+        |  CAST(len(list_filter(words, w -> w IN ('le','la','de','et','les','des'))) AS BIGINT) AS fr_markers,
+        |  CASE WHEN en_markers >= es_markers AND en_markers >= fr_markers AND en_markers > 0 THEN 'en'
+        |       WHEN es_markers >= fr_markers AND es_markers > 0 THEN 'es'
+        |       WHEN fr_markers > 0 THEN 'fr'
+        |       ELSE 'unknown' END AS predicted_lang
+        |FROM t ORDER BY doc_id""".stripMargin),
+
+    q("q26_quality_score", ext.TextStats.qualityScore,
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(words) AS BIGINT) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         |  CAST(len(list_filter(words, w -> w IN $stop9)) AS BIGINT) AS n_stopwords,
+         |  n_chars >= 100 AND n_chars <= 20000 AS len_ok,
+         |  n_tokens >= 20 AS tokens_ok,
+         |  n_stopwords > 0 AS has_stopwords,
+         |  len_ok AND tokens_ok AND has_stopwords AS passes_quality
+         |FROM t ORDER BY doc_id""".stripMargin),
+
+    q("q27_dedup_exact", ext.TextStats.exactDedup,
+      """SELECT fp, min(doc_id) AS survivor_doc_id, COUNT(*) AS n_copies
+        |FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |      FROM documents)
+        |GROUP BY fp ORDER BY survivor_doc_id""".stripMargin),
+
+    q("q28_minhash_bands", ext.Dedup.minhashBands,
+      s"""WITH $bandsCte
+         |SELECT doc_id, band_idx, band_hash FROM bands ORDER BY doc_id, band_idx""".stripMargin),
+
+    q("q29_minhash_pairs", ext.Dedup.minhashCandidatePairs,
+      s"""WITH $bandsCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin),
+
+    q("q30_simhash", ext.Dedup.simhash, simhashSql),
+
+    q("q31_ngram_jaccard", ext.Dedup.ngramJaccardPairs,
+      s"""WITH $shingleCte,
+         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b
+         |          FROM counts a JOIN counts b ON b.doc_id = a.doc_id + 1),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |           FROM sh a JOIN sh b ON a.sh = b.sh AND b.doc_id = a.doc_id + 1
+         |           GROUP BY doc_a, doc_b)
+         |SELECT p.doc_a, p.doc_b, p.n_a, p.n_b, COALESCE(c.n_common, 0) AS n_common,
+         |  CAST(COALESCE(c.n_common, 0) AS DOUBLE) /
+         |    CAST(p.n_a + p.n_b - COALESCE(c.n_common, 0) AS DOUBLE) AS jaccard
+         |FROM pairs p LEFT JOIN common c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+         |ORDER BY p.doc_a""".stripMargin),
+
+    q("q32_cosine_topk", (s, d) => ext.Similarity.cosineTopK(s, d),
+      s"""WITH $vecsCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 20),
+         |p AS (SELECT query_id, c.vec_id AS neighbor_id,
+         |        list_sum(list_transform(list_zip(qv, c.v), z -> z[1] * z[2])) / (qn * c.nrm) AS cos
+         |      FROM q CROSS JOIN n c WHERE c.vec_id <> query_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         |      FROM p)
+         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos_sim
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    q("q33_lsh_buckets", ext.Similarity.lshBucketStats,
+      s"""WITH $vecsCte,
+         |b AS (SELECT vec_id, CAST($lshBucketExpr AS INT) AS bucket FROM n)
+         |SELECT bucket, COUNT(*) AS n_vectors FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+
+    q("q34_ann_topk", (s, d) => ext.Similarity.annTopK(s, d),
+      s"""WITH $vecsCte,
+         |b AS (SELECT vec_id, v, nrm, CAST($lshBucketExpr AS INT) AS bucket FROM n),
+         |qv AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM b WHERE vec_id < 20),
+         |p AS (SELECT query_id, qv.bucket AS bucket, c.vec_id AS neighbor_id,
+         |        list_sum(list_transform(list_zip(qv.qv, c.v), z -> z[1] * z[2])) / (qv.qn * c.nrm) AS cos
+         |      FROM qv JOIN b c ON qv.bucket = c.bucket WHERE c.vec_id <> query_id),
+         |r AS (SELECT query_id, bucket, neighbor_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         |      FROM p)
+         |SELECT query_id, bucket, rank, neighbor_id, round(cos, 4) AS cos_sim
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
+    q("q35_hourly_windows", streaming.Events.hourlyWindows,
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_value
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin),
+
+    q("q36_sessionize", streaming.Events.sessionize,
+      """WITH x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |           FROM events),
+        |y AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |        OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM x),
+        |z AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |      FROM y)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start,
+        |  CAST(epoch(date_trunc('second', max(ts))) - epoch(date_trunc('second', min(ts))) AS BIGINT) AS duration_s,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM z GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin),
+
+    q("q37_asof_join", streaming.Events.asofErrorsToClicks,
+      """WITH ec AS (SELECT * FROM events WHERE event_type IN ('click', 'error')),
+        |x AS (SELECT *,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_event_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+        |  FROM ec)
+        |SELECT event_id AS error_event_id, user_id, click_event_id,
+        |  CAST(epoch(date_trunc('second', ts)) - epoch(date_trunc('second', click_ts)) AS BIGINT) AS gap_s
+        |FROM x WHERE event_type = 'error' AND click_event_id IS NOT NULL
+        |ORDER BY error_event_id""".stripMargin),
+
+    q("q38_binary_meta", ext.Multimodal.binaryMeta,
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_md5,
+        |  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+        |  source AS origin
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    q("q39_frame_sample", (s, d) => ext.Multimodal.frameSample(s, d),
+      """SELECT doc_id, CAST(t.i AS INT) AS frame_idx,
+        |  md5(substr(text, CAST(t.i AS INT) * 64 + 1, 64)) AS frame_md5,
+        |  CAST(length(substr(text, CAST(t.i AS INT) * 64 + 1, 64)) AS INT) AS frame_len
+        |FROM documents,
+        |  LATERAL (SELECT unnest(range(0, ((length(text) - 1) // 64) + 1)) AS i) t
+        |ORDER BY doc_id, frame_idx""".stripMargin),
+
+    q("q40_stub_decode", ext.Multimodal.stubDecode,
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+        |  CAST(CAST(list_sum(list_transform(range(1, 9), i -> ascii(substr(text, i, 1)))) AS BIGINT) % 480 + 1 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin),
+  )
+
+  val all: Seq[QueryDef] = relational ++ extension
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(d => d.name -> d.run).toMap

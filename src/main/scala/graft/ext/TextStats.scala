@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Dec, Tables}
+
+/** Text-analysis operators for a large-scale training-data pipeline, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * All operators are pure column expressions (no UDFs) so they stay inside
+  * whole-stage codegen and scale linearly with input partitions — at 100 TB the
+  * only shuffle in this file is the groupBy in [[exactDedup]], which is a
+  * map-side-combinable hash aggregate on a 16-byte fingerprint.
+  */
+object TextStats {
+
+  /** Normalized whitespace form used for fingerprinting. */
+  private def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Document fingerprinting: md5 over the whitespace-normalized, lowercased
+    * text. Deterministic and engine-agnostic (DuckDB md5 matches). */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Token statistics: counts only (integers are exactly comparable across
+    * engines; ratios are left to consumers). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("text"),
+        split(col("text"), " ").as("words"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        size(col("words")).cast("long").as("n_tokens"),
+        size(array_distinct(col("words"))).cast("long").as("n_distinct_tokens"),
+        length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long").as("n_punct"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digits"))
+      .orderBy("doc_id")
+
+  /** Stopword-marker language ID (n-gram/dictionary heuristic): counts marker
+    * tokens per language and picks the max with a deterministic precedence.
+    * A real pipeline would plug a fastText-style model behind the same
+    * signature; the Spark plumbing (pure projection, no shuffle) is identical. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val en = Seq("the", "a", "of", "and", "is", "to", "in")
+    val es = Seq("el", "la", "de", "y", "que", "los")
+    val fr = Seq("le", "la", "de", "et", "les", "des")
+    def markerCount(langWords: Seq[String]): Column = {
+      val set = langWords.map(w => s"'$w'").mkString("(", ", ", ")")
+      size(expr(s"filter(words, w -> w IN $set)")).cast("long")
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(
+        col("doc_id"),
+        markerCount(en).as("en_markers"),
+        markerCount(es).as("es_markers"),
+        markerCount(fr).as("fr_markers"))
+      .withColumn("predicted_lang",
+        when(col("en_markers") >= col("es_markers") && col("en_markers") >= col("fr_markers") && col("en_markers") > 0, "en")
+          .when(col("es_markers") >= col("fr_markers") && col("es_markers") > 0, "es")
+          .when(col("fr_markers") > 0, "fr")
+          .otherwise("unknown"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: integer component counts + boolean gate flags, the shape
+    * of C4/RefinedWeb-style quality filters (length, punctuation density,
+    * stopword presence). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in", "for", "on")
+      .map(w => s"'$w'").mkString("(", ", ", ")")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("words"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("words")).cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long").as("n_punct"),
+        size(expr(s"filter(words, w -> w IN $stop)")).cast("long").as("n_stopwords"))
+      .withColumn("len_ok", col("n_chars") >= 100 && col("n_chars") <= 20000)
+      .withColumn("tokens_ok", col("n_tokens") >= 20)
+      .withColumn("has_stopwords", col("n_stopwords") > 0)
+      .withColumn("passes_quality",
+        col("len_ok") && col("tokens_ok") && col("has_stopwords"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact deduplication: hash-groupBy on the md5 fingerprint; survivor is the
+    * deterministic min doc_id (the reference's `dropDuplicates` keeps an
+    * arbitrary row — `spark_jobs/transformation.py:70` — ours is total-ordered). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("survivor_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("survivor_doc_id")
+}

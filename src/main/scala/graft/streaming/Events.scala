@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{Dec, Tables}
+
+/** Event-time operators over the `events` table (event_id, ts, user_id,
+  * event_type, value, props).
+  *
+  * The reference has no streaming (SURVEY §2.9 — its "real-time" is a 30-minute
+  * Airflow re-run); these are the extension operators that map that cadence to
+  * real event-time semantics. Each exists in batch form here (oracle-checkable
+  * against DuckDB) and the windowed aggregate also as a Structured Streaming
+  * query in [[Streams]] — same logical plan, `readStream` + watermark instead
+  * of `read`.
+  */
+object Events {
+
+  /** Tumbling 1-hour windowed aggregate (batch form of the streaming query).
+    * `window()` is the same expression Structured Streaming plans — the shuffle
+    * is on (window, event_type), map-side partial aggregation applies. */
+  def hourlyWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Dec.sum2(col("value")).as("hour_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("hour_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Session windows by inactivity gap (30 min): the lag/cumsum formulation.
+    * One shuffle on user_id; both window passes share that partitioning. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMicros = 30L * 60 * 1000 * 1000
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_trunc("second", min(col("ts"))).as("session_start"),
+        (unix_timestamp(date_trunc("second", max(col("ts")))) -
+          unix_timestamp(date_trunc("second", min(col("ts"))))).as("duration_s"),
+        Dec.sum2(col("value")).as("session_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** As-of join: for each 'error' event, the most recent prior 'click' by the
+    * same user — composed from built-ins (union of both streams, one ordered
+    * window per user, `last(..., ignoreNulls)`), per SURVEY §2.4's as-of note.
+    * No custom SparkStrategy needed: one shuffle on user_id, linear scan. */
+  def asofErrorsToClicks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "error"))
+      .withColumn("click_event_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error" && col("click_event_id").isNotNull)
+      .select(
+        col("event_id").as("error_event_id"),
+        col("user_id"),
+        col("click_event_id"),
+        (unix_timestamp(date_trunc("second", col("ts"))) -
+          unix_timestamp(date_trunc("second", col("click_ts")))).as("gap_s"))
+      .orderBy("error_event_id")
+  }
+}
