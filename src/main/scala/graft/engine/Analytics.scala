@@ -1,0 +1,77 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dashboard-parity analytics over the gold facts — the YoY / top-N / averages
+  * / share-of-total metrics the reference delegates to Power BI DAX
+  * (`Readme.md:157-196`; SURVEY §2.6). First-class queries here so a user of
+  * the reference's dashboards can compute every headline number in-engine.
+  */
+object Analytics {
+
+  /** Monthly sales with YoY difference and % — Dashboard 1/2 headline KPIs
+    * (`Readme.md:157-159,179-181`). Input: fact_sales. */
+  def monthlySalesYoY(factSales: DataFrame): DataFrame = {
+    val monthly = factSales
+      .groupBy(
+        (col("Order_Date_SK") / 10000).cast("int").as("Year"),
+        ((col("Order_Date_SK") % 10000) / 100).cast("int").as("Month"))
+      .agg(sum(col("Sales_Amount")).as("Sales"))
+    val w = Window.partitionBy(col("Month")).orderBy(col("Year"))
+    monthly
+      .withColumn("PrevYearSales", lag(col("Sales"), 1).over(w))
+      .withColumn("YoY_Diff", col("Sales") - col("PrevYearSales"))
+      .withColumn("YoY_Pct",
+        round(col("YoY_Diff") * 100.0 / col("PrevYearSales"), 2))
+      .orderBy("Year", "Month")
+  }
+
+  /** Top-N products by sales — Dashboard 1 (`Readme.md:165`). */
+  def topProducts(factSales: DataFrame, n: Int = 10): DataFrame = {
+    val w = Window.orderBy(col("Product_Sales").desc, col("Product_ID").asc)
+    factSales.groupBy(col("Product_ID"))
+      .agg(sum(col("Sales_Amount")).as("Product_Sales"),
+        count(lit(1)).as("Items_Sold"))
+      .withColumn("Rank", row_number().over(w))
+      .filter(col("Rank") <= n)
+      .orderBy("Rank")
+  }
+
+  /** Average daily sales / orders — Dashboard 2 (`Readme.md:163,183`):
+    * two-level aggregate (per-day sum → global average). */
+  def avgDaily(factOrders: DataFrame): DataFrame =
+    factOrders
+      .groupBy(col("Order_Date_SK"))
+      .agg(
+        sum(col("Total_Payment_Value")).as("day_sales"),
+        count(lit(1)).as("day_orders"))
+      .agg(
+        avg(col("day_sales")).as("Avg_Daily_Sales"),
+        avg(col("day_orders")).as("Avg_Daily_Orders"),
+        count(lit(1)).as("Days_Observed"))
+
+  /** Share of sales per group (e.g. state, region, category) with % of total —
+    * Dashboard 1's "Top 3 cities = 37%" style metric (`Readme.md:187`). */
+  def shareOfSales(factSales: DataFrame, dim: DataFrame, dimKey: String,
+      factKey: String, groupCol: String): DataFrame = {
+    val joined = factSales.join(dim, col(factKey) === col(dimKey))
+    val total = Window.partitionBy()
+    joined.groupBy(col(groupCol))
+      .agg(sum(col("Sales_Amount")).as("Group_Sales"))
+      .withColumn("Pct_Of_Total",
+        round(col("Group_Sales") * 100.0 / sum(col("Group_Sales")).over(total), 2))
+      .orderBy(col("Group_Sales").desc)
+  }
+
+  /** Delivery-performance KPIs from fact_orders (Dashboard 3,
+    * `Readme.md:189-196`): average approval / delivery days, late share. */
+  def deliveryKpis(factOrders: DataFrame): DataFrame =
+    factOrders.agg(
+      round(avg(col("Approval_Days")), 2).as("Avg_Approval_Days"),
+      round(avg(col("Total_Delivery_Days")), 2).as("Avg_Delivery_Days"),
+      sum(when(col("Customer_Delivery_Date") > col("Estimated_Delivery_Date"), 1)
+        .otherwise(0)).cast("long").as("Late_Deliveries"),
+      count(lit(1)).as("Total_Orders"))
+}

@@ -1,0 +1,58 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bronze layer: ingestion. The reference reads each CSV with `inferSchema=true`
+  * and overwrites a Postgres table per source, tearing the session down between
+  * tables (`spark_jobs/ingestion.py:12-24` — each CSV is scanned twice and the
+  * JVM restarted 9×). Here: one session, explicit schemas (single scan), and
+  * Parquet as the canonical at-rest format.
+  */
+object Bronze {
+
+  /** CSV → DataFrame with pinned schema (S1; inference available as opt-in). */
+  def readCsv(spark: SparkSession, path: String, table: String,
+      inferSchema: Boolean = false): DataFrame = {
+    val r = spark.read.option("header", "true")
+    (if (inferSchema) r.option("inferSchema", "true")
+     else r.schema(Schemas.olist(table))).csv(path)
+  }
+
+  /** All 9 Olist sources from a directory of `olist_<t>_dataset.csv` files,
+    * keyed like `ingestion.py:27-37`. */
+  def readAll(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    Schemas.olist.keys.map { t =>
+      val file =
+        if (t == "product_category_name_translation") s"$dir/product_category_name_translation.csv"
+        else s"$dir/olist_${t}_dataset.csv"
+      t -> readCsv(spark, file, t)
+    }.toMap
+
+  /** Parquet sink (replaces the reference's full-overwrite JDBC writes,
+    * `ingestion.py:15-22` — at 100 TB a batchsize-1000 JDBC sink is the
+    * pipeline's scale ceiling; columnar parquet with optional partitioning is
+    * not). */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** JDBC sink kept for reference parity (S2/S4 semantics: overwrite, batched,
+    * retry loop — `reporting.py:411-431`). */
+  def writeJdbc(df: DataFrame, url: String, table: String, user: String,
+      password: String, batchSize: Int = 1000, maxRetries: Int = 3): Unit = {
+    def attempt(remaining: Int): Unit =
+      try df.write.format("jdbc")
+        .option("url", url).option("dbtable", table)
+        .option("user", user).option("password", password)
+        .option("batchsize", batchSize)
+        .option("isolationLevel", "NONE")
+        .mode(SaveMode.Overwrite).save()
+      catch {
+        case e: Exception if remaining > 1 =>
+          Thread.sleep(1000L * (maxRetries - remaining + 1))
+          attempt(remaining - 1)
+      }
+    attempt(maxRetries)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface. The reference's "real-time" is a 30-minute
+  * Airflow full re-run (`Dag/E-commerce_dag.py:88`); the engine maps that
+  * cadence to real incremental execution: `readStream` → event-time windows
+  * with watermarks → sinks, plus custom session state via
+  * `flatMapGroupsWithState`. The windowed aggregate below is the same logical
+  * plan as [[Events.hourlyWindows]] — batch and stream share semantics.
+  */
+object Streams {
+
+  /** Schema of an events parquet directory written with micro timestamps
+    * (the streaming reader needs an explicit schema). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming tumbling 1-hour windows with a 2-hour watermark: late events
+    * beyond the watermark are dropped, finalized windows emit in append mode. */
+  def hourlyWindowsStream(spark: SparkSession, srcDir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(srcDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("hour_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("hour_value"))
+
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+  final case class SessionAcc(startMs: Long, lastMs: Long, n: Long, value: Double)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      n_events: Long, session_value: Double)
+
+  /** Custom stateful sessionization (30-min inactivity gap) via
+    * `flatMapGroupsWithState` — the per-key mutable-state form the batch
+    * lag/cumsum version ([[Events.sessionize]]) can't express incrementally.
+    * Emits a session when the gap is exceeded within a batch or on event-time
+    * timeout. */
+  def sessionizeStream(spark: SparkSession, srcDir: String,
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    import spark.implicits._
+
+    def flush(state: GroupState[SessionAcc], userId: Long): Iterator[SessionOut] =
+      state.getOption.map { acc =>
+        SessionOut(userId, new Timestamp(acc.startMs), acc.n, acc.value)
+      }.iterator
+
+    spark.readStream.schema(eventSchema).parquet(srcDir)
+      .withWatermark("ts", "2 hours")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, events: Iterator[Ev], state: GroupState[SessionAcc]) =>
+          if (!state.exists && !events.hasNext && state.hasTimedOut) {
+            state.remove(); Iterator.empty
+          } else if (state.hasTimedOut) {
+            val out = flush(state, userId).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var emitted = List.empty[SessionOut]
+            var acc = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              acc match {
+                case Some(a) if t - a.lastMs <= gapMs =>
+                  acc = Some(a.copy(lastMs = t, n = a.n + 1, value = a.value + e.value))
+                case Some(a) =>
+                  emitted ::= SessionOut(userId, new Timestamp(a.startMs), a.n, a.value)
+                  acc = Some(SessionAcc(t, t, 1, e.value))
+                case None =>
+                  acc = Some(SessionAcc(t, t, 1, e.value))
+              }
+            }
+            acc.foreach { a =>
+              state.update(a)
+              state.setTimeoutTimestamp(a.lastMs + gapMs)
+            }
+            emitted.reverse.iterator
+          }
+      }
+  }
+
+  /** Drain a streaming DF into an in-memory table synchronously
+    * (Trigger.AvailableNow) — the local test/dev harness for the queries above;
+    * a production deployment swaps the sink for parquet/Kafka and a
+    * ProcessingTime trigger (the reference's 30-min cadence ≡
+    * `Trigger.ProcessingTime("30 minutes")`). */
+  def runToMemory(df: DataFrame, name: String): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

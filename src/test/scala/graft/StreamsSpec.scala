@@ -1,0 +1,48 @@
+package graft
+
+import graft.streaming.{Events, Streams}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming parity: the streaming windowed aggregate must agree
+  * with the batch form on a replayed (finite) input, and stateful
+  * sessionization must emit the same sessions the batch lag/cumsum finds. */
+class StreamsSpec extends SparkSuite {
+
+  private val srcDir = "/tmp/graft_stream_src"
+
+  private def materializeEvents(): Unit = {
+    // re-write sf0.001 events with micro timestamps so readStream can scan it
+    graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(srcDir)
+  }
+
+  test("streaming hourly windows == batch hourly windows on replay") {
+    materializeEvents()
+    Streams.runToMemory(Streams.hourlyWindowsStream(spark, srcDir), "hourly_out")
+    val streamed = spark.table("hourly_out")
+      .select("window_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Events.hourlyWindows(spark, "/root/testdata/sf0.001")
+      .select("window_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // append mode drops windows newer than the final watermark (max_ts - 2h);
+    // everything emitted must match batch exactly, and most windows must emit
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+    assert(streamed.size >= batch.size / 2)
+  }
+
+  test("stateful sessionization (flatMapGroupsWithState) matches batch sessionize") {
+    materializeEvents()
+    Streams.runToMemory(
+      Streams.sessionizeStream(spark, srcDir).toDF(), "sessions_out")
+    val streamed = spark.table("sessions_out")
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000, r.getLong(2))).toSet
+    val batch = Events.sessionize(spark, "/root/testdata/sf0.001")
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000, r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch))
+  }
+}
