@@ -230,16 +230,26 @@ object Catalog {
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words) - 1),
       |         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS sh FROM d)""".stripMargin
 
-  /** Shared DuckDB CTE: MinHash band hashes (mirrors Dedup.minhashBands). */
-  private val bandsCte =
+  /** Shared DuckDB CTE: MinHash band hashes (mirrors Dedup.minhashBands —
+    * same universal-hash seeds, same 28-bit md5-prefix base hash). */
+  private val bandsCte = {
+    val sigLines = ext.Dedup.seedsAB.zipWithIndex
+      .map { case ((a, b), i) => s"  min((h * $a + $b) % ${ext.Dedup.P}) AS s$i" }
+      .mkString(",\n")
+    val bandLines = (0 until 6)
+      .map(j => s"  s${2 * j} * ${ext.Dedup.P} + s${2 * j + 1} AS band$j")
+      .mkString(",\n")
     s"""$shingleCte,
-       |seeds AS (SELECT unnest(range(0, 12)) AS seed),
-       |sig AS (SELECT doc_id, seed, min(md5(sh || '#' || CAST(seed AS VARCHAR))) AS sig
-       |        FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
-       |bands AS (SELECT doc_id, CAST(seed // 2 AS INT) AS band_idx,
-       |  md5(concat(max(CASE WHEN seed % 2 = 0 THEN sig END),
-       |             max(CASE WHEN seed % 2 = 1 THEN sig END))) AS band_hash
-       |FROM sig GROUP BY doc_id, band_idx)""".stripMargin
+       |hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 7)) AS BIGINT) AS h FROM sh),
+       |sig AS (SELECT doc_id,
+       |$sigLines
+       |FROM hashed GROUP BY doc_id),
+       |wide AS (SELECT doc_id,
+       |$bandLines
+       |FROM sig),
+       |bands AS (SELECT doc_id, CAST(unnest(range(0, 6)) AS INT) AS band_idx,
+       |  unnest([band0, band1, band2, band3, band4, band5]) AS band_hash FROM wide)""".stripMargin
+  }
 
   /** DuckDB 16-bit SimHash SQL, generated to mirror Dedup.simhash bit-for-bit. */
   private val simhashSql: String = {

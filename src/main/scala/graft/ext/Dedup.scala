@@ -8,25 +8,38 @@ import graft.engine.Tables
   * over the `documents` table.
   *
   * Scale design: all three avoid the O(n²) all-pairs comparison.
-  *  - MinHash/LSH: per-doc signatures are a narrow shuffle-free projection +
-  *    one hash aggregate; candidate generation is an equi-join on band hashes,
-  *    so the shuffle key is the band bucket, not the document. At 100 TB a hot
-  *    band (e.g. boilerplate docs) would skew that join — AQE skew-join splits
-  *    it, and the band hash can be salted with a shingle-count suffix if needed.
-  *  - SimHash: one explode + one aggregate per doc, then grouping on the
-  *    64→16-bit signature finds exact-signature buckets.
-  *  - n-gram Jaccard: evaluated only on candidate pairs (here: consecutive
-  *    doc_ids as the deterministic stand-in for LSH candidates), never all pairs.
+  *  - MinHash/LSH: ONE md5 per distinct shingle, expanded into `numSeeds`
+  *    independent hash slots with a universal-hash family
+  *    h_i(x) = (a_i·H(x) + b_i) mod p (p = 2³¹−1, H = 28-bit md5 prefix) —
+  *    integer arithmetic both engines compute exactly. All 12 minima fold in a
+  *    single hash aggregate (no seed explode), bands pack 2 slots into one
+  *    64-bit value, and candidate pairs come from per-bucket id lists — the
+  *    signature pipeline runs ONCE, not once per join side.
+  *  - SimHash: one explode + one aggregate per doc; grouping on the signature
+  *    finds exact-signature buckets.
+  *  - n-gram Jaccard: evaluated only on candidate pairs, never all pairs.
+  *
+  * At 100 TB the shuffle keys are the band buckets; a hot band (boilerplate
+  * text) skews that aggregate — AQE skew handling applies, and the band value
+  * can be salted with a shingle-count suffix if needed.
   *
   * Hashing is md5-based (not Spark's murmur/xxhash) so the DuckDB oracle can
-  * recompute identical values; MinHash uses the *lexicographic* min of seeded
-  * md5 hex strings — any total order over a uniform hash family preserves the
-  * MinHash collision property, and string ordering is engine-portable.
+  * recompute identical values.
   */
 object Dedup {
 
-  private val numSeeds = 12 // 6 bands x 2 rows per band
-  private val numBands = 6
+  /** Universal-hash modulus (2³¹ − 1, prime). */
+  val P: Long = 2147483647L
+
+  /** 12 fixed (a, b) seed pairs → 6 bands × 2 rows. Arbitrary odd constants
+    * < 2³¹; the oracle SQL embeds the same values. */
+  val seedsAB: Seq[(Long, Long)] = Seq(
+    (1099087573L, 98764321L), (2034674923L, 1122334455L),
+    (1293847261L, 778899001L), (1847265431L, 445566771L),
+    (1555555557L, 246813579L), (1777777781L, 135792467L),
+    (1234567891L, 987654323L), (1987654321L, 123456791L),
+    (1357913579L, 864208642L), (1468024681L, 975319753L),
+    (1696969697L, 314159265L), (1818181819L, 271828183L))
 
   /** words → distinct 3-word shingles, 1-based indexing to mirror DuckDB lists. */
   private val shingles: Column = expr(
@@ -39,33 +52,41 @@ object Dedup {
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), explode(shingles).as("sh"))
 
-  /** Per-document MinHash band hashes: `numSeeds` signature slots grouped into
-    * `numBands` bands of 2 rows. Output (doc_id, band_idx, band_hash). */
-  def minhashBands(spark: SparkSession, dir: String): DataFrame =
+  /** Per-document MinHash band hashes: (doc_id, band_idx 0..5, band_hash). */
+  def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+    val sigCols = seedsAB.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"s$i")
+    }
+    val bandCols = (0 until 6).map { j =>
+      (col(s"s${2 * j}") * P + col(s"s${2 * j + 1}")).as(s"band$j")
+    }
+    val stackExpr = (0 until 6).map(j => s"$j, band$j").mkString("stack(6, ", ", ", ") AS (band_idx, band_hash)")
     docShingles(spark, dir)
-      .select(col("doc_id"), col("sh"), explode(expr(s"sequence(0, ${numSeeds - 1})")).as("seed"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("sh"), lit("#"), col("seed")))).as("sig"))
-      .withColumn("band_idx", expr("seed div 2").cast("int"))
-      .groupBy(col("doc_id"), col("band_idx"))
-      .agg(md5(concat(
-        max(when(col("seed") % 2 === 0, col("sig"))),
-        max(when(col("seed") % 2 === 1, col("sig"))))).as("band_hash"))
+      // ONE md5 per (doc, shingle); 28-bit prefix → integer hash base
+      .select(col("doc_id"), conv(substring(md5(col("sh")), 1, 7), 16, 10).cast("long").as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), expr(stackExpr))
       .orderBy("doc_id", "band_idx")
+  }
 
-  /** LSH candidate pairs: documents sharing >= 1 band hash. The join key is the
-    * (band_idx, band_hash) bucket — this is the step that makes near-dup
-    * detection feasible at 100 TB (bucket join instead of all-pairs). */
-  def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(spark, dir)
-    val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
+  /** LSH candidate pairs: documents sharing >= 1 band hash. Pairs are generated
+    * from per-bucket sorted id lists (collect_list + pair explode), so the
+    * signature pipeline is evaluated once — no self-join recompute. */
+  def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame =
+    minhashBands(spark, dir)
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |            y -> named_struct('doc_a', x, 'doc_b', y))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** 16-bit SimHash per document from the first 4 md5 hex digits of each token
     * (with multiplicity — standard frequency-weighted SimHash). */

@@ -11,18 +11,20 @@ import graft.engine.Tables
   * Two paths, mirroring how a production vector pipeline scales:
   *  - [[cosineTopK]]: brute-force exact top-k — the small-query-set baseline.
   *    The (tiny) query set is broadcast against one linear pass over the
-  *    corpus; ranking shuffles only (n_queries × corpus_partition) candidate
-  *    rows on query_id. Linear in corpus size → works at any SF, but cost
-  *    grows with |queries| × |corpus|.
+  *    corpus; ranking shuffles only the candidate rows on query_id.
   *  - [[lshBuckets]] / [[annTopK]]: random-hyperplane LSH — the 100 TB path.
-  *    Each vector hashes to an 8-bit bucket in one projection pass (no
-  *    shuffle); candidate generation is an equi-join on the bucket, so search
-  *    cost is |queries| × |bucket|, ~1/256 of brute force per plane-octet.
-  *    Hyperplane signs are derived from md5 parity (deterministic, no RNG
-  *    state), so the DuckDB oracle reproduces them exactly.
+  *    Each vector hashes to an 8-bit bucket in one projection pass; candidate
+  *    generation is an equi-join on the bucket (~1/256 of brute force).
+  *
+  * The ±1 hyperplane components are md5-parity-derived but — crucially —
+  * computed ONCE on the driver and embedded as array literals in the plan
+  * (64×8 = 512 md5 calls total), not per row: the naive in-expression form
+  * costs |corpus| × 512 md5 calls (25M+ at sf0.1). The DuckDB oracle still
+  * derives the same signs symbolically in SQL; both engines see identical
+  * plane matrices.
   *
   * Dot products run as higher-order `aggregate`/`zip_with` column expressions
-  * over double-cast elements — no UDFs, stays in codegen.
+  * over double-cast elements — no UDFs.
   */
 object Similarity {
 
@@ -51,26 +53,36 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Deterministic ±1 hyperplane component for (plane p, 1-based dim d):
-    * parity of the last md5 hex digit of "p,d". */
-  private def signExpr(p: Int): String =
-    s"(CASE WHEN conv(substring(md5(concat('$p', ',', CAST(d AS STRING))), 32, 1), 16, 10) % 2 = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** 8-bit LSH bucket per vector: bit p = sign-projection onto hyperplane p. */
+  /** Deterministic ±1 hyperplane component for (plane p, 1-based dim d):
+    * parity of the last md5 hex digit of "p,d" — same derivation the oracle
+    * SQL performs symbolically. */
+  def planeSign(p: Int, d: Int): Double =
+    if (Integer.parseInt(md5hex(s"$p,$d").substring(31), 16) % 2 == 1) 1.0 else -1.0
+
+  private def planeLiteral(p: Int, dim: Int): String =
+    (1 to dim).map(d => if (planeSign(p, d) > 0) "1D" else "-1D")
+      .mkString("array(", ",", ")")
+
+  /** 8-bit LSH bucket per vector: bit p = sign of the projection onto
+    * (driver-precomputed) hyperplane p. */
   def lshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 8): DataFrame = {
-    val proj = (0 until nPlanes).map { p =>
-      s"aggregate(transform(sequence(1, size(v)), d -> element_at(v, d) * ${signExpr(p)}), CAST(0 AS DOUBLE), (a, x) -> a + x)"
-    }
-    val bucket = proj.zipWithIndex
-      .map { case (e, p) => s"(CASE WHEN $e > 0 THEN ${1 << p} ELSE 0 END)" }
-      .mkString(" + ")
-    vecs(spark, dir)
-      .select(col("vec_id"), col("v"), col("nrm"), expr(bucket).cast("int").as("bucket"))
+    val base = vecs(spark, dir)
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    val bucket = (0 until nPlanes).map { p =>
+      s"(CASE WHEN aggregate(zip_with(v, ${planeLiteral(p, dim)}, (x, s) -> x * s), " +
+        s"CAST(0 AS DOUBLE), (a, x) -> a + x) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    base.select(col("vec_id"), col("v"), col("nrm"), expr(bucket).cast("int").as("bucket"))
   }
 
-  /** ANN top-k: exact cosine ranking restricted to the query's LSH bucket. */
+  /** ANN top-k: exact cosine ranking restricted to the query's LSH bucket.
+    * The bucket table is computed once and reused on both join sides. */
   def annTopK(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 20): DataFrame = {
-    val all = lshBuckets(spark, dir)
+    val all = lshBuckets(spark, dir).persist()
     val q = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
     val corpus = all.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("nrm").as("nn"), col("bucket"))
