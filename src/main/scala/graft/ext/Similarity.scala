@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
+import graft.functions.VectorExpressions
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
   * array<float>, label).
@@ -23,19 +24,22 @@ import graft.engine.Tables
   * derives the same signs symbolically in SQL; both engines see identical
   * plane matrices.
   *
-  * Dot products run as higher-order `aggregate`/`zip_with` column expressions
-  * over double-cast elements — no UDFs.
+  * Dot products use the native codegen'd [[graft.functions.DotProduct]]
+  * expression (`graft_dot`) — see that file for why the HOF form was replaced.
   */
 object Similarity {
 
-  /** embedding as array<double> plus its L2 norm. */
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  /** embedding as array<double> plus its L2 norm. `cast` (not a `transform`
+    * lambda) keeps the projection in codegen; norms and dots use the native
+    * [[graft.functions.DotProduct]] expression. */
+  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x))"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+  }
 
-  private val dotExpr =
-    "aggregate(zip_with(qv, nv, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+  private val dotExpr = "graft_dot(qv, nv)"
 
   /** Exact brute-force cosine top-k for query vectors vec_id < nQueries. */
   def cosineTopK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 20): DataFrame = {
