@@ -215,6 +215,36 @@ object Catalog {
       """SELECT CAST(row_number() OVER (ORDER BY segment) AS INT) AS segment_sk, segment
         |FROM (SELECT DISTINCT c_mktsegment AS segment FROM customer)
         |ORDER BY segment_sk""".stripMargin),
+
+    q("q41_json_extract", RelOps.jsonExtract,
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+        |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS n_distinct_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    q("q42_rollup", RelOps.rollupAgg,
+      """SELECT
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin),
+
+    q("q43_pivot", RelOps.pivotStatus,
+      """SELECT CAST(year(o_orderdate) AS INT) AS oyear,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders GROUP BY oyear ORDER BY oyear""".stripMargin),
+
+    q("q44_semi_join", RelOps.semiJoin,
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND year(o_orderdate) = 1997)
+        |ORDER BY c_custkey""".stripMargin),
+
+    QueryDef("q45_approx_distinct", RelOps.approxDistinct, None), // approximate by design — rows-only check
   )
 
   // ---------------------------------------------------------------------------

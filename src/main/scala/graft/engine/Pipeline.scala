@@ -43,13 +43,20 @@ object Pipeline {
     // Gold: 9 dims + 3 facts
     val dims = GoldDims.all(spark, silverStored)
     dims.foreach { case (name, df) => Bronze.writeParquet(df, s"$outDir/gold/$name") }
+    // facts are year-partitioned (derived from the yyyyMMdd date SK) so BI
+    // date-range queries get partition pruning at the file listing level —
+    // the scale lever the reference's unpartitioned JDBC tables never had
+    import org.apache.spark.sql.functions.{col, expr}
     val facts = Map(
-      "fact_sales" -> GoldFacts.factSales(silverStored),
-      "fact_orders" -> GoldFacts.factOrders(silverStored),
-      "fact_reviews" -> GoldFacts.factReviews(silverStored))
+      "fact_sales" -> GoldFacts.factSales(silverStored)
+        .withColumn("Order_Year", expr("Order_Date_SK div 10000")),
+      "fact_orders" -> GoldFacts.factOrders(silverStored)
+        .withColumn("Order_Year", expr("Order_Date_SK div 10000")),
+      "fact_reviews" -> GoldFacts.factReviews(silverStored)
+        .withColumn("Review_Year", expr("Review_Date_SK div 10000")))
     facts.foreach { case (name, df) =>
-      // facts are date-partitioned: partition pruning for BI date-range queries
-      Bronze.writeParquet(df, s"$outDir/gold/$name")
+      val partCol = if (name == "fact_reviews") "Review_Year" else "Order_Year"
+      Bronze.writeParquet(df, s"$outDir/gold/$name", partitionBy = Seq(partCol))
     }
     onStageComplete("gold")
 

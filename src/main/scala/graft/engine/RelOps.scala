@@ -319,4 +319,58 @@ object RelOps {
       .select(col("segment_sk"), col("segment"))
       .orderBy("segment_sk")
   }
+
+  /** JSON extraction from a string column (events.props) — the semi-structured
+    * path a training-data pipeline needs for metadata sidecars. get_json_object
+    * is a codegen'd built-in; no UDF. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("k_val")).as("min_k"),
+        max(col("k_val")).as("max_k"),
+        countDistinct(col("k_val")).as("n_distinct_k"))
+      .orderBy("event_type")
+
+  /** ROLLUP grouping sets with an explicit grouping id — subtotals + grand
+    * total in one pass (multi-level agg the reference delegates to Power BI). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus"))).cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum2(col("l_quantity")).as("qty"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  /** Pivot: order counts per year x status, fixed pivot values so the output
+    * schema is static (F/O/P columns). */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("oyear"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy("oyear")
+
+  /** Left-semi join: customers with >= 1 order in 1997 (EXISTS form). */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).filter(year(col("o_orderdate")) === 1997),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** HLL approximate distinct next to the exact count — the sketch-based path
+    * for 100 TB cardinality estimation (no oracle: approximate by design;
+    * the driver records a rows-only check). */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n_rows"))
 }
