@@ -187,7 +187,7 @@ object Catalog {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |WHERE year(o_orderdate) = 1997
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
 
     q("q20_date_parts", RelOps.datePartsAgg,
@@ -241,7 +241,9 @@ object Catalog {
     q("q44_semi_join", RelOps.semiJoin,
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
-        |              WHERE o_custkey = c_custkey AND year(o_orderdate) = 1997)
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |                AND o_orderdate < TIMESTAMP '1998-01-01')
         |ORDER BY c_custkey""".stripMargin),
 
     QueryDef("q45_approx_distinct", RelOps.approxDistinct, None), // approximate by design — rows-only check

@@ -265,7 +265,10 @@ object RelOps {
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"), "inner")
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"), "inner")
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"), "inner")
-      .filter(year(col("o_orderdate")) === 1997)
+      // raw range predicate (not year(...)=1997): pushes into the parquet scan
+      // so row-group min/max stats can skip whole groups at scale
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
@@ -359,7 +362,9 @@ object RelOps {
   def semiJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
       .join(
-        Tables.orders(spark, dir).filter(year(col("o_orderdate")) === 1997),
+        Tables.orders(spark, dir).filter(
+          col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
         col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy("c_custkey")
