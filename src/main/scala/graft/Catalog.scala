@@ -463,6 +463,21 @@ object Catalog {
         |  LATERAL (SELECT unnest(range(0, ((length(text) - 1) // 64) + 1)) AS i) t
         |ORDER BY doc_id, frame_idx""".stripMargin),
 
+    q("q46_hash_sample", (s, d) => ext.Sampling.hashSample(s, d),
+      """SELECT doc_id, lang, source,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100 AS hash_bucket
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100 < 10
+        |ORDER BY doc_id""".stripMargin),
+
+    q("q47_stratified_sample", (s, d) => ext.Sampling.stratifiedSample(s, d),
+      """SELECT lang, pick, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pick
+        |  FROM documents)
+        |WHERE pick <= 20 ORDER BY lang, pick""".stripMargin),
+
     q("q40_stub_decode", ext.Multimodal.stubDecode,
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

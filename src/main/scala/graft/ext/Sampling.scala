@@ -1,0 +1,43 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Deterministic sampling operators for training-data curation.
+  *
+  * `df.sample()` is seed-stable only for a fixed partition layout — useless as
+  * a reproducible dataset-versioning primitive at scale. These operators hash
+  * the record key instead: membership is a pure function of the data, so the
+  * same sample falls out on any cluster, any partitioning, any engine (the
+  * DuckDB oracle reproduces it exactly). This is the standard content-addressed
+  * split/sample scheme for corpus curation (train/val splits, decontamination
+  * holdouts).
+  */
+object Sampling {
+
+  /** Hash of the key into [0, 100) — md5-based so any engine can recompute. */
+  private def pctBucket(keyCol: String) =
+    conv(substring(md5(col(keyCol).cast("string")), 1, 7), 16, 10).cast("long") % 100
+
+  /** ~pct% deterministic sample of documents by doc_id hash. */
+  def hashSample(spark: SparkSession, dir: String, pct: Int = 10): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("hash_bucket", pctBucket("doc_id"))
+      .filter(col("hash_bucket") < pct)
+      .select(col("doc_id"), col("lang"), col("source"), col("hash_bucket"))
+      .orderBy("doc_id")
+
+  /** Stratified deterministic sample: `perStratum` docs per language, chosen
+    * by hash order (reproducible "random" choice within each stratum). */
+  def stratifiedSample(spark: SparkSession, dir: String, perStratum: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= perStratum)
+      .select(col("lang"), col("pick"), col("doc_id"))
+      .orderBy("lang", "pick")
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.engine.{Bucketing, Skew}
+import org.apache.spark.sql.functions._
+
+/** Scale-engineering utilities: bucketed co-located joins and skew salting. */
+class ScaleSpec extends SparkSuite {
+
+  test("bucketed join on the bucket key runs with no shuffle exchange") {
+    val s = spark; import s.implicits._
+    val orders = graft.engine.Tables.orders(spark, "/root/testdata/sf0.001")
+    val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    Bucketing.writeBucketed(orders, "b_orders", "o_orderkey", numBuckets = 8)
+    Bucketing.writeBucketed(
+      li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", numBuckets = 8)
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = Bucketing.readTable(spark, "b_orders")
+        .join(Bucketing.readTable(spark, "b_lineitem"), "o_orderkey")
+      assert(!Bucketing.hasShuffleExchange(joined), "bucketed join must be exchange-free")
+      // and an unbucketed equivalent DOES shuffle — the control
+      val plain = orders.join(li, orders("o_orderkey") === li("l_orderkey"))
+      assert(Bucketing.hasShuffleExchange(plain))
+      // correctness: same row count either way
+      assert(joined.count() == plain.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("salted join returns exactly the rows of the plain join on skewed data") {
+    val s = spark; import s.implicits._
+    // heavy skew: 90% of rows share key 1
+    val large = (1 to 2000).map(i => (if (i <= 1800) 1L else i.toLong, s"v$i"))
+      .toDF("k", "payload")
+    val small = Seq((1L, "hot"), (5L, "cold"), (1900L, "tail")).toDF("k", "tag")
+    val plain = large.join(small, Seq("k")).select("k", "payload", "tag")
+      .collect().map(_.toString).sorted
+    val salted = Skew.saltedJoin(large, small, "k", saltFactor = 4)
+      .select("k", "payload", "tag").collect().map(_.toString).sorted
+    assert(salted.toSeq == plain.toSeq)
+    assert(plain.length == 1801)
+
+    val profile = Skew.keyProfile(large, "k").collect()
+    assert(profile.head.getAs[Long]("k") == 1L)
+    assert(profile.head.getAs[Double]("pct_of_total") == 90.0)
+  }
+}
