@@ -247,6 +247,18 @@ object Catalog {
         |ORDER BY c_custkey""".stripMargin),
 
     QueryDef("q45_approx_distinct", RelOps.approxDistinct, None), // approximate by design — rows-only check
+
+    q("q48_topk_aggregator", RelOps.topKPartsAgg,
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_revenue
+        |  FROM lineitem GROUP BY l_partkey),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY part_revenue DESC, l_partkey) AS INT) AS rank
+        |  FROM rev)
+        |SELECT rank, p_partkey, p_name, part_revenue
+        |FROM ranked JOIN part ON l_partkey = p_partkey
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin),
   )
 
   // ---------------------------------------------------------------------------

@@ -14,14 +14,28 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, bucket-sorted table on `key`. */
+  /** Write `df` as a bucketed, bucket-sorted table on `key`. Drops any stale
+    * table/location first (an orphan warehouse dir from a previous JVM would
+    * otherwise fail CREATE with LOCATION_ALREADY_EXISTS). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      numBuckets: Int = 32): Unit =
+      numBuckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(warehouse, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 

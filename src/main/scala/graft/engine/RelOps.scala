@@ -378,4 +378,27 @@ object RelOps {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n_rows"))
+
+  /** Top-10 parts via the typed [[graft.functions.TopKAggregator]]: map-side
+    * partial top-k merged on the driver side of the agg — no global window
+    * sort, only k rows per partition cross the final shuffle. Output-identical
+    * to [[topKParts]] (same oracle). */
+  def topKPartsAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{KeyedValue, TopKAggregator}
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum2(col("l_extendedprice")).as("part_revenue"))
+      .select(col("l_partkey").as("key"), col("part_revenue").as("value"))
+      .as[KeyedValue]
+    val top = rev.groupByKey(_ => 0)
+      .agg(new TopKAggregator(10).toColumn)
+      .flatMap(_._2)
+      .toDF("l_partkey", "part_revenue")
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("part_revenue").desc, col("l_partkey").asc)))
+    top.join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"), "inner")
+      .select(col("rank"), col("p_partkey"), col("p_name"), col("part_revenue"))
+      .orderBy("rank")
+  }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.{FloatDotProduct, VectorExpressions}
+import org.apache.spark.sql.functions._
+
+/** Native expression + optimizer-rule behavior. */
+class VectorSpec extends SparkSuite {
+
+  test("graft_dot equals the HOF formulation bit-for-bit") {
+    val s = spark; import s.implicits._
+    VectorExpressions.register(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.1f, -0.2f, 0.3f), Array(-0.4f, 0.5f, 0.25f)))
+      .toDF("a", "b")
+      .withColumn("ad", col("a").cast("array<double>"))
+      .withColumn("bd", col("b").cast("array<double>"))
+    val out = df.select(
+      expr("graft_dot(ad, bd)").as("native"),
+      expr("aggregate(zip_with(ad, bd, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("hof"))
+      .collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("SpecializeFloatDot rewrites cast form to FloatDotProduct with identical results") {
+    VectorExpressions.register(spark)
+    // parquet source (array<float>), so constant folding can't pre-evaluate
+    val df = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"),
+        expr("graft_dot(CAST(embedding AS array<double>), CAST(embedding AS array<double>))").as("d"))
+    val optimized = df.queryExecution.optimizedPlan
+    val hasSpecialized = optimized.expressions.exists(_.exists {
+      case _: FloatDotProduct => true
+      case _ => false
+    })
+    assert(hasSpecialized, s"expected FloatDotProduct in optimized plan:\n$optimized")
+    // d = ||v||^2 — spot check positivity and finiteness over real data
+    val vals = df.limit(50).collect().map(_.getDouble(1))
+    assert(vals.forall(v => v > 0 && !v.isNaN && !v.isInfinite))
+  }
+
+  test("graft_dot null semantics: null array yields null") {
+    val s = spark; import s.implicits._
+    VectorExpressions.register(spark)
+    val df = Seq((Some(Array(1.0, 2.0)), None: Option[Array[Double]]))
+      .toDF("a", "b")
+      .select(expr("graft_dot(a, b)").as("d"))
+    assert(df.head().isNullAt(0))
+  }
+
+  test("TopKAggregator output is identical to the window-based top-k") {
+    val winBased = graft.engine.RelOps.topKParts(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).toSeq
+    val aggBased = graft.engine.RelOps.topKPartsAgg(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).toSeq
+    assert(aggBased == winBased)
+  }
+}
