@@ -216,6 +216,43 @@ object Catalog {
         |FROM (SELECT DISTINCT c_mktsegment AS segment FROM customer)
         |ORDER BY segment_sk""".stripMargin),
 
+    q("q49_window_suite", RelOps.windowSuite,
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cum_dist,
+        |  first_value(c_custkey) OVER w AS richest_custkey,
+        |  lead(c_acctbal, 1) OVER w AS next_bal,
+        |  lag(c_acctbal, 1) OVER w AS prev_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey, rn""".stripMargin),
+
+    q("q50_percentiles", RelOps.percentiles,
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    q("q51_date_math", RelOps.dateMath,
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy
+        |FROM orders WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey""".stripMargin),
+
+    q("q52_array_agg", RelOps.arrayAgg,
+      """SELECT c_nationkey,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+        |  COUNT(DISTINCT c_mktsegment) AS n_segments
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+
     q("q41_json_extract", RelOps.jsonExtract,
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,

@@ -401,4 +401,58 @@ object RelOps {
       .select(col("rank"), col("p_partkey"), col("p_name"), col("part_revenue"))
       .orderBy("rank")
   }
+
+  /** Window-function suite over one ordered partition spec: ranking, ntile,
+    * distribution, offset functions (SURVEY §2.6 extended coverage). */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .select(
+        col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"),
+        first_value(col("c_custkey")).over(w).as("richest_custkey"),
+        lead(col("c_acctbal"), 1).over(w).as("next_bal"),
+        lag(col("c_acctbal"), 1).over(w).as("prev_bal"))
+      .orderBy("c_nationkey", "rn")
+  }
+
+  /** Exact interpolated percentiles (median / p90) per group. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** Date arithmetic: add_months (end-of-month clamping), last_day,
+    * month truncation, day-of-year. */
+  def dateMath(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 37 === 0) // deterministic sample to keep output small
+      .select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"),
+        add_months(to_date(col("o_orderdate")), 3).as("plus3m"),
+        last_day(to_date(col("o_orderdate"))).as("month_end"),
+        trunc(to_date(col("o_orderdate")), "month").as("month_start"),
+        dayofyear(col("o_orderdate")).as("doy"))
+      .orderBy("o_orderkey")
+
+  /** Collect-and-sort aggregation rendered as a canonical string (array_agg /
+    * collect_set + sort + join — the portable form of a list aggregate). */
+  def arrayAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("c_mktsegment")))).as("segments"),
+        countDistinct(col("c_mktsegment")).as("n_segments"))
+      .orderBy("c_nationkey")
 }
