@@ -369,7 +369,8 @@ object Catalog {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
         |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
-        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin),
 
     q("q25_lang_id", ext.TextStats.langId,
@@ -526,6 +527,30 @@ object Catalog {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS pick
         |  FROM documents)
         |WHERE pick <= 20 ORDER BY lang, pick""".stripMargin),
+
+    q("q53_embedding_dedup", (s, d) => ext.Similarity.embeddingNearDupPairs(s, d),
+      s"""WITH $vecsCte,
+         |b AS (SELECT vec_id, v, nrm, CAST($lshBucketExpr AS INT) AS bucket FROM n),
+         |p AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         |        list_sum(list_transform(list_zip(a.v, c.v), z -> z[1] * z[2])) / (a.nrm * c.nrm) AS cos
+         |      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         |SELECT vec_a, vec_b, round(cos, 4) AS cos_sim
+         |FROM p WHERE cos >= 0.95 ORDER BY vec_a, vec_b""".stripMargin),
+
+    q("q54_session_window", streaming.Events.sessionWindowNative,
+      """WITH x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |           FROM events),
+        |y AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |        OR epoch_ns(ts) - epoch_ns(prev_ts) >= 1800000000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM x),
+        |z AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |      FROM y)
+        |SELECT user_id,
+        |  CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM z GROUP BY user_id, session_idx ORDER BY user_id, session_start""".stripMargin),
 
     q("q40_stub_decode", ext.Multimodal.stubDecode,
       """SELECT doc_id,

@@ -100,6 +100,24 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate dedup: candidate pairs come from the LSH
+    * buckets (never all-pairs), pairs above `threshold` mark the higher vec_id
+    * as a duplicate of the lower, and survivors are the non-dominated ids.
+    * Output: one row per duplicate pair found (may legitimately be empty on
+    * corpora with no near-dups — the oracle computes the same set). */
+  def embeddingNearDupPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.95): DataFrame = {
+    val all = lshBuckets(spark, dir).persist()
+    val a = all.select(col("vec_id").as("vec_a"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val b = all.select(col("vec_id").as("vec_b"), col("v").as("nv"), col("nrm").as("nn"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", expr(dotExpr) / (col("qn") * col("nn")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Bucket histogram — the observability query for LSH balance (skew here is
     * what would motivate salting at scale). */
   def lshBucketStats(spark: SparkSession, dir: String): DataFrame =

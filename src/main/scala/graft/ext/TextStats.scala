@@ -36,7 +36,9 @@ object TextStats {
         size(col("words")).cast("long").as("n_tokens"),
         size(array_distinct(col("words"))).cast("long").as("n_distinct_tokens"),
         length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long").as("n_punct"),
-        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digits"))
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digits"),
+        // BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)")).cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")
 
   /** Stopword-marker language ID (n-gram/dictionary heuristic): counts marker

@@ -49,6 +49,19 @@ object Events {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Session windows via Spark's native `session_window` grouping — the same
+    * sessions as [[sessionize]] computed by the built-in merging-window
+    * operator (works identically under Structured Streaming). */
+  def sessionWindowNative(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), Dec.sum2(col("value")).as("session_value"))
+      .select(
+        col("user_id"),
+        date_trunc("second", col("w.start")).as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+
   /** As-of join: for each 'error' event, the most recent prior 'click' by the
     * same user — composed from built-ins (union of both streams, one ordered
     * window per user, `last(..., ignoreNulls)`), per SURVEY §2.4's as-of note.
