@@ -91,6 +91,28 @@ object Streams {
       }
   }
 
+  /** Stream-stream inner join with watermarks + event-time range bounds:
+    * each error joined to the same user's clicks from the preceding hour.
+    * Watermarks + the range condition let Spark prune both join-state sides —
+    * without them stream-stream join state grows unboundedly. */
+  def errorClickJoinStream(spark: SparkSession, srcDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val clicks = spark.readStream.schema(eventSchema).parquet(srcDir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_event_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val errors = spark.readStream.schema(eventSchema).parquet(srcDir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("error_event_id"), col("user_id"), col("ts").as("error_ts"))
+      .withWatermark("error_ts", "2 hours")
+    errors.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("error_ts") &&
+        col("click_ts") >= col("error_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("error_event_id"), col("user_id"), col("click_event_id"))
+  }
+
   /** Drain a streaming DF into an in-memory table synchronously
     * (Trigger.AvailableNow) — the local test/dev harness for the queries above;
     * a production deployment swaps the sink for parquet/Kafka and a

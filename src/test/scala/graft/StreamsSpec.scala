@@ -32,6 +32,25 @@ class StreamsSpec extends SparkSuite {
     assert(streamed.size >= batch.size / 2)
   }
 
+  test("stream-stream join with watermarks matches the batch range join on replay") {
+    materializeEvents()
+    Streams.runToMemory(Streams.errorClickJoinStream(spark, srcDir), "ssj_out")
+    val streamed = spark.table("ssj_out")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ev = graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_event_id"), col("user_id").as("click_user"), col("ts").as("click_ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_event_id"), col("user_id"), col("ts").as("error_ts"))
+    val batch = errors.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("error_ts") &&
+        col("click_ts") >= col("error_ts") - expr("INTERVAL 1 HOUR"))
+      .collect().map(r => (r.getAs[Long]("error_event_id"), r.getAs[Long]("click_event_id"))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) matches batch sessionize") {
     materializeEvents()
     Streams.runToMemory(
