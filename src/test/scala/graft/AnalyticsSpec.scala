@@ -1,0 +1,36 @@
+package graft
+
+import graft.engine.Analytics
+
+/** Dashboard-parity analytics semantics on hand-built fact fixtures. */
+class AnalyticsSpec extends SparkSuite {
+
+  test("monthly YoY: diff and pct computed against same month of prior year") {
+    val s = spark; import s.implicits._
+    val fact = Seq(
+      (20170301, 100.0), (20170315, 100.0), // 2017-03: 200
+      (20180302, 300.0),                    // 2018-03: 300
+      (20180401, 50.0))                     // 2018-04: no prior year
+      .toDF("Order_Date_SK", "Sales_Amount")
+    val out = Analytics.monthlySalesYoY(fact).collect()
+      .map(r => (r.getAs[Int]("Year"), r.getAs[Int]("Month")) -> r).toMap
+    val mar18 = out((2018, 3))
+    assert(mar18.getAs[Double]("Sales") == 300.0)
+    assert(mar18.getAs[Double]("PrevYearSales") == 200.0)
+    assert(mar18.getAs[Double]("YoY_Diff") == 100.0)
+    assert(mar18.getAs[Double]("YoY_Pct") == 50.0)
+    assert(out((2017, 3)).isNullAt(out((2017, 3)).fieldIndex("PrevYearSales")))
+    assert(out((2018, 4)).isNullAt(out((2018, 4)).fieldIndex("PrevYearSales")))
+  }
+
+  test("share of sales sums to 100 percent across groups") {
+    val s = spark; import s.implicits._
+    val fact = Seq(("p1", 60.0), ("p2", 30.0), ("p3", 10.0))
+      .toDF("Product_ID", "Sales_Amount")
+    val dim = Seq(("p1", "CatA"), ("p2", "CatB"), ("p3", "CatB"))
+      .toDF("Prod_ID", "Category")
+    val out = Analytics.shareOfSales(fact, dim, "Prod_ID", "Product_ID", "Category")
+      .collect().map(r => r.getAs[String]("Category") -> r.getAs[Double]("Pct_Of_Total")).toMap
+    assert(out("CatA") == 60.0 && out("CatB") == 40.0)
+  }
+}

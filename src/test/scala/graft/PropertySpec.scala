@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Date
+
+import graft.engine.{GoldDims, Silver}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+
+/** Property-based invariants (scalacheck driving small Spark jobs).
+  * Few cases per property — each case is a full Spark job. */
+class PropertySpec extends SparkSuite {
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(8)
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("property: keyed dedup always yields unique keys and a subset of input rows") {
+    val s = spark; import s.implicits._
+    val gen = Gen.listOfN(30, Gen.zip(Gen.choose(1, 5), Gen.choose(1, 100)))
+    check(Prop.forAll(gen) { pairs =>
+      pairs.nonEmpty ==> {
+        val df = pairs.map { case (k, v) => (s"k$k", v, s"p$v", "s", new java.sql.Timestamp(0L), 1.0, 1.0) }
+          .toDF("order_id", "order_item_id", "product_id", "seller_id",
+            "shipping_limit_date", "price", "freight_value")
+        val out = Silver.cleanOrderItems(df)
+        val keys = out.select("Ord_ID").collect().map(_.getString(0))
+        keys.length == keys.distinct.length &&
+          keys.toSet == pairs.map(p => s"k${p._1}").toSet
+      }
+    })
+  }
+
+  test("property: date spine is contiguous with no gaps or duplicates") {
+    val gen = Gen.zip(Gen.choose(0L, 20000L), Gen.choose(0L, 400L))
+    check(Prop.forAll(gen) { case (startDay, len) =>
+      val start = Date.valueOf(java.time.LocalDate.ofEpochDay(startDay))
+      val end = Date.valueOf(java.time.LocalDate.ofEpochDay(startDay + len))
+      val spine = GoldDims.dimDateFromRange(spark, start, end)
+      val dates = spine.select("Date").collect().map(_.getDate(0).toLocalDate).sortBy(_.toEpochDay)
+      dates.length == len + 1 &&
+        dates.head == start.toLocalDate && dates.last == end.toLocalDate &&
+        dates.sliding(2).forall { case Array(a, b) => b.toEpochDay == a.toEpochDay + 1; case _ => true }
+    })
+  }
+
+  test("property: zip-region classifier is total (never null) over any int zip") {
+    val s = spark; import s.implicits._
+    val gen = Gen.listOfN(40, Gen.choose(Int.MinValue / 2, Int.MaxValue / 2))
+    check(Prop.forAll(gen) { zips =>
+      zips.nonEmpty ==> {
+        val df = zips.zipWithIndex.map { case (z, i) => (s"c$i", s"u$i", z, "City", "SP") }
+          .toDF("Cus_ID", "Cus_Unique_ID", "Cus_Zip_Code_Prefix", "Cus_City", "customer_state")
+        val regions = GoldDims.dimCustomers(df).select("Customer_Region").collect().map(_.getString(0))
+        regions.forall(r => Set("Southeast", "Northeast", "Other", "Unknown").contains(r))
+      }
+    })
+  }
+
+  test("property: decimal money sums are identical across arbitrary repartitioning") {
+    val s = spark; import s.implicits._
+    val gen = Gen.zip(Gen.listOfN(200, Gen.choose(0L, 999999L)), Gen.choose(1, 16))
+    check(Prop.forAll(gen) { case (cents, parts) =>
+      cents.nonEmpty ==> {
+        val df = cents.map(c => c / 100.0).toDF("v")
+        val a = df.repartition(parts).agg(graft.engine.Dec.sum2(col("v"))).head().getDouble(0)
+        val b = df.coalesce(1).agg(graft.engine.Dec.sum2(col("v"))).head().getDouble(0)
+        a == b // bit-identical regardless of partition/accumulation order
+      }
+    })
+  }
+}

@@ -33,6 +33,21 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("year-partitioned fact write gives partition pruning on date-range filters") {
+    val s = spark; import s.implicits._
+    val fact = Seq((1L, 20170301, 10.0), (2L, 20180401, 20.0), (3L, 20190501, 30.0))
+      .toDF("sk", "Order_Date_SK", "amount")
+      .withColumn("Order_Year", expr("Order_Date_SK div 10000"))
+    fact.write.mode("overwrite").partitionBy("Order_Year").parquet("/tmp/graft_partfact")
+    val read = spark.read.parquet("/tmp/graft_partfact").filter(col("Order_Year") === 2018)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(read.collect().map(_.getAs[Long]("sk")).toSeq == Seq(2L))
+    // pruned scan reads only the one matching partition directory
+    val scanned = read.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanned.contains("Order_Year"), scanned)
+  }
+
   test("salted join returns exactly the rows of the plain join on skewed data") {
     val s = spark; import s.implicits._
     // heavy skew: 90% of rows share key 1
