@@ -216,6 +216,14 @@ object Catalog {
         |FROM (SELECT DISTINCT c_mktsegment AS segment FROM customer)
         |ORDER BY segment_sk""".stripMargin),
 
+    q("q55_cube", RelOps.cubeAgg,
+      """SELECT
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+        |  o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin),
+
     q("q49_window_suite", RelOps.windowSuite,
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |  CAST(row_number() OVER w AS INT) AS rn,

@@ -455,4 +455,14 @@ object RelOps {
         concat_ws(",", sort_array(collect_set(col("c_mktsegment")))).as("segments"),
         countDistinct(col("c_mktsegment")).as("n_segments"))
       .orderBy("c_nationkey")
+
+  /** CUBE grouping sets: all 4 grouping combinations in one pass. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority"))).cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum2(col("o_totalprice")).as("total"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
 }
