@@ -216,6 +216,15 @@ object Catalog {
         |FROM (SELECT DISTINCT c_mktsegment AS segment FROM customer)
         |ORDER BY segment_sk""".stripMargin),
 
+    q("q56_scalar_subquery", RelOps.sqlScalarSubquery,
+      """SELECT c_custkey, n_orders
+        |FROM (SELECT c.c_custkey,
+        |        (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |      FROM customer c)
+        |WHERE n_orders > (SELECT AVG(cnt) FROM
+        |                   (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_custkey))
+        |ORDER BY c_custkey""".stripMargin),
+
     q("q55_cube", RelOps.cubeAgg,
       """SELECT
         |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,

@@ -465,4 +465,20 @@ object RelOps {
         count(lit(1)).as("n"),
         sum2(col("o_totalprice")).as("total"))
       .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  /** SQL-API entry with correlated + uncorrelated scalar subqueries — Catalyst
+    * decorrelates the per-customer COUNT into a join; exercised via
+    * `spark.sql` over temp views (the engine's SQL front door). */
+  def sqlScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c_custkey, n_orders
+        |FROM (SELECT c.c_custkey,
+        |        (SELECT COUNT(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |      FROM customer_v c)
+        |WHERE n_orders > (SELECT AVG(cnt) FROM
+        |                   (SELECT COUNT(*) AS cnt FROM orders_v GROUP BY o_custkey))
+        |ORDER BY c_custkey""".stripMargin)
+  }
 }

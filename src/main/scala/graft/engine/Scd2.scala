@@ -1,0 +1,57 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension type 2 maintenance — the warehouse-update
+  * capability the reference sidesteps by full-overwriting every table each run
+  * (`mode('overwrite')` everywhere; history is lost). Pure-DataFrame
+  * implementation: one full-outer join between current dimension state and the
+  * incoming batch decides, per natural key, whether to close the current row
+  * (tracked attribute changed), carry it forward, or insert a new version.
+  *
+  * Scale: a single co-partitioned full-outer join on the natural key + a
+  * union — no windows over history, no per-row driver logic. With both sides
+  * bucketed on the key ([[Bucketing]]) the join is exchange-free.
+  */
+object Scd2 {
+
+  /** @param current  existing SCD2 table: key, tracked..., effective_date,
+    *                 end_date (null = open), is_current
+    * @param updates  incoming snapshot: key, tracked...
+    * @param key      natural key column
+    * @param tracked  attribute columns whose change opens a new version
+    * @param batchDate effective date for this batch (a value, for determinism) */
+  def apply(current: DataFrame, updates: DataFrame, key: String,
+      tracked: Seq[String], batchDate: java.sql.Date): DataFrame = {
+    val open = current.filter(col("is_current"))
+    val closed = current.filter(!col("is_current"))
+
+    val u = updates.select((key +: tracked).map(c => col(c).as(s"u_$c")): _*)
+    val joined = open.join(u, col(key) === col(s"u_$key"), "full_outer")
+
+    val changed = tracked.map(c => col(c) =!= col(s"u_$c")).reduce(_ || _)
+    val isNewKey = col(key).isNull
+    val isDeparted = col(s"u_$key").isNull
+
+    // current rows: keep open if unchanged; close if changed or departed
+    val keptOrClosed = joined.filter(!isNewKey)
+      .select(
+        col(key) +:
+          tracked.map(col) :+
+          col("effective_date") :+
+          when(isDeparted || changed, lit(batchDate)).otherwise(col("end_date")).as("end_date") :+
+          when(isDeparted || changed, lit(false)).otherwise(lit(true)).as("is_current"): _*)
+
+    // new versions: brand-new keys, or changed keys re-inserted at batchDate
+    val newVersions = joined.filter(isNewKey || changed)
+      .select(
+        col(s"u_$key").as(key) +:
+          tracked.map(c => col(s"u_$c").as(c)) :+
+          lit(batchDate).as("effective_date") :+
+          lit(null).cast("date").as("end_date") :+
+          lit(true).as("is_current"): _*)
+
+    closed.unionByName(keptOrClosed).unionByName(newVersions)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Date
+
+import graft.engine.Scd2
+import org.apache.spark.sql.functions._
+
+/** SCD2 version semantics: close-on-change, carry-forward, insert, departure. */
+class Scd2Spec extends SparkSuite {
+
+  test("scd2: changed row closes + reopens, unchanged carries, new inserts, departed closes") {
+    val s = spark; import s.implicits._
+    val d0 = Date.valueOf("2017-01-01")
+    val d1 = Date.valueOf("2017-06-01")
+    val current = Seq(
+      ("c1", "sao paulo", d0, null.asInstanceOf[Date], true),   // will change city
+      ("c2", "rio", d0, null.asInstanceOf[Date], true),         // unchanged
+      ("c3", "salvador", d0, null.asInstanceOf[Date], true))    // departs
+      .toDF("Customer_ID", "City", "effective_date", "end_date", "is_current")
+    val updates = Seq(
+      ("c1", "campinas"), // changed
+      ("c2", "rio"),      // same
+      ("c4", "manaus"))   // new key
+      .toDF("Customer_ID", "City")
+
+    val out = Scd2(current, updates, "Customer_ID", Seq("City"), d1).cache()
+    assert(out.count() == 5) // c1 closed + c1 new, c2 open, c3 closed, c4 new
+
+    val c1 = out.filter("Customer_ID = 'c1'").orderBy("effective_date").collect()
+    assert(c1.length == 2)
+    assert(!c1(0).getAs[Boolean]("is_current") && c1(0).getAs[Date]("end_date") == d1)
+    assert(c1(1).getAs[Boolean]("is_current") && c1(1).getAs[String]("City") == "campinas" &&
+      c1(1).getAs[Date]("effective_date") == d1)
+
+    val c2 = out.filter("Customer_ID = 'c2'").collect()
+    assert(c2.length == 1 && c2(0).getAs[Boolean]("is_current") &&
+      c2(0).getAs[Date]("effective_date") == d0)
+
+    val c3 = out.filter("Customer_ID = 'c3'").collect()
+    assert(c3.length == 1 && !c3(0).getAs[Boolean]("is_current") &&
+      c3(0).getAs[Date]("end_date") == d1)
+
+    val c4 = out.filter("Customer_ID = 'c4'").collect()
+    assert(c4.length == 1 && c4(0).getAs[Boolean]("is_current") &&
+      c4(0).getAs[Date]("effective_date") == d1)
+  }
+
+  test("scd2 is idempotent for an unchanged re-run of the same batch") {
+    val s = spark; import s.implicits._
+    val d0 = Date.valueOf("2017-01-01")
+    val d1 = Date.valueOf("2017-06-01")
+    val current = Seq(("c1", "x", d0, null.asInstanceOf[Date], true))
+      .toDF("Customer_ID", "City", "effective_date", "end_date", "is_current")
+    val updates = Seq(("c1", "y")).toDF("Customer_ID", "City")
+    val once = Scd2(current, updates, "Customer_ID", Seq("City"), d1)
+    val twice = Scd2(once, updates, "Customer_ID", Seq("City"), d1)
+    // re-applying the same snapshot must not create another version
+    assert(twice.count() == once.count())
+    assert(twice.filter("is_current").count() == 1)
+  }
+}
