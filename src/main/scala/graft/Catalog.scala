@@ -545,6 +545,18 @@ object Catalog {
         |  FROM documents)
         |WHERE pick <= 20 ORDER BY lang, pick""".stripMargin),
 
+    q("q57_decontaminate", ext.TextStats.decontaminate,
+      s"""WITH $shingleCte,
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE sh.doc_id % 50 = 0),
+         |corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0)
+         |SELECT doc_id, COUNT(*) AS n_contaminated_shingles
+         |FROM corpus JOIN bench USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    q("q58_length_histogram", ext.TextStats.lengthHistogram,
+      """SELECT CAST(n_chars // 100 AS INT) AS bucket_100ch, COUNT(*) AS n_docs
+        |FROM documents GROUP BY bucket_100ch ORDER BY bucket_100ch""".stripMargin),
+
     q("q53_embedding_dedup", (s, d) => ext.Similarity.embeddingNearDupPairs(s, d),
       s"""WITH $vecsCte,
          |b AS (SELECT vec_id, v, nrm, CAST($lshBucketExpr AS INT) AS bucket FROM n),

@@ -99,4 +99,32 @@ object TextStats {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("survivor_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("survivor_doc_id")
+
+  /** Benchmark decontamination: flag documents sharing any 3-word shingle with
+    * a holdout/benchmark set (here: doc_id % 50 == 0 as the stand-in set).
+    * The overlap test is an equi-join on the shingle — the scalable form of
+    * n-gram-overlap decontamination (never all-pairs text comparison). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(words)-2),
+          |  i -> concat_ws(' ', element_at(words, i), element_at(words, i+1), element_at(words, i+2))))""".stripMargin)).as("sh"))
+    val benchmark = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("sh")).distinct()
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    corpus.join(benchmark, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_shingles"))
+      .orderBy("doc_id")
+  }
+
+  /** Document-length histogram: 100-char buckets (scan + one tiny aggregate). */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select((col("n_chars") / 100).cast("int").as("bucket_100ch"))
+      .groupBy(col("bucket_100ch"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket_100ch")
 }
