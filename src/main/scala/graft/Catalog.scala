@@ -566,6 +566,15 @@ object Catalog {
          |SELECT vec_a, vec_b, round(cos, 4) AS cos_sim
          |FROM p WHERE cos >= 0.95 ORDER BY vec_a, vec_b""".stripMargin),
 
+    q("q59_sliding_windows", streaming.Events.slidingWindows,
+      """WITH k AS (SELECT unnest(range(0, 4)) AS k)
+        |SELECT (epoch_ns(ts) // 900000000000) * 900 - k.k * 900 AS window_start_epoch,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS window_value
+        |FROM events CROSS JOIN k
+        |GROUP BY window_start_epoch, event_type
+        |ORDER BY window_start_epoch, event_type""".stripMargin),
+
     q("q54_session_window", streaming.Events.sessionWindowNative,
       """WITH x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |           FROM events),

@@ -49,6 +49,18 @@ object Events {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Sliding (hopping) windows: 1-hour windows every 15 minutes — each event
+    * lands in duration/slide = 4 windows. Epoch-seconds window keys keep the
+    * output timezone-free. Works identically under Structured Streaming. */
+  def slidingWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Dec.sum2(col("value")).as("window_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start_epoch"),
+        col("event_type"), col("n"), col("window_value"))
+      .orderBy("window_start_epoch", "event_type")
+
   /** Session windows via Spark's native `session_window` grouping — the same
     * sessions as [[sessionize]] computed by the built-in merging-window
     * operator (works identically under Structured Streaming). */
