@@ -545,6 +545,28 @@ object Catalog {
         |  FROM documents)
         |WHERE pick <= 20 ORDER BY lang, pick""".stripMargin),
 
+    q("q60_winnowing", (s, d) => ext.TextStats.winnowingFingerprint(s, d),
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 6),
+        |g AS (SELECT doc_id, len(words) - 2 AS m,
+        |        list_transform(range(1, len(words) - 1),
+        |          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS shingles
+        |      FROM d),
+        |x0 AS (SELECT doc_id, m, unnest(range(1, len(shingles) + 1)) AS p,
+        |         unnest(shingles) AS sh
+        |       FROM g),
+        |x AS (SELECT doc_id, m, p,
+        |        CAST(('0x' || substr(md5(sh), 1, 7)) AS BIGINT) AS h
+        |      FROM x0),
+        |y AS (SELECT doc_id, m, p,
+        |        min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+        |      FROM x)
+        |SELECT doc_id, COUNT(DISTINCT win_min) AS n_fingerprints,
+        |  CAST(SUM(DISTINCT win_min) AS BIGINT) AS fp_checksum
+        |FROM y WHERE p <= m - 3
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     q("q57_decontaminate", ext.TextStats.decontaminate,
       s"""WITH $shingleCte,
          |bench AS (SELECT DISTINCT sh FROM sh WHERE sh.doc_id % 50 = 0),

@@ -127,4 +127,35 @@ object TextStats {
       .groupBy(col("bucket_100ch"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("bucket_100ch")
+
+  /** Winnowing fingerprint sketch (rolling-hash document fingerprinting):
+    * hash every positional 3-word shingle, slide a w-shingle window, keep the
+    * window minima — the classic plagiarism/near-dup sketch (guarantees any
+    * shared run of >= w+2 words produces a shared fingerprint). Output is the
+    * sketch summary per doc (distinct-minima count + checksum), integers only
+    * so the oracle hash-matches. */
+  def winnowingFingerprint(spark: SparkSession, dir: String, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shingled = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3 + (w - 1))
+      .select(col("doc_id"), size(col("words")).as("n_words"), posexplode(expr(
+        """transform(sequence(1, size(words)-2),
+          |  i -> concat_ws(' ', element_at(words, i), element_at(words, i+1), element_at(words, i+2)))""".stripMargin)))
+      .select(
+        col("doc_id"),
+        (col("n_words") - 2).as("m"),
+        (col("pos") + 1).as("p"), // 1-based to mirror DuckDB subscripts
+        conv(substring(md5(col("col")), 1, 7), 16, 10).cast("long").as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    shingled
+      .withColumn("win_min", min(col("h")).over(win))
+      .filter(col("p") <= col("m") - w + 1) // full windows only
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("win_min")).as("n_fingerprints"),
+        sum_distinct(col("win_min")).cast("long").as("fp_checksum"))
+      .orderBy("doc_id")
+  }
 }
