@@ -37,6 +37,15 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_fail = 0
+    import os
+    dumped = {d for d in os.listdir(out_dir) if not d.endswith(".json")}
+    for extra in sorted(dumped - set(oracle)):
+        try:
+            n = pq.read_table(f"{out_dir}/{extra}").num_rows
+            print(f"INFO {extra}: rows-only check ({n} rows, no oracle)")
+        except Exception as e:
+            print(f"FAIL {extra}: unreadable rows-only output ({e})")
+            n_fail += 1
     for name, sql in sorted(oracle.items()):
         try:
             got = pq.read_table(f"{out_dir}/{name}").to_pandas()
