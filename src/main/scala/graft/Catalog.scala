@@ -618,6 +618,31 @@ object Catalog {
         |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
         |  CAST(CAST(list_sum(list_transform(range(1, 9), i -> ascii(substr(text, i, 1)))) AS BIGINT) % 480 + 1 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // The flagship composed near-dup pipeline: LSH candidates → exact Jaccard
+    // verification (replaces q31's consecutive-id stand-in as the production
+    // path; q31 stays as the pairwise-primitive spec).
+    q("q61_minhash_jaccard", ext.Dedup.minhashJaccard,
+      s"""WITH $bandsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+         |         FROM bands a JOIN bands b
+         |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |         GROUP BY doc_a, doc_b),
+         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+         |           FROM cand c
+         |           JOIN sh a ON a.doc_id = c.doc_a
+         |           JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+         |           GROUP BY c.doc_a, c.doc_b)
+         |SELECT c.doc_a, c.doc_b, c.n_shared_bands, ca.n_sh AS n_a, cb.n_sh AS n_b,
+         |  COALESCE(cm.n_common, 0) AS n_common,
+         |  CAST(COALESCE(cm.n_common, 0) AS DOUBLE) /
+         |    CAST(ca.n_sh + cb.n_sh - COALESCE(cm.n_common, 0) AS DOUBLE) AS jaccard
+         |FROM cand c
+         |JOIN counts ca ON ca.doc_id = c.doc_a
+         |JOIN counts cb ON cb.doc_id = c.doc_b
+         |LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension

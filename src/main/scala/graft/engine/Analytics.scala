@@ -21,21 +21,30 @@ object Analytics {
       .agg(sum(col("Sales_Amount")).as("Sales"))
     val w = Window.partitionBy(col("Month")).orderBy(col("Year"))
     monthly
-      .withColumn("PrevYearSales", lag(col("Sales"), 1).over(w))
+      // same-period-last-year: only compare against Year-1 — if a year is
+      // missing for this month, YoY is NULL (lag alone would silently compare
+      // against an older year)
+      .withColumn("PrevYearSales",
+        when(lag(col("Year"), 1).over(w) === col("Year") - 1,
+          lag(col("Sales"), 1).over(w)))
       .withColumn("YoY_Diff", col("Sales") - col("PrevYearSales"))
       .withColumn("YoY_Pct",
         round(col("YoY_Diff") * 100.0 / col("PrevYearSales"), 2))
       .orderBy("Year", "Month")
   }
 
-  /** Top-N products by sales — Dashboard 1 (`Readme.md:165`). */
+  /** Top-N products by sales — Dashboard 1 (`Readme.md:165`). Scale-safe:
+    * `orderBy().limit(n)` (TakeOrderedAndProject — k rows per partition cross
+    * the shuffle) instead of a global single-partition window sort; the rank
+    * window then runs over the n surviving rows only. */
   def topProducts(factSales: DataFrame, n: Int = 10): DataFrame = {
     val w = Window.orderBy(col("Product_Sales").desc, col("Product_ID").asc)
     factSales.groupBy(col("Product_ID"))
       .agg(sum(col("Sales_Amount")).as("Product_Sales"),
         count(lit(1)).as("Items_Sold"))
+      .orderBy(col("Product_Sales").desc, col("Product_ID").asc)
+      .limit(n)
       .withColumn("Rank", row_number().over(w))
-      .filter(col("Rank") <= n)
       .orderBy("Rank")
   }
 

@@ -38,9 +38,15 @@ object Bronze {
   }
 
   /** JDBC sink kept for reference parity (S2/S4 semantics: overwrite, batched,
-    * retry loop — `reporting.py:411-431`). */
+    * retry loop with linear backoff — `reporting.py:411-431`).
+    *
+    * @param onRetry  observability hook: (attempt just failed 1-based, error) —
+    *                 called before each backoff sleep, NOT on the final failure
+    * @param sleep    injectable backoff (tests pass a recorder; default real) */
   def writeJdbc(df: DataFrame, url: String, table: String, user: String,
-      password: String, batchSize: Int = 1000, maxRetries: Int = 3): Unit = {
+      password: String, batchSize: Int = 1000, maxRetries: Int = 3,
+      onRetry: (Int, Throwable) => Unit = (_, _) => (),
+      sleep: Long => Unit = Thread.sleep): Unit = {
     def attempt(remaining: Int): Unit =
       try df.write.format("jdbc")
         .option("url", url).option("dbtable", table)
@@ -50,7 +56,9 @@ object Bronze {
         .mode(SaveMode.Overwrite).save()
       catch {
         case e: Exception if remaining > 1 =>
-          Thread.sleep(1000L * (maxRetries - remaining + 1))
+          val attemptNo = maxRetries - remaining + 1
+          onRetry(attemptNo, e)
+          sleep(1000L * attemptNo)
           attempt(remaining - 1)
       }
     attempt(maxRetries)

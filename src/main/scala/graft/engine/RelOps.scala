@@ -171,15 +171,23 @@ object RelOps {
       .orderBy("oyear")
   }
 
-  /** Top-10 parts by revenue: ranked window with full tie-break, then a join back
-    * to the dimension ("Top-10 products" dashboard metric, `Readme.md:165`). */
+  /** Top-10 parts by revenue with full tie-break, then a join back to the
+    * dimension ("Top-10 products" dashboard metric, `Readme.md:165`).
+    *
+    * Scale-safe form: `orderBy().limit(10)` — Spark's TakeOrderedAndProject
+    * keeps only 10 rows per partition before the single-row collect, so no
+    * global single-partition window sort ever materializes (the previous
+    * `row_number over Window.orderBy` form sorted the whole aggregate on one
+    * partition). Rank is then assigned over the 10 surviving rows only.
+    * See also [[topKPartsAgg]] for the typed-aggregator variant. */
   def topKParts(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(sum2(col("l_extendedprice")).as("part_revenue"))
+      .orderBy(col("part_revenue").desc, col("l_partkey").asc)
+      .limit(10)
     val w = Window.orderBy(col("part_revenue").desc, col("l_partkey").asc)
-    rev.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
+    rev.withColumn("rank", row_number().over(w)) // window over 10 rows post-limit
       .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"), "inner")
       .select(col("rank"), col("p_partkey"), col("p_name"), col("part_revenue"))
       .orderBy("rank")

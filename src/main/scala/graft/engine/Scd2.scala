@@ -30,7 +30,10 @@ object Scd2 {
     val u = updates.select((key +: tracked).map(c => col(c).as(s"u_$c")): _*)
     val joined = open.join(u, col(key) === col(s"u_$key"), "full_outer")
 
-    val changed = tracked.map(c => col(c) =!= col(s"u_$c")).reduce(_ || _)
+    // null-safe: `=!=` yields NULL when either side is NULL, which is falsy in
+    // the `when`/`filter` below — a NULL→value (or value→NULL) transition would
+    // silently drop the update. `<=>` treats NULL as a comparable value.
+    val changed = tracked.map(c => !(col(c) <=> col(s"u_$c"))).reduce(_ || _)
     val isNewKey = col(key).isNull
     val isDeparted = col(s"u_$key").isNull
 
@@ -43,8 +46,11 @@ object Scd2 {
           when(isDeparted || changed, lit(batchDate)).otherwise(col("end_date")).as("end_date") :+
           when(isDeparted || changed, lit(false)).otherwise(lit(true)).as("is_current"): _*)
 
-    // new versions: brand-new keys, or changed keys re-inserted at batchDate
-    val newVersions = joined.filter(isNewKey || changed)
+    // new versions: brand-new keys, or changed keys re-inserted at batchDate.
+    // Departed keys are excluded explicitly: with null-safe `changed`, a
+    // departed row's tracked values compare "changed" against the all-NULL
+    // update side — without the guard it would insert a NULL-keyed version.
+    val newVersions = joined.filter(!isDeparted && (isNewKey || changed))
       .select(
         col(s"u_$key").as(key) +:
           tracked.map(c => col(s"u_$c").as(c)) :+

@@ -106,9 +106,15 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** n-gram (3-word shingle) Jaccard similarity on candidate pairs.
-    * Candidates here are consecutive doc_ids — a deterministic, oracle-checkable
-    * stand-in; the production path feeds [[minhashCandidatePairs]] output in. */
+  /** n-gram (3-word shingle) Jaccard similarity on a fixed consecutive-id pair
+    * grid — a deterministic, oracle-checkable demo of the pairwise-Jaccard
+    * primitive. The production composition (LSH candidates → Jaccard) is
+    * [[minhashJaccard]].
+    *
+    * The intersection join keys on the COMPOSITE (doc_b, sh) = (doc_a+1, sh) —
+    * never on the raw shingle alone — so a boilerplate shingle shared by k
+    * documents hashes to k distinct join keys instead of one hot key with a
+    * k² match blowup. */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(spark, dir) // already distinct per (doc, shingle)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -116,8 +122,10 @@ object Dedup {
       .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
         col("doc_b") === col("doc_a") + 1)
     val common = sh.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
-      .filter(col("doc_b") === col("doc_a") + 1)
+      // composite equi-join: Catalyst extracts (doc_a + 1, sh) = (doc_b, sh)
+      // as the hash keys — the pair constraint prunes BEFORE matching
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        col("doc_b") === col("doc_a") + 1 && col("sh_b") === col("sh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     pairs.join(common, Seq("doc_a", "doc_b"), "left")
@@ -127,5 +135,48 @@ object Dedup {
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
       .orderBy("doc_a")
+  }
+
+  /** The composed near-duplicate pipeline — MinHash/LSH candidate generation
+    * feeding exact n-gram Jaccard verification. This is the production path a
+    * 100 TB dedup run takes:
+    *
+    *  1. [[minhashCandidatePairs]] proposes (doc_a, doc_b) pairs sharing ≥ 1
+    *     LSH band (linear in corpus size, never all-pairs);
+    *  2. shingle sets are restricted to candidate documents BEFORE any shingle
+    *     join (semi-join on doc id — at sf levels the candidate set is orders
+    *     of magnitude smaller than the corpus);
+    *  3. the intersection is computed per pair via a composite-key equi-join
+    *     (doc_b, sh) — a hot boilerplate shingle cannot produce a k² match
+    *     blowup because the doc id is part of the hash key.
+    *
+    * Output: one row per candidate pair with exact Jaccard, ordered for
+    * determinism. Downstream dedup keeps pairs with jaccard ≥ threshold. */
+  def minhashJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val cand = minhashCandidatePairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"))
+    val sh = docShingles(spark, dir)
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // shingles of candidate docs only (left_semi: no duplication, prunes early)
+    val candSh = sh.join(candIds, Seq("doc_id"), "left_semi")
+    val counts = candSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = cand.select(col("doc_a"), col("doc_b"))
+      .join(candSh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      // composite key (doc_b, sh): per-pair intersection, skew-immune
+      .join(candSh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    cand
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .join(common, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .select(
+        col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
   }
 }

@@ -48,6 +48,10 @@ object Multimodal {
   def frameSample(spark: SparkSession, dir: String, frameBytes: Int = 64): DataFrame =
     asBinaryTable(spark, dir)
       .select(col("doc_id"), col("payload").cast("string").as("s"))
+      // empty payloads yield zero frames (matches integer-floor oracle
+      // semantics: DuckDB's (0-1)//64 = -1 → empty range, while Spark's
+      // CAST(-1/64 AS INT) truncates to 0 → would emit one empty frame)
+      .filter(length(col("s")) > 0)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, CAST((length(s) - 1) / $frameBytes AS INT)), i -> substring(s, i * $frameBytes + 1, $frameBytes))")))
       .select(

@@ -71,11 +71,17 @@ object Similarity {
     (1 to dim).map(d => if (planeSign(p, d) > 0) "1D" else "-1D")
       .mkString("array(", ",", ")")
 
+  /** Embedding dimensionality of the testdata `embeddings` table. Callers with
+    * a different corpus pass `dim` explicitly — it must match `size(embedding)`
+    * exactly (a mismatched plane literal would zip to NULL projections). */
+  val DefaultDim = 64
+
   /** 8-bit LSH bucket per vector: bit p = sign of the projection onto
-    * (driver-precomputed) hyperplane p. */
-  def lshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 8): DataFrame = {
+    * (driver-precomputed) hyperplane p. `dim` is a parameter (not probed with a
+    * per-call `head()` job — that was an extra Spark job per invocation). */
+  def lshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 8,
+      dim: Int = DefaultDim): DataFrame = {
     val base = vecs(spark, dir)
-    val dim = base.select(size(col("v"))).head().getInt(0)
     val bucket = (0 until nPlanes).map { p =>
       s"(CASE WHEN aggregate(zip_with(v, ${planeLiteral(p, dim)}, (x, s) -> x * s), " +
         s"CAST(0 AS DOUBLE), (a, x) -> a + x) > 0 THEN ${1 << p} ELSE 0 END)"
@@ -84,9 +90,13 @@ object Similarity {
   }
 
   /** ANN top-k: exact cosine ranking restricted to the query's LSH bucket.
-    * The bucket table is computed once and reused on both join sides. */
+    * The bucket table appears on both join sides; we deliberately do NOT
+    * persist it here — a persist on a lazily-returned DataFrame leaks cache
+    * for the session's lifetime (no safe point to unpersist before the
+    * caller's action). Recomputing the projection pass is one codegen'd scan;
+    * a caller looping over many actions can persist/unpersist around them. */
   def annTopK(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 20): DataFrame = {
-    val all = lshBuckets(spark, dir).persist()
+    val all = lshBuckets(spark, dir)
     val q = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
     val corpus = all.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("nrm").as("nn"), col("bucket"))
@@ -107,7 +117,8 @@ object Similarity {
     * corpora with no near-dups — the oracle computes the same set). */
   def embeddingNearDupPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.95): DataFrame = {
-    val all = lshBuckets(spark, dir).persist()
+    val all = lshBuckets(spark, dir) // un-persisted on purpose — see annTopK
+
     val a = all.select(col("vec_id").as("vec_a"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
     val b = all.select(col("vec_id").as("vec_b"), col("v").as("nv"), col("nrm").as("nn"), col("bucket"))
     a.join(b, Seq("bucket"))

@@ -23,6 +23,28 @@ class AnalyticsSpec extends SparkSuite {
     assert(out((2018, 4)).isNullAt(out((2018, 4)).fieldIndex("PrevYearSales")))
   }
 
+  test("monthly YoY: a gap year yields NULL rather than comparing to an older year") {
+    val s = spark; import s.implicits._
+    val fact = Seq(
+      (20160301, 100.0), // 2016-03
+      (20180301, 300.0)) // 2018-03 — 2017-03 absent: YoY must be NULL, not vs 2016
+      .toDF("Order_Date_SK", "Sales_Amount")
+    val out = Analytics.monthlySalesYoY(fact).collect()
+      .map(r => (r.getAs[Int]("Year"), r.getAs[Int]("Month")) -> r).toMap
+    assert(out((2018, 3)).isNullAt(out((2018, 3)).fieldIndex("PrevYearSales")))
+    assert(out((2018, 3)).isNullAt(out((2018, 3)).fieldIndex("YoY_Diff")))
+  }
+
+  test("top products: rank order, tie-break, and limit without a global window sort") {
+    val s = spark; import s.implicits._
+    val fact = Seq(("a", 10.0), ("a", 5.0), ("b", 20.0), ("c", 15.0), ("d", 1.0))
+      .toDF("Product_ID", "Sales_Amount")
+    val out = Analytics.topProducts(fact, n = 3).collect()
+    assert(out.map(_.getAs[String]("Product_ID")).toSeq == Seq("b", "a", "c"))
+    assert(out.map(_.getAs[Int]("Rank")).toSeq == Seq(1, 2, 3))
+    assert(out(1).getAs[Double]("Product_Sales") == 15.0) // a = 10 + 5
+  }
+
   test("share of sales sums to 100 percent across groups") {
     val s = spark; import s.implicits._
     val fact = Seq(("p1", 60.0), ("p2", 30.0), ("p3", 10.0))

@@ -89,6 +89,33 @@ class ExtSpec extends SparkSuite {
     assert(hits >= 0) // informational; exactness not guaranteed by LSH
   }
 
+  test("composed minhash→jaccard: planted near-dups verified with high jaccard, others absent") {
+    val s = spark; import s.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    Seq((0L, base), (1L, nearDup), (2L, other))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs4/documents.parquet")
+    val rows = Dedup.minhashJaccard(spark, "/tmp/graft_test_docs4").collect()
+    // candidates come from LSH bands; only the planted pair survives
+    assert(rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet == Set((0L, 1L)))
+    val r = rows.head
+    // 38 shingles each; the changed token breaks 3 → 35 common, j = 35/41
+    assert(r.getAs[Long]("n_a") == 38 && r.getAs[Long]("n_b") == 38)
+    assert(r.getAs[Long]("n_common") == 35)
+    assert(math.abs(r.getAs[Double]("jaccard") - 35.0 / 41.0) < 1e-12)
+    assert(r.getAs[Long]("n_shared_bands") >= 1)
+  }
+
+  test("similarity queries leave no cached RDDs behind (no storage leak across a bench run)") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Similarity.annTopK(spark, dir, k = 2, nQueries = 5).count()
+    Similarity.embeddingNearDupPairs(spark, dir).count()
+    Dedup.minhashJaccard(spark, dir).count()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
   test("lang id: marker words drive the prediction deterministically") {
     val s = spark; import s.implicits._
     Seq((0L, "the cat sat on the mat and the dog is here"),

@@ -41,4 +41,61 @@ class IncrementalSpec extends SparkSuite {
     assert(afterSecond.count() == 3) // appended exactly once, batch1 not re-read
     assert(afterSecond.select("Ord_ID").distinct().count() == 3)
   }
+
+  private val itemsSrc = "/tmp/graft_incr_items_src"
+  private val itemsOut = "/tmp/graft_incr_items_out"
+
+  private def landItems(name: String, rows: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(itemsSrc))
+    val header = "order_id,order_item_id,product_id,seller_id,shipping_limit_date,price,freight_value"
+    Files.writeString(Paths.get(s"$itemsSrc/$name"), (header +: rows).mkString("\n"))
+  }
+
+  private def rmAll(p: String): Unit = {
+    val f = new java.io.File(p)
+    if (f.isDirectory) f.listFiles().foreach(c => rmAll(c.getPath))
+    f.delete()
+  }
+
+  test("parameterized stream: order_items cleaned (keyed dedup) + appended incrementally") {
+    rmAll(itemsSrc); rmAll(itemsOut)
+    // o1 has a duplicate Ord_ID row — cleanOrderItems keeps one (reference parity)
+    landItems("b1.csv", Seq(
+      "o1,1,p1,s1,2017-03-05 00:00:00,10.0,2.0",
+      "o1,2,p2,s1,2017-03-05 00:00:00,20.0,2.0",
+      "o2,1,p3,s2,2017-03-06 00:00:00,30.0,3.0"))
+    IncrementalPipeline.runTableAvailableNow(spark, "order_items", itemsSrc, itemsOut)
+    val first = spark.read.parquet(s"$itemsOut/silver/order_items")
+    assert(first.count() == 2, "per-batch keyed dedup applied before the sink")
+    assert(first.select("Ord_ID").distinct().count() == 2)
+
+    landItems("b2.csv", Seq("o3,1,p4,s3,2017-03-07 00:00:00,40.0,4.0"))
+    IncrementalPipeline.runTableAvailableNow(spark, "order_items", itemsSrc, itemsOut)
+    val second = spark.read.parquet(s"$itemsOut/silver/order_items")
+    assert(second.count() == 3, "second batch appended without reprocessing the first")
+  }
+
+  test("quality gate in foreachBatch: a violating batch halts the stream, nothing committed") {
+    val src = "/tmp/graft_incr_gate_src"
+    val out = "/tmp/graft_incr_gate_out"
+    rmAll(src); rmAll(out)
+    Files.createDirectories(Paths.get(src))
+    val header = "order_id,order_item_id,product_id,seller_id,shipping_limit_date,price,freight_value"
+    Files.writeString(Paths.get(s"$src/good.csv"),
+      (header +: Seq("o1,1,p1,s1,2017-03-05 00:00:00,10.0,2.0")).mkString("\n"))
+    IncrementalPipeline.runTableAvailableNow(spark, "order_items", src, out)
+    assert(spark.read.parquet(s"$out/silver/order_items").count() == 1)
+
+    // empty product_id parses as NULL → checkOrderItems violation → stream fails
+    Files.writeString(Paths.get(s"$src/bad.csv"),
+      (header +: Seq("o9,1,,s1,2017-03-08 00:00:00,5.0,1.0")).mkString("\n"))
+    val e = intercept[Exception] {
+      IncrementalPipeline.runTableAvailableNow(spark, "order_items", src, out)
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: rootMessages(x.getCause))
+    assert(rootMessages(e).exists(m => m != null && m.contains("quality gate failed")))
+    assert(spark.read.parquet(s"$out/silver/order_items").count() == 1,
+      "the violating batch must not be committed")
+  }
 }

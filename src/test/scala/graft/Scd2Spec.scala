@@ -45,6 +45,40 @@ class Scd2Spec extends SparkSuite {
       c4(0).getAs[Date]("effective_date") == d1)
   }
 
+  test("scd2 null-safe change detection: NULL→value and value→NULL open new versions") {
+    val s = spark; import s.implicits._
+    val d0 = Date.valueOf("2017-01-01")
+    val d1 = Date.valueOf("2017-06-01")
+    // tracked attribute nullable on either side (Olist product category is)
+    val current = Seq(
+      ("p1", Option.empty[String], d0, null.asInstanceOf[Date], true), // NULL → value
+      ("p2", Option("toys"), d0, null.asInstanceOf[Date], true),       // value → NULL
+      ("p3", Option.empty[String], d0, null.asInstanceOf[Date], true)) // NULL → NULL (no change)
+      .toDF("Prod_ID", "Category", "effective_date", "end_date", "is_current")
+    val updates = Seq(
+      ("p1", Option("beauty")),
+      ("p2", Option.empty[String]),
+      ("p3", Option.empty[String]))
+      .toDF("Prod_ID", "Category")
+
+    val out = Scd2(current, updates, "Prod_ID", Seq("Category"), d1).cache()
+
+    val p1 = out.filter("Prod_ID = 'p1'").orderBy("effective_date").collect()
+    assert(p1.length == 2, "NULL→value must close + reopen")
+    assert(!p1(0).getAs[Boolean]("is_current") && p1(0).getAs[Date]("end_date") == d1)
+    assert(p1(1).getAs[Boolean]("is_current") && p1(1).getAs[String]("Category") == "beauty")
+
+    val p2 = out.filter("Prod_ID = 'p2'").orderBy("effective_date").collect()
+    assert(p2.length == 2, "value→NULL must close + reopen")
+    assert(!p2(0).getAs[Boolean]("is_current") && p2(0).getAs[String]("Category") == "toys")
+    assert(p2(1).getAs[Boolean]("is_current") && p2(1).isNullAt(p2(1).fieldIndex("Category")))
+
+    val p3 = out.filter("Prod_ID = 'p3'").collect()
+    assert(p3.length == 1 && p3(0).getAs[Boolean]("is_current") &&
+      p3(0).getAs[Date]("effective_date") == d0, "NULL = NULL must carry forward")
+    out.unpersist()
+  }
+
   test("scd2 is idempotent for an unchanged re-run of the same batch") {
     val s = spark; import s.implicits._
     val d0 = Date.valueOf("2017-01-01")
