@@ -31,6 +31,11 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold", "52428800")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // default codegen class cache (100 entries) thrashes across this
+      // 61-query surface (several codegen stages per query): big generated
+      // classes (q29's 12-min agg) would re-janino-compile EVERY pass,
+      // charging seconds of compiler time to the timed run
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -61,33 +66,37 @@ object Bench {
       }
     }
 
-    // Timed passes: min over `passes` runs; any throw marks the query errored.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var best = Double.MaxValue
-      var err: Option[String] = None
-      var p = 0
-      while (p < passes && err.isEmpty) {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
-        } catch {
-          case t: Throwable =>
-            err = Some(t.getClass.getSimpleName)
-            System.err.println(s"[bench] $name failed: ${t.getMessage}")
-        }
-        p += 1
+    // Timed passes: min over `passes` runs, PASSES INTERLEAVED (all queries
+    // pass 1, then all pass 2, ...) so a transient CPU/GC burst lands on at
+    // most one of a query's passes — back-to-back passes would both absorb
+    // the same burst and the min would not filter it. Any throw marks the
+    // query errored (-1 + "errors" entry), never a silent partial timing.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map[String, Double]()
+    val errs = scala.collection.mutable.Map[String, String]()
+    for (_ <- 1 to passes; (name, fn) <- names if !errs.contains(name)) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
+      } catch {
+        case t: Throwable =>
+          errs(name) = t.getClass.getSimpleName
+          System.err.println(s"[bench] $name failed: ${t.getMessage}")
       }
-      (name, if (err.isEmpty) best else -1.0, err)
+    }
+    val results = names.map { case (name, _) =>
+      (name, if (errs.contains(name)) -1.0 else best(name), errs.get(name))
     }
     val calAfter = calibration()
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + ": " + e + "\"" }
+    val errList = results.collect { case (k, _, Some(e)) => "\"" + k + ": " + e + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"errors":$errs,"calibration_before_sec":$calBefore,"calibration_after_sec":$calAfter}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"errors":$errList,"calibration_before_sec":$calBefore,"calibration_after_sec":$calAfter}""")
     spark.stop()
   }
 }

@@ -643,6 +643,51 @@ object Catalog {
          |JOIN counts cb ON cb.doc_id = c.doc_b
          |LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
          |ORDER BY c.doc_a, c.doc_b""".stripMargin),
+
+    // Duplicate clusters: connected components of the LSH candidate graph
+    // (iterative min-label propagation in Spark; transitive closure via
+    // recursive CTE in the oracle).
+    q("q62_dup_clusters", (s, d) => ext.Dedup.duplicateClusters(s, d),
+      s"""WITH RECURSIVE $bandsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |         GROUP BY doc_a, doc_b),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |          UNION SELECT doc_b, doc_a FROM cand),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+
+    // TF-IDF-style top terms (rational tf·N/df weight — ln is not
+    // bit-identical across engines' libm; ranking is unchanged).
+    q("q63_tfidf_topterms", (s, d) => ext.TextStats.tfidfTopTerms(s, d),
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, term, tf, df,
+        |             CAST(tf AS DOUBLE) * n_docs / df AS score
+        |           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+        |      FROM scored)
+        |SELECT doc_id, rank, term, tf, df, round(score, 6) AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+
+    // PII / dictionary scrub: pattern redaction + per-doc counts.
+    q("q64_pii_redact", (s, d) => ext.TextStats.piiRedact(s, d),
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\d{4,}')) AS BIGINT) AS n_digit_runs,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|stream)\b')) AS BIGINT) AS n_blocked_terms,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '\d{4,}', '[NUM]', 'g'),
+        |    '\b(customer|stream)\b', '[TERM]', 'g')) AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension

@@ -15,6 +15,7 @@ object Verify {
       .config("spark.sql.autoBroadcastJoinThreshold", "52428800")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "5000") // 61 plans > default 100
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -179,4 +179,59 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Duplicate CLUSTERS from the LSH candidate graph: connected components via
+    * iterative min-label propagation — the final step of a dedup pipeline
+    * (pairs → clusters → keep one canonical doc per cluster).
+    *
+    * Each iteration is one distributed join + min-aggregate; the loop runs on
+    * the driver but touches no data there (no collect). Near-dup components
+    * have tiny diameters (pairs chain through shared bands), so propagation
+    * converges in a handful of rounds; `maxIters` bounds the worst case and a
+    * 1-row `limit(1).count()` probe detects convergence.
+    *
+    * The edge set and each iteration's label frame are MATERIALIZED to
+    * parquet (a scratch dir under java.io.tmpdir; at cluster scale this is
+    * the Spark checkpoint dir on durable storage). This is load-bearing, not
+    * an optimization nicety: `labels` appears twice per iteration (join +
+    * union), so an unmaterialized lineage doubles every round — iteration k
+    * would re-evaluate the whole MinHash candidate pipeline O(2^k) times.
+    * With the round-trip each iteration is three cheap scans, and the
+    * RETURNED frame reads one small parquet — no cache entries leak.
+    *
+    * Output: (doc_id, cluster_id = min doc_id of the component) for every doc
+    * that appears in ≥ 1 candidate pair; docs with no candidates are
+    * implicitly their own singleton cluster. */
+  def duplicateClusters(spark: SparkSession, dir: String, maxIters: Int = 10): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cc").toString
+    minhashCandidatePairs(spark, dir).select(col("doc_a"), col("doc_b"))
+      .write.mode("overwrite").parquet(s"$tmp/pairs")
+    val pairs = spark.read.parquet(s"$tmp/pairs")
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+    edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .write.mode("overwrite").parquet(s"$tmp/labels0")
+    var labels = spark.read.parquet(s"$tmp/labels0")
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      labels.join(edges, col("id") === col("src"))
+        .select(col("dst").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .write.mode("overwrite").parquet(s"$tmp/labels${i + 1}")
+      val prop = spark.read.parquet(s"$tmp/labels${i + 1}")
+      val changed = prop.withColumnRenamed("label", "new_label")
+        .join(labels, "id")
+        .filter(col("new_label") =!= col("label"))
+        .limit(1).count()
+      labels = prop
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
 }

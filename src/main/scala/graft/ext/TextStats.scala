@@ -158,4 +158,56 @@ object TextStats {
         sum_distinct(col("win_min")).cast("long").as("fp_checksum"))
       .orderBy("doc_id")
   }
+
+  /** TF-IDF-style term weighting, top-k terms per document. The weight is the
+    * ln-free rational form score = tf × N / df (exact integer ratio in double
+    * — ln(x) is not guaranteed bit-identical across engines' libm, which
+    * would poison cross-engine rank comparison; the RANKING under tf·N/df is
+    * identical to tf·ln-smoothed idf for df monotone). Two shuffles: tf
+    * groupBy (map-side combinable) and the df join; the rank window is
+    * partitioned by doc — never global. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs")) // 1 row — broadcast cross join
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** PII / dictionary scrub — the redaction pass a training corpus takes
+    * before release: e-mail addresses and long digit runs are masked by
+    * pattern, a term blocklist by word boundary; counts are reported per doc
+    * so downstream can filter "heavily redacted" documents. Pure regexp
+    * column expressions (codegen'd, linear scan, no shuffle until the final
+    * orderBy, which exists only for oracle determinism). */
+  def piiRedact(spark: SparkSession, dir: String,
+      blocklist: Seq[String] = Seq("customer", "stream")): DataFrame = {
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val digitPat = "\\d{4,}"
+    val blockPat = blocklist.mkString("\\b(", "|", ")\\b")
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), emailPat, "[EMAIL]"),
+          digitPat, "[NUM]"),
+        blockPat, "[TERM]")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(digitPat), lit(0))).cast("long").as("n_digit_runs"),
+        size(regexp_extract_all(col("text"), lit(blockPat), lit(0))).cast("long").as("n_blocked_terms"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
 }

@@ -116,6 +116,63 @@ class ExtSpec extends SparkSuite {
     assert(spark.sparkContext.getPersistentRDDs.size == before)
   }
 
+  test("dup clusters: transitive near-dups land in one component with min-id label") {
+    val s = spark; import s.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // 1 differs from 0 at word 20; 2 differs from 1 at word 35 (2 may not pair
+    // with 0 directly — the cluster must still connect them transitively)
+    val dup1 = (1 to 40).map(i => if (i == 20) "AAA" else s"tok$i").mkString(" ")
+    val dup2 = (1 to 40).map(i => if (i == 20) "AAA" else if (i == 35) "BBB" else s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    Seq((0L, base), (1L, dup1), (2L, dup2), (3L, other))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs5/documents.parquet")
+    val out = Dedup.duplicateClusters(spark, "/tmp/graft_test_docs5").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out.keySet.contains(0L) && out.keySet.contains(1L) && out.keySet.contains(2L))
+    assert(out(0L) == 0L && out(1L) == 0L && out(2L) == 0L, s"one component labeled by min id: $out")
+    assert(!out.contains(3L), "doc with no candidate pairs stays a singleton (not emitted)")
+  }
+
+  test("tfidf top terms: rare terms outrank common ones, ranks per doc, ties by term") {
+    val s = spark; import s.implicits._
+    Seq(
+      (0L, "common common rare common filler pad pad"),
+      (1L, "common filler other other pad pad pad"),
+      (2L, "common filler unique pad pad"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs6/documents.parquet")
+    val rows = TextStats.tfidfTopTerms(spark, "/tmp/graft_test_docs6", k = 2).collect()
+    val top = rows.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("term")).toMap
+    // doc 0: 'rare' df=1 → score 3; 'common' tf=3 df=3 → 3. tie → 'common' first
+    assert(top(0L) == "common")
+    assert(top(1L) == "other")  // tf=2, df=1 → 6, beats everything
+    assert(top(2L) == "unique") // df=1
+    rows.groupBy(_.getAs[Long]("doc_id")).values.foreach(g => assert(g.length == 2))
+  }
+
+  test("pii redact: planted email/number/blocklist hits counted and masked") {
+    val s = spark; import s.implicits._
+    Seq(
+      (0L, "contact me at bob.smith@example.com or call 5551234 customer said"),
+      (1L, "clean text with no sensitive content at all"),
+      (2L, "stream the stream of 123 a customer stream"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs7/documents.parquet")
+    val out = TextStats.piiRedact(spark, "/tmp/graft_test_docs7").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("n_emails") == 1)
+    assert(out(0L).getAs[Long]("n_digit_runs") == 1)
+    assert(out(0L).getAs[Long]("n_blocked_terms") == 1)
+    assert(out(1L).getAs[Long]("n_emails") == 0 &&
+      out(1L).getAs[Long]("n_blocked_terms") == 0)
+    assert(out(2L).getAs[Long]("n_blocked_terms") == 4, "3×stream + 1×customer")
+    assert(out(2L).getAs[Long]("n_digit_runs") == 0, "123 is shorter than 4 digits")
+    // different docs redact to different texts; md5 present and hex
+    assert(out.values.map(_.getAs[String]("redacted_md5")).toSet.size == 3)
+  }
+
   test("lang id: marker words drive the prediction deterministically") {
     val s = spark; import s.implicits._
     Seq((0L, "the cat sat on the mat and the dog is here"),
