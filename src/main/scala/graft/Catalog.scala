@@ -677,6 +677,41 @@ object Catalog {
         |SELECT doc_id, rank, term, tf, df, round(score, 6) AS score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
 
+    // Gopher-style repetition quality gates.
+    q("q65_repetition_stats", ext.TextStats.repetitionStats,
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |bg AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+        |         unnest(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])) AS bg
+        |       FROM d),
+        |bgc AS (SELECT doc_id, n_tokens, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, n_tokens, bg),
+        |bgs AS (SELECT doc_id, n_tokens, COUNT(*) AS n_distinct_bigrams,
+        |          CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS max_bigram_count
+        |        FROM bgc GROUP BY doc_id, n_tokens),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+        |       FROM d),
+        |shs AS (SELECT doc_id, COUNT(*) AS n_shingles, COUNT(DISTINCT sh) AS n_distinct_shingles
+        |        FROM sh GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, b.n_bigrams, b.n_distinct_bigrams, b.max_bigram_count,
+        |  round(b.max_bigram_count * 2.0 / b.n_tokens, 6) AS top_bigram_token_frac,
+        |  s.n_shingles, s.n_distinct_shingles,
+        |  round(1.0 - CAST(s.n_distinct_shingles AS DOUBLE) / s.n_shingles, 6) AS dup_shingle_frac
+        |FROM bgs b JOIN shs s USING (doc_id) ORDER BY b.doc_id""".stripMargin),
+
+    // Sequence packing into fixed-token-budget chunks per source stream.
+    q("q66_sequence_pack", (s, d) => ext.TextStats.sequencePack(s, d),
+      """WITH t AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |      FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  cum_tokens - n_tokens AS tokens_before,
+        |  (cum_tokens - n_tokens) // 2048 AS chunk_id
+        |FROM c ORDER BY doc_id""".stripMargin),
+
     // PII / dictionary scrub: pattern redaction + per-doc counts.
     q("q64_pii_redact", (s, d) => ext.TextStats.piiRedact(s, d),
       """SELECT doc_id,

@@ -184,6 +184,68 @@ object TextStats {
       .orderBy("doc_id", "rank")
   }
 
+  /** Gopher-style repetition statistics — the quality gates a pretraining
+    * pipeline applies to catch low-quality/templated text (duplicate n-gram
+    * fractions, dominance of the most frequent bigram). One explode + two
+    * map-side-combinable aggregates per doc; no joins, no global shuffle
+    * beyond the per-doc groupBy. Integers + 6-dp rounded ratios so the
+    * oracle hash-matches. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+    val bigrams = docs.select(col("doc_id"), size(col("words")).cast("long").as("n_tokens"),
+      explode(expr(
+        """transform(sequence(1, size(words)-1),
+          |  i -> concat_ws(' ', element_at(words, i), element_at(words, i+1)))""".stripMargin)).as("bg"))
+    val bigramStats = bigrams
+      .groupBy(col("doc_id"), col("n_tokens"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(
+        count(lit(1)).as("n_distinct_bigrams"),
+        sum(col("c")).as("n_bigrams"),
+        max(col("c")).as("max_bigram_count"))
+    val shingleStats = docs
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(words)-2),
+          |  i -> concat_ws(' ', element_at(words, i), element_at(words, i+1), element_at(words, i+2)))""".stripMargin)).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        countDistinct(col("sh")).as("n_distinct_shingles"))
+    bigramStats.join(shingleStats, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        col("n_bigrams"), col("n_distinct_bigrams"), col("max_bigram_count"),
+        round(col("max_bigram_count") * 2.0 / col("n_tokens"), 6).as("top_bigram_token_frac"),
+        col("n_shingles"), col("n_distinct_shingles"),
+        round(lit(1.0) - col("n_distinct_shingles").cast("double") / col("n_shingles"), 6)
+          .as("dup_shingle_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing: assign documents to fixed-token-budget training chunks,
+    * greedily in doc_id order per source stream — the batch form of the
+    * pack-to-context-length step before tokenized examples are written. A doc
+    * lands in the chunk where it STARTS (cumulative tokens before it /
+    * budget). One window partitioned by source — never a global sort — so the
+    * packing parallelizes across streams at any scale. */
+  def sequencePack(spark: SparkSession, dir: String, budgetTokens: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        (col("cum_tokens") - col("n_tokens")).as("tokens_before"),
+        ((col("cum_tokens") - col("n_tokens")) / budgetTokens).cast("long").as("chunk_id"))
+      .orderBy("doc_id")
+  }
+
   /** PII / dictionary scrub — the redaction pass a training corpus takes
     * before release: e-mail addresses and long digit runs are masked by
     * pattern, a term blocklist by word boundary; counts are reported per doc

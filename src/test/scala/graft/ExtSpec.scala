@@ -173,6 +173,43 @@ class ExtSpec extends SparkSuite {
     assert(out.values.map(_.getAs[String]("redacted_md5")).toSet.size == 3)
   }
 
+  test("repetition stats: templated text shows high dup fractions, varied text low") {
+    val s = spark; import s.implicits._
+    val repetitive = Seq.fill(10)("spam eggs").mkString(" ")      // 20 tokens, 1 dominant bigram
+    val varied = (1 to 20).map(i => s"w$i").mkString(" ")          // all bigrams unique
+    Seq((0L, repetitive), (1L, varied))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs8/documents.parquet")
+    val out = TextStats.repetitionStats(spark, "/tmp/graft_test_docs8").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // "spam eggs" appears 10× of 19 bigrams; top-bigram token fraction 10*2/20 = 1.0
+    assert(out(0L).getAs[Long]("max_bigram_count") == 10)
+    assert(out(0L).getAs[Double]("top_bigram_token_frac") == 1.0)
+    assert(out(0L).getAs[Double]("dup_shingle_frac") > 0.8)
+    assert(out(1L).getAs[Long]("max_bigram_count") == 1)
+    assert(out(1L).getAs[Double]("dup_shingle_frac") == 0.0)
+  }
+
+  test("sequence packing: chunk boundaries at the token budget, independent per source") {
+    val s = spark; import s.implicits._
+    // source A: 3 docs of 1000 tokens → chunks 0,0,0 with budget 2048? cum_before: 0,1000,2000
+    // → chunks 0, 0, 0 (2000 < 2048); 4th doc starts at 3000 → chunk 1
+    def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    Seq(
+      (0L, "A", doc(1000)), (1L, "A", doc(1000)), (2L, "A", doc(1000)), (3L, "A", doc(1000)),
+      (10L, "B", doc(3000)), (11L, "B", doc(10)))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs9/documents.parquet")
+    val out = TextStats.sequencePack(spark, "/tmp/graft_test_docs9").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("chunk_id") == 0 && out(0L).getAs[Long]("tokens_before") == 0)
+    assert(out(1L).getAs[Long]("chunk_id") == 0) // starts at 1000
+    assert(out(2L).getAs[Long]("chunk_id") == 0) // starts at 2000 < 2048
+    assert(out(3L).getAs[Long]("chunk_id") == 1) // starts at 3000
+    assert(out(10L).getAs[Long]("tokens_before") == 0, "source B packs independently")
+    assert(out(11L).getAs[Long]("chunk_id") == 1) // starts at 3000 in B's stream
+  }
+
   test("lang id: marker words drive the prediction deterministically") {
     val s = spark; import s.implicits._
     Seq((0L, "the cat sat on the mat and the dog is here"),
