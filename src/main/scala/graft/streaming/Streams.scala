@@ -113,6 +113,19 @@ object Streams {
       .select(col("error_event_id"), col("user_id"), col("click_event_id"))
   }
 
+  /** Streaming exact deduplication by event_id with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps each key's state only until the
+    * watermark passes it, so duplicates arriving within the watermark window
+    * are dropped and state is GC'd afterwards — the streaming form of the
+    * batch exact-dedup ([[graft.ext.TextStats.exactDedup]] /
+    * `Silver.dedupBy`). A plain streaming `dropDuplicates` would grow its
+    * key-state forever; this is the only sustainable shape for an unbounded
+    * ingest at production scale. */
+  def dedupStream(spark: SparkSession, srcDir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(srcDir)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Drain a streaming DF into an in-memory table synchronously
     * (Trigger.AvailableNow) — the local test/dev harness for the queries above;
     * a production deployment swaps the sink for parquet/Kafka and a

@@ -32,6 +32,18 @@ class StreamsSpec extends SparkSuite {
     assert(streamed.size >= batch.size / 2)
   }
 
+  test("streaming dedup with watermark state: planted duplicate event_ids collapse to one") {
+    val ev = graft.engine.Tables.events(spark, "/root/testdata/sf0.001").limit(200)
+    // plant duplicates: replay the same 200 events twice into the source dir
+    val dupDir = "/tmp/graft_stream_dup_src"
+    ev.union(ev).write.mode("overwrite").parquet(dupDir)
+    Streams.runToMemory(Streams.dedupStream(spark, dupDir), "dedup_out")
+    val out = spark.table("dedup_out")
+    val ids = out.select("event_id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length, "every event_id emitted exactly once")
+    assert(ids.length == 200, "all planted originals survive, all replays dropped")
+  }
+
   test("stream-stream join with watermarks matches the batch range join on replay") {
     materializeEvents()
     Streams.runToMemory(Streams.errorClickJoinStream(spark, srcDir), "ssj_out")
