@@ -712,6 +712,24 @@ object Catalog {
         |  (cum_tokens - n_tokens) // 2048 AS chunk_id
         |FROM c ORDER BY doc_id""".stripMargin),
 
+    // Vocabulary build (tokenizer-training precursor).
+    q("q67_vocabulary", (s, d) => ext.TextStats.vocabulary(s, d),
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT term, COUNT(*) AS term_count FROM t GROUP BY term),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY term_count DESC, term) AS INT) AS vocab_id
+        |      FROM c)
+        |SELECT vocab_id, term, term_count FROM r
+        |WHERE vocab_id <= 100 ORDER BY vocab_id""".stripMargin),
+
+    // Deterministic content-addressed train/val/test split.
+    q("q68_split_assign", ext.TextStats.splitAssign,
+      """SELECT doc_id, source,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100 AS bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     // PII / dictionary scrub: pattern redaction + per-doc counts.
     q("q64_pii_redact", (s, d) => ext.TextStats.piiRedact(s, d),
       """SELECT doc_id,

@@ -246,6 +246,41 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary build: top-V terms by corpus frequency with deterministic
+    * tie-break — the tokenizer-training precursor. Map-side-combinable term
+    * count + TakeOrderedAndProject (only V rows per partition cross the final
+    * collect; no global sort materializes). */
+  def vocabulary(spark: SparkSession, dir: String, topV: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("term_count"))
+      .orderBy(col("term_count").desc, col("term").asc)
+      .limit(topV)
+    val w = Window.orderBy(col("term_count").desc, col("term").asc)
+    ranked.withColumn("vocab_id", row_number().over(w)) // window over topV rows only
+      .select(col("vocab_id"), col("term"), col("term_count"))
+      .orderBy("vocab_id")
+  }
+
+  /** Deterministic train/val/test split assignment: content-addressed hash of
+    * doc_id into 100 buckets → split by fixed band (train 0-89, val 90-94,
+    * test 95-99). Partition-layout-independent (the same doc always lands in
+    * the same split, on any cluster at any parallelism) — the property a
+    * random() split lacks. Same md5-bucket primitive as
+    * [[graft.ext.Sampling.hashSample]]. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .select(col("doc_id"), col("source"), col("bucket"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
   /** PII / dictionary scrub — the redaction pass a training corpus takes
     * before release: e-mail addresses and long digit runs are masked by
     * pattern, a term blocklist by word boundary; counts are reported per doc

@@ -210,6 +210,30 @@ class ExtSpec extends SparkSuite {
     assert(out(11L).getAs[Long]("chunk_id") == 1) // starts at 3000 in B's stream
   }
 
+  test("vocabulary: frequency-ranked with term tie-break, ids contiguous") {
+    val s = spark; import s.implicits._
+    Seq((0L, "b b b a a c"), (1L, "a c c"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs10/documents.parquet")
+    val rows = TextStats.vocabulary(spark, "/tmp/graft_test_docs10", topV = 10).collect()
+    // counts: a=3, b=3, c=3 → all tied at 3, term order breaks: a, b, c
+    assert(rows.map(r => (r.getAs[Int]("vocab_id"), r.getAs[String]("term"))).toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("split assignment: deterministic, bands partition 100 buckets, rerun-stable") {
+    val once = TextStats.splitAssign(spark, dir).collect()
+    val twice = TextStats.splitAssign(spark, dir).collect()
+    assert(once.map(_.toString).toSeq == twice.map(_.toString).toSeq)
+    once.foreach { r =>
+      val (b, sp) = (r.getAs[Long]("bucket"), r.getAs[String]("split"))
+      val expected = if (b < 90) "train" else if (b < 95) "val" else "test"
+      assert(sp == expected)
+    }
+    val frac = once.count(_.getAs[String]("split") == "train").toDouble / once.length
+    assert(frac > 0.75 && frac < 1.0, s"train fraction $frac wildly off 0.9")
+  }
+
   test("lang id: marker words drive the prediction deterministically") {
     val s = spark; import s.implicits._
     Seq((0L, "the cat sat on the mat and the dog is here"),

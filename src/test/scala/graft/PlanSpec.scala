@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression tests: the 100 TB properties that make these
+  * queries scale are asserted on the PLAN, not just the output, so a future
+  * refactor that silently reintroduces a full scan / global sort / shuffled
+  * dim join fails here rather than in production.
+  */
+class PlanSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = Catalog.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q01: the shipdate filter is pushed to the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("q02: scan reads only the projected columns (column pruning)") {
+    val p = plan("q02_filter_project")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("o_orderkey") && readSchema.contains("o_totalprice"))
+    assert(!readSchema.contains("o_comment") && !readSchema.contains("o_clerk"),
+      s"scan reads columns the query never uses: $readSchema")
+  }
+
+  test("q19 star join: both dimension joins broadcast (no shuffled dim join)") {
+    val p = plan("q19_star_join")
+    val broadcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, plan:\n$p")
+  }
+
+  test("q11 top-k: TakeOrderedAndProject, never a global single-partition sort") {
+    val p = plan("q11_topk_parts")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k lost its per-partition trim:\n$p")
+  }
+
+  test("q63 tfidf: per-doc rank window gets the WindowGroupLimit pushdown") {
+    val p = plan("q63_tfidf_topterms")
+    assert(p.contains("WindowGroupLimit"), s"rank<=k pushdown missing:\n$p")
+  }
+
+  test("q31/q61 shingle intersections join on composite keys (skew immunity)") {
+    // a hot boilerplate shingle must never be a join key on its own —
+    // the doc id must be part of the hash key
+    for (q <- Seq("q31_ngram_jaccard", "q61_minhash_jaccard")) {
+      val p = plan(q)
+      val keyLines = p.linesIterator.filter(l => l.contains("keys [") && l.contains("sh#")).toSeq
+      assert(keyLines.nonEmpty, s"$q: no shingle join found:\n$p")
+      assert(keyLines.forall(_.contains("keys [2]")),
+        s"$q: shingle used as a single join key (k² hot-key blowup): $keyLines")
+    }
+  }
+
+  test("q66 sequence packing: exactly one shuffle, partitioned by source") {
+    val p = plan("q66_sequence_pack")
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packing window collapsed to a single partition:\n$p")
+  }
+}
