@@ -302,6 +302,15 @@ object Catalog {
 
     QueryDef("q45_approx_distinct", RelOps.approxDistinct, None), // approximate by design — rows-only check
 
+    // Data-profiling observability: per-column counts, oracle generated from
+    // the same shared column list.
+    q("q69_profile", RelOps.profileOrders,
+      RelOps.ordersProfileCols.map(c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")),
+
     q("q48_topk_aggregator", RelOps.topKPartsAgg,
       """WITH rev AS (
         |  SELECT l_partkey,
@@ -425,7 +434,7 @@ object Catalog {
       s"""WITH $bandsCte
          |SELECT doc_id, band_idx, band_hash FROM bands ORDER BY doc_id, band_idx""".stripMargin),
 
-    q("q29_minhash_pairs", ext.Dedup.minhashCandidatePairs,
+    q("q29_minhash_pairs", (s, d) => ext.Dedup.minhashCandidatePairs(s, d),
       s"""WITH $bandsCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
          |FROM bands a JOIN bands b

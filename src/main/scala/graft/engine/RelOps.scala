@@ -489,4 +489,30 @@ object RelOps {
         |                   (SELECT COUNT(*) AS cnt FROM orders_v GROUP BY o_custkey))
         |ORDER BY c_custkey""".stripMargin)
   }
+
+  /** Column names profiled by [[profileOrders]] — shared with the oracle SQL
+    * generator so both engines profile the identical column list. */
+  val ordersProfileCols: Seq[String] = Seq(
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** Data-profiling operator: per-column row/null/distinct counts in ONE scan
+    * (all aggregates fold into a single hash-agg pass; the per-column rows are
+    * then unpivoted with stack). The observability query a pipeline runs
+    * before trusting a new drop of data — integer-only output, exact counts. */
+  def profileOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cols = ordersProfileCols
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"dist_$c")))
+    val stacked = cols
+      .map(c => s"'$c', nulls_$c, dist_$c")
+      .mkString(s"stack(${cols.length}, ", ", ", ") AS (column_name, n_nulls, n_distinct)")
+    Tables.orders(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(stacked))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+      .orderBy("column_name")
+  }
 }

@@ -73,12 +73,21 @@ object Dedup {
 
   /** LSH candidate pairs: documents sharing >= 1 band hash. Pairs are generated
     * from per-bucket sorted id lists (collect_list + pair explode), so the
-    * signature pipeline is evaluated once — no self-join recompute. */
-  def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame =
+    * signature pipeline is evaluated once — no self-join recompute.
+    *
+    * @param maxBucketSize if > 0, buckets with more ids are DROPPED before
+    *   pair explosion — the standard LSH degenerate-band guard: a band hash
+    *   shared by k documents (boilerplate text) emits k·(k−1)/2 pairs and is
+    *   non-discriminative anyway. At 100 TB this cap is what bounds both the
+    *   per-bucket collect_list and the candidate-pair output; 0 (default)
+    *   keeps every bucket, matching the exhaustive oracle. */
+  def minhashCandidatePairs(spark: SparkSession, dir: String,
+      maxBucketSize: Int = 0): DataFrame =
     minhashBands(spark, dir)
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .filter(size(col("ids")) >= 2 &&
+        (if (maxBucketSize > 0) size(col("ids")) <= maxBucketSize else lit(true)))
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids) - i - 1),

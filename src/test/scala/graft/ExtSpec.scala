@@ -37,6 +37,24 @@ class ExtSpec extends SparkSuite {
     assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L))
   }
 
+  test("minhash LSH degenerate-bucket cap: boilerplate bands dropped, real pairs kept") {
+    val s = spark; import s.implicits._
+    val boiler = (1 to 40).map(i => s"same$i").mkString(" ")
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    // 30 identical boilerplate docs (ids 10-39) + one real near-dup pair (0, 1)
+    val docs = Seq((0L, base), (1L, nearDup)) ++ (10L to 39L).map(i => (i, boiler))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs11/documents.parquet")
+    val uncapped = Dedup.minhashCandidatePairs(spark, "/tmp/graft_test_docs11").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size >= 30 * 29 / 2, "uncapped: the boilerplate clique explodes into all pairs")
+    val capped = Dedup.minhashCandidatePairs(spark, "/tmp/graft_test_docs11", maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((0L, 1L)), "the real near-dup pair survives the cap")
+    assert(!capped.exists(p => p._1 >= 10L), "the 30-doc degenerate bucket is dropped")
+  }
+
   test("simhash: near-identical docs get close signatures (small hamming distance)") {
     val s = spark; import s.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
