@@ -742,11 +742,11 @@ object Catalog {
     // PII / dictionary scrub: pattern redaction + per-doc counts.
     q("q64_pii_redact", (s, d) => ext.TextStats.piiRedact(s, d),
       """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
         |  CAST(len(regexp_extract_all(text, '\d{4,}')) AS BIGINT) AS n_digit_runs,
         |  CAST(len(regexp_extract_all(text, '\b(customer|stream)\b')) AS BIGINT) AS n_blocked_terms,
         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
         |    '\d{4,}', '[NUM]', 'g'),
         |    '\b(customer|stream)\b', '[TERM]', 'g')) AS redacted_md5
         |FROM documents ORDER BY doc_id""".stripMargin),

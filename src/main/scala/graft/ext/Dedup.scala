@@ -240,6 +240,20 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // Partial propagation is WRONG output (one component reported as two) —
+    // fail loudly rather than return it. Components deeper than maxIters hops
+    // need a larger budget (or pointer-jumping), not silent truncation.
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIters iterations; " +
+          "raise maxIters (component diameter exceeds the budget)")
+    // scratch cleanup: the returned frame reads ONLY the final labels dir
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(s"$tmp/pairs"))
+    (0 until i).foreach(j => rm(new java.io.File(s"$tmp/labels$j")))
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }

@@ -78,7 +78,10 @@ object Similarity {
 
   /** 8-bit LSH bucket per vector: bit p = sign of the projection onto
     * (driver-precomputed) hyperplane p. `dim` is a parameter (not probed with a
-    * per-call `head()` job — that was an extra Spark job per invocation). */
+    * per-call `head()` job — that was an extra Spark job per invocation); a
+    * per-row guard raises if the corpus dim disagrees, because a mismatched
+    * plane literal would zip to NULL projections and silently collapse every
+    * vector into bucket 0 (degrading ANN to an all-pairs join). */
   def lshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 8,
       dim: Int = DefaultDim): DataFrame = {
     val base = vecs(spark, dir)
@@ -86,7 +89,11 @@ object Similarity {
       s"(CASE WHEN aggregate(zip_with(v, ${planeLiteral(p, dim)}, (x, s) -> x * s), " +
         s"CAST(0 AS DOUBLE), (a, x) -> a + x) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
-    base.select(col("vec_id"), col("v"), col("nrm"), expr(bucket).cast("int").as("bucket"))
+    // the guard lives INSIDE the bucket column so column pruning can't drop it
+    val guarded = s"CASE WHEN size(v) <> $dim THEN " +
+      s"CAST(raise_error(concat('lshBuckets: embedding dim ', CAST(size(v) AS STRING), ' != configured $dim')) AS INT) " +
+      s"ELSE CAST(($bucket) AS INT) END"
+    base.select(col("vec_id"), col("v"), col("nrm"), expr(guarded).as("bucket"))
   }
 
   /** ANN top-k: exact cosine ranking restricted to the query's LSH bucket.

@@ -289,7 +289,7 @@ object TextStats {
     * orderBy, which exists only for oracle determinism). */
   def piiRedact(spark: SparkSession, dir: String,
       blocklist: Seq[String] = Seq("customer", "stream")): DataFrame = {
-    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val emailPat = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val digitPat = "\\d{4,}"
     val blockPat = blocklist.mkString("\\b(", "|", ")\\b")
     val redacted =

@@ -71,9 +71,13 @@ object IncrementalPipeline {
       .csv(csvDir)
     val q = bronze.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        val cleaned = clean(batch)
-        if (gate) gateBatch(table, cleaned)
-        cleaned.write.mode("append").parquet(s"$outDir/silver/$table")
+        // persist: the gate aggregate and the write would otherwise each
+        // re-run the clean lineage (incl. the dedup window shuffle)
+        val cleaned = clean(batch).persist()
+        try {
+          if (gate) gateBatch(table, cleaned)
+          cleaned.write.mode("append").parquet(s"$outDir/silver/$table")
+        } finally cleaned.unpersist()
       }
       .option("checkpointLocation", s"$outDir/_checkpoints/$table")
       .trigger(Trigger.AvailableNow())

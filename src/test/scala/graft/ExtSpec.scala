@@ -173,7 +173,7 @@ class ExtSpec extends SparkSuite {
   test("pii redact: planted email/number/blocklist hits counted and masked") {
     val s = spark; import s.implicits._
     Seq(
-      (0L, "contact me at bob.smith@example.com or call 5551234 customer said"),
+      (0L, "contact me at Bob.Smith@Example.COM or call 5551234 customer said"),
       (1L, "clean text with no sensitive content at all"),
       (2L, "stream the stream of 123 a customer stream"))
       .toDF("doc_id", "text")

@@ -19,12 +19,7 @@ class IncrementalSpec extends SparkSuite {
   }
 
   test("streaming medallion: second batch appends without reprocessing the first") {
-    def rm(p: String): Unit = {
-      val f = new java.io.File(p)
-      if (f.isDirectory) f.listFiles().foreach(c => rm(c.getPath))
-      f.delete()
-    }
-    rm(srcDir); rm(outDir)
+    rmTree(srcDir); rmTree(outDir)
 
     land("batch1.csv", Seq(
       "o1,c1,delivered,2017-03-01 14:30:00,2017-03-01 15:00:00,,,2017-03-10 00:00:00",
@@ -51,14 +46,8 @@ class IncrementalSpec extends SparkSuite {
     Files.writeString(Paths.get(s"$itemsSrc/$name"), (header +: rows).mkString("\n"))
   }
 
-  private def rmAll(p: String): Unit = {
-    val f = new java.io.File(p)
-    if (f.isDirectory) f.listFiles().foreach(c => rmAll(c.getPath))
-    f.delete()
-  }
-
   test("parameterized stream: order_items cleaned (keyed dedup) + appended incrementally") {
-    rmAll(itemsSrc); rmAll(itemsOut)
+    rmTree(itemsSrc); rmTree(itemsOut)
     // o1 has a duplicate Ord_ID row — cleanOrderItems keeps one (reference parity)
     landItems("b1.csv", Seq(
       "o1,1,p1,s1,2017-03-05 00:00:00,10.0,2.0",
@@ -78,7 +67,7 @@ class IncrementalSpec extends SparkSuite {
   test("quality gate in foreachBatch: a violating batch halts the stream, nothing committed") {
     val src = "/tmp/graft_incr_gate_src"
     val out = "/tmp/graft_incr_gate_out"
-    rmAll(src); rmAll(out)
+    rmTree(src); rmTree(out)
     Files.createDirectories(Paths.get(src))
     val header = "order_id,order_item_id,product_id,seller_id,shipping_limit_date,price,freight_value"
     Files.writeString(Paths.get(s"$src/good.csv"),

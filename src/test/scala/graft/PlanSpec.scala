@@ -12,6 +12,9 @@ class PlanSpec extends SparkSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private def plan(name: String): String = {
+    // default metadata truncation (100 chars) can hide ReadSchema columns and
+    // make the pruning assertions pass vacuously
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     val df = Catalog.queries(name)(spark, dir)
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }

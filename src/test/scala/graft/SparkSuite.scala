@@ -21,4 +21,13 @@ object SparkSuite {
 
 trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSuite.session
+
+  /** Recursively delete a test scratch path (no-op if absent). */
+  def rmTree(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+  }
 }

@@ -65,13 +65,8 @@ class StreamsSpec extends SparkSuite {
 
   test("windowed aggregation state survives checkpointed restart without duplicates") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    def rm(pth: String): Unit = {
-      val f = new java.io.File(pth)
-      if (f.isDirectory) f.listFiles().foreach(c => rm(c.getPath))
-      f.delete()
-    }
     val src = "/tmp/graft_ckpt_src"; val sink = "/tmp/graft_ckpt_sink"; val ckpt = "/tmp/graft_ckpt_cp"
-    rm(src); rm(sink); rm(ckpt)
+    rmTree(src); rmTree(sink); rmTree(ckpt)
     val all = graft.engine.Tables.events(spark, "/root/testdata/sf0.001").cache()
     // land first half, run, land second half, resume from checkpoint
     all.filter(col("event_id") < 500).write.mode("append").parquet(src)
