@@ -72,4 +72,44 @@ class PropertySpec extends SparkSuite {
       }
     })
   }
+
+  test("property: dup-cluster labels are component members and never exceed the doc id") {
+    val s = spark; import s.implicits._
+    // random near-dup groups: docs in the same group share identical text
+    val gen = Gen.listOfN(12, Gen.choose(0, 3))
+    check(Prop.forAll(gen) { groups =>
+      groups.nonEmpty ==> {
+        val docs = groups.zipWithIndex.map { case (g, i) =>
+          (i.toLong, (1 to 30).map(w => s"g${g}tok$w").mkString(" "))
+        }
+        docs.toDF("doc_id", "text")
+          .write.mode("overwrite").parquet("/tmp/graft_prop_cc/documents.parquet")
+        val out = graft.ext.Dedup.duplicateClusters(spark, "/tmp/graft_prop_cc").collect()
+          .map(r => r.getLong(0) -> r.getLong(1))
+        val ids = out.map(_._1).toSet
+        out.forall { case (id, label) => label <= id && ids.contains(label) } &&
+          // same text → same cluster (exact dups always collide in every band)
+          out.groupBy { case (id, _) => groups(id.toInt) }
+            .values.forall(grp => grp.map(_._2).toSet.size == 1)
+      }
+    })
+  }
+
+  test("property: split assignment bands are consistent for arbitrary doc ids") {
+    val s = spark; import s.implicits._
+    val gen = Gen.listOfN(20, Gen.choose(0L, 1000000L))
+    check(Prop.forAll(gen) { rawIds =>
+      rawIds.nonEmpty ==> {
+        val ids = rawIds.distinct
+        ids.map(i => (i, "x", "src")).toDF("doc_id", "text", "source")
+          .write.mode("overwrite").parquet("/tmp/graft_prop_split/documents.parquet")
+        val out = graft.ext.TextStats.splitAssign(spark, "/tmp/graft_prop_split").collect()
+        out.length == ids.length && out.forall { r =>
+          val (b, sp) = (r.getAs[Long]("bucket"), r.getAs[String]("split"))
+          b >= 0 && b < 100 &&
+            sp == (if (b < 90) "train" else if (b < 95) "val" else "test")
+        }
+      }
+    })
+  }
 }
