@@ -64,6 +64,42 @@ class IncrementalSpec extends SparkSuite {
     assert(second.count() == 3, "second batch appended without reprocessing the first")
   }
 
+  test("partition-level gold refresh rewrites only the targeted year") {
+    val s = spark; import s.implicits._
+    import java.sql.Timestamp
+    def ts(x: String) = Timestamp.valueOf(x)
+    val out = "/tmp/graft_gold_refresh"
+    rmTree(out)
+    def writeSilver(orders: Seq[(String, String, String, Timestamp)], mode: String): Unit = {
+      orders.map { case (o, c, st, t) => (o, c, st, t, t, t, t, t) }
+        .toDF("Ord_ID", "Cus_ID", "Ord_Status", "Ord_Purchase_Time", "Ord_Approved_At",
+          "Ord_Delivered_Carrier_Date", "Ord_Delivered_Customer_Date", "Ord_Estimated_Delivery_Date")
+        .write.mode(mode).parquet(s"$out/silver/orders")
+      orders.map { case (o, _, _, t) => (o, 1, "p1", "s1", t, 10.0, 1.0) }
+        .toDF("Ord_ID", "Ord_Item_ID", "Prod_ID", "Sell_ID", "Shipping_Limit_Date", "Price", "Freight_Value")
+        .write.mode(mode).parquet(s"$out/silver/order_items")
+      orders.map { case (o, _, _, _) => (o, 1, "credit_card", 1, 11.0) }
+        .toDF("Ord_ID", "Payment_Sequential", "Payment_Type", "Payment_Installments", "Payment_Value")
+        .write.mode(mode).parquet(s"$out/silver/order_payments")
+    }
+    writeSilver(Seq(
+      ("o1", "c1", "Delivered", ts("2017-03-01 14:30:00")),
+      ("o2", "c2", "Shipped", ts("2018-05-02 09:10:00"))), "overwrite")
+    IncrementalPipeline.refreshGoldOrderYears(spark, out, Seq(2017, 2018))
+    val dir2017 = new java.io.File(s"$out/gold/fact_orders/Order_Year=2017")
+    val files2017 = dir2017.listFiles().map(f => f.getName -> f.lastModified()).toSet
+    assert(spark.read.parquet(s"$out/gold/fact_orders").count() == 2)
+
+    // a late 2018 order arrives — refresh ONLY 2018
+    writeSilver(Seq(("o3", "c3", "Invoiced", ts("2018-06-01 10:00:00"))), "append")
+    IncrementalPipeline.refreshGoldOrderYears(spark, out, Seq(2018))
+    val fact = spark.read.parquet(s"$out/gold/fact_orders")
+    assert(fact.count() == 3)
+    assert(fact.filter("Order_Year = 2018").count() == 2)
+    val files2017After = dir2017.listFiles().map(f => f.getName -> f.lastModified()).toSet
+    assert(files2017After == files2017, "the untargeted 2017 partition must be untouched")
+  }
+
   test("quality gate in foreachBatch: a violating batch halts the stream, nothing committed") {
     val src = "/tmp/graft_incr_gate_src"
     val out = "/tmp/graft_incr_gate_out"
