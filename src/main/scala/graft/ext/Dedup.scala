@@ -162,8 +162,15 @@ object Dedup {
     * Output: one row per candidate pair with exact Jaccard, ordered for
     * determinism. Downstream dedup keeps pairs with jaccard ≥ threshold. */
   def minhashJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val cand = minhashCandidatePairs(spark, dir)
+    // materialize the candidate pairs once: `cand` appears on THREE lineage
+    // paths below (id restriction, intersection, final join) — without the
+    // round-trip the whole MinHash pipeline would be re-evaluated per path
+    // (PLANS.md showed 38 exchanges before this)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mj").toString
+    minhashCandidatePairs(spark, dir)
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands"))
+      .write.mode("overwrite").parquet(s"$tmp/cand")
+    val cand = spark.read.parquet(s"$tmp/cand")
     val sh = docShingles(spark, dir)
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
@@ -226,18 +233,18 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      // fold the change flag into the materialized snapshot: the convergence
+      // probe is then a pure scan of the written parquet, not a second join
       labels.join(edges, col("id") === col("src"))
         .select(col("dst").as("id"), col("label"))
         .union(labels)
         .groupBy("id").agg(min(col("label")).as("label"))
+        .join(labels.withColumnRenamed("label", "old_label"), "id")
+        .select(col("id"), col("label"), (col("label") =!= col("old_label")).as("changed"))
         .write.mode("overwrite").parquet(s"$tmp/labels${i + 1}")
-      val prop = spark.read.parquet(s"$tmp/labels${i + 1}")
-      val changed = prop.withColumnRenamed("label", "new_label")
-        .join(labels, "id")
-        .filter(col("new_label") =!= col("label"))
-        .limit(1).count()
-      labels = prop
-      converged = changed == 0
+      val next = spark.read.parquet(s"$tmp/labels${i + 1}")
+      converged = next.filter(col("changed")).limit(1).count() == 0
+      labels = next.select(col("id"), col("label"))
       i += 1
     }
     // Partial propagation is WRONG output (one component reported as two) —
