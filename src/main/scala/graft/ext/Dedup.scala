@@ -174,8 +174,12 @@ object Dedup {
     val sh = docShingles(spark, dir)
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    // shingles of candidate docs only (left_semi: no duplication, prunes early)
-    val candSh = sh.join(candIds, Seq("doc_id"), "left_semi")
+    // shingles of candidate docs only (left_semi: no duplication, prunes
+    // early), materialized once — candSh sits on three paths below (counts,
+    // intersection side a, intersection side b)
+    sh.join(candIds, Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$tmp/cand_sh")
+    val candSh = spark.read.parquet(s"$tmp/cand_sh")
     val counts = candSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = cand.select(col("doc_a"), col("doc_b"))
       .join(candSh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
