@@ -739,6 +739,28 @@ object Catalog {
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Capstone: quality gate -> split -> pack, one declarative plan.
+    q("q70_corpus_export", (s, d) => ext.TextStats.corpusExport(s, d),
+      s"""WITH g AS (SELECT doc_id, source,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> w IN $stop9)) AS BIGINT) AS n_stopwords
+         |  FROM documents),
+         |f AS (SELECT * FROM g
+         |      WHERE n_chars BETWEEN 100 AND 20000 AND n_tokens >= 20 AND n_stopwords > 0),
+         |sp AS (SELECT *,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100 AS bucket
+         |  FROM f),
+         |sp2 AS (SELECT *, CASE WHEN bucket < 90 THEN 'train'
+         |                       WHEN bucket < 95 THEN 'val'
+         |                       ELSE 'test' END AS split FROM sp),
+         |c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |      FROM sp2)
+         |SELECT doc_id, split, source, n_tokens,
+         |  (cum_tokens - n_tokens) // 2048 AS chunk_id
+         |FROM c ORDER BY doc_id""".stripMargin),
+
     // PII / dictionary scrub: pattern redaction + per-doc counts.
     q("q64_pii_redact", (s, d) => ext.TextStats.piiRedact(s, d),
       """SELECT doc_id,

@@ -281,6 +281,43 @@ object TextStats {
           .otherwise("test").as("split"))
       .orderBy("doc_id")
 
+  /** Capstone composition — the end-to-end corpus-export flow a training run
+    * consumes, in one declarative plan: C4-style quality gates
+    * ([[qualityScore]] thresholds) → content-addressed train/val/test split
+    * ([[splitAssign]] bands) → token-budget sequence packing
+    * ([[sequencePack]]) per (split, source) stream. Output: one manifest row
+    * per surviving doc with its split and chunk assignment. Single window
+    * partitioned by (split, source); everything upstream is a linear scan. */
+  def corpusExport(spark: SparkSession, dir: String,
+      budgetTokens: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in", "for", "on")
+      .map(w => s"'$w'").mkString("(", ", ", ")")
+    val gated = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        split(col("text"), " ").as("words"))
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("words")).cast("long").as("n_tokens"),
+        size(expr(s"filter(words, w -> w IN $stop)")).cast("long").as("n_stopwords"))
+      .filter(col("n_chars").between(100, 20000) &&
+        col("n_tokens") >= 20 && col("n_stopwords") > 0)
+    val withSplit = gated.withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+    val w = Window.partitionBy(col("split"), col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withSplit
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("split"), col("source"), col("n_tokens"),
+        ((col("cum_tokens") - col("n_tokens")) / budgetTokens).cast("long").as("chunk_id"))
+      .orderBy("doc_id")
+  }
+
   /** PII / dictionary scrub — the redaction pass a training corpus takes
     * before release: e-mail addresses and long digit runs are masked by
     * pattern, a term blocklist by word boundary; counts are reported per doc
