@@ -386,7 +386,10 @@ object Catalog {
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
 
-  private val stop9 = "('the','a','of','and','is','to','in','for','on')"
+  /** Oracle-side stopword set, generated from the SAME list the engine uses
+    * ([[ext.TextStats.stopWords]]) so the gate/capstone thresholds cannot
+    * drift between engines. */
+  private val stop9 = ext.TextStats.stopWords.map(w => s"'$w'").mkString("(", ",", ")")
 
   val extension: Seq[QueryDef] = Seq(
     q("q24_token_stats", ext.TextStats.tokenStats,

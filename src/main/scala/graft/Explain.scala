@@ -27,22 +27,32 @@ object Explain {
   }
 
   /** One line per catalog query: shuffle count, join strategies, codegen spans,
-    * scan-level pushdown — the audit table behind PLANS.md. */
+    * scan-level pushdown — the audit table behind PLANS.md.
+    *
+    * Counting is over the formatted explain's DETAIL headers (`"(n) NodeName"`)
+    * only — the tree section prints every operator a second time, and a plain
+    * substring match would also conflate shuffle `Exchange` with
+    * `BroadcastExchange`/`ReusedExchange`. */
   private def summary(spark: SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.execution.ExplainMode
-    println("| query | exchanges | BHJ | SMJ | TakeOrdered | WSCG spans | pushed filters |")
-    println("|---|---|---|---|---|---|---|")
+    println("| query | shuffles | bcast | BHJ | SMJ | TakeOrdered | WSCG spans | pushed filters |")
+    println("|---|---|---|---|---|---|---|---|")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
       try {
         val p = fn(spark, dir).queryExecution.explainString(ExplainMode.fromString("formatted"))
-        def c(s: String) = p.linesIterator.count(_.contains(s))
+        def node(name: String) =
+          s"(?m)^\\(\\d+\\) $name(?: \\[|$$)".r.findAllIn(p).size
         val pushed = p.linesIterator
           .count(l => l.contains("PushedFilters: [") && !l.contains("PushedFilters: []"))
         val wscg = "codegen id : (\\d+)".r.findAllMatchIn(p).map(_.group(1)).toSet.size
-        println(s"| $n | ${c("Exchange")} | ${c("BroadcastHashJoin")} | ${c("SortMergeJoin")} " +
+        println(s"| $n | ${node("Exchange")} | ${node("BroadcastExchange")} " +
+          s"| ${node("BroadcastHashJoin")} | ${node("SortMergeJoin")} " +
           s"| ${if (p.contains("TakeOrderedAndProject")) "y" else ""} " +
           s"| $wscg | $pushed |")
-      } catch { case e: Throwable => println(s"| $n | (explain failed: ${e.getClass.getSimpleName}) |") }
+      } catch {
+        case e: Throwable =>
+          println(s"| $n | err:${e.getClass.getSimpleName} | | | | | | |")
+      }
     }
   }
 }

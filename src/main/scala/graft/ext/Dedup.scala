@@ -28,6 +28,27 @@ import graft.engine.Tables
   */
 object Dedup {
 
+  /** JVM-lifetime scratch dirs for materialized subtrees. The dirs a RETURNED
+    * lazy frame still reads (q61's candidate tables, q62's final labels)
+    * cannot be deleted eagerly; a shutdown hook reclaims them when the
+    * session's JVM exits, so bench/verify/test runs clean up after
+    * themselves. */
+  private object Scratch {
+    private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    private def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.forEach(p => rm(new java.io.File(p)))))
+    def dir(prefix: String): String = {
+      val p = java.nio.file.Files.createTempDirectory(prefix).toString
+      dirs.add(p)
+      p
+    }
+    def delete(path: String): Unit = rm(new java.io.File(path))
+  }
+
   /** Universal-hash modulus (2³¹ − 1, prime). */
   val P: Long = 2147483647L
 
@@ -165,8 +186,8 @@ object Dedup {
     // materialize the candidate pairs once: `cand` appears on THREE lineage
     // paths below (id restriction, intersection, final join) — without the
     // round-trip the whole MinHash pipeline would be re-evaluated per path
-    // (PLANS.md showed 38 exchanges before this)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_mj").toString
+    // (PLANS.md exchange counts exposed the duplication)
+    val tmp = Scratch.dir("graft_mj")
     minhashCandidatePairs(spark, dir)
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands"))
       .write.mode("overwrite").parquet(s"$tmp/cand")
@@ -223,7 +244,7 @@ object Dedup {
     * that appears in ≥ 1 candidate pair; docs with no candidates are
     * implicitly their own singleton cluster. */
   def duplicateClusters(spark: SparkSession, dir: String, maxIters: Int = 10): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_cc").toString
+    val tmp = Scratch.dir("graft_cc")
     minhashCandidatePairs(spark, dir).select(col("doc_a"), col("doc_b"))
       .write.mode("overwrite").parquet(s"$tmp/pairs")
     val pairs = spark.read.parquet(s"$tmp/pairs")
@@ -258,13 +279,10 @@ object Dedup {
       throw new IllegalStateException(
         s"duplicateClusters did not converge in $maxIters iterations; " +
           "raise maxIters (component diameter exceeds the budget)")
-    // scratch cleanup: the returned frame reads ONLY the final labels dir
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new java.io.File(s"$tmp/pairs"))
-    (0 until i).foreach(j => rm(new java.io.File(s"$tmp/labels$j")))
+    // eager scratch cleanup: the returned frame reads ONLY the final labels
+    // dir (which the shutdown hook reclaims at JVM exit)
+    Scratch.delete(s"$tmp/pairs")
+    (0 until i).foreach(j => Scratch.delete(s"$tmp/labels$j"))
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }

@@ -14,6 +14,26 @@ import graft.engine.{Dec, Tables}
   */
 object TextStats {
 
+  /** The 9-stopword marker list shared by [[qualityScore]], [[corpusExport]],
+    * and the Catalog oracle SQL (single source — gate drift between the
+    * engine, the capstone, and the oracle is impossible). */
+  val stopWords: Seq[String] =
+    Seq("the", "a", "of", "and", "is", "to", "in", "for", "on")
+
+  private val stopWordsSqlSet: String =
+    stopWords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** C4-style quality-gate thresholds (chars min/max, token min) shared by
+    * [[qualityScore]] and [[corpusExport]]. */
+  val MinChars = 100
+  val MaxChars = 20000
+  val MinTokens = 20
+
+  /** Content-addressed split bands (bucket upper bounds of 100) shared by
+    * [[splitAssign]] and [[corpusExport]]: train < 90 ≤ val < 95 ≤ test. */
+  val TrainUpper = 90
+  val ValUpper = 95
+
   /** Normalized whitespace form used for fingerprinting. */
   private def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
@@ -72,8 +92,6 @@ object TextStats {
     * of C4/RefinedWeb-style quality filters (length, punctuation density,
     * stopword presence). */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val stop = Seq("the", "a", "of", "and", "is", "to", "in", "for", "on")
-      .map(w => s"'$w'").mkString("(", ", ", ")")
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("words"))
       .select(
@@ -81,9 +99,9 @@ object TextStats {
         length(col("text")).cast("long").as("n_chars"),
         size(col("words")).cast("long").as("n_tokens"),
         length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long").as("n_punct"),
-        size(expr(s"filter(words, w -> w IN $stop)")).cast("long").as("n_stopwords"))
-      .withColumn("len_ok", col("n_chars") >= 100 && col("n_chars") <= 20000)
-      .withColumn("tokens_ok", col("n_tokens") >= 20)
+        size(expr(s"filter(words, w -> w IN $stopWordsSqlSet)")).cast("long").as("n_stopwords"))
+      .withColumn("len_ok", col("n_chars") >= MinChars && col("n_chars") <= MaxChars)
+      .withColumn("tokens_ok", col("n_tokens") >= MinTokens)
       .withColumn("has_stopwords", col("n_stopwords") > 0)
       .withColumn("passes_quality",
         col("len_ok") && col("tokens_ok") && col("has_stopwords"))
@@ -276,8 +294,8 @@ object TextStats {
         (conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
           .cast("long") % 100).as("bucket"))
       .select(col("doc_id"), col("source"), col("bucket"),
-        when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "val")
+        when(col("bucket") < TrainUpper, "train")
+          .when(col("bucket") < ValUpper, "val")
           .otherwise("test").as("split"))
       .orderBy("doc_id")
 
@@ -291,23 +309,21 @@ object TextStats {
   def corpusExport(spark: SparkSession, dir: String,
       budgetTokens: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val stop = Seq("the", "a", "of", "and", "is", "to", "in", "for", "on")
-      .map(w => s"'$w'").mkString("(", ", ", ")")
     val gated = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"),
         split(col("text"), " ").as("words"))
       .select(col("doc_id"), col("source"),
         length(col("text")).cast("long").as("n_chars"),
         size(col("words")).cast("long").as("n_tokens"),
-        size(expr(s"filter(words, w -> w IN $stop)")).cast("long").as("n_stopwords"))
-      .filter(col("n_chars").between(100, 20000) &&
-        col("n_tokens") >= 20 && col("n_stopwords") > 0)
+        size(expr(s"filter(words, w -> w IN $stopWordsSqlSet)")).cast("long").as("n_stopwords"))
+      .filter(col("n_chars").between(MinChars, MaxChars) &&
+        col("n_tokens") >= MinTokens && col("n_stopwords") > 0)
     val withSplit = gated.withColumn("bucket",
         conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
           .cast("long") % 100)
       .withColumn("split",
-        when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "val")
+        when(col("bucket") < TrainUpper, "train")
+          .when(col("bucket") < ValUpper, "val")
           .otherwise("test"))
     val w = Window.partitionBy(col("split"), col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

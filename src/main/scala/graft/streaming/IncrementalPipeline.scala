@@ -91,7 +91,17 @@ object IncrementalPipeline {
     * stream: at 100 TB a late-arriving batch touches a handful of partitions,
     * and rewriting just those — instead of the reference's full-table
     * overwrite every 30 minutes — is what makes the refresh cost proportional
-    * to the change, not the history. Idempotent per partition.
+    * to the change, not the history. The year filter is applied to SILVER
+    * ORDERS BEFORE the fact build, so the joins, rollup aggregates, and the
+    * surrogate-key window all run over the targeted years only (filtering the
+    * finished fact would scan and window-sort the full history first, and the
+    * global row_number would hand out SKs that collide with the untouched
+    * partitions' rows).
+    *
+    * A targeted year whose refreshed frame comes back EMPTY (all its orders
+    * deleted/corrected away) has its partition directory removed explicitly —
+    * dynamic partition overwrite only replaces partitions present in the new
+    * data and would otherwise leave the stale files serving deleted rows.
     *
     * Surrogate-key caveat: Order_SK is a deterministic row_number within the
     * REFRESHED subset (the reference regenerates all SKs every full run, so
@@ -99,12 +109,26 @@ object IncrementalPipeline {
     * natural key Order_ID. */
   def refreshGoldOrderYears(spark: SparkSession, outDir: String,
       years: Seq[Int]): Unit = {
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.{col, date_format, expr}
+    val yearSet = years.map(Integer.valueOf)
     val silverTables = Seq("orders", "order_items", "order_payments")
       .map(n => n -> spark.read.parquet(s"$outDir/silver/$n")).toMap
-    val fact = graft.engine.GoldFacts.factOrders(silverTables)
+    // restrict ORDERS to the target years up front; items/payments are inner-
+    // joined on Ord_ID so the filter propagates through the fact build
+    val scoped = silverTables.updated("orders",
+      silverTables("orders").filter(
+        (date_format(col("Ord_Purchase_Time"), "yyyyMMdd").cast("int") / 10000)
+          .cast("int").isin(yearSet: _*)))
+    val fact = graft.engine.GoldFacts.factOrders(scoped)
       .withColumn("Order_Year", expr("Order_Date_SK div 10000"))
-      .filter(col("Order_Year").isin(years.map(Integer.valueOf): _*))
+    // deletions: a year that produced zero rows must not keep stale files
+    years.foreach { y =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(s"$outDir/gold/fact_orders/Order_Year=$y"))
+    }
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try fact.write.mode("overwrite").partitionBy("Order_Year")

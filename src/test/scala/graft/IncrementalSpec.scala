@@ -98,6 +98,14 @@ class IncrementalSpec extends SparkSuite {
     assert(fact.filter("Order_Year = 2018").count() == 2)
     val files2017After = dir2017.listFiles().map(f => f.getName -> f.lastModified()).toSet
     assert(files2017After == files2017, "the untargeted 2017 partition must be untouched")
+
+    // deletion: silver corrected so 2018 has NO orders → the refreshed year's
+    // stale partition must disappear (dynamic overwrite alone would keep it)
+    writeSilver(Seq(("o1", "c1", "Delivered", ts("2017-03-01 14:30:00"))), "overwrite")
+    IncrementalPipeline.refreshGoldOrderYears(spark, out, Seq(2018))
+    val after = spark.read.parquet(s"$out/gold/fact_orders")
+    assert(after.filter("Order_Year = 2018").count() == 0, "deleted year fully removed")
+    assert(after.count() == 1, "2017 still served")
   }
 
   test("quality gate in foreachBatch: a violating batch halts the stream, nothing committed") {
