@@ -742,6 +742,24 @@ object Catalog {
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Dedup survivors: the corpus minus non-canonical near-dup cluster members.
+    q("q71_dedup_survivors", (s, d) => ext.Dedup.dedupSurvivors(s, d),
+      s"""WITH RECURSIVE $bandsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |         GROUP BY doc_a, doc_b),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |          UNION SELECT doc_b, doc_a FROM cand),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+         |losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY doc_id""".stripMargin),
+
     // Capstone: quality gate -> split -> pack, one declarative plan.
     q("q70_corpus_export", (s, d) => ext.TextStats.corpusExport(s, d),
       s"""WITH g AS (SELECT doc_id, source,

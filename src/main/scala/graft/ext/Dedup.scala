@@ -286,4 +286,20 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }
+
+  /** The consumer-facing output of the near-dup stack: the corpus with every
+    * non-canonical duplicate removed. A doc survives unless it belongs to an
+    * LSH-candidate component and is not that component's min-id
+    * representative ([[duplicateClusters]]). Left-anti join on the (tiny)
+    * non-survivor set — the corpus scan stays linear, the cluster table is
+    * broadcastable at any realistic duplicate rate. */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val losers = duplicateClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
 }

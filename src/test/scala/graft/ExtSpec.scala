@@ -152,6 +152,22 @@ class ExtSpec extends SparkSuite {
     assert(!out.contains(3L), "doc with no candidate pairs stays a singleton (not emitted)")
   }
 
+  test("dedup survivors: min-id doc per cluster kept, other members dropped, uniques kept") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.{length, lit}
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val dup = (1 to 40).map(i => if (i == 20) "AAA" else s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    Seq((0L, base), (1L, dup), (2L, other))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs12/documents.parquet")
+    val ids = graft.ext.Dedup.dedupSurvivors(spark, "/tmp/graft_test_docs12")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(0L, 2L), s"doc 1 is the non-canonical dup: $ids")
+  }
+
   test("tfidf top terms: rare terms outrank common ones, ranks per doc, ties by term") {
     val s = spark; import s.implicits._
     Seq(
