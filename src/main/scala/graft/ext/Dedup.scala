@@ -35,18 +35,14 @@ object Dedup {
     * themselves. */
   private object Scratch {
     private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    private def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      dirs.forEach(p => rm(new java.io.File(p)))))
+      dirs.forEach(graft.engine.Fs.rmTree)))
     def dir(prefix: String): String = {
       val p = java.nio.file.Files.createTempDirectory(prefix).toString
       dirs.add(p)
       p
     }
-    def delete(path: String): Unit = rm(new java.io.File(path))
+    def delete(path: String): Unit = graft.engine.Fs.rmTree(path)
   }
 
   /** Universal-hash modulus (2³¹ − 1, prime). */
@@ -222,14 +218,17 @@ object Dedup {
   }
 
   /** Duplicate CLUSTERS from the LSH candidate graph: connected components via
-    * iterative min-label propagation — the final step of a dedup pipeline
-    * (pairs → clusters → keep one canonical doc per cluster).
+    * iterative min-label propagation WITH POINTER JUMPING — the final step of
+    * a dedup pipeline (pairs → clusters → keep one canonical doc per cluster).
     *
-    * Each iteration is one distributed join + min-aggregate; the loop runs on
-    * the driver but touches no data there (no collect). Near-dup components
-    * have tiny diameters (pairs chain through shared bands), so propagation
-    * converges in a handful of rounds; `maxIters` bounds the worst case and a
-    * 1-row `limit(1).count()` probe detects convergence.
+    * Each iteration is two distributed joins + a min-aggregate; the loop runs
+    * on the driver but touches no data there (no collect). After the neighbor
+    * min-propagation step, labels are shortcut through themselves
+    * (label(v) ← min(label(v), label(label(v)))), so the label frontier
+    * doubles per round and convergence needs O(log diameter) iterations, not
+    * O(diameter) — a boilerplate chain 1000 docs deep converges in ~10 rounds
+    * instead of 1000. `maxIters` bounds the worst case and a 1-row
+    * `limit(1).count()` probe detects convergence.
     *
     * The edge set and each iteration's label frame are MATERIALIZED to
     * parquet (a scratch dir under java.io.tmpdir; at cluster scale this is
@@ -242,10 +241,16 @@ object Dedup {
     *
     * Output: (doc_id, cluster_id = min doc_id of the component) for every doc
     * that appears in ≥ 1 candidate pair; docs with no candidates are
-    * implicitly their own singleton cluster. */
-  def duplicateClusters(spark: SparkSession, dir: String, maxIters: Int = 10): DataFrame = {
+    * implicitly their own singleton cluster.
+    *
+    * @param maxBucketSize forwarded to [[minhashCandidatePairs]] — the LSH
+    *   degenerate-band cap. 0 (default) keeps every bucket, matching the
+    *   exhaustive oracle. */
+  def duplicateClusters(spark: SparkSession, dir: String, maxIters: Int = 10,
+      maxBucketSize: Int = 0): DataFrame = {
     val tmp = Scratch.dir("graft_cc")
-    minhashCandidatePairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    minhashCandidatePairs(spark, dir, maxBucketSize)
+      .select(col("doc_a"), col("doc_b"))
       .write.mode("overwrite").parquet(s"$tmp/pairs")
     val pairs = spark.read.parquet(s"$tmp/pairs")
     val edges = pairs
@@ -258,12 +263,24 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // fold the change flag into the materialized snapshot: the convergence
-      // probe is then a pure scan of the written parquet, not a second join
-      labels.join(edges, col("id") === col("src"))
+      // step 1: neighbor min-propagation (each node takes the min of its own
+      // and its neighbors' labels)
+      val prop = labels.join(edges, col("id") === col("src"))
         .select(col("dst").as("id"), col("label"))
         .union(labels)
         .groupBy("id").agg(min(col("label")).as("label"))
+      // step 2: pointer jumping — shortcut each label through ITS label.
+      // Every label is itself a node id (the min of a set of node ids that
+      // includes the labeled node), so the self-join always resolves; labels
+      // are monotone non-increasing, hence label(label(v)) <= label(v) and
+      // `least` + coalesce only defend against a hypothetical miss.
+      // fold the change flag into the materialized snapshot: the convergence
+      // probe is then a pure scan of the written parquet, not a second join
+      prop
+        .join(prop.select(col("id").as("j_id"), col("label").as("j_label")),
+          col("label") === col("j_id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("j_label"), col("label"))).as("label"))
         .join(labels.withColumnRenamed("label", "old_label"), "id")
         .select(col("id"), col("label"), (col("label") =!= col("old_label")).as("changed"))
         .write.mode("overwrite").parquet(s"$tmp/labels${i + 1}")
@@ -287,14 +304,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style repeated-SEGMENT dedup statistics: documents are chopped into
+    * fixed `segTokens`-token segments (this corpus has no newlines, so fixed
+    * windows stand in for CCNet's lines/paragraphs), each segment is hashed,
+    * and a segment is boilerplate iff it appears in ≥ 2 DISTINCT documents.
+    * Per doc: segment counts and the integer checksum of the KEPT (non-
+    * boilerplate) segments — the identity of the residual document after
+    * cross-doc paragraph dedup.
+    *
+    * Scale shape: one map-side-combinable groupBy on the segment hash builds
+    * the (unique-keyed) frequency table; docs join it 1:1 per segment — a hot
+    * boilerplate segment is a popular DIM key, never a k² pair blowup. The
+    * per-doc rollup is a second hash aggregate. No window, no self-join. */
+  def segmentDedup(spark: SparkSession, dir: String, segTokens: Int = 10): DataFrame = {
+    val segs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= segTokens)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(words) div $segTokens - 1),
+           |  i -> concat_ws(' ', slice(words, i * $segTokens + 1, $segTokens)))""".stripMargin)).as("seg"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("seg")), 1, 7), 16, 10).cast("long").as("h"),
+        col("seg"))
+    val freq = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_with_seg"))
+    segs.join(freq, Seq("seg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("n_docs_with_seg") >= 2, 1L).otherwise(0L)).as("n_dup_segments"),
+        coalesce(sum(when(col("n_docs_with_seg") < 2, col("h"))), lit(0L)).as("kept_checksum"))
+      .orderBy("doc_id")
+  }
+
   /** The consumer-facing output of the near-dup stack: the corpus with every
     * non-canonical duplicate removed. A doc survives unless it belongs to an
     * LSH-candidate component and is not that component's min-id
     * representative ([[duplicateClusters]]). Left-anti join on the (tiny)
     * non-survivor set — the corpus scan stays linear, the cluster table is
-    * broadcastable at any realistic duplicate rate. */
-  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
-    val losers = duplicateClusters(spark, dir)
+    * broadcastable at any realistic duplicate rate.
+    *
+    * `maxIters`/`maxBucketSize` pass through to [[duplicateClusters]] /
+    * [[minhashCandidatePairs]]: with pointer jumping 10 iterations cover
+    * components ~2¹⁰ hops deep, and the bucket cap bounds candidate-pair
+    * blowup on boilerplate-heavy corpora — the two knobs a 100 TB run tunes
+    * instead of editing this file. */
+  def dedupSurvivors(spark: SparkSession, dir: String, maxIters: Int = 10,
+      maxBucketSize: Int = 0): DataFrame = {
+    val losers = duplicateClusters(spark, dir, maxIters, maxBucketSize)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     Tables.documents(spark, dir)

@@ -143,4 +143,56 @@ object Similarity {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("bucket")
+
+  /** IVF (inverted-file) ANN top-k — the second classic scale path beside
+    * hyperplane LSH ([[annTopK]]), and the one real vector stores default to:
+    * partition the corpus into Voronoi cells around coarse centroids, then
+    * search only the `nProbe` cells nearest each query.
+    *
+    * Centroids are a content-addressed SAMPLE of the corpus itself
+    * (`vec_id % centroidMod == 0` — sampling data points as coarse centroids
+    * is standard IVF practice and, unlike Lloyd iterations, is deterministic
+    * and exactly reproducible in the DuckDB oracle; the centroid count scales
+    * with the corpus). Three stages, all linear or broadcast:
+    *
+    *  1. cell assignment: one pass over the corpus × broadcast centroid table
+    *     (argmax cosine, ties to the lower centroid id). At 100 TB this is the
+    *     partitioning write — each cell is a parquet partition.
+    *  2. probe selection: each query ranks the same broadcast centroid table,
+    *     keeps `nProbe` cells.
+    *  3. search: queries equi-join the assignment on cell id — the scan
+    *     touches ~nProbe/nCells of the corpus, never all of it. Exact cosine +
+    *     per-query top-k inside the probed cells only.
+    *
+    * Each vector lives in exactly one cell, so probing distinct cells can
+    * never produce duplicate neighbors. */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 20,
+      nProbe: Int = 2, centroidMod: Int = 31): DataFrame = {
+    val all = vecs(spark, dir)
+    val cents = all.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val byCos = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    def rankCentroids(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .withColumn("ccos", expr("graft_dot(v, cv)") / (col("nrm") * col("cn")))
+        .withColumn("crank", row_number().over(byCos))
+    val assigned = rankCentroids(all)
+      .filter(col("crank") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+        col("nrm").as("nn"), col("centroid_id").as("cell"))
+    val probes = rankCentroids(all.filter(col("vec_id") < nQueries))
+      .filter(col("crank") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("centroid_id").as("cell"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", expr(dotExpr) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cell"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
 }

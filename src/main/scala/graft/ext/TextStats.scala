@@ -339,12 +339,18 @@ object TextStats {
     * pattern, a term blocklist by word boundary; counts are reported per doc
     * so downstream can filter "heavily redacted" documents. Pure regexp
     * column expressions (codegen'd, linear scan, no shuffle until the final
-    * orderBy, which exists only for oracle determinism). */
+    * orderBy, which exists only for oracle determinism).
+    *
+    * Blocklist terms are treated as LITERALS (each is `Pattern.quote`d before
+    * the alternation is built) — a term like "c++" or "a.b" must not corrupt
+    * the pattern or match as regex. The Catalog oracle covers only the
+    * default blocklist; a caller-supplied list is engine-side behavior. */
   def piiRedact(spark: SparkSession, dir: String,
       blocklist: Seq[String] = Seq("customer", "stream")): DataFrame = {
     val emailPat = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val digitPat = "\\d{4,}"
-    val blockPat = blocklist.mkString("\\b(", "|", ")\\b")
+    val blockPat = blocklist.map(java.util.regex.Pattern.quote)
+      .mkString("\\b(", "|", ")\\b")
     val redacted =
       regexp_replace(
         regexp_replace(

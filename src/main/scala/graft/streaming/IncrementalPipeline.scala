@@ -98,10 +98,16 @@ object IncrementalPipeline {
     * global row_number would hand out SKs that collide with the untouched
     * partitions' rows).
     *
-    * A targeted year whose refreshed frame comes back EMPTY (all its orders
-    * deleted/corrected away) has its partition directory removed explicitly —
-    * dynamic partition overwrite only replaces partitions present in the new
-    * data and would otherwise leave the stale files serving deleted rows.
+    * Write-then-delete ordering: dynamic partition overwrite replaces every
+    * partition PRESENT in the refreshed frame on its own; only a targeted year
+    * whose refreshed frame came back EMPTY (all its orders deleted/corrected
+    * away) needs an explicit directory delete — overwrite would leave the
+    * stale files serving deleted rows. The delete runs AFTER the write
+    * succeeds, so a failed write leaves every partition serving its previous
+    * contents (a pre-delete would lose the targeted years on failure, and
+    * readers scanning mid-refresh would see them missing). Deletes go through
+    * Hadoop's FileSystem so the operator works on any storage the session can
+    * address, not just `file:`.
     *
     * Surrogate-key caveat: Order_SK is a deterministic row_number within the
     * REFRESHED subset (the reference regenerates all SKs every full run, so
@@ -121,22 +127,26 @@ object IncrementalPipeline {
           .cast("int").isin(yearSet: _*)))
     val fact = graft.engine.GoldFacts.factOrders(scoped)
       .withColumn("Order_Year", expr("Order_Date_SK div 10000"))
-    // deletions: a year that produced zero rows must not keep stale files
-    years.foreach { y =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
+      .persist() // the write and the present-years probe below share one pass
+    try {
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try fact.write.mode("overwrite").partitionBy("Order_Year")
+        .parquet(s"$outDir/gold/fact_orders")
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
-      rm(new java.io.File(s"$outDir/gold/fact_orders/Order_Year=$y"))
-    }
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try fact.write.mode("overwrite").partitionBy("Order_Year")
-      .parquet(s"$outDir/gold/fact_orders")
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+      // deletions LAST: only targeted years absent from the refreshed frame
+      // (zero rows) still hold stale files after the overwrite
+      val present = fact.select(col("Order_Year")).distinct()
+        .collect().map(_.getLong(0).toInt).toSet
+      val base = new org.apache.hadoop.fs.Path(s"$outDir/gold/fact_orders")
+      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+      (years.toSet -- present).foreach { y =>
+        fs.delete(new org.apache.hadoop.fs.Path(base, s"Order_Year=$y"), true): Unit
+      }
+    } finally fact.unpersist()
   }
 
   /** Incrementally ingest + clean `orders` CSVs from `csvDir` into

@@ -23,11 +23,5 @@ trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSuite.session
 
   /** Recursively delete a test scratch path (no-op if absent). */
-  def rmTree(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new java.io.File(path))
-  }
+  def rmTree(path: String): Unit = graft.engine.Fs.rmTree(path)
 }
