@@ -782,6 +782,101 @@ object Catalog {
          |  (cum_tokens - n_tokens) // 2048 AS chunk_id
          |FROM c ORDER BY doc_id""".stripMargin),
 
+    // IVF ANN: content-addressed coarse centroids, Voronoi cell assignment,
+    // nProbe-cell search (the second scale path beside hyperplane LSH).
+    q("q72_ivf_ann", (s, d) => ext.Similarity.ivfTopK(s, d),
+      s"""WITH $vecsCte,
+         |cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 31 = 0),
+         |cc AS (SELECT a.vec_id, c.centroid_id,
+         |         list_sum(list_transform(list_zip(a.v, c.cv), z -> z[1] * z[2])) / (a.nrm * c.cn) AS ccos
+         |       FROM n a CROSS JOIN cents c),
+         |cr AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS INT) AS crank
+         |       FROM cc),
+         |assigned AS (SELECT vec_id AS neighbor_id, centroid_id AS cell FROM cr WHERE crank = 1),
+         |probes AS (SELECT vec_id AS query_id, centroid_id AS cell FROM cr
+         |           WHERE vec_id < 20 AND crank <= 2),
+         |p AS (SELECT pr.query_id, a.neighbor_id, a.cell,
+         |        list_sum(list_transform(list_zip(qn.v, nn.v), z -> z[1] * z[2])) / (qn.nrm * nn.nrm) AS cos
+         |      FROM probes pr
+         |      JOIN assigned a ON a.cell = pr.cell
+         |      JOIN n qn ON qn.vec_id = pr.query_id
+         |      JOIN n nn ON nn.vec_id = a.neighbor_id
+         |      WHERE a.neighbor_id <> pr.query_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         |      FROM p)
+         |SELECT query_id, rank, neighbor_id, cell, round(cos, 4) AS cos_sim
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
+    // CCNet-style repeated-segment dedup (fixed 10-token segments stand in
+    // for lines — the corpus has no newlines).
+    q("q73_segment_dedup", (s, d) => ext.Dedup.segmentDedup(s, d),
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 10),
+        |segs AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, len(words) // 10),
+        |      i -> array_to_string(words[(i*10+1):(i*10+10)], ' '))) AS seg
+        |  FROM d),
+        |h AS (SELECT doc_id, seg, CAST(('0x' || substr(md5(seg), 1, 7)) AS BIGINT) AS h FROM segs),
+        |freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM h GROUP BY seg)
+        |SELECT doc_id, COUNT(*) AS n_segments,
+        |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+        |  CAST(COALESCE(SUM(CASE WHEN nd < 2 THEN h END), 0) AS BIGINT) AS kept_checksum
+        |FROM h JOIN freq USING (seg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Bloom-filter decontamination: md5-derived k-hash positions, so the
+    // filter (false positives included) is bit-identical in the oracle.
+    q("q74_bloom_decontaminate", (s, d) => ext.TextStats.bloomDecontaminate(s, d),
+      s"""WITH $shingleCte,
+         |posh AS (SELECT doc_id, sh,
+         |    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || sh), 1, 7)) AS BIGINT) % 65536 AS pos
+         |  FROM (SELECT doc_id, sh, unnest(range(0, 3)) AS j FROM sh)),
+         |bits AS (SELECT DISTINCT pos FROM posh WHERE doc_id % 50 = 0),
+         |corpus AS (SELECT * FROM posh WHERE doc_id % 50 <> 0),
+         |hits AS (SELECT doc_id, sh FROM corpus JOIN bits USING (pos)
+         |         GROUP BY doc_id, sh HAVING COUNT(*) = 3),
+         |hc AS (SELECT doc_id, COUNT(*) AS n_bloom_positive FROM hits GROUP BY doc_id),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh WHERE doc_id % 50 <> 0 GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_shingles, COALESCE(h.n_bloom_positive, 0) AS n_bloom_positive
+         |FROM tot t LEFT JOIN hc h USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    // Per-language exact decile band filter (ntile over a total ordering —
+    // sketch-based approx percentiles would not hash-match by construction).
+    q("q75_length_deciles", ext.TextStats.lengthDecileFilter,
+      """SELECT doc_id, lang, n_chars, decile FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS INT) AS decile
+        |  FROM documents)
+        |WHERE decile BETWEEN 2 AND 9 ORDER BY doc_id""".stripMargin),
+
+    // Count-based bigram LM scoring (integer ppm scores — exact,
+    // order-independent sums).
+    q("q76_bigram_lm", ext.TextStats.bigramLmScore,
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(words)), i -> words[i])) AS w1,
+        |    unnest(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])) AS bg
+        |  FROM d),
+        |c2 AS (SELECT bg, COUNT(*) AS c2 FROM b GROUP BY bg),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY w1),
+        |s AS (SELECT doc_id, (c2.c2 * 1000000) // c1.c1 AS ppm
+        |      FROM b JOIN c2 USING (bg) JOIN c1 USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(ppm) AS BIGINT) AS lm_score_sum,
+        |  round(CAST(SUM(ppm) AS DOUBLE) / COUNT(*), 6) AS avg_ppm
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Exact-integer per-source length outliers ((n·x−S)² > 4(n·Q−S²) —
+    // no floats, bit-identical across engines and partition layouts).
+    q("q77_length_outliers", ext.TextStats.lengthOutliers,
+      """WITH s AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(n_chars) AS HUGEINT) AS sm,
+        |    CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS q
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars, CAST(s.n AS BIGINT) AS n_docs_in_source,
+        |  (s.n * d.n_chars - s.sm) * (s.n * d.n_chars - s.sm) > 4 * (s.n * s.q - s.sm * s.sm) AS is_len_outlier
+        |FROM documents d JOIN s USING (source) ORDER BY d.doc_id""".stripMargin),
+
     // PII / dictionary scrub: pattern redaction + per-doc counts.
     q("q64_pii_redact", (s, d) => ext.TextStats.piiRedact(s, d),
       """SELECT doc_id,

@@ -334,6 +334,125 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Bloom-filter benchmark decontamination — the constant-memory scale path
+    * beside the exact shingle join of [[decontaminate]]: benchmark shingles
+    * set `kHashes` bit positions in an `mBits`-bit filter; a corpus shingle is
+    * bloom-POSITIVE iff all of its positions are set. At 100 TB the exact join
+    * shuffles the full corpus shingle stream against the benchmark set; the
+    * bloom form reduces the benchmark side to a bitmap every executor holds
+    * (here: a broadcast distinct-positions table — same join shape Spark's own
+    * runtime bloom pushdown uses), and only positives proceed to exact
+    * verification. False positives are inherent (and counted: the output
+    * over-reports vs q57's exact answer at a rate ≈ (1−e^(−kn/m))^k);
+    * false negatives are impossible.
+    *
+    * Hash positions are md5-derived (position j of shingle s =
+    * int(md5("j:" || s)[0:7]) mod mBits), so the DuckDB oracle reproduces the
+    * filter bit-for-bit — the bloom decision itself is deterministic, not just
+    * statistically characterized. */
+  def bloomDecontaminate(spark: SparkSession, dir: String, mBits: Int = 65536,
+      kHashes: Int = 3): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(words)-2),
+          |  i -> concat_ws(' ', element_at(words, i), element_at(words, i+1), element_at(words, i+2))))""".stripMargin)).as("sh"))
+    def positions(df: DataFrame): DataFrame = df.select(
+      df.columns.map(col) :+ explode(array((0 until kHashes).map(j =>
+        conv(substring(md5(concat(lit(s"$j:"), col("sh"))), 1, 7), 16, 10)
+          .cast("long") % mBits): _*)).as("pos"): _*)
+    val bits = positions(sh.filter(col("doc_id") % 50 === 0).select(col("sh")).distinct())
+      .select(col("pos")).distinct()
+    val corpusSh = sh.filter(col("doc_id") % 50 =!= 0)
+    val hits = positions(corpusSh)
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy(col("doc_id"), col("sh"))
+      .agg(count(lit(1)).as("n_pos_set"))
+      .filter(col("n_pos_set") === kHashes)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bloom_positive"))
+    corpusSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_bloom_positive"), lit(0L)).as("n_bloom_positive"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language length-decile band filter — quantile-based corpus filtering
+    * (drop the extreme tails, keep deciles 2-9). Uses ntile with a TOTAL
+    * ordering (n_chars, doc_id), so decile boundaries are deterministic and
+    * identical in the oracle — approx_percentile-style sketches would not
+    * hash-match by construction. One window per language partition; no global
+    * sort. */
+  def lengthDecileFilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("decile", ntile(10).over(w))
+      .filter(col("decile").between(2, 9))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-statistical bigram language-model scoring — the count-based
+    * perplexity proxy a quality pipeline uses to flag improbable token
+    * sequences. For each positional bigram (w1, w2): p(w2|w1) ≈
+    * c(w1 w2) / c(w1 ·), scaled to an INTEGER per-occurrence score
+    * ppm = c2 * 1_000_000 div c1 so the per-doc SUM is exact integer
+    * arithmetic — order-independent and identical across engines (a float
+    * sum over an unordered group would not hash-match). avg_ppm is the one
+    * double (single division, then round).
+    *
+    * Shuffles: two map-side-combinable counts (bigram, prefix) + two
+    * unique-key dim joins back to the positional stream + the per-doc rollup.
+    * A hot prefix ("the") is a popular dim key — 1:1 matches, no blowup. */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(words)-1),
+          |  i -> named_struct('w1', element_at(words, i),
+          |                    'bg', concat_ws(' ', element_at(words, i), element_at(words, i+1))))""".stripMargin)).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.bg").as("bg"))
+    val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bg.join(c2, Seq("bg")).join(c1, Seq("w1"))
+      .withColumn("ppm", expr("c2 * 1000000L div c1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("lm_score_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_score_sum"),
+        round(col("lm_score_sum").cast("double") / col("n_bigrams"), 6).as("avg_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source length-outlier detection with EXACT integer arithmetic: doc x
+    * is an outlier iff |x − μ| > 2σ over its source's n_chars distribution,
+    * evaluated as (n·x − S)² > 4·(n·Q − S²) where S = Σx, Q = Σx² — no
+    * floating point anywhere, so the flag is bit-identical across engines and
+    * partition layouts (mean/stddev in doubles are neither). Intermediates run
+    * in DECIMAL(38,0) (HUGEINT on the oracle side): exact past 10¹⁹, where
+    * 64-bit products would overflow long before 100 TB row counts.
+    *
+    * One map-side-combinable stats aggregate per source + a broadcast join
+    * back (sources are a tiny dim) — two linear passes, no window. */
+  def lengthOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val dec = col("n_chars").cast("decimal(38,0)")
+    val stats = docs.groupBy(col("source")).agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dec).as("s"),
+      sum(dec * dec).as("q"))
+    docs.join(broadcast(stats), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("n").cast("long").as("n_docs_in_source"),
+        ((col("n") * dec - col("s")) * (col("n") * dec - col("s")) >
+          (col("n") * col("q") - col("s") * col("s")) * 4).as("is_len_outlier"))
+      .orderBy("doc_id")
+  }
+
   /** PII / dictionary scrub — the redaction pass a training corpus takes
     * before release: e-mail addresses and long digit runs are masked by
     * pattern, a term blocklist by word boundary; counts are reported per doc

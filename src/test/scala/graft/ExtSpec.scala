@@ -268,6 +268,98 @@ class ExtSpec extends SparkSuite {
     assert(frac > 0.75 && frac < 1.0, s"train fraction $frac wildly off 0.9")
   }
 
+  test("segment dedup: a 10-token segment shared across docs is boilerplate, unique ones kept") {
+    val s = spark; import s.implicits._
+    val shared = (1 to 10).map(i => s"boil$i").mkString(" ")
+    def uniq(d: Int) = (1 to 10).map(i => s"u${d}_$i").mkString(" ")
+    Seq(
+      (0L, s"$shared ${uniq(0)}"),   // 2 segments: shared + unique
+      (1L, s"$shared ${uniq(1)}"),   // 2 segments: shared + unique
+      (2L, uniq(2)))                 // 1 unique segment
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs13/documents.parquet")
+    val out = Dedup.segmentDedup(spark, "/tmp/graft_test_docs13").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("n_segments") == 2 && out(0L).getAs[Long]("n_dup_segments") == 1)
+    assert(out(1L).getAs[Long]("n_dup_segments") == 1)
+    assert(out(2L).getAs[Long]("n_dup_segments") == 0)
+    assert(out(2L).getAs[Long]("kept_checksum") != 0L, "unique segment contributes to the checksum")
+    // a doc that is ONLY boilerplate keeps checksum 0 (everything removed)
+    assert(out(0L).getAs[Long]("kept_checksum") != out(1L).getAs[Long]("kept_checksum"),
+      "different unique segments → different residual checksums")
+  }
+
+  test("bloom decontamination: no false negatives vs the exact shingle join") {
+    val s = spark; import s.implicits._
+    val benchText = (1 to 20).map(i => s"bm$i").mkString(" ")
+    val leaked = (1 to 20).map(i => if (i <= 5) s"bm$i" else s"ok$i").mkString(" ") // shares shingles bm1..bm5 run
+    val clean = (1 to 20).map(i => s"cl$i").mkString(" ")
+    // doc_id 0 → benchmark (id % 50 == 0); 1, 2 → corpus
+    Seq((0L, benchText), (1L, leaked), (2L, clean))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs14/documents.parquet")
+    val bloom = TextStats.bloomDecontaminate(spark, "/tmp/graft_test_docs14").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bloom_positive")).toMap
+    val exact = TextStats.decontaminate(spark, "/tmp/graft_test_docs14").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_contaminated_shingles")).toMap
+    // bloom can over-report (false positives) but NEVER under-report
+    assert(bloom(1L) >= exact(1L) && exact(1L) == 3, "bm1..bm5 → 3 shared 3-shingles")
+    assert(bloom(2L) >= 0 && !exact.contains(2L))
+  }
+
+  test("length deciles: tails dropped per language, interior bands kept") {
+    val s = spark; import s.implicits._
+    val docs = (1 to 100).map(i => (i.toLong, "en", i.toLong)) ++
+      (101 to 110).map(i => (i.toLong, "fr", (i - 100).toLong))
+    docs.toDF("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs15/documents.parquet")
+    val out = TextStats.lengthDecileFilter(spark, "/tmp/graft_test_docs15").collect()
+    val en = out.filter(_.getAs[String]("lang") == "en")
+    assert(en.length == 80, "deciles 2-9 of 100 docs = 80 kept")
+    assert(en.forall(r => r.getAs[Long]("n_chars") > 10 && r.getAs[Long]("n_chars") <= 90))
+    val fr = out.filter(_.getAs[String]("lang") == "fr")
+    assert(fr.length == 8, "each language is banded independently")
+  }
+
+  test("bigram LM: ppm scores are exact integer corpus-conditional frequencies") {
+    val s = spark; import s.implicits._
+    // corpus bigrams: "a b" ×2, "a c" ×1 → c1(a)=3; ppm(a b)=666666, ppm(a c)=333333
+    Seq((0L, "a b"), (1L, "a b"), (2L, "a c"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs16/documents.parquet")
+    val out = TextStats.bigramLmScore(spark, "/tmp/graft_test_docs16").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("lm_score_sum") == 666666L)
+    assert(out(2L).getAs[Long]("lm_score_sum") == 333333L)
+    assert(out(0L).getAs[Long]("n_bigrams") == 1)
+    assert(out(0L).getAs[Double]("avg_ppm") == 666666.0)
+  }
+
+  test("length outliers: |x-mean| > 2*stddev flagged via exact integer arithmetic") {
+    val s = spark; import s.implicits._
+    val docs = (1 to 9).map(i => (i.toLong, "web", 100L)) :+ (10L, "web", 1000L)
+    docs.toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs17/documents.parquet")
+    val out = TextStats.lengthOutliers(spark, "/tmp/graft_test_docs17").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_len_outlier")).toMap
+    assert(out(10L), "the 1000-char doc among 100-char docs is > 2 sigma out")
+    assert((1L to 9L).forall(!out(_)), "the cluster itself is inside the band")
+  }
+
+  test("IVF ANN: k neighbors per query from probed cells only, no duplicates, never self") {
+    val rows = Similarity.ivfTopK(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (qid, rs) =>
+      assert(rs.length <= 3)
+      val neighbors = rs.map(_.getAs[Long]("neighbor_id"))
+      assert(neighbors.distinct.length == neighbors.length, "one cell per vector → no dup neighbors")
+      assert(!neighbors.contains(qid))
+      assert(rs.map(_.getAs[Long]("cell")).distinct.length <= 2, "≤ nProbe distinct cells")
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length))
+    }
+  }
+
   test("lang id: marker words drive the prediction deterministically") {
     val s = spark; import s.implicits._
     Seq((0L, "the cat sat on the mat and the dog is here"),
