@@ -227,8 +227,12 @@ object Dedup {
     * (label(v) ← min(label(v), label(label(v)))), so the label frontier
     * doubles per round and convergence needs O(log diameter) iterations, not
     * O(diameter) — a boilerplate chain 1000 docs deep converges in ~10 rounds
-    * instead of 1000. `maxIters` bounds the worst case and a 1-row
-    * `limit(1).count()` probe detects convergence.
+    * instead of 1000. The first propagation round is folded into the label
+    * INIT (label₀ = min(id, neighbors)), and convergence is detected by the
+    * label-SUM invariant: labels are per-node monotone non-increasing, so any
+    * change strictly decreases the total — one tiny aggregate over the
+    * just-written snapshot replaces a join against the previous iteration.
+    * `maxIters` bounds the worst case.
     *
     * The edge set and each iteration's label frame are MATERIALIZED to
     * parquet (a scratch dir under java.io.tmpdir; at cluster scale this is
@@ -256,10 +260,18 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
-    edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // round 0 folded into the init: label0 = min(id, min neighbor) — one
+    // aggregate instead of a full propagation iteration
+    edges.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("label"))
+      .select(col("src").as("id"), col("label"))
       .write.mode("overwrite").parquet(s"$tmp/labels0")
     var labels = spark.read.parquet(s"$tmp/labels0")
+    // DECIMAL(38,0): a 64-bit sum of ~10⁹ node ids would overflow (ANSI throw)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -274,19 +286,20 @@ object Dedup {
       // includes the labeled node), so the self-join always resolves; labels
       // are monotone non-increasing, hence label(label(v)) <= label(v) and
       // `least` + coalesce only defend against a hypothetical miss.
-      // fold the change flag into the materialized snapshot: the convergence
-      // probe is then a pure scan of the written parquet, not a second join
       prop
         .join(prop.select(col("id").as("j_id"), col("label").as("j_label")),
           col("label") === col("j_id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("j_label"), col("label"))).as("label"))
-        .join(labels.withColumnRenamed("label", "old_label"), "id")
-        .select(col("id"), col("label"), (col("label") =!= col("old_label")).as("changed"))
         .write.mode("overwrite").parquet(s"$tmp/labels${i + 1}")
-      val next = spark.read.parquet(s"$tmp/labels${i + 1}")
-      converged = next.filter(col("changed")).limit(1).count() == 0
-      labels = next.select(col("id"), col("label"))
+      labels = spark.read.parquet(s"$tmp/labels${i + 1}")
+      // convergence via the label-sum invariant: per-node labels are monotone
+      // non-increasing, so ANY change strictly decreases the total — one tiny
+      // scan of the just-written parquet instead of a join against the
+      // previous iteration's labels
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       i += 1
     }
     // Partial propagation is WRONG output (one component reported as two) —

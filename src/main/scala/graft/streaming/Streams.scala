@@ -126,6 +126,20 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-STATIC enrichment join: the event stream joined to a static
+    * dimension table (e.g. a user→segment mapping refreshed out-of-band).
+    * The static side is broadcast — no streaming state at all is kept for it
+    * (unlike a stream-stream join), which is why dimension enrichment at
+    * 100 TB/day is always shaped this way: the unbounded side streams through,
+    * the bounded side ships to every executor once per batch. Left join keeps
+    * unmatched events with a default segment (a dim miss must not drop
+    * revenue rows). */
+  def enrichStream(spark: SparkSession, srcDir: String, dim: DataFrame): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(srcDir)
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), coalesce(col("segment"), lit("unknown")).as("segment"))
+
   /** Drain a streaming DF into an in-memory table synchronously
     * (Trigger.AvailableNow) — the local test/dev harness for the queries above;
     * a production deployment swaps the sink for parquet/Kafka and a

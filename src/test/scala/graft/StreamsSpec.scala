@@ -98,6 +98,23 @@ class StreamsSpec extends SparkSuite {
     emitted.foreach { case (k, n) => assert(batch(k) == n, s"window $k: $n vs ${batch.get(k)}") }
   }
 
+  test("stream-static enrichment: broadcast dim join, left-join keeps dim misses") {
+    val s = spark; import s.implicits._
+    materializeEvents()
+    // dim covers only even user_ids — odd ones must survive as 'unknown'
+    val users = graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    val dim = users.filter(_ % 2 == 0).map(u => (u, s"seg${u % 3}")).toSeq
+      .toDF("user_id", "segment")
+    Streams.runToMemory(Streams.enrichStream(spark, srcDir, dim), "enrich_out")
+    val out = spark.table("enrich_out")
+    assert(out.count() == graft.engine.Tables.events(spark, "/root/testdata/sf0.001").count(),
+      "left join: no event dropped on a dim miss")
+    assert(out.filter(col("user_id") % 2 === 1 && col("segment") =!= "unknown").count() == 0)
+    assert(out.filter(col("user_id") % 2 === 0 && col("segment") === "unknown").count() == 0)
+    assert(out.filter(col("segment").isNull).count() == 0)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) matches batch sessionize") {
     materializeEvents()
     Streams.runToMemory(
