@@ -877,6 +877,56 @@ object Catalog {
         |  (s.n * d.n_chars - s.sm) * (s.n * d.n_chars - s.sm) > 4 * (s.n * s.q - s.sm * s.sm) AS is_len_outlier
         |FROM documents d JOIN s USING (source) ORDER BY d.doc_id""".stripMargin),
 
+    // Ordered conversion funnel view -> click -> purchase (step order
+    // respected: a click before any view does not count).
+    q("q78_funnel", streaming.Events.funnel,
+      """WITH ev AS (SELECT user_id, event_type, ts FROM events),
+        |u AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |      FROM ev GROUP BY user_id),
+        |c AS (SELECT e.user_id, u.t_view,
+        |        min(CASE WHEN e.event_type = 'click' AND e.ts > u.t_view THEN e.ts END) AS t_click
+        |      FROM ev e JOIN u USING (user_id) GROUP BY e.user_id, u.t_view),
+        |p AS (SELECT e.user_id, c.t_view, c.t_click,
+        |        min(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_click THEN e.ts END) AS t_purchase
+        |      FROM ev e JOIN c USING (user_id) GROUP BY e.user_id, c.t_view, c.t_click)
+        |SELECT user_id,
+        |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+        |            WHEN t_click IS NOT NULL THEN 2
+        |            WHEN t_view IS NOT NULL THEN 1
+        |            ELSE 0 END AS INT) AS funnel_stage,
+        |  CAST(epoch(date_trunc('second', t_view)) AS BIGINT) AS first_view_s,
+        |  CAST(epoch(date_trunc('second', t_click)) AS BIGINT) AS first_click_s,
+        |  CAST(epoch(date_trunc('second', t_purchase)) AS BIGINT) AS first_purchase_s
+        |FROM p ORDER BY user_id""".stripMargin),
+
+    // Retention cohort triangle: first-seen-date cohorts x active-day offsets.
+    q("q79_retention", streaming.Events.retentionCohorts,
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort_date FROM ev GROUP BY user_id)
+        |SELECT c.cohort_date, CAST(e.d - c.cohort_date AS INT) AS day_offset,
+        |  COUNT(*) AS n_active_users
+        |FROM ev e JOIN c USING (user_id)
+        |GROUP BY c.cohort_date, day_offset
+        |ORDER BY c.cohort_date, day_offset""".stripMargin),
+
+    // As-of join with tolerance: stale matches (> 600 s) are dropped, the
+    // polars/pandas merge_asof(tolerance=...) semantics.
+    q("q80_asof_tolerance", (s, d) => streaming.Events.asofWithTolerance(s, d),
+      """WITH ec AS (SELECT * FROM events WHERE event_type IN ('click', 'error')),
+        |x AS (SELECT *,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_event_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+        |  FROM ec),
+        |y AS (SELECT event_id AS error_event_id, user_id, click_event_id,
+        |        CAST(epoch(date_trunc('second', ts)) - epoch(date_trunc('second', click_ts)) AS BIGINT) AS gap_s
+        |      FROM x WHERE event_type = 'error' AND click_event_id IS NOT NULL)
+        |SELECT error_event_id, user_id, click_event_id, gap_s
+        |FROM y WHERE gap_s <= 600 ORDER BY error_event_id""".stripMargin),
+
     // PII / dictionary scrub: pattern redaction + per-doc counts.
     q("q64_pii_redact", (s, d) => ext.TextStats.piiRedact(s, d),
       """SELECT doc_id,

@@ -74,6 +74,82 @@ object Events {
         col("n_events"), col("session_value"))
       .orderBy("user_id", "session_start")
 
+  /** Ordered funnel analysis (view → click → purchase): per user, the first
+    * view, the first click STRICTLY AFTER that view, and the first purchase
+    * strictly after that click — the step-order-respecting conversion funnel
+    * (a click before any view does not count). Three conditional aggregates,
+    * each a map-side-combinable min over one shuffle on user_id; the
+    * step-(k+1) pass joins step k's (tiny, one-row-per-user) result back to
+    * the events — at 100 TB each pass is a linear scan + broadcastable join,
+    * never a window over the full history. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+    val withClick = ev.join(users, Seq("user_id"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+        col("ts"))).as("t_click"))
+    val withPurchase = ev.join(withClick, Seq("user_id"))
+      .groupBy(col("user_id"), col("t_view"), col("t_click"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+        col("ts"))).as("t_purchase"))
+    withPurchase
+      .select(
+        col("user_id"),
+        (when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0)).cast("int").as("funnel_stage"),
+        unix_timestamp(date_trunc("second", col("t_view"))).as("first_view_s"),
+        unix_timestamp(date_trunc("second", col("t_click"))).as("first_click_s"),
+        unix_timestamp(date_trunc("second", col("t_purchase"))).as("first_purchase_s"))
+      .orderBy("user_id")
+  }
+
+  /** Retention cohort analysis: users grouped by first-seen DATE, activity
+    * counted per (cohort, day-offset) — the classic triangle. Two aggregates:
+    * per-user first date (one shuffle on user_id), then distinct active days
+    * joined back (broadcastable per-user cohort table) and rolled up on
+    * (cohort_date, day_offset). */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_date"))
+    ev.distinct()
+      .join(cohort, Seq("user_id"))
+      .select(col("cohort_date"), datediff(col("d"), col("cohort_date")).as("day_offset"))
+      .groupBy(col("cohort_date"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active_users"))
+      .orderBy("cohort_date", "day_offset")
+  }
+
+  /** As-of join WITH TOLERANCE: like [[asofErrorsToClicks]], but a click older
+    * than `toleranceS` seconds does not match (the error row is dropped) —
+    * polars/pandas `merge_asof(tolerance=...)` semantics. The gap test runs on
+    * the same second-truncated values both engines output, so the boundary is
+    * engine-exact. */
+  def asofWithTolerance(spark: SparkSession, dir: String,
+      toleranceS: Long = 600): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "error"))
+      .withColumn("click_event_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error" && col("click_event_id").isNotNull)
+      .withColumn("gap_s",
+        unix_timestamp(date_trunc("second", col("ts"))) -
+          unix_timestamp(date_trunc("second", col("click_ts"))))
+      .filter(col("gap_s") <= toleranceS)
+      .select(col("event_id").as("error_event_id"), col("user_id"),
+        col("click_event_id"), col("gap_s"))
+      .orderBy("error_event_id")
+  }
+
   /** As-of join: for each 'error' event, the most recent prior 'click' by the
     * same user — composed from built-ins (union of both streams, one ordered
     * window per user, `last(..., ignoreNulls)`), per SURVEY §2.4's as-of note.
