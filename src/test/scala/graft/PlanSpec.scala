@@ -61,6 +61,39 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q72 IVF: centroid table broadcast, no cartesian product in the plan") {
+    val p = plan("q72_ivf_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroid ranking must broadcast the centroid side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus x centroids must never be a shuffled cartesian:\n$p")
+  }
+
+  test("q74 bloom: the bit-position table is the broadcast side of the membership join") {
+    val p = plan("q74_bloom_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in the plan:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("keys [1]: [pos#")),
+      s"membership join must key on the bloom position:\n$p")
+  }
+
+  test("q77 outliers: per-source stats join is broadcast (source is a tiny dim)") {
+    val p = plan("q77_length_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"stats join must broadcast:\n$p")
+  }
+
+  test("q78 funnel: aggregate-only plan — no window over the event history") {
+    val p = plan("q78_funnel")
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("(") && l.contains(") Window")),
+      s"funnel must not window the full history:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q75 deciles: the ntile window never collapses to a single partition") {
+    val p = plan("q75_length_deciles")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"per-language window collapsed to one partition:\n$p")
+  }
+
   test("q66 sequence packing: exactly one shuffle, partitioned by source") {
     val p = plan("q66_sequence_pack")
     val windows = p.linesIterator.filter(_.contains("Window")).toSeq
