@@ -23,6 +23,13 @@ object Catalog {
   private def q(name: String, run: (SparkSession, String) => DataFrame, sql: String) =
     QueryDef(name, run, Some(sql))
 
+  /** Morton bit-interleave of (c_custkey, c_nationkey), generated to mirror
+    * [[engine.Layout.zValue]] bit-for-bit (16 bits per dimension). Defined
+    * before [[relational]], which interpolates it at object init. */
+  private val zorderExpr: String = (0 until 16).map { i =>
+    s"(((c_custkey >> $i) & 1) * ${1L << (2 * i + 1)} + ((c_nationkey >> $i) & 1) * ${1L << (2 * i)})"
+  }.mkString(" + ")
+
   val relational: Seq[QueryDef] = Seq(
     q("q01_pricing_summary", RelOps.pricingSummary,
       """SELECT l_returnflag, l_linestatus,
@@ -322,6 +329,33 @@ object Catalog {
         |SELECT rank, p_partkey, p_name, part_revenue
         |FROM ranked JOIN part ON l_partkey = p_partkey
         |WHERE rank <= 10 ORDER BY rank""".stripMargin),
+
+    // Explicit GROUPING SETS (the non-hierarchical form ROLLUP/CUBE can't
+    // express): one Expand + single hash-agg pass.
+    q("q84_grouping_sets", RelOps.groupingSetsAgg,
+      """SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin),
+
+    // Value-based RANGE frame (trailing 30 days by event time, peers
+    // included regardless of tie order) — q21 covers the ROWS form.
+    q("q89_range_frame", RelOps.rangeFrameSum,
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // Z-order (Morton) clustering keys — multi-dimensional data layout for
+    // parquet min/max skipping on BOTH interleaved columns (engine.Layout).
+    q("q82_zorder_keys", engine.Layout.zorderKeys,
+      s"""SELECT c_custkey, c_nationkey,
+         |  CAST($zorderExpr AS BIGINT) AS zval
+         |FROM customer ORDER BY c_custkey""".stripMargin),
   )
 
   // ---------------------------------------------------------------------------
@@ -390,6 +424,13 @@ object Catalog {
     * ([[ext.TextStats.stopWords]]) so the gate/capstone thresholds cannot
     * drift between engines. */
   private val stop9 = ext.TextStats.stopWords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** Shared DuckDB CTE fragment: per-vector SQ8 codes (mirrors
+    * Similarity.sq8CodesExpr — floor + clamp, all-zero for flat vectors).
+    * Expects `v` (list<double>), `mn`, `mx` in scope. */
+  private val sq8CodesSql =
+    "list_transform(v, x -> CASE WHEN mx = mn THEN 0 " +
+      "ELSE CAST(least(floor((x - mn) * 255.0 / (mx - mn)), 255.0) AS INT) END)"
 
   val extension: Seq[QueryDef] = Seq(
     q("q24_token_stats", ext.TextStats.tokenStats,
@@ -938,6 +979,101 @@ object Catalog {
         |    '\d{4,}', '[NUM]', 'g'),
         |    '\b(customer|stream)\b', '[TERM]', 'g')) AS redacted_md5
         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // SQ8 scalar quantization of embeddings (the 4x compression step before
+    // indexing); integer code stats are the exact identity of the codes.
+    q("q81_sq8_quantize", ext.Similarity.sq8Quantize,
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+         |c AS (SELECT vec_id, mn, mx, $sq8CodesSql AS codes FROM m)
+         |SELECT vec_id, mn, mx,
+         |  CAST(len(codes) AS INT) AS n_dims,
+         |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+         |  CAST(list_min(codes) AS INT) AS code_min,
+         |  CAST(list_max(codes) AS INT) AS code_max
+         |FROM c ORDER BY vec_id""".stripMargin),
+
+    // IVF cell centroids in SQ8 code space (index maintenance for q72's IVF
+    // path): exact integer code sums per (Voronoi cell, dimension).
+    q("q86_ivf_centroids", (s, d) => ext.Similarity.ivfCellCentroids(s, d),
+      s"""WITH $vecsCte,
+         |cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 31 = 0),
+         |cc AS (SELECT a.vec_id, a.v, c.centroid_id,
+         |         list_sum(list_transform(list_zip(a.v, c.cv), z -> z[1] * z[2])) / (a.nrm * c.cn) AS ccos
+         |       FROM n a CROSS JOIN cents c),
+         |cr AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS INT) AS crank
+         |       FROM cc),
+         |assigned AS (SELECT vec_id, v, centroid_id AS cell FROM cr WHERE crank = 1),
+         |m AS (SELECT cell, v, list_min(v) AS mn, list_max(v) AS mx FROM assigned),
+         |cdx AS (SELECT cell, $sq8CodesSql AS codes FROM m),
+         |x AS (SELECT cell, CAST(t.d AS INT) AS dim, codes[CAST(t.d AS INT)] AS code
+         |      FROM cdx, LATERAL (SELECT unnest(range(1, len(codes) + 1)) AS d) t)
+         |SELECT cell, dim, COUNT(*) AS n_vecs, CAST(SUM(code) AS BIGINT) AS code_sum
+         |FROM x GROUP BY cell, dim ORDER BY cell, dim""".stripMargin),
+
+    // Robust per-language stats: exact lower-median length + modal source,
+    // both with total tie-breaks.
+    q("q83_robust_stats", ext.TextStats.robustStats,
+      """WITH counts AS (SELECT lang, source, COUNT(*) AS n_src FROM documents GROUP BY lang, source),
+        |md AS (SELECT lang, source AS mode_source, n_src AS n_docs_mode_source,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n_src DESC, source) AS rn
+        |       FROM counts),
+        |r AS (SELECT doc_id, lang, n_chars,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+        |        COUNT(*) OVER (PARTITION BY lang) AS n_docs
+        |      FROM documents)
+        |SELECT r.lang, r.n_docs, r.n_chars AS median_chars,
+        |  md.mode_source, md.n_docs_mode_source
+        |FROM r JOIN md ON md.lang = r.lang AND md.rn = 1
+        |WHERE r.rn = (r.n_docs + 1) // 2
+        |ORDER BY r.lang""".stripMargin),
+
+    // Incremental new-batch-vs-corpus dedup: exact fingerprint match + LSH
+    // band candidates, batch side only — the continuous-ingestion shape.
+    q("q85_incremental_dedup", (s, d) => ext.Dedup.incrementalDedup(s, d),
+      s"""WITH $bandsCte,
+         |fp AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM documents),
+         |exact AS (SELECT b.doc_id, min(c.doc_id) AS exact_dup_of
+         |          FROM (SELECT * FROM fp WHERE doc_id % 10 = 7) b
+         |          LEFT JOIN (SELECT * FROM fp WHERE doc_id % 10 <> 7) c USING (fp)
+         |          GROUP BY b.doc_id),
+         |near AS (SELECT bb.doc_id, COUNT(DISTINCT cb.doc_id) AS n_near_candidates
+         |         FROM (SELECT * FROM bands WHERE doc_id % 10 = 7) bb
+         |         JOIN (SELECT * FROM bands WHERE doc_id % 10 <> 7) cb
+         |           ON bb.band_idx = cb.band_idx AND bb.band_hash = cb.band_hash
+         |         GROUP BY bb.doc_id)
+         |SELECT d.doc_id, d.lang, d.source, e.exact_dup_of,
+         |  COALESCE(n.n_near_candidates, 0) AS n_near_candidates,
+         |  e.exact_dup_of IS NULL AND COALESCE(n.n_near_candidates, 0) = 0 AS is_new
+         |FROM documents d
+         |JOIN exact e ON e.doc_id = d.doc_id
+         |LEFT JOIN near n ON n.doc_id = d.doc_id
+         |WHERE d.doc_id % 10 = 7
+         |ORDER BY d.doc_id""".stripMargin),
+
+    // Daily event-volume anomaly flags (2-sigma in exact integer/decimal
+    // arithmetic — the q77 trick applied to time-series monitoring).
+    q("q87_daily_anomaly", streaming.Events.dailyAnomaly,
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        |               FROM events GROUP BY event_type, day),
+        |s AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |        CAST(SUM(n_events) AS HUGEINT) AS sm,
+        |        CAST(SUM(CAST(n_events AS HUGEINT) * n_events) AS HUGEINT) AS q
+        |      FROM daily GROUP BY event_type)
+        |SELECT d.event_type, d.day, d.n_events, CAST(s.n AS BIGINT) AS n_days,
+        |  (s.n * d.n_events - s.sm) * (s.n * d.n_events - s.sm) > 4 * (s.n * s.q - s.sm * s.sm) AS is_anomaly
+        |FROM daily d JOIN s USING (event_type) ORDER BY d.event_type, d.day""".stripMargin),
+
+    // Overlapping sliding-window chunking (64-token chunks, stride 32) —
+    // context-overlap training sequences; q66 packs whole docs instead.
+    q("q88_chunk_overlap", (s, d) => ext.TextStats.chunkOverlap(s, d),
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |c AS (SELECT doc_id, CAST(t.i AS INT) AS chunk_idx,
+        |        words[(CAST(t.i AS INT) * 32 + 1):(CAST(t.i AS INT) * 32 + 64)] AS chunk
+        |      FROM d, LATERAL (SELECT unnest(range(0, (len(words) - 1) // 32 + 1)) AS i) t)
+        |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS n_chunk_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension

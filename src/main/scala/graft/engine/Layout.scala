@@ -1,0 +1,53 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering keys.
+  *
+  * The reference stores everything as unordered Postgres heap tables
+  * (`spark_jobs/ingestion.py:15-22`) — at 100 TB, data LAYOUT is a first-class
+  * operator: parquet row-group min/max skipping only prunes predicates on
+  * columns the file happens to be clustered by. Sorting by a single column
+  * prunes that column only; interleaving the bits of two columns into one
+  * Z-value gives every aligned bit-prefix range a bounded extent in BOTH
+  * dimensions, so one clustered write serves point/range predicates on either
+  * column (the Delta/Iceberg `ZORDER BY` design, after Morton 1966).
+  *
+  * [[zValue]] is a pure integer column expression (codegen'd, no shuffle);
+  * [[zorderWrite]] adds the one range-shuffle any clustered write needs.
+  */
+object Layout {
+
+  /** Morton interleave of the low `bits` bits of two non-negative integer
+    * columns: bit i of `a` lands at output bit 2i+1, bit i of `b` at 2i.
+    * 16+16 bits fit any dimension-like key; wider keys should be bucketed
+    * (e.g. `pmod(hash, 65536)`) before interleaving. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftright(a.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+        shiftright(b.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+
+  /** Catalog query: Z-order clustering keys over customer (custkey x
+    * nationkey) — the layout-key computation itself, oracle-checkable as pure
+    * integer arithmetic. The write-side use is [[zorderWrite]]. */
+  def zorderKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        zValue(col("c_custkey"), col("c_nationkey")).as("zval"))
+      .orderBy("c_custkey")
+
+  /** Clustered write: range-partition by the Z-value (`numFiles` output
+    * files with non-overlapping Z ranges), sort within each partition, drop
+    * the helper column. Every file then carries tight min/max footer stats on
+    * BOTH `a` and `b`, so scans filtering on either column skip files. One
+    * range shuffle — the same cost any sorted write pays. */
+  def zorderWrite(df: DataFrame, a: String, b: String, path: String,
+      numFiles: Int = 8, bits: Int = 16): Unit =
+    df.withColumn("__z", zValue(col(a), col(b), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+}

@@ -490,6 +490,41 @@ object RelOps {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Explicit GROUPING SETS — the third grouping-sets form beside
+    * [[rollupAgg]]/[[cubeAgg]]: an arbitrary, non-hierarchical set list
+    * ((returnflag), (linestatus), ()) that neither ROLLUP nor CUBE expresses.
+    * Via `spark.sql` (the Dataset API exposes only rollup/cube); Catalyst
+    * plans it as one Expand + hash aggregate — a single pass over lineitem,
+    * not one scan per set. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |  l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem_v
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** Value-based RANGE window frame: per-customer trailing-30-day spend.
+    * q21's running total is a ROWS frame (physical offsets); this is the
+    * event-time-valued frame (logical range over epoch seconds) — the frame a
+    * "rolling 30-day revenue" metric actually needs, and it handles
+    * same-timestamp peers correctly (all peers join the frame regardless of
+    * tie order). One shuffle on the partition key; exact DECIMAL sums. */
+  def rangeFrameSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(spark, dir)
+      .withColumn("epoch_s", unix_timestamp(date_trunc("second", col("o_orderdate"))))
+      .withColumn("trailing_30d_spend", sum(d2(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"), col("trailing_30d_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Column names profiled by [[profileOrders]] — shared with the oracle SQL
     * generator so both engines profile the identical column list. */
   val ordersProfileCols: Seq[String] = Seq(

@@ -350,6 +350,52 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental (new-batch-vs-corpus) dedup — the shape every continuously
+    * ingesting training pipeline actually runs: an incoming shard (here the
+    * content-addressed slice doc_id % `mod` == `rem`) is checked against the
+    * EXISTING corpus without ever comparing corpus docs to each other.
+    * Per batch doc:
+    *  - `exact_dup_of`: the min corpus doc_id with an identical normalized
+    *    fingerprint (null if none) — a fingerprint equi-join;
+    *  - `n_near_candidates`: distinct corpus docs sharing >= 1 MinHash band —
+    *    an LSH-band equi-join, never all-pairs;
+    *  - `is_new`: no exact dup and no near candidate -> safe to ingest.
+    *
+    * Scale shape: at 100 TB the corpus side of both joins is a precomputed
+    * at-rest index (fingerprint table + band table, appended per batch); the
+    * batch side is small, so both joins broadcast the batch. Band signatures
+    * are computed ONCE here (materialized to scratch) and filtered into the
+    * two sides — the corpus is never re-signed per batch in the at-rest
+    * design. */
+  def incrementalDedup(spark: SparkSession, dir: String, mod: Int = 10,
+      rem: Int = 7): DataFrame = {
+    val isBatch = col("doc_id") % mod === rem
+    val docs = Tables.documents(spark, dir)
+    val fps = docs.select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+    val exact = fps.filter(isBatch)
+      .join(fps.filter(!isBatch).select(col("fp"), col("doc_id").as("c_id")),
+        Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(min(col("c_id")).as("exact_dup_of"))
+    val tmp = Scratch.dir("graft_inc")
+    minhashBands(spark, dir).write.mode("overwrite").parquet(s"$tmp/bands")
+    val bands = spark.read.parquet(s"$tmp/bands")
+    val near = bands.filter(isBatch)
+      .join(bands.filter(!isBatch)
+          .select(col("band_idx"), col("band_hash"), col("doc_id").as("cand_id")),
+        Seq("band_idx", "band_hash"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("cand_id")).as("n_near_candidates"))
+    docs.filter(isBatch)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .withColumn("n_near_candidates", coalesce(col("n_near_candidates"), lit(0L)))
+      .withColumn("is_new",
+        col("exact_dup_of").isNull && col("n_near_candidates") === 0)
+      .orderBy("doc_id")
+  }
+
   /** The consumer-facing output of the near-dup stack: the corpus with every
     * non-canonical duplicate removed. A doc survives unless it belongs to an
     * LSH-candidate component and is not that component's min-id

@@ -144,6 +144,69 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("bucket")
 
+  /** Per-vector SQ8 codes expression (shared by [[sq8Quantize]] and
+    * [[ivfCellCentroids]]): scalar quantization of each component into 0..255
+    * against the vector's own [mn, mx] range. `floor` + `least` clamp instead
+    * of `round`: floor on identical IEEE doubles is bit-deterministic across
+    * engines, with no rounding-mode semantics to match. A flat vector
+    * (mx = mn) quantizes to all-zero codes. */
+  private val sq8CodesExpr =
+    "transform(v, x -> CASE WHEN mx = mn THEN 0 " +
+      "ELSE CAST(least(floor((x - mn) * 255D / (mx - mn)), 255D) AS INT) END)"
+
+  /** SQ8 scalar quantization of the embedding column — the compression step a
+    * 100 TB vector store applies before indexing (4x smaller than float32,
+    * 8x smaller than the double working form). Pure per-row projection:
+    * no shuffle, stays in whole-stage codegen, scales linearly.
+    * Output: per-vector quantization params + integer code statistics (the
+    * exact-integer identity of the quantized vector, oracle-checkable). */
+  def sq8Quantize(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .select(col("vec_id"), col("v"),
+        array_min(col("v")).as("mn"), array_max(col("v")).as("mx"))
+      .withColumn("codes", expr(sq8CodesExpr))
+      .select(
+        col("vec_id"), col("mn"), col("mx"),
+        size(col("codes")).as("n_dims"),
+        expr("aggregate(codes, 0L, (a, x) -> a + x)").as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"))
+      .orderBy("vec_id")
+
+  /** IVF cell centroids in SQ8 code space — the index-maintenance counterpart
+    * of [[ivfTopK]]: per (Voronoi cell, dimension), the count and exact integer
+    * sum of the member vectors' SQ8 codes (FAISS's IVF+SQ8 layout). Float
+    * centroid means would be order-dependent; integer code sums are exact, so
+    * the oracle can hash-match the index content bit-for-bit.
+    *
+    * Scale shape: cell assignment is one corpus pass against the broadcast
+    * centroid table; the per-(cell, dim) rollup is a map-side-combinable hash
+    * aggregate over cells × dims rows (tiny output). No self-join, no window
+    * over the corpus — the only window ranks each vector's centroid candidates
+    * within its own partition-by-vector frame. */
+  def ivfCellCentroids(spark: SparkSession, dir: String,
+      centroidMod: Int = 31): DataFrame = {
+    val all = vecs(spark, dir)
+    val cents = all.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val byCos = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    val assigned = all.crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("graft_dot(v, cv)") / (col("nrm") * col("cn")))
+      .withColumn("crank", row_number().over(byCos))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("centroid_id").as("cell"))
+    assigned
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .withColumn("codes", expr(sq8CodesExpr))
+      .select(col("cell"), posexplode(col("codes")).as(Seq("pos", "code")))
+      .select(col("cell"), (col("pos") + 1).cast("int").as("dim"), col("code"))
+      .groupBy(col("cell"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("code").cast("long")).as("code_sum"))
+      .orderBy("cell", "dim")
+  }
+
   /** IVF (inverted-file) ANN top-k — the second classic scale path beside
     * hyperplane LSH ([[annTopK]]), and the one real vector stores default to:
     * partition the corpus into Voronoi cells around coarse centroids, then

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.{Dec, Tables}
 
@@ -485,4 +486,54 @@ object TextStats {
         md5(redacted).as("redacted_md5"))
       .orderBy("doc_id")
   }
+
+  /** Robust per-language corpus statistics: exact lower-median length and the
+    * modal source, both with total tie-break orderings (mean/mode/median are
+    * the profile numbers a corpus card reports; sketches would not
+    * hash-match). Two grouped windows partitioned by language — never a
+    * single-partition sort; at 100 TB the heavy one is the per-language
+    * length rank, which is exactly the distributed sort a percentile job
+    * pays anyway. */
+  def robustStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val wMode = Window.partitionBy(col("lang"))
+      .orderBy(col("n_src").desc, col("source").asc)
+    val mode = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("rn", row_number().over(wMode))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("source").as("mode_source"),
+        col("n_src").as("n_docs_mode_source"))
+    val wMed = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val med = docs
+      .withColumn("rn", row_number().over(wMed))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .filter(col("rn") === expr("(n_docs + 1) div 2"))
+      .select(col("lang"), col("n_docs"), col("n_chars").as("median_chars"))
+    med.join(mode, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("median_chars"),
+        col("mode_source"), col("n_docs_mode_source"))
+      .orderBy("lang")
+  }
+
+  /** Overlapping sliding-window chunking (size `chunkSize` tokens, stride
+    * `stride`) — how long documents become training sequences with context
+    * overlap, vs [[sequencePack]]'s whole-doc packing. Chunk i covers tokens
+    * [i*stride+1, i*stride+chunkSize]; the last chunk may be short. Pure
+    * per-row explode (no shuffle until the determinism orderBy); output
+    * carries the chunk md5 so the chunk table is content-addressable. */
+  def chunkOverlap(spark: SparkSession, dir: String, chunkSize: Int = 64,
+      stride: Int = 32): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(words) - 1) div $stride),
+           |  i -> slice(words, i * $stride + 1, $chunkSize))""".stripMargin))
+        .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        size(col("chunk")).cast("int").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
 }

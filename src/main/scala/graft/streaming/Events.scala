@@ -172,4 +172,32 @@ object Events {
           unix_timestamp(date_trunc("second", col("click_ts")))).as("gap_s"))
       .orderBy("error_event_id")
   }
+
+  /** Daily event-volume anomaly flags per event type: a day is anomalous when
+    * its count deviates from the type's mean by more than 2 sigma —
+    * the (n·x − S)² > 4·(n·Q − S²) integer form (multiply through by n²,
+    * never divide), computed in DECIMAL(38,0) so there is zero floating
+    * point: flags are bit-identical across engines and partition layouts,
+    * and exact past the 64-bit overflow point a 100 TB event history reaches.
+    *
+    * Two map-side-combinable aggregates (daily counts, then per-type moment
+    * sums) + a broadcast join back — the same shape as the per-source length
+    * outliers ([[graft.ext.TextStats.lengthOutliers]]), applied to
+    * time-series monitoring. */
+  def dailyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val dec = col("n_events").cast("decimal(38,0)")
+    val stats = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dec).as("s"),
+      sum(dec * dec).as("q"))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("n").cast("long").as("n_days"),
+        ((col("n") * dec - col("s")) * (col("n") * dec - col("s")) >
+          (col("n") * col("q") - col("s") * col("s")) * 4).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
 }

@@ -50,4 +50,23 @@ class EventsSpec extends SparkSuite {
     assert(bounded.forall(_._3 <= 600))
     assert(bounded.toSet.subsetOf(unbounded.toSet), "tolerance only FILTERS the as-of result")
   }
+
+  test("daily anomaly: flags match an exact BigInt recomputation of the 2-sigma rule") {
+    val rows = Events.dailyAnomaly(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (_, rs) =>
+      val counts = rs.map(r => BigInt(r.getAs[Long]("n_events")))
+      val n = BigInt(rs.length)
+      val s = counts.sum
+      val q = counts.map(c => c * c).sum
+      rs.foreach { r =>
+        assert(r.getAs[Long]("n_days") == rs.length.toLong)
+        val x = BigInt(r.getAs[Long]("n_events"))
+        val expected = (n * x - s).pow(2) > (n * q - s * s) * 4
+        assert(r.getAs[Boolean]("is_anomaly") == expected,
+          s"flag disagrees with exact integer recompute for $r")
+      }
+    }
+  }
 }

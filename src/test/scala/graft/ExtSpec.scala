@@ -371,4 +371,88 @@ class ExtSpec extends SparkSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
     assert(out(0L) == "en" && out(1L) == "es" && out(2L) == "unknown")
   }
+
+  test("sq8 quantize: flat vector → all-zero codes; known ramp → exact codes") {
+    val s = spark; import s.implicits._
+    Seq((0L, Array(1.0f, 1.0f, 1.0f, 1.0f)), (1L, Array(0.0f, 1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet("/tmp/graft_test_sq8/embeddings.parquet")
+    val rows = Similarity.sq8Quantize(spark, "/tmp/graft_test_sq8").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("mn"), r.getAs[Double]("mx"), r.getAs[Long]("code_sum"),
+          r.getAs[Int]("code_min"), r.getAs[Int]("code_max"))).toMap
+    assert(rows(0L) == ((1.0, 1.0, 0L, 0, 0)), "flat vector quantizes to all zeros")
+    // ramp [0,1,2,3]: codes floor(x*255/3) = 0, 85, 170, 255
+    assert(rows(1L) == ((0.0, 3.0, 510L, 0, 255)))
+  }
+
+  test("chunk overlap: stride-32/size-64 chunks tile the doc with 32-token overlap") {
+    val s = spark; import s.implicits._
+    val words = (1 to 100).map(i => s"w$i")
+    Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_chunks/documents.parquet")
+    val rows = TextStats.chunkOverlap(spark, "/tmp/graft_test_chunks").collect()
+      .sortBy(_.getAs[Int]("chunk_idx"))
+    // starts at 0,32,64,96 → lengths 64,64,36,4
+    assert(rows.map(_.getAs[Int]("n_chunk_tokens")).toSeq == Seq(64, 64, 36, 4))
+    // content-addressable: chunk 0 is exactly tokens 1..64
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(t: String) = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.head.getAs[String]("chunk_md5") == md5hex(words.take(64).mkString(" ")))
+    assert(rows(1).getAs[String]("chunk_md5") == md5hex(words.slice(32, 96).mkString(" ")))
+  }
+
+  test("robust stats: exact lower median and deterministic modal source") {
+    val s = spark; import s.implicits._
+    // en: lengths 10,20,30,40 → lower median 20; sources tie a/b → 'a' wins
+    Seq((1L, "en", "a", 10), (2L, "en", "a", 20), (3L, "en", "b", 30), (4L, "en", "b", 40),
+      (5L, "fr", "c", 7), (6L, "fr", "c", 9), (7L, "fr", "d", 11))
+      .toDF("doc_id", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_robust/documents.parquet")
+    val rows = TextStats.robustStats(spark, "/tmp/graft_test_robust").collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Int]("median_chars"),
+          r.getAs[String]("mode_source"), r.getAs[Long]("n_docs_mode_source"))).toMap
+    assert(rows("en") == ((4L, 20, "a", 2L)), "even count → lower median; source tie → lexical min")
+    assert(rows("fr") == ((3L, 9, "c", 2L)))
+  }
+
+  test("incremental dedup: exact dup flagged, near dup counted, novel doc is_new") {
+    val s = spark; import s.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "en", "web"), (2L, "completely different corpus text here okay", "en", "web"),
+      // batch slice (doc_id % 10 == 7):
+      (7L, base.toUpperCase, "en", "web"), // exact dup of 1 modulo case
+      (17L, nearDup, "en", "web"), // near dup of 1
+      (27L, (1 to 40).map(i => s"novel$i").mkString(" "), "en", "web"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet("/tmp/graft_test_inc/documents.parquet")
+    val rows = Dedup.incrementalDedup(spark, "/tmp/graft_test_inc").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[java.lang.Long]("exact_dup_of")).map(_.toLong),
+          r.getAs[Long]("n_near_candidates"), r.getAs[Boolean]("is_new"))).toMap
+    assert(rows.keySet == Set(7L, 17L, 27L), "only the batch slice is reported")
+    assert(rows(7L)._1.contains(1L), "case-normalized exact dup found in the corpus")
+    assert(rows(17L)._1.isEmpty && rows(17L)._2 >= 1, "near dup: no exact match, LSH candidate found")
+    assert(rows(27L) == ((None, 0L, true)), "novel doc is safe to ingest")
+  }
+
+  test("ivf centroids: membership counts are a partition of the corpus, codes bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.ivfCellCentroids(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val cells = rows.map(_.getAs[Long]("cell")).distinct
+    assert(cells.length > 1, "more than one Voronoi cell is populated")
+    val corpusSize = graft.engine.Tables.embeddings(spark, dir).count()
+    // for every dimension, cell membership counts sum to the corpus size
+    rows.groupBy(_.getAs[Int]("dim")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("n_vecs")).sum == corpusSize)
+    }
+    rows.foreach { r =>
+      val (n, cs) = (r.getAs[Long]("n_vecs"), r.getAs[Long]("code_sum"))
+      assert(cs >= 0 && cs <= 255L * n, "code sums stay in the SQ8 range")
+    }
+  }
 }

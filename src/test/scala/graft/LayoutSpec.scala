@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Layout
+
+/** Z-order layout: key correctness against an independent Morton
+  * implementation, and the clustered-write property that makes it matter —
+  * non-overlapping per-file Z ranges (tight min/max footer stats on BOTH
+  * interleaved columns). */
+class LayoutSpec extends SparkSuite {
+
+  /** Independent reference Morton interleave (bit-twiddling, not column ops). */
+  private def morton(a: Long, b: Long, bits: Int = 16): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+    }
+
+  test("zValue matches an independent Morton implementation") {
+    val s = spark; import s.implicits._
+    val pairs = for (a <- Seq(0L, 1L, 2L, 7L, 255L, 256L, 65535L); b <- Seq(0L, 1L, 3L, 100L, 65535L))
+      yield (a, b)
+    val out = pairs.toDF("a", "b")
+      .select($"a", $"b", Layout.zValue($"a", $"b").as("z")).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("z") == morton(r.getAs[Long]("a"), r.getAs[Long]("b")),
+        s"mismatch at (${r.get(0)}, ${r.get(1)})")
+    }
+    // interleave is a bijection on 16+16 bits: distinct inputs → distinct keys
+    assert(out.map(_.getAs[Long]("z")).distinct.length == pairs.length)
+  }
+
+  test("zorderWrite: per-file Z ranges are non-overlapping (clustered layout)") {
+    val dir = "/root/testdata/sf0.001"
+    val path = "/tmp/graft_test_zorder"
+    rmTree(path)
+    Layout.zorderWrite(
+      graft.engine.Tables.customer(spark, dir), "c_custkey", "c_nationkey", path, numFiles = 4)
+    val files = spark.read.parquet(path)
+      .withColumn("z", Layout.zValue(col("c_custkey"), col("c_nationkey")))
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(min("z").as("zmin"), max("z").as("zmax"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[Long]("zmin"), r.getAs[Long]("zmax"), r.getAs[Long]("n")))
+      .sortBy(_._1)
+    assert(files.length >= 2, "the clustered write produced multiple files")
+    files.sliding(2).foreach {
+      case Array((_, max1, _), (min2, _, _)) =>
+        assert(max1 <= min2, s"file Z ranges overlap: $files")
+      case _ =>
+    }
+    // nothing lost in the rewrite
+    assert(files.map(_._3).sum == graft.engine.Tables.customer(spark, dir).count())
+  }
+}

@@ -101,4 +101,36 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"packing window collapsed to a single partition:\n$p")
   }
+
+  test("q82 zorder keys: pure projection — no join, no window, no aggregate") {
+    val p = plan("q82_zorder_keys")
+    assert(!p.contains("Join") && !p.contains(") Window") && !p.contains("HashAggregate"),
+      s"the layout key must be a codegen'd per-row expression:\n$p")
+  }
+
+  test("q86 IVF centroids: centroid table broadcast, no cartesian product") {
+    val p = plan("q86_ivf_centroids")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroid assignment must broadcast the centroid side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus x centroids must never be a shuffled cartesian:\n$p")
+  }
+
+  test("q87 daily anomaly: per-type stats join is broadcast (types are a tiny dim)") {
+    val p = plan("q87_daily_anomaly")
+    assert(p.contains("BroadcastHashJoin"), s"stats join must broadcast:\n$p")
+  }
+
+  test("q88 chunk overlap: explode-only plan — no window, no single-partition collapse") {
+    val p = plan("q88_chunk_overlap")
+    assert(p.contains("Generate"), s"chunking must be a per-row explode:\n$p")
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("(") && l.contains(") Window")),
+      s"chunking must not window the corpus:\n$p")
+  }
+
+  test("q89 range frame: window keeps its per-customer partitioning") {
+    val p = plan("q89_range_frame")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"trailing-spend window collapsed to one partition:\n$p")
+  }
 }
