@@ -1064,6 +1064,75 @@ object Catalog {
         |  (s.n * d.n_events - s.sm) * (s.n * d.n_events - s.sm) > 4 * (s.n * s.q - s.sm * s.sm) AS is_anomaly
         |FROM daily d JOIN s USING (event_type) ORDER BY d.event_type, d.day""".stripMargin),
 
+    // ANN recall@k evaluation: exact top-3 vs LSH-bucketed top-3 per query —
+    // the quality monitor that runs beside any approximate index.
+    q("q90_ann_recall", (s, d) => ext.Similarity.annRecall(s, d),
+      s"""WITH $vecsCte,
+         |qx AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 20),
+         |px AS (SELECT query_id, c.vec_id AS neighbor_id,
+         |        list_sum(list_transform(list_zip(qv, c.v), z -> z[1] * z[2])) / (qn * c.nrm) AS cos
+         |      FROM qx CROSS JOIN n c WHERE c.vec_id <> query_id),
+         |rx AS (SELECT query_id, neighbor_id,
+         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         |      FROM px),
+         |exact AS (SELECT query_id, neighbor_id FROM rx WHERE rank <= 3),
+         |b AS (SELECT vec_id, v, nrm, CAST($lshBucketExpr AS INT) AS bucket FROM n),
+         |qv2 AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM b WHERE vec_id < 20),
+         |pa AS (SELECT query_id, c.vec_id AS neighbor_id,
+         |        list_sum(list_transform(list_zip(qv2.qv, c.v), z -> z[1] * z[2])) / (qv2.qn * c.nrm) AS cos
+         |      FROM qv2 JOIN b c ON qv2.bucket = c.bucket WHERE c.vec_id <> query_id),
+         |ra AS (SELECT query_id, neighbor_id,
+         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         |      FROM pa),
+         |ann AS (SELECT query_id, neighbor_id, 1 AS hit FROM ra WHERE rank <= 3)
+         |SELECT e.query_id, COUNT(*) AS n_exact,
+         |  CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hit,
+         |  CAST(SUM(COALESCE(a.hit, 0)) AS DOUBLE) / COUNT(*) AS recall
+         |FROM exact e LEFT JOIN ann a USING (query_id, neighbor_id)
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin),
+
+    // Out-of-vocabulary rate vs the corpus top-100 vocabulary (tokenizer
+    // coverage gate; integer ppm rate).
+    q("q91_oov_rate", (s, d) => ext.TextStats.oovRate(s, d),
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT term, COUNT(*) AS term_count FROM t GROUP BY term),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY term_count DESC, term) AS INT) AS vocab_id
+        |      FROM c),
+        |v AS (SELECT term, 1 AS in_vocab FROM r WHERE vocab_id <= 100),
+        |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  (CAST(SUM(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // COUNT(*) AS oov_ppm
+        |FROM dt LEFT JOIN v USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Largest-remainder apportionment of a 1M-token sampling budget across
+    // sources (data-mixture assembly; exact integer arithmetic).
+    q("q92_mixture_allocation", (s, d) => ext.TextStats.mixtureAllocation(s, d),
+      """WITH tok AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |             FROM documents GROUP BY source),
+        |x AS (SELECT *, CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens FROM tok),
+        |y AS (SELECT *, (1000000 * n_tokens) // total_tokens AS base_alloc,
+        |        (1000000 * n_tokens) % total_tokens AS rem FROM x),
+        |z AS (SELECT *, 1000000 - SUM(base_alloc) OVER () AS leftover,
+        |        row_number() OVER (ORDER BY rem DESC, source) AS rk FROM y)
+        |SELECT source, n_tokens, total_tokens, base_alloc,
+        |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |  CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS final_alloc
+        |FROM z ORDER BY source""".stripMargin),
+
+    // Cross-language shingle-overlap matrix (contamination / code-switching
+    // diagnostic; joins the distinct (lang, shingle) set — no hot-key blowup).
+    q("q93_lang_overlap", ext.Dedup.langOverlapMatrix,
+      """WITH d AS (SELECT lang, string_split(text, ' ') AS words FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |ls0 AS (SELECT lang, unnest(list_transform(range(1, len(words) - 1),
+        |          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh FROM d),
+        |ls AS (SELECT DISTINCT lang, sh FROM ls0)
+        |SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_shared_shingles
+        |FROM ls a JOIN ls b ON a.sh = b.sh AND a.lang < b.lang
+        |GROUP BY lang_a, lang_b ORDER BY lang_a, lang_b""".stripMargin),
+
     // Overlapping sliding-window chunking (64-token chunks, stride 32) —
     // context-overlap training sequences; q66 packs whole docs instead.
     q("q88_chunk_overlap", (s, d) => ext.TextStats.chunkOverlap(s, d),

@@ -350,6 +350,27 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-language shingle-overlap matrix: for each (lang_a < lang_b) pair,
+    * the number of DISTINCT 3-word shingles both language slices contain —
+    * the cross-lingual contamination / code-switching diagnostic a corpus
+    * card reports. The join operates on the distinct (lang, shingle) set, so
+    * a shingle appearing in L languages contributes at most L·(L−1)/2 matches
+    * (L is small and bounded by the language inventory — no hot-key k²
+    * blowup on boilerplate shingles, unlike a doc-level shingle join). */
+  def langOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val langSh = Tables.documents(spark, dir)
+      .select(col("lang"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("lang"), explode(shingles).as("sh"))
+      .distinct()
+    langSh.select(col("lang").as("lang_a"), col("sh"))
+      .join(langSh.select(col("lang").as("lang_b"), col("sh")), Seq("sh"))
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .orderBy("lang_a", "lang_b")
+  }
+
   /** Incremental (new-batch-vs-corpus) dedup — the shape every continuously
     * ingesting training pipeline actually runs: an incoming shard (here the
     * content-addressed slice doc_id % `mod` == `rem`) is checked against the

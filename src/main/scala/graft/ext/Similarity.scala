@@ -136,6 +136,27 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** ANN recall@k — the evaluation harness every approximate index needs
+    * beside it: per query, how many of the EXACT top-k neighbors
+    * ([[cosineTopK]]) the LSH-bucketed [[annTopK]] recovered. Both sides are
+    * already-scaled pipelines; the eval adds one (query_id, neighbor_id)
+    * equi-join over nQueries·k rows — negligible at any corpus size, so
+    * recall can be monitored continuously in production. */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 3,
+      nQueries: Int = 20): DataFrame = {
+    val exact = cosineTopK(spark, dir, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = annTopK(spark, dir, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double")).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Bucket histogram — the observability query for LSH balance (skew here is
     * what would motivate salting at scale). */
   def lshBucketStats(spark: SparkSession, dir: String): DataFrame =

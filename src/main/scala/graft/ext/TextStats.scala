@@ -518,6 +518,60 @@ object TextStats {
       .orderBy("lang")
   }
 
+  /** Out-of-vocabulary rate per document against the corpus-derived top-V
+    * vocabulary ([[vocabulary]]): token counts with multiplicity, OOV counts,
+    * and an integer parts-per-million rate (exact; the one double is a single
+    * division). The tokenizer-coverage gate a corpus passes before training.
+    *
+    * Scale shape: the vocabulary is top-V by construction — a broadcast dim —
+    * so the token join never shuffles the corpus; the per-doc rollup is one
+    * map-side-combinable aggregate. */
+  def oovRate(spark: SparkSession, dir: String, vocabSize: Int = 100): DataFrame = {
+    val vocab = vocabulary(spark, dir, vocabSize)
+      .select(col("term"), lit(1).as("in_vocab"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000 div n_tokens").as("oov_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Largest-remainder apportionment of a sampling budget across sources —
+    * the data-mixture step of corpus assembly: each source gets
+    * floor(budget · tokens_s / total) plus one of the `budget − Σfloor`
+    * leftovers, awarded by descending fractional remainder (ties to the
+    * lexically first source). Pure integer arithmetic, so the allocation is
+    * exact and bit-stable (at 100 TB token counts, the products belong in
+    * DECIMAL(38,0); LONG covers the testdata scales).
+    *
+    * The windows run over the per-source rollup — a dim-sized frame (one row
+    * per source), never the corpus. */
+  def mixtureAllocation(spark: SparkSession, dir: String,
+      budget: Long = 1000000L): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"))
+    val all = Window.partitionBy()
+    val byRem = Window.partitionBy().orderBy(col("rem").desc, col("source").asc)
+    tok
+      .withColumn("total_tokens", sum(col("n_tokens")).over(all))
+      .withColumn("base_alloc", expr(s"$budget * n_tokens div total_tokens"))
+      .withColumn("rem", expr(s"($budget * n_tokens) % total_tokens"))
+      .withColumn("leftover", lit(budget) - sum(col("base_alloc")).over(all))
+      .withColumn("rk", row_number().over(byRem))
+      .select(col("source"), col("n_tokens"), col("total_tokens"), col("base_alloc"),
+        when(col("rk") <= col("leftover"), 1L).otherwise(0L).as("extra"),
+        (col("base_alloc") +
+          when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("final_alloc"))
+      .orderBy("source")
+  }
+
   /** Overlapping sliding-window chunking (size `chunkSize` tokens, stride
     * `stride`) — how long documents become training sequences with context
     * overlap, vs [[sequencePack]]'s whole-doc packing. Chunk i covers tokens

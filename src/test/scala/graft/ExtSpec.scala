@@ -439,6 +439,68 @@ class ExtSpec extends SparkSuite {
     assert(rows(27L) == ((None, 0L, true)), "novel doc is safe to ingest")
   }
 
+  test("ann recall: planted co-bucket groups are recovered; metric is n_hit/k") {
+    val s = spark; import s.implicits._
+    // 10 groups x 3 colinear vectors: scaled copies share cosine ~1 AND the
+    // exact hyperplane signs, so each query's 2 group mates are both its
+    // exact top neighbors and its bucket mates — recall >= 2/3 by
+    // construction. (On the uniform-random testdata embeddings recall is
+    // legitimately near 0: there is no neighbor structure to recover.)
+    val vecs = for (g <- 0 until 10; j <- 0 until 3) yield {
+      val base = Array.tabulate(64)(d => (((g * 13 + d * 7) % 11) - 5).toFloat)
+      ((g * 3 + j).toLong, base.map(_ * (1.0f + 0.25f * j)))
+    }
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet("/tmp/graft_test_recall/embeddings.parquet")
+    val rows = Similarity.annRecall(spark, "/tmp/graft_test_recall").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 3L)
+      val (hit, rec) = (r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))
+      assert(hit >= 2, s"group mates must be recovered from the shared bucket: $r")
+      assert(math.abs(rec - hit / 3.0) < 1e-12)
+    }
+  }
+
+  test("oov rate: tokens outside the top-V vocabulary are counted with multiplicity") {
+    val s = spark; import s.implicits._
+    Seq((1L, "a a b"), (2L, "a c c"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_oov/documents.parquet")
+    // corpus counts: a=3, c=2, b=1 -> top-2 vocab {a, c}
+    val rows = TextStats.oovRate(spark, "/tmp/graft_test_oov", vocabSize = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"), r.getAs[Long]("oov_ppm"))).toMap
+    assert(rows(1L) == ((3L, 1L, 333333L)), "b is OOV once out of 3 tokens")
+    assert(rows(2L) == ((3L, 0L, 0L)))
+  }
+
+  test("mixture allocation: largest remainder sums exactly to the budget, ties lexical") {
+    val s = spark; import s.implicits._
+    // three equal sources: base 333333 each, one leftover goes to the
+    // lexically first source (all remainders tie)
+    Seq((1L, "t", "s1"), (2L, "t", "s2"), (3L, "t", "s3"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet("/tmp/graft_test_mix/documents.parquet")
+    val rows = TextStats.mixtureAllocation(spark, "/tmp/graft_test_mix").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("final_alloc")).toMap
+    assert(rows == Map("s1" -> 333334L, "s2" -> 333333L, "s3" -> 333333L))
+    assert(rows.values.sum == 1000000L, "allocations sum exactly to the budget")
+  }
+
+  test("lang overlap: shared shingles counted once per language pair") {
+    val s = spark; import s.implicits._
+    Seq((1L, "x y z a b", "en"), (2L, "x y z c d", "fr"), (3L, "x y z e f", "fr"),
+      (4L, "q r s t u", "de"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet("/tmp/graft_test_langov/documents.parquet")
+    val rows = Dedup.langOverlapMatrix(spark, "/tmp/graft_test_langov").collect()
+      .map(r => (r.getAs[String]("lang_a"), r.getAs[String]("lang_b")) ->
+        r.getAs[Long]("n_shared_shingles")).toMap
+    // "x y z" is the only cross-lang shingle; two fr docs still count it ONCE
+    assert(rows == Map(("en", "fr") -> 1L), s"unexpected matrix: $rows")
+  }
+
   test("ivf centroids: membership counts are a partition of the corpus, codes bounded") {
     val dir = "/root/testdata/sf0.001"
     val rows = Similarity.ivfCellCentroids(spark, dir).collect()

@@ -128,6 +128,16 @@ class PlanSpec extends SparkSuite {
       s"chunking must not window the corpus:\n$p")
   }
 
+  test("q91 oov: the vocabulary join broadcasts (top-V is a dim by construction)") {
+    val p = plan("q91_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$p")
+  }
+
+  test("q90 recall: no shuffled cartesian anywhere in the eval plan") {
+    val p = plan("q90_ann_recall")
+    assert(!p.contains("CartesianProduct"), s"eval must broadcast the query side:\n$p")
+  }
+
   test("q89 range frame: window keeps its per-customer partitioning") {
     val p = plan("q89_range_frame")
     assert(!p.contains("Exchange SinglePartition"),
