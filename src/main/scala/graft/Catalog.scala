@@ -350,6 +350,18 @@ object Catalog {
         |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d_spend
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
 
+    // Unpivot (wide -> long): inverse of q43's pivot via stack().
+    q("q96_unpivot", RelOps.unpivotStatus,
+      """WITH p AS (SELECT CAST(year(o_orderdate) AS INT) AS oyear,
+        |    COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f,
+        |    COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o,
+        |    COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p
+        |  FROM orders GROUP BY oyear)
+        |SELECT oyear, 'F' AS o_orderstatus, f AS n FROM p
+        |UNION ALL SELECT oyear, 'O', o FROM p
+        |UNION ALL SELECT oyear, 'P', p FROM p
+        |ORDER BY oyear, o_orderstatus""".stripMargin),
+
     // Z-order (Morton) clustering keys — multi-dimensional data layout for
     // parquet min/max skipping on BOTH interleaved columns (engine.Layout).
     q("q82_zorder_keys", engine.Layout.zorderKeys,
@@ -1120,6 +1132,57 @@ object Catalog {
         |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
         |  CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS final_alloc
         |FROM z ORDER BY source""".stripMargin),
+
+    // Purchase attribution: first/last-touch click ids + exact equal-split
+    // ppm credits, one window pass per user (no purchase x click blowup).
+    q("q94_attribution", streaming.Events.attribution,
+      """WITH ec AS (SELECT * FROM events WHERE event_type IN ('click', 'purchase')),
+        |x AS (SELECT *,
+        |    first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_click_id,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_prior_clicks
+        |  FROM ec)
+        |SELECT event_id AS purchase_event_id, user_id, first_click_id, last_click_id,
+        |  n_prior_clicks,
+        |  CASE WHEN n_prior_clicks > 0 THEN 1000000 // n_prior_clicks ELSE 0 END AS credit_ppm_each,
+        |  CASE WHEN n_prior_clicks > 0
+        |       THEN 1000000 - n_prior_clicks * (1000000 // n_prior_clicks)
+        |       ELSE 0 END AS leftover_ppm
+        |FROM x WHERE event_type = 'purchase' ORDER BY purchase_event_id""".stripMargin),
+
+    // Simpson lexical-diversity index in exact integer ppm (the log-free
+    // diversity/repetition quality signal).
+    q("q95_simpson_diversity", ext.TextStats.simpsonDiversity,
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY doc_id, term),
+        |m AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |        COUNT(*) AS n_distinct_tokens,
+        |        CAST(SUM(c * c) AS BIGINT) AS sum_sq_counts
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct_tokens, sum_sq_counts,
+        |  ((n_tokens * n_tokens - sum_sq_counts) * 1000000) // (n_tokens * n_tokens) AS simpson_ppm
+        |FROM m ORDER BY doc_id""".stripMargin),
+
+    // Per-language winsorization to the exact discrete [p10, p90] band
+    // (order statistics by integer index — engine-exact, no interpolation).
+    q("q97_winsorize", ext.TextStats.winsorize,
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |b AS (SELECT lang, MIN(n_chars) AS p10_chars, MAX(n_chars) AS p90_chars
+        |      FROM r
+        |      WHERE rn = (n - 1) * 10 // 100 + 1 OR rn = (n - 1) * 90 // 100 + 1
+        |      GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars, b.p10_chars, b.p90_chars,
+        |  least(greatest(d.n_chars, b.p10_chars), b.p90_chars) AS n_chars_winsorized
+        |FROM documents d JOIN b USING (lang) ORDER BY d.doc_id""".stripMargin),
 
     // Cross-language shingle-overlap matrix (contamination / code-switching
     // diagnostic; joins the distinct (lang, shingle) set — no hot-key blowup).

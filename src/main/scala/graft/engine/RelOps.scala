@@ -366,6 +366,15 @@ object RelOps {
       .na.fill(0)
       .orderBy("oyear")
 
+  /** Unpivot (wide → long): the inverse of [[pivotStatus]] — melts the
+    * per-status count columns back into (oyear, o_orderstatus, n) rows via
+    * `stack` (expression-level row expansion; no shuffle beyond the
+    * determinism orderBy). Together the pair closes the reshape surface. */
+  def unpivotStatus(spark: SparkSession, dir: String): DataFrame =
+    pivotStatus(spark, dir)
+      .selectExpr("oyear", "stack(3, 'F', F, 'O', O, 'P', P) AS (o_orderstatus, n)")
+      .orderBy("oyear", "o_orderstatus")
+
   /** Left-semi join: customers with >= 1 order in 1997 (EXISTS form). */
   def semiJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)

@@ -572,6 +572,52 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** Simpson lexical-diversity index per document, in exact integer ppm:
+    * 1 − Σ(cᵢ/n)² = (n² − Σcᵢ²) / n², computed as
+    * ((n² − Σcᵢ²)·10⁶) div n² — the entropy-style repetition/diversity
+    * quality signal without a logarithm (ln is not bit-identical across
+    * engines' libm; Simpson is rational). Two map-side-combinable hash
+    * aggregates: (doc, term) counts, then the per-doc moment rollup. */
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        sum(col("c") * col("c")).as("sum_sq_counts"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"), col("sum_sq_counts"),
+        expr("(n_tokens * n_tokens - sum_sq_counts) * 1000000 div (n_tokens * n_tokens)")
+          .as("simpson_ppm"))
+      .orderBy("doc_id")
+
+  /** Per-language winsorization: n_chars clamped to the language's exact
+    * discrete [p10, p90] band. The bounds are order statistics picked by
+    * integer index (idx = (n−1)·p div 100 + 1 over the (n_chars, doc_id)
+    * total order) — deterministic and engine-exact where interpolated
+    * percentiles would not be. The rank window is per-language (the same
+    * distributed sort any percentile job pays); the bounds table is
+    * languages-sized and broadcast back. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars").asc, col("doc_id").asc)
+    val ranked = docs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    val bounds = ranked
+      .filter(col("rn") === expr("(n - 1) * 10 div 100 + 1") ||
+        col("rn") === expr("(n - 1) * 90 div 100 + 1"))
+      .groupBy(col("lang"))
+      .agg(min(col("n_chars")).as("p10_chars"), max(col("n_chars")).as("p90_chars"))
+    docs.join(broadcast(bounds), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("p10_chars"), col("p90_chars"),
+        least(greatest(col("n_chars"), col("p10_chars")), col("p90_chars"))
+          .as("n_chars_winsorized"))
+      .orderBy("doc_id")
+  }
+
   /** Overlapping sliding-window chunking (size `chunkSize` tokens, stride
     * `stride`) — how long documents become training sequences with context
     * overlap, vs [[sequencePack]]'s whole-doc packing. Chunk i covers tokens

@@ -173,6 +173,36 @@ object Events {
       .orderBy("error_event_id")
   }
 
+  /** Purchase attribution over the click stream: for each purchase, the
+    * first-touch and last-touch click ids plus the equal-split (linear)
+    * credit each prior click would receive, as an exact integer ppm share
+    * (1000000 div n — the remainder is reported, never silently lost).
+    * One window pass per user over the click/purchase sub-stream: running
+    * first/last click (ignore-nulls) and a running click count — no
+    * purchase x click pair blowup, so a heavy user costs O(events), not
+    * O(clicks · purchases). */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("click_id", when(col("event_type") === "click", col("event_id")))
+      .withColumn("first_click_id", first(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("n_prior_clicks",
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_event_id"), col("user_id"),
+        col("first_click_id"), col("last_click_id"), col("n_prior_clicks"),
+        when(col("n_prior_clicks") > 0, expr("1000000 div n_prior_clicks"))
+          .otherwise(lit(0L)).as("credit_ppm_each"),
+        when(col("n_prior_clicks") > 0,
+          lit(1000000L) - col("n_prior_clicks") * expr("1000000 div n_prior_clicks"))
+          .otherwise(lit(0L)).as("leftover_ppm"))
+      .orderBy("purchase_event_id")
+  }
+
   /** Daily event-volume anomaly flags per event type: a day is anomalous when
     * its count deviates from the type's mean by more than 2 sigma —
     * the (n·x − S)² > 4·(n·Q − S²) integer form (multiply through by n²,

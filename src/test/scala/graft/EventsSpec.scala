@@ -51,6 +51,21 @@ class EventsSpec extends SparkSuite {
     assert(bounded.toSet.subsetOf(unbounded.toSet), "tolerance only FILTERS the as-of result")
   }
 
+  test("attribution: credits split exactly, touch ids present iff clicks precede") {
+    val rows = Events.attribution(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_prior_clicks")
+      val first = Option(r.getAs[java.lang.Long]("first_click_id"))
+      val last = Option(r.getAs[java.lang.Long]("last_click_id"))
+      val (credit, leftover) = (r.getAs[Long]("credit_ppm_each"), r.getAs[Long]("leftover_ppm"))
+      assert((n > 0) == first.isDefined && (n > 0) == last.isDefined)
+      if (n > 0) assert(credit * n + leftover == 1000000L, s"ppm credits must sum to 1e6: $r")
+      else assert(credit == 0 && leftover == 0)
+    }
+    assert(rows.exists(_.getAs[Long]("n_prior_clicks") > 0), "some purchases have prior clicks")
+  }
+
   test("daily anomaly: flags match an exact BigInt recomputation of the 2-sigma rule") {
     val rows = Events.dailyAnomaly(spark, dir).collect()
     assert(rows.nonEmpty)

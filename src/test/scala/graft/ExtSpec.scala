@@ -501,6 +501,32 @@ class ExtSpec extends SparkSuite {
     assert(rows == Map(("en", "fr") -> 1L), s"unexpected matrix: $rows")
   }
 
+  test("simpson diversity: all-same text scores 0 ppm, all-distinct scores (n-1)/n") {
+    val s = spark; import s.implicits._
+    Seq((1L, "a a a"), (2L, "a b c"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_simpson/documents.parquet")
+    val rows = TextStats.simpsonDiversity(spark, "/tmp/graft_test_simpson").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simpson_ppm")).toMap
+    assert(rows(1L) == 0L, "zero diversity for a repeated single token")
+    assert(rows(2L) == 666666L, "(9-3)/9 of 1e6, floored")
+  }
+
+  test("winsorize: values clamp to the exact discrete per-language [p10, p90] band") {
+    val s = spark; import s.implicits._
+    (1 to 10).map(i => (i.toLong, "en", i * 10))
+      .toDF("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_wins/documents.parquet")
+    val rows = TextStats.winsorize(spark, "/tmp/graft_test_wins").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("p10_chars"), r.getAs[Int]("p90_chars"),
+          r.getAs[Int]("n_chars_winsorized"))).toMap
+    // n=10: p10 idx = (9*10)div100+1 = 1 -> 10; p90 idx = (9*90)div100+1 = 9 -> 90
+    assert(rows(1L) == ((10, 90, 10)))
+    assert(rows(10L) == ((10, 90, 90)), "the max clamps down to p90")
+    assert(rows(5L) == ((10, 90, 50)), "in-band values pass through")
+  }
+
   test("ivf centroids: membership counts are a partition of the corpus, codes bounded") {
     val dir = "/root/testdata/sf0.001"
     val rows = Similarity.ivfCellCentroids(spark, dir).collect()
