@@ -309,6 +309,17 @@ object Catalog {
 
     QueryDef("q45_approx_distinct", RelOps.approxDistinct, None), // approximate by design — rows-only check
 
+    QueryDef("q98_approx_percentile", RelOps.approxPercentiles, None), // approximate by design — ApproxSpec bounds the error
+
+    // Typed JSON parsing (from_json -> struct): one parse for all fields,
+    // NULL-struct PERMISSIVE contract for malformed payloads.
+    q("q99_json_typed", RelOps.jsonTyped,
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10 AS INT) AS k_bucket,
+        |  json_extract_string(props, '$.k') IS NOT NULL AS parsed_ok
+        |FROM events ORDER BY event_id""".stripMargin),
+
     // Data-profiling observability: per-column counts, oracle generated from
     // the same shared column list.
     q("q69_profile", RelOps.profileOrders,

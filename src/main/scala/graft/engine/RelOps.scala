@@ -396,6 +396,36 @@ object RelOps {
         countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n_rows"))
 
+  /** Approximate percentiles (the GK-sketch `approx_percentile`) reported
+    * BESIDE the exact interpolated percentile — the observability pairing
+    * that lets a 100 TB job trade the exact path's full per-group sort for a
+    * mergeable fixed-size sketch, with the error visible in the same row.
+    * Approximate by design → rows-only catalog entry (like q45's HLL);
+    * `ApproxSpec` bounds the error against exact order statistics. */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_median"),
+        expr("percentile(o_totalprice, 0.5)").as("exact_median"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** Typed JSON parsing (`from_json` → struct field access) — the ingest
+    * operator for log/event payloads. One JsonToStructs evaluation parses
+    * each payload for ALL fields (q41's `get_json_object` re-parses per
+    * path); malformed payloads yield a NULL struct (PERMISSIVE contract),
+    * surfaced as `parsed_ok`. Pure projection — no shuffle before the
+    * determinism orderBy. */
+  def jsonTyped(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("p", from_json(col("props"), "k INT", Map.empty[String, String]))
+      .select(col("event_id"), col("event_type"),
+        col("p.k").as("k"),
+        expr("CAST(p.k div 10 AS INT)").as("k_bucket"),
+        col("p.k").isNotNull.as("parsed_ok"))
+      .orderBy("event_id")
+
   /** Top-10 parts via the typed [[graft.functions.TopKAggregator]]: map-side
     * partial top-k merged on the driver side of the agg — no global window
     * sort, only k rows per partition cross the final shuffle. Output-identical

@@ -24,4 +24,44 @@ class SinksSpec extends SparkSuite {
     val orcBack = spark.read.orc("/tmp/graft_sink/orc")
     assert(orcBack.orderBy("o_orderkey").collect().map(_.toString).toSeq == expected)
   }
+
+  test("corrupt CSV rows: PERMISSIVE captures them, DROPMALFORMED drops them") {
+    val dir = new java.io.File("/tmp/graft_sink/bad_csv")
+    rmTree(dir.toString); dir.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(dir, "part.csv"))
+    w.println("id,amount"); w.println("1,10.5"); w.println("2,NOT_A_NUMBER")
+    w.println("3,30.0"); w.close()
+    val schema = "id INT, amount DOUBLE, _corrupt_record STRING"
+    val permissive = spark.read
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema).csv(dir.toString)
+      .cache() // corrupt-record column requires the parsed+raw rows to coexist
+    try {
+      assert(permissive.count() == 3, "PERMISSIVE keeps every row")
+      val bad = permissive.filter(col("_corrupt_record").isNotNull).collect()
+      assert(bad.length == 1 && bad.head.getAs[String]("_corrupt_record").contains("NOT_A_NUMBER"))
+      assert(permissive.filter(col("amount").isNotNull).count() == 2)
+    } finally permissive.unpersist()
+    val dropped = spark.read
+      .option("header", "true").option("mode", "DROPMALFORMED")
+      .schema("id INT, amount DOUBLE").csv(dir.toString)
+    // collect(), not count(): CSV column pruning would skip parsing `amount`
+    // for a count-only plan, and an unparsed field can't be detected malformed
+    assert(dropped.collect().length == 2, "DROPMALFORMED silently removes the bad row")
+  }
+
+  test("parquet schema evolution: mergeSchema unions columns across batches") {
+    val base = "/tmp/graft_sink/evolve"
+    rmTree(base)
+    val s = spark; import s.implicits._
+    Seq((1L, "a")).toDF("id", "old_col").write.parquet(s"$base/b1")
+    Seq((2L, 9.5)).toDF("id", "new_col").write.parquet(s"$base/b2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$base/b1", s"$base/b2")
+    assert(merged.columns.sorted.toSeq == Seq("id", "new_col", "old_col"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("old_col") == "a" && rows(0).isNullAt(rows(0).fieldIndex("new_col")))
+    assert(rows(1).getAs[Double]("new_col") == 9.5 && rows(1).isNullAt(rows(1).fieldIndex("old_col")))
+  }
 }
