@@ -1003,6 +1003,37 @@ object Catalog {
         |    '\b(customer|stream)\b', '[TERM]', 'g')) AS redacted_md5
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Corpus-v2 capstone: near-dup survivors ∩ quality gate → overlapping
+    // training chunks (dedup -> filter -> shape in one composition).
+    q("q100_clean_corpus_chunks", (s, d) => ext.TextStats.cleanCorpusChunks(s, d),
+      s"""WITH RECURSIVE $bandsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |         GROUP BY doc_a, doc_b),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |          UNION SELECT doc_b, doc_a FROM cand),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+         |losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id),
+         |g AS (SELECT doc_id, text,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(string_split(text, ' '), w -> w IN $stop9)) AS BIGINT) AS n_stopwords
+         |  FROM documents
+         |  WHERE doc_id NOT IN (SELECT id FROM losers)),
+         |f AS (SELECT doc_id, text FROM g
+         |      WHERE n_chars BETWEEN 100 AND 20000 AND n_tokens >= 20 AND n_stopwords > 0),
+         |fd AS (SELECT doc_id, string_split(text, ' ') AS words FROM f),
+         |ch AS (SELECT doc_id, CAST(t.i AS INT) AS chunk_idx,
+         |        words[(CAST(t.i AS INT) * 32 + 1):(CAST(t.i AS INT) * 32 + 64)] AS chunk
+         |      FROM fd, LATERAL (SELECT unnest(range(0, (len(words) - 1) // 32 + 1)) AS i) t)
+         |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS n_chunk_tokens,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin),
+
     // SQ8 scalar quantization of embeddings (the 4x compression step before
     // indexing); integer code stats are the exact identity of the codes.
     q("q81_sq8_quantize", ext.Similarity.sq8Quantize,

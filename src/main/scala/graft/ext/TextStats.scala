@@ -626,7 +626,10 @@ object TextStats {
     * carries the chunk md5 so the chunk table is content-addressable. */
   def chunkOverlap(spark: SparkSession, dir: String, chunkSize: Int = 64,
       stride: Int = 32): DataFrame =
-    Tables.documents(spark, dir)
+    chunkDocs(Tables.documents(spark, dir), chunkSize, stride)
+
+  private def chunkDocs(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, (size(words) - 1) div $stride),
@@ -636,4 +639,25 @@ object TextStats {
         size(col("chunk")).cast("int").as("n_chunk_tokens"),
         md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
+
+  /** The corpus-v2 capstone: near-dup SURVIVORS ([[graft.ext.Dedup
+    * .dedupSurvivors]]: corpus minus non-canonical LSH-cluster members)
+    * intersected with the C4-style quality gate ([[qualityScore]]), then cut
+    * into overlapping training chunks ([[chunkOverlap]]) — dedup → filter →
+    * shape, the last mile of a corpus build, in one declarative composition.
+    * Each stage keeps its own scale shape (bucketed LSH + iterative
+    * components, linear gate scan, per-row explode); the intersection is a
+    * left-semi join on doc_id. */
+  def cleanCorpusChunks(spark: SparkSession, dir: String, chunkSize: Int = 64,
+      stride: Int = 32): DataFrame = {
+    val survivors = graft.ext.Dedup.dedupSurvivors(spark, dir)
+      .select(col("doc_id"))
+    val clean = qualityScore(spark, dir)
+      .filter(col("passes_quality"))
+      .select(col("doc_id"))
+      .join(survivors, Seq("doc_id"), "left_semi")
+    chunkDocs(
+      Tables.documents(spark, dir).join(clean, Seq("doc_id"), "left_semi"),
+      chunkSize, stride)
+  }
 }
