@@ -140,14 +140,44 @@ object Streams {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), coalesce(col("segment"), lit("unknown")).as("segment"))
 
+  final case class UserStats(user_id: Long, n_events: Long, total_value: Double,
+      max_event_id: Long)
+
+  /** Running per-user lifetime statistics via `mapGroupsWithState` (update
+    * mode) — the third stateful-API shape beside `flatMapGroupsWithState`
+    * sessions and `dropDuplicatesWithinWatermark` dedup: exactly ONE updated
+    * row per key per micro-batch, state is a fixed-size accumulator (count,
+    * sum, high-water-mark), never the event history. This is the
+    * continuously-maintained feature/profile table of a production pipeline
+    * (user LTV, abuse counters): at 100 TB/day the state size is
+    * O(distinct keys), independent of event volume. No timeout: profiles are
+    * permanent (a TTL variant would set ProcessingTimeTimeout). */
+  def userStatsStream(spark: SparkSession, srcDir: String): Dataset[UserStats] = {
+    import spark.implicits._
+    spark.readStream.schema(eventSchema).parquet(srcDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, events: Iterator[Ev], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0, Long.MinValue))
+          val next = events.foldLeft(prev) { (s, e) =>
+            UserStats(userId, s.n_events + 1, s.total_value + e.value,
+              math.max(s.max_event_id, e.event_id))
+          }
+          state.update(next)
+          next
+      }
+  }
+
   /** Drain a streaming DF into an in-memory table synchronously
     * (Trigger.AvailableNow) — the local test/dev harness for the queries above;
     * a production deployment swaps the sink for parquet/Kafka and a
     * ProcessingTime trigger (the reference's 30-min cadence ≡
     * `Trigger.ProcessingTime("30 minutes")`). */
-  def runToMemory(df: DataFrame, name: String): Unit = {
+  def runToMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Append): Unit = {
     val q = df.writeStream
-      .outputMode(OutputMode.Append)
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())

@@ -115,6 +115,38 @@ class StreamsSpec extends SparkSuite {
     assert(out.filter(col("segment").isNull).count() == 0)
   }
 
+  test("running user stats (mapGroupsWithState, update mode) match the batch profile") {
+    materializeEvents()
+    Streams.runToMemory(
+      Streams.userStatsStream(spark, srcDir).toDF(), "user_stats_out",
+      org.apache.spark.sql.streaming.OutputMode.Update)
+    // update mode emits one row per key per micro-batch; n_events is monotone,
+    // so the final profile is each user's max-n row
+    val streamed = spark.table("user_stats_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1).drop("rn")
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("total_value"), r.getAs[Long]("max_event_id")))
+      .toMap
+    val batch = graft.engine.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"), max(col("event_id")).as("m"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("v"), r.getAs[Long]("m")))
+      .toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (u, (n, v, m)) =>
+      val (bn, bv, bm) = batch(u)
+      assert(n == bn && m == bm, s"user $u count/high-water mismatch")
+      // double sums fold in different orders across the two paths
+      assert(math.abs(v - bv) < 1e-6, s"user $u value drift: $v vs $bv")
+    }
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) matches batch sessionize") {
     materializeEvents()
     Streams.runToMemory(
