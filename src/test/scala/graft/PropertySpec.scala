@@ -95,6 +95,49 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("property: Morton zValue is a bijection that preserves per-dimension order at fixed other") {
+    val s = spark; import s.implicits._
+    val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)))
+    check(Prop.forAll(gen) { pairs =>
+      pairs.nonEmpty ==> {
+        val distinct = pairs.distinct
+        val out = distinct.toDF("a", "b")
+          .select(col("a"), col("b"), graft.engine.Layout.zValue(col("a"), col("b")).as("z"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        // bijective on distinct inputs, and monotone in each dim when the other is fixed
+        out.values.toSeq.distinct.length == distinct.length &&
+          out.forall { case ((a, b), z) =>
+            z >= 0 && out.forall { case ((a2, b2), z2) =>
+              (a2 != a || b2 == b || (z2 > z) == (b2 > b)) &&
+                (b2 != b || a2 == a || (z2 > z) == (a2 > a))
+            }
+          }
+      }
+    })
+  }
+
+  test("property: mixture allocation sums to the budget with per-source error < 1") {
+    val s = spark; import s.implicits._
+    val gen = Gen.listOfN(5, Gen.choose(1, 50))
+    check(Prop.forAll(gen) { sizes =>
+      sizes.nonEmpty ==> {
+        val docs = sizes.zipWithIndex.flatMap { case (n, si) =>
+          (0 until n).map(j => ((si * 1000 + j).toLong, (1 to 7).map(k => s"w$k").mkString(" "), s"src$si"))
+        }
+        docs.toDF("doc_id", "text", "source")
+          .write.mode("overwrite").parquet("/tmp/graft_prop_mix/documents.parquet")
+        val out = graft.ext.TextStats.mixtureAllocation(spark, "/tmp/graft_prop_mix").collect()
+        val budget = 1000000L
+        val total = out.map(_.getAs[Long]("n_tokens")).sum
+        out.map(_.getAs[Long]("final_alloc")).sum == budget &&
+          out.forall { r =>
+            val exact = budget.toDouble * r.getAs[Long]("n_tokens") / total
+            math.abs(r.getAs[Long]("final_alloc") - exact) < 1.0 // largest-remainder bound
+          }
+      }
+    })
+  }
+
   test("property: split assignment bands are consistent for arbitrary doc ids") {
     val s = spark; import s.implicits._
     val gen = Gen.listOfN(20, Gen.choose(0L, 1000000L))
