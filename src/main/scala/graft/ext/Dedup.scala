@@ -69,8 +69,15 @@ object Dedup {
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), explode(shingles).as("sh"))
 
-  /** Per-document MinHash band hashes: (doc_id, band_idx 0..5, band_hash). */
-  def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document MinHash band hashes: (doc_id, band_idx 0..5, band_hash),
+    * ordered for the oracle. Internal consumers use [[bandsUnordered]] — a
+    * sort below an aggregate/join is eliminated by Catalyst anyway, but a
+    * sort above a WRITE is not, and materializing bands must not pay a range
+    * shuffle for ordering nobody reads. */
+  def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    bandsUnordered(spark, dir).orderBy("doc_id", "band_idx")
+
+  private def bandsUnordered(spark: SparkSession, dir: String): DataFrame = {
     val sigCols = seedsAB.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % P).as(s"s$i")
     }
@@ -85,7 +92,6 @@ object Dedup {
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"), expr(stackExpr))
-      .orderBy("doc_id", "band_idx")
   }
 
   /** LSH candidate pairs: documents sharing >= 1 band hash. Pairs are generated
@@ -100,7 +106,7 @@ object Dedup {
     *   keeps every bucket, matching the exhaustive oracle. */
   def minhashCandidatePairs(spark: SparkSession, dir: String,
       maxBucketSize: Int = 0): DataFrame =
-    minhashBands(spark, dir)
+    bandsUnordered(spark, dir)
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2 &&
@@ -399,7 +405,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(min(col("c_id")).as("exact_dup_of"))
     val tmp = Scratch.dir("graft_inc")
-    minhashBands(spark, dir).write.mode("overwrite").parquet(s"$tmp/bands")
+    bandsUnordered(spark, dir).write.mode("overwrite").parquet(s"$tmp/bands")
     val bands = spark.read.parquet(s"$tmp/bands")
     val near = bands.filter(isBatch)
       .join(bands.filter(!isBatch)
