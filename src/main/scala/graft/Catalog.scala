@@ -312,13 +312,21 @@ object Catalog {
     QueryDef("q98_approx_percentile", RelOps.approxPercentiles, None), // approximate by design — ApproxSpec bounds the error
 
     // Typed JSON parsing (from_json -> struct): one parse for all fields,
-    // NULL-struct PERMISSIVE contract for malformed payloads.
+    // NULL-struct PERMISSIVE contract for malformed payloads. The oracle
+    // guards with json_valid + TRY_CAST so a malformed payload yields NULL
+    // (as Spark does) instead of erroring the whole query; the residual
+    // divergence — Spark's strict typing rejects {"k": "12"} where SQL CAST
+    // coerces — cannot occur on integer-typed payloads and the NULL contract
+    // itself is unit-tested engine-side (SinksSpec).
     q("q99_json_typed", RelOps.jsonTyped,
-      """SELECT event_id, event_type,
-        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
-        |  CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10 AS INT) AS k_bucket,
-        |  json_extract_string(props, '$.k') IS NOT NULL AS parsed_ok
-        |FROM events ORDER BY event_id""".stripMargin),
+      """WITH p AS (SELECT event_id, event_type,
+        |    CASE WHEN json_valid(props)
+        |         THEN TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k
+        |  FROM events)
+        |SELECT event_id, event_type, k,
+        |  CAST(k // 10 AS INT) AS k_bucket,
+        |  k IS NOT NULL AS parsed_ok
+        |FROM p ORDER BY event_id""".stripMargin),
 
     // Data-profiling observability: per-column counts, oracle generated from
     // the same shared column list.
@@ -447,6 +455,20 @@ object Catalog {
     * ([[ext.TextStats.stopWords]]) so the gate/capstone thresholds cannot
     * drift between engines. */
   private val stop9 = ext.TextStats.stopWords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** Shared DuckDB chunking fragment (mirrors TextStats.chunkDocs: 64-token
+    * chunks, stride 32, chunk starts stop once a start no longer extends
+    * past the previous chunk's end — no strict-subset tail chunk). One
+    * definition feeds q88 and the q100 capstone so the window arithmetic
+    * cannot drift between them. `docsRel` must expose (doc_id, text). */
+  private def chunkSql(docsRel: String): String =
+    s"""cw AS (SELECT doc_id, string_split(text, ' ') AS words FROM $docsRel),
+       |chx AS (SELECT doc_id, CAST(t.i AS INT) AS chunk_idx,
+       |        words[(CAST(t.i AS INT) * 32 + 1):(CAST(t.i AS INT) * 32 + 64)] AS chunk
+       |      FROM cw, LATERAL (SELECT unnest(range(0, greatest(0, (len(words) - 64 + 31) // 32) + 1)) AS i) t)
+       |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS n_chunk_tokens,
+       |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+       |FROM chx ORDER BY doc_id, chunk_idx""".stripMargin
 
   /** Shared DuckDB CTE fragment: per-vector SQ8 codes (mirrors
     * Similarity.sq8CodesExpr — floor + clamp, all-zero for flat vectors).
@@ -1026,13 +1048,7 @@ object Catalog {
          |  WHERE doc_id NOT IN (SELECT id FROM losers)),
          |f AS (SELECT doc_id, text FROM g
          |      WHERE n_chars BETWEEN 100 AND 20000 AND n_tokens >= 20 AND n_stopwords > 0),
-         |fd AS (SELECT doc_id, string_split(text, ' ') AS words FROM f),
-         |ch AS (SELECT doc_id, CAST(t.i AS INT) AS chunk_idx,
-         |        words[(CAST(t.i AS INT) * 32 + 1):(CAST(t.i AS INT) * 32 + 64)] AS chunk
-         |      FROM fd, LATERAL (SELECT unnest(range(0, (len(words) - 1) // 32 + 1)) AS i) t)
-         |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS n_chunk_tokens,
-         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
-         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin),
+         |${chunkSql("f")}""".stripMargin),
 
     // SQ8 scalar quantization of embeddings (the 4x compression step before
     // indexing); integer code stats are the exact identity of the codes.
@@ -1241,13 +1257,7 @@ object Catalog {
     // Overlapping sliding-window chunking (64-token chunks, stride 32) —
     // context-overlap training sequences; q66 packs whole docs instead.
     q("q88_chunk_overlap", (s, d) => ext.TextStats.chunkOverlap(s, d),
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-        |c AS (SELECT doc_id, CAST(t.i AS INT) AS chunk_idx,
-        |        words[(CAST(t.i AS INT) * 32 + 1):(CAST(t.i AS INT) * 32 + 64)] AS chunk
-        |      FROM d, LATERAL (SELECT unnest(range(0, (len(words) - 1) // 32 + 1)) AS i) t)
-        |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS n_chunk_tokens,
-        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
+      s"WITH ${chunkSql("documents")}"),
   )
 
   val all: Seq[QueryDef] = relational ++ extension

@@ -21,13 +21,29 @@ object Layout {
 
   /** Morton interleave of the low `bits` bits of two non-negative integer
     * columns: bit i of `a` lands at output bit 2i+1, bit i of `b` at 2i.
-    * 16+16 bits fit any dimension-like key; wider keys should be bucketed
-    * (e.g. `pmod(hash, 65536)`) before interleaving. */
-  def zValue(a: Column, b: Column, bits: Int = 16): Column =
-    (0 until bits).map { i =>
-      shiftright(a.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
-        shiftright(b.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+    * 16+16 bits fit any dimension-like key; wider keys must be bucketed
+    * (e.g. `pmod(hash(c), 65536)`) before interleaving.
+    *
+    * A key outside [0, 2^bits) RAISES rather than truncating: silent
+    * truncation aliases unrelated key ranges onto the same Z-value, which
+    * destroys exactly the file-level clustering [[zorderWrite]] exists to
+    * provide — with no error and files whose min/max stats simply stop
+    * pruning (same fail-loud convention as `Similarity.lshBuckets`'s dim
+    * guard; the guard lives inside the returned column so pruning cannot
+    * drop it). Negative keys would be worse still: an arithmetic shift
+    * smears the sign bit across every sampled position. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    val max = 1L << bits
+    val (al, bl) = (a.cast("long"), b.cast("long"))
+    val z = (0 until bits).map { i =>
+      shiftright(al, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+        shiftright(bl, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
     }.reduce(_ + _)
+    when(al < 0L || al >= max || bl < 0L || bl >= max,
+      raise_error(concat(lit(s"zValue: key outside [0, $max): "),
+        greatest(al, bl).cast("string"))).cast("long"))
+      .otherwise(z)
+  }
 
   /** Catalog query: Z-order clustering keys over customer (custkey x
     * nationkey) — the layout-key computation itself, oracle-checkable as pure

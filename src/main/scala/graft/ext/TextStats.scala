@@ -628,11 +628,17 @@ object TextStats {
       stride: Int = 32): DataFrame =
     chunkDocs(Tables.documents(spark, dir), chunkSize, stride)
 
+  /** Chunk starts stop once a start no longer extends past the previous
+    * chunk's end — the last start is stride·⌈(len − chunkSize)/stride⌉, so a
+    * tail chunk is never a strict subset of its predecessor (a contained
+    * tail would re-inject exact duplicate token spans into the "clean"
+    * corpus). The Spark `div` / DuckDB `//` negative-rounding difference is
+    * neutralized by the greatest(0, _) clamp. */
   private def chunkDocs(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, (size(words) - 1) div $stride),
+        s"""transform(sequence(0, greatest(0, (size(words) - $chunkSize + $stride - 1) div $stride)),
            |  i -> slice(words, i * $stride + 1, $chunkSize))""".stripMargin))
         .as(Seq("chunk_idx", "chunk")))
       .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),

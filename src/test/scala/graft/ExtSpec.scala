@@ -386,20 +386,26 @@ class ExtSpec extends SparkSuite {
     assert(rows(1L) == ((0.0, 3.0, 510L, 0, 255)))
   }
 
-  test("chunk overlap: stride-32/size-64 chunks tile the doc with 32-token overlap") {
+  test("chunk overlap: stride-32/size-64 chunks cover the doc; no subset tail chunk") {
     val s = spark; import s.implicits._
     val words = (1 to 100).map(i => s"w$i")
-    Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+    Seq((0L, words.mkString(" ")), (1L, (1 to 64).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
       .write.mode("overwrite").parquet("/tmp/graft_test_chunks/documents.parquet")
-    val rows = TextStats.chunkOverlap(spark, "/tmp/graft_test_chunks").collect()
-      .sortBy(_.getAs[Int]("chunk_idx"))
-    // starts at 0,32,64,96 → lengths 64,64,36,4
-    assert(rows.map(_.getAs[Int]("n_chunk_tokens")).toSeq == Seq(64, 64, 36, 4))
+    val byDoc = TextStats.chunkOverlap(spark, "/tmp/graft_test_chunks").collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val rows = byDoc(0L).sortBy(_.getAs[Int]("chunk_idx"))
+    // starts stop at stride*ceil((100-64)/32)=64 → lengths 64,64,36: every
+    // token covered, and the tail chunk is never a subset of its predecessor
+    assert(rows.map(_.getAs[Int]("n_chunk_tokens")).toSeq == Seq(64, 64, 36))
+    // a doc of exactly chunkSize tokens yields exactly ONE chunk
+    assert(byDoc(1L).length == 1 && byDoc(1L).head.getAs[Int]("n_chunk_tokens") == 64)
     // content-addressable: chunk 0 is exactly tokens 1..64
     val md = java.security.MessageDigest.getInstance("MD5")
     def md5hex(t: String) = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(rows.head.getAs[String]("chunk_md5") == md5hex(words.take(64).mkString(" ")))
     assert(rows(1).getAs[String]("chunk_md5") == md5hex(words.slice(32, 96).mkString(" ")))
+    assert(rows(2).getAs[String]("chunk_md5") == md5hex(words.slice(64, 100).mkString(" ")))
   }
 
   test("robust stats: exact lower median and deterministic modal source") {

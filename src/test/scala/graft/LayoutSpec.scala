@@ -29,6 +29,16 @@ class LayoutSpec extends SparkSuite {
     assert(out.map(_.getAs[Long]("z")).distinct.length == pairs.length)
   }
 
+  test("zValue fails loudly on keys outside [0, 2^bits) instead of silently aliasing") {
+    val s = spark; import s.implicits._
+    val df = Seq((65536L, 1L), (-1L, 1L)).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(Layout.zValue($"a", $"b").as("z")).collect()
+    }
+    assert(e.getMessage.contains("zValue: key outside"),
+      s"expected the in-column guard to raise, got: ${e.getMessage}")
+  }
+
   test("zorderWrite: per-file Z ranges are non-overlapping (clustered layout)") {
     val dir = "/root/testdata/sf0.001"
     val path = "/tmp/graft_test_zorder"

@@ -51,6 +51,23 @@ class SinksSpec extends SparkSuite {
     assert(dropped.collect().length == 2, "DROPMALFORMED silently removes the bad row")
   }
 
+  test("typed JSON parsing: malformed and key-missing payloads yield NULL, not errors") {
+    val s = spark; import s.implicits._
+    // events fixture with raw nano timestamps (Tables.events divides to micros)
+    Seq(
+      (1L, 1700000000000000000L, 10L, "click", 1.0, """{"k": 42}"""),
+      (2L, 1700000001000000000L, 10L, "click", 1.0, "not json at all"),
+      (3L, 1700000002000000000L, 10L, "click", 1.0, """{"other": 7}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet("/tmp/graft_sink/json_typed/events.parquet")
+    val rows = graft.engine.RelOps.jsonTyped(spark, "/tmp/graft_sink/json_typed").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Integer]("k")).map(_.toInt), r.getAs[Boolean]("parsed_ok"))).toMap
+    assert(rows(1L) == ((Some(42), true)))
+    assert(rows(2L) == ((None, false)), "malformed JSON -> NULL struct, no exception")
+    assert(rows(3L) == ((None, false)), "missing key -> NULL field")
+  }
+
   test("parquet schema evolution: mergeSchema unions columns across batches") {
     val base = "/tmp/graft_sink/evolve"
     rmTree(base)
