@@ -533,6 +533,23 @@ class ExtSpec extends SparkSuite {
     assert(rows(5L) == ((10, 90, 50)), "in-band values pass through")
   }
 
+  test("clean corpus chunks: dup losers and low-quality docs are excluded, survivors chunked") {
+    val s = spark; import s.implicits._
+    val stop = "the" // quality gate needs >= 1 stopword
+    val base = ((1 to 39).map(i => s"token$i") :+ stop).mkString(" ") // 40 tokens, > 100 chars
+    val nearDup = base.replace("token20", "CHANGED")
+    val lowQuality = "too short" // fails the length/token gates
+    val unique = ((1 to 39).map(i => s"other$i") :+ stop).mkString(" ")
+    Seq((1L, base), (2L, nearDup), (3L, lowQuality), (4L, unique))
+      .map { case (id, t) => (id, t, "en", "web", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_ccc/documents.parquet")
+    val docs = TextStats.cleanCorpusChunks(spark, "/tmp/graft_test_ccc").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(docs == Set(1L, 4L),
+      s"doc 2 (near-dup loser) and doc 3 (fails quality) must be excluded: $docs")
+  }
+
   test("ivf centroids: membership counts are a partition of the corpus, codes bounded") {
     val dir = "/root/testdata/sf0.001"
     val rows = Similarity.ivfCellCentroids(spark, dir).collect()
