@@ -1260,7 +1260,122 @@ object Catalog {
       s"WITH ${chunkSql("documents")}"),
   )
 
-  val all: Seq[QueryDef] = relational ++ extension
+  /** Scale-mechanics surface (q101-q110): the operators whose POINT is the
+    * physical plan — skew salting, co-located bucketed joins, partition
+    * pruning, format-plural sinks — plus the round-3b relational/text/event
+    * additions. Each oracle checks output identity; PlanSpec checks the plan
+    * property the operator exists for. */
+  val scaleOps: Seq[QueryDef] = Seq(
+
+    // Salted join: output identical to the plain join (this oracle), hot-key
+    // work scattered 8 ways. PlanSpec asserts the join key includes the salt.
+    q("q101_salted_join", engine.Skew.saltedSupplierRevenue,
+      """SELECT s_suppkey, s_name, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin),
+
+    // Key-share profile: the observability query that decides whether a join
+    // needs salting. Integer ppm share (exact); broadcast scalar total.
+    q("q102_key_shares", engine.Skew.lineitemKeyShares,
+      """WITH c AS (SELECT l_suppkey, COUNT(*) AS n_rows FROM lineitem GROUP BY l_suppkey),
+        |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot FROM c)
+        |SELECT l_suppkey, n_rows, CAST((n_rows * 1000000) // tot AS BIGINT) AS share_ppm
+        |FROM c, t ORDER BY n_rows DESC, l_suppkey LIMIT 10""".stripMargin),
+
+    // Per-doc first-occurrence 3-gram novelty: groupBy(shingle) -> min doc,
+    // join back on the same partitioning, per-doc rollup. Integer ppm.
+    q("q103_ngram_novelty", (s, d) => ext.TextStats.ngramNovelty(s, d),
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+        |      FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) r),
+        |f AS (SELECT sh, min(doc_id) AS first_doc FROM g GROUP BY sh)
+        |SELECT g.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST((SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS novelty_ppm
+        |FROM g JOIN f USING (sh)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin),
+
+    // Event-type transition (Markov bigram) matrix over per-user timelines,
+    // ordered by event_id (the cross-engine total order; see Tables.events).
+    q("q104_event_bigrams", streaming.Events.eventBigrams,
+      """WITH s AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type, COUNT(*) AS n_pairs
+        |FROM s WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin),
+
+    // MERGE INTO semantics on plain tables: updates every 7th key, inserts
+    // every 13th shifted past the keyspace; `action` labels each row.
+    q("q105_merge_upsert", engine.RelOps.customerMerge,
+      """WITH u AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        |           FROM customer WHERE c_custkey % 7 = 0),
+        |i AS (SELECT c_custkey + 1000000 AS c_custkey, 'NEW_' || c_name AS c_name,
+        |             c_nationkey, c_acctbal, c_mktsegment
+        |      FROM customer WHERE c_custkey % 13 = 0),
+        |s AS (SELECT * FROM u UNION ALL SELECT * FROM i)
+        |SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+        |  COALESCE(s.c_name, t.c_name) AS c_name,
+        |  COALESCE(s.c_nationkey, t.c_nationkey) AS c_nationkey,
+        |  COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+        |  COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment,
+        |  CASE WHEN t.c_custkey IS NULL THEN 'insert'
+        |       WHEN s.c_custkey IS NULL THEN 'keep'
+        |       ELSE 'update' END AS action
+        |FROM customer t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
+        |ORDER BY c_custkey""".stripMargin),
+
+    // Higher-order array functions over SQ8 codes: per-row projection only,
+    // integer-exact stats (L1 mass, saturation, argmax, total variation).
+    q("q106_vector_ops", ext.Similarity.vectorOps,
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+         |c AS (SELECT vec_id, $sq8CodesSql AS codes FROM m)
+         |SELECT vec_id,
+         |  CAST(list_sum(codes) AS BIGINT) AS l1_code,
+         |  CAST(len(list_filter(codes, x -> x >= 192)) AS INT) AS n_hi,
+         |  CAST(len(list_filter(codes, x -> x = 0)) AS INT) AS n_zero,
+         |  CAST(list_position(codes, list_max(codes)) AS INT) AS argmax_dim,
+         |  CAST(list_sum(list_transform(range(1, len(codes)), i -> abs(codes[i+1] - codes[i]))) AS BIGINT) AS total_variation
+         |FROM c ORDER BY vec_id""".stripMargin),
+
+    // Partitioned write + partition-pruned read: only year-1997 directories
+    // are scanned (PartitionFilters; PlanSpec asserts it).
+    q("q107_partition_pruned", engine.Layout.partitionPrunedScan,
+      """SELECT CAST(month(o_orderdate) AS INT) AS o_month, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders WHERE CAST(year(o_orderdate) AS INT) = 1997
+        |GROUP BY o_month ORDER BY o_month""".stripMargin),
+
+    // ORC sink + source roundtrip (format-plural I/O surface).
+    q("q108_orc_roundtrip", engine.Bronze.orcRoundtripCustomer,
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS segment_balance
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // Bucketed co-located join: both facts bucket-sorted on the order key ->
+    // join + per-order rollup with zero hash exchange (PlanSpec asserts).
+    q("q109_bucketed_join", (s, d) => engine.Bucketing.bucketedOrderRevenue(s, d),
+      """SELECT o_orderkey, o_totalprice, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey""".stripMargin),
+
+    // Top user journeys: first-8-event paths, bounded per-user state,
+    // TakeOrderedAndProject for the final top-20.
+    q("q110_user_paths", (s, d) => streaming.Events.userPaths(s, d),
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 8 GROUP BY user_id)
+        |SELECT path, COUNT(*) AS n_users FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin),
+  )
+
+  val all: Seq[QueryDef] = relational ++ extension ++ scaleOps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(d => d.name -> d.run).toMap

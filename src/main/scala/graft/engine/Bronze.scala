@@ -37,6 +37,23 @@ object Bronze {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** ORC sink + source roundtrip (q108): the customer dim written as ORC and
+    * read back for a per-segment rollup — proving the engine's source/sink
+    * surface is format-plural (parquet canonical, ORC interchange; both
+    * columnar, both with predicate pushdown and column pruning in Spark's
+    * vectorized readers). Money sums go through the DECIMAL element cast so
+    * the roundtrip is oracle-exact. */
+  def orcRoundtripCustomer(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val path = Fs.scratchDir("graft_orc")
+    Tables.customer(spark, dir).write.mode(SaveMode.Overwrite).orc(path)
+    spark.read.orc(path)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        Dec.sum2(col("c_acctbal")).as("segment_balance"))
+      .orderBy("c_mktsegment")
+  }
+
   /** JDBC sink kept for reference parity (S2/S4 semantics: overwrite, batched,
     * retry loop with linear backoff — `reporting.py:411-431`).
     *

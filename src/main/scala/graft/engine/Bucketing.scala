@@ -36,4 +36,38 @@ object Bucketing {
     * the assertion hook for "this join is co-located". */
   def hasShuffleExchange(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  /** Co-located fact⋈fact join (q109): orders and lineitem each bucketed AND
+    * bucket-sorted on the order key, then joined and rolled up per order with
+    * ZERO hash exchange and zero sort — the scans come out hash-distributed
+    * and ordered, the sort-merge join consumes them in place, and the
+    * per-order aggregate reuses the same distribution (its keys contain the
+    * bucket key). The `merge` hints keep the tiny test-SF side from
+    * broadcasting, which would hide exactly the property the layout buys;
+    * the write cost is the once-per-drop price the cluster pays to make
+    * EVERY subsequent key join exchange-free. PlanSpec asserts the no-
+    * exchange property on this exact frame. */
+  def bucketedOrderRevenue(spark: SparkSession, dir: String,
+      numBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    writeBucketed(Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
+      "graft_bk_orders", "o_orderkey", numBuckets)
+    writeBucketed(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
+      "graft_bk_lineitem", "l_orderkey", numBuckets)
+    bucketedJoinFrame(spark)
+  }
+
+  /** The join+rollup over the bucketed tables, split out so PlanSpec can
+    * assert exchange-freeness on the exact frame the catalog returns. */
+  def bucketedJoinFrame(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    readTable(spark, "graft_bk_orders").hint("merge")
+      .join(readTable(spark, "graft_bk_lineitem").hint("merge"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_totalprice")
+      .agg(count(lit(1)).as("n_items"),
+        Dec.sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy("o_orderkey")
+  }
 }

@@ -11,6 +11,21 @@ package graft.engine
   */
 object Fs {
 
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => scratchDirs.forEach(rmTree)))
+
+  /** JVM-lifetime scratch dir (shutdown-hook reclaimed) for operators that
+    * materialize intermediate or roundtrip data (partitioned/ORC/bucketed
+    * sinks, iterative label snapshots). Mirrors the lifecycle of
+    * [[graft.ext.Dedup]]'s private Scratch: a returned lazy frame may still
+    * read the dir, so eager deletion is unsafe; the hook reclaims it at JVM
+    * exit. */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix).toString
+    scratchDirs.add(p)
+    p
+  }
+
   /** Recursively delete `path`; no-op if absent. `listFiles` returns null on
     * an IO error or a concurrent delete — guarded, so one bad directory
     * cannot abort a caller iterating over many (the Dedup shutdown hook

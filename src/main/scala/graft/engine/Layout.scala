@@ -66,4 +66,28 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Hive-style partitioned layout (q107): orders written partitioned by
+    * order year, read back with a partition-key filter — the scan touches ONLY
+    * the matching year directories (`PartitionFilters` in the plan; no data
+    * file of any other year is opened). At 100 TB, year/day partitioning is
+    * the first-line pruning lever before row-group stats; the roundtrip
+    * through a real partitioned write is the point of the query, so its cost
+    * includes the write. */
+  def partitionPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    val path = Fs.scratchDir("graft_part")
+    Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    prunedYearRollup(spark.read.parquet(path))
+  }
+
+  /** The pruned-read rollup over a partitioned orders layout; split out so
+    * PlanSpec can assert the partition filter on the exact frame returned. */
+  def prunedYearRollup(partitioned: DataFrame): DataFrame =
+    partitioned
+      .filter(col("o_year") === 1997)
+      .groupBy(month(col("o_orderdate")).cast("int").as("o_month"))
+      .agg(count(lit(1)).as("n_orders"), Dec.sum2(col("o_totalprice")).as("revenue"))
+      .orderBy("o_month")
 }

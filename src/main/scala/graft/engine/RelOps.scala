@@ -589,4 +589,35 @@ object RelOps {
       .select(col("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
       .orderBy("column_name")
   }
+
+  /** Generic SCD1 upsert (MERGE INTO semantics on plain tables): source rows
+    * replace matching target rows on `key`, unmatched source rows insert,
+    * untouched target rows pass through; `action` labels each output row.
+    * One full-outer shuffle join on the key — the same cost MERGE pays in any
+    * engine; at 100 TB pair it with partition pruning on the target so only
+    * affected partitions join (see [[graft.streaming.IncrementalPipeline]]).
+    * Source must share the target's schema. */
+  def mergeUpsert(target: DataFrame, source: DataFrame, key: String): DataFrame = {
+    val joined = target.alias("t")
+      .join(source.alias("s"), col(s"t.$key") === col(s"s.$key"), "full_outer")
+    val merged = target.columns.map(c => coalesce(col(s"s.$c"), col(s"t.$c")).as(c))
+    val action = when(col(s"t.$key").isNull, lit("insert"))
+      .when(col(s"s.$key").isNull, lit("keep"))
+      .otherwise(lit("update")).as("action")
+    joined.select(merged :+ action: _*)
+  }
+
+  /** q105 catalog entry: MERGE a deterministic change batch into the customer
+    * dim — every 7th key gets an account-balance update, every 13th key
+    * re-enters shifted past the keyspace as an insert. */
+  def customerMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val updates = cust.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+    val inserts = cust.filter(col("c_custkey") % 13 === 0)
+      .withColumn("c_custkey", col("c_custkey") + lit(1000000L))
+      .withColumn("c_name", concat(lit("NEW_"), col("c_name")))
+    mergeUpsert(cust, updates.unionByName(inserts), "c_custkey")
+      .orderBy("c_custkey")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for joins whose key distribution is heavy-tailed (hot
@@ -27,6 +27,45 @@ object Skew {
       explode(lit((0 until saltFactor).toArray)))
     salted.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")
   }
+
+  /** Catalog form of [[saltedJoin]] (q101): per-supplier revenue where the
+    * lineitem⋈supplier join runs salted 8 ways. Output is row-identical to the
+    * unsalted join — the oracle is the plain join — while the hot-key work
+    * scatters across `saltFactor` sub-partitions. At 100 TB this is the
+    * explicit fallback when one supplier's lineitems overwhelm even an
+    * AQE-split partition (reference has no skew story at all: its Postgres
+    * joins serialize on the hot key). */
+  def saltedSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").as("s_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    saltedJoin(li, supp, "s_suppkey")
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("n_items"),
+        Dec.sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Exact integer key-share profile (q102): top-N keys by row count with
+    * their corpus share in ppm. The total is a 1-row aggregate broadcast back
+    * over the per-key counts (scalar-subquery shape, no single-partition
+    * window), and `orderBy.limit` plans as TakeOrderedAndProject — only topN
+    * rows per partition cross the final exchange. Integer ppm (`div`) keeps
+    * the share oracle-exact where a rounded double percentage would not be. */
+  def keyShares(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("tot"))
+    counts.crossJoin(broadcast(total))
+      .select(col(key), col("n_rows"),
+        expr("n_rows * 1000000L div tot").as("share_ppm"))
+      .orderBy(col("n_rows").desc, col(key))
+      .limit(topN)
+  }
+
+  /** q102 catalog entry: lineitem's supplier-key distribution. */
+  def lineitemKeyShares(spark: SparkSession, dir: String): DataFrame =
+    keyShares(Tables.lineitem(spark, dir), "l_suppkey")
 
   /** Key-frequency profile: the observability query that decides whether a
     * join needs salting (top keys + their share of rows). */

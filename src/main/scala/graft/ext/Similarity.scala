@@ -194,6 +194,29 @@ object Similarity {
         array_max(col("codes")).as("code_max"))
       .orderBy("vec_id")
 
+  /** Higher-order-function suite over the SQ8 code arrays (q106): L1 mass,
+    * saturation counts, argmax dimension, total variation — the per-vector
+    * diagnostics a vector store computes when validating a quantized index
+    * segment. Everything stays in `transform`/`filter`/`aggregate`/`sequence`
+    * over the array column: per-row projection, no explode (so no row-count
+    * blowup), no shuffle before the output sort, whole-stage codegen
+    * throughout. Integer code space makes every stat oracle-exact. */
+  def vectorOps(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .select(col("vec_id"), col("v"),
+        array_min(col("v")).as("mn"), array_max(col("v")).as("mx"))
+      .withColumn("codes", expr(sq8CodesExpr))
+      .select(
+        col("vec_id"),
+        expr("aggregate(codes, 0L, (a, x) -> a + x)").as("l1_code"),
+        expr("size(filter(codes, x -> x >= 192))").cast("int").as("n_hi"),
+        expr("size(filter(codes, x -> x = 0))").cast("int").as("n_zero"),
+        expr("array_position(codes, array_max(codes))").cast("int").as("argmax_dim"),
+        expr("""aggregate(transform(sequence(1, size(codes) - 1),
+                i -> abs(element_at(codes, i + 1) - element_at(codes, i))),
+              0L, (a, x) -> a + x)""").as("total_variation"))
+      .orderBy("vec_id")
+
   /** IVF cell centroids in SQ8 code space — the index-maintenance counterpart
     * of [[ivfTopK]]: per (Voronoi cell, dimension), the count and exact integer
     * sum of the member vectors' SQ8 codes (FAISS's IVF+SQ8 layout). Float

@@ -139,6 +139,30 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Per-document n-gram novelty (q103): the share of a document's distinct
+    * 3-token shingles whose corpus-wide FIRST occurrence (min doc_id) is this
+    * document — the "how much new text does this doc contribute" signal a
+    * curation pipeline uses to rank near-boilerplate sources. Shape: one
+    * groupBy(shingle) for the first-occurrence table, then the per-(doc,
+    * shingle) rows re-join on shingle — the join reuses the groupBy's hash
+    * partitioning on `sh`, so the second shuffle moves only doc_id — and a
+    * final per-doc rollup. Never all-pairs; integer ppm output. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(words)-2),
+          |  i -> concat_ws(' ', element_at(words, i), element_at(words, i+1), element_at(words, i+2))))""".stripMargin)).as("sh"))
+    val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000L div n_shingles"))
+      .orderBy("doc_id")
+  }
+
   /** Document-length histogram: 100-char buckets (scan + one tiny aggregate). */
   def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -230,4 +230,45 @@ object Events {
           (col("n") * col("q") - col("s") * col("s")) * 4).as("is_anomaly"))
       .orderBy("event_type", "day")
   }
+
+  /** Event-type transition counts (q104): per-user timelines ordered by
+    * event_id (the arrival sequence — a total order both engines share; a
+    * timestamp ordering would tie-break differently across the micro/nano
+    * truncation boundary, see [[graft.engine.Tables.events]]), lagged one
+    * step, rolled up into the corpus-wide bigram matrix. The Markov-chain
+    * transition table behavioral models train on. Window state is one row
+    * (lag 1); the rollup is map-side combinable. */
+  def eventBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type").as("next_type"))
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Top user journeys (q110): each user's first `maxEvents` event types (by
+    * event_id) joined into a path string, then the most common paths. The
+    * per-user state is bounded (`maxEvents` structs, sorted by the explicit
+    * `rn` — collect_list alone is ordering-nondeterministic), and the final
+    * `orderBy.limit` plans as TakeOrderedAndProject. */
+  def userPaths(spark: SparkSession, dir: String, maxEvents: Int = 8,
+      topN: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxEvents)
+      .groupBy("user_id")
+      .agg(expr(
+        """concat_ws('>', transform(array_sort(collect_list(struct(rn, event_type))),
+          |  x -> x.event_type))""".stripMargin).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(topN)
+  }
 }

@@ -143,4 +143,46 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"trailing-spend window collapsed to one partition:\n$p")
   }
+
+  test("q101 salted join: the salt is part of the join key and absent from the output") {
+    val p = plan("q101_salted_join")
+    assert(p.contains("__salt"), s"join not salted:\n$p")
+    val out = Catalog.queries("q101_salted_join")(spark, dir)
+    assert(!out.columns.contains("__salt"))
+  }
+
+  test("q102 key shares: broadcast scalar total + TakeOrderedAndProject top-N") {
+    val p = plan("q102_key_shares")
+    assert(p.contains("TakeOrderedAndProject"), s"top-N lost its per-partition trim:\n$p")
+    assert(p.contains("Broadcast"), s"the 1-row total must broadcast, not shuffle:\n$p")
+  }
+
+  test("q106 vector ops: pure projection — no explode, no row-count blowup") {
+    val p = plan("q106_vector_ops")
+    assert(!p.contains("Generate"), s"higher-order fns must not explode the array:\n$p")
+  }
+
+  test("q107 partitioned layout: the year filter prunes partitions at the scan") {
+    // build the partitioned layout once, then explain the pruned read on it
+    engine.Layout.partitionPrunedScan(spark, dir).count()
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    val df = engine.Layout.partitionPrunedScan(spark, dir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("o_year") && pf.contains("1997"),
+      s"partition filter missing from scan:\n$p")
+  }
+
+  test("q109 bucketed join: zero hash exchange end-to-end") {
+    val df = engine.Bucketing.bucketedOrderRevenue(spark, dir, numBuckets = 8)
+    assert(!engine.Bucketing.hasShuffleExchange(df),
+      s"bucketed join must not shuffle:\n${df.queryExecution.executedPlan}")
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("Bucketed: true"), s"scan not bucket-aware:\n$p")
+  }
+
+  test("q110 user paths: final top-N is TakeOrderedAndProject") {
+    val p = plan("q110_user_paths")
+    assert(p.contains("TakeOrderedAndProject"), s"top-N lost its per-partition trim:\n$p")
+  }
 }

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.{Bronze, Bucketing, Layout, RelOps, Skew, Tables}
+import graft.streaming.Events
+
+/** Functional tests for the q101-q110 scale-mechanics surface. Each operator
+  * whose oracle is "same output as the plain form" is asserted against that
+  * plain form computed directly here; the plan-shape properties live in
+  * PlanSpec.
+  */
+class ScaleOpsSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: DataFrame): Seq[Seq[String]] =
+    df.collect().toSeq.map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
+
+  test("q101 salted join output is row-identical to the unsalted join") {
+    val salted = Skew.saltedSupplierRevenue(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val plain = li.join(Tables.supplier(spark, dir),
+        li("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("n_items"),
+        engine.Dec.sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy("s_suppkey")
+    assert(rows(salted) == rows(plain))
+    assert(!salted.columns.contains("__salt"))
+  }
+
+  test("q102 key shares: ppm shares are exact and bounded") {
+    val shares = Skew.lineitemKeyShares(spark, dir).collect()
+    assert(shares.nonEmpty && shares.length <= 10)
+    val ppm = shares.map(_.getAs[Long]("share_ppm"))
+    assert(ppm.sum <= 1000000L, "top-N shares cannot exceed the whole")
+    assert(ppm.forall(p => p >= 0 && p <= 1000000L))
+    val counts = shares.map(_.getAs[Long]("n_rows"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, "descending by count")
+  }
+
+  test("q103 ngram novelty: the first document is fully novel; ratios bounded") {
+    val nov = ext.TextStats.ngramNovelty(spark, dir).collect()
+    assert(nov.nonEmpty)
+    val first = nov.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("n_novel") == first.getAs[Long]("n_shingles"),
+      "the min-doc_id document's shingles all first-occur there")
+    assert(first.getAs[Long]("novelty_ppm") == 1000000L)
+    assert(nov.forall { r =>
+      val n = r.getAs[Long]("n_shingles"); val k = r.getAs[Long]("n_novel")
+      k >= 0 && k <= n && r.getAs[Long]("novelty_ppm") == k * 1000000L / n
+    })
+  }
+
+  test("q104 event bigrams: pair count identity (events - users with events)") {
+    val pairs = Events.eventBigrams(spark, dir)
+      .agg(sum("n_pairs")).collect()(0).getLong(0)
+    val ev = Tables.events(spark, dir)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(pairs == nEvents - nUsers,
+      "each user with k events contributes exactly k-1 transitions")
+  }
+
+  test("q105 merge upsert: action counts match the change batch; keeps untouched rows") {
+    val cust = Tables.customer(spark, dir)
+    val nCust = cust.count()
+    val nUpd = cust.filter(col("c_custkey") % 7 === 0).count()
+    val nIns = cust.filter(col("c_custkey") % 13 === 0).count()
+    val merged = RelOps.customerMerge(spark, dir)
+    val byAction = merged.groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byAction.getOrElse("update", 0L) == nUpd)
+    assert(byAction.getOrElse("insert", 0L) == nIns)
+    assert(byAction.getOrElse("keep", 0L) == nCust - nUpd)
+    assert(merged.count() == nCust + nIns)
+    // an updated row carries the new balance, a kept row the original
+    val orig = cust.filter(col("c_custkey") === 7).select("c_acctbal")
+      .collect()(0).getDouble(0)
+    val upd = merged.filter(col("c_custkey") === 7).select("c_acctbal")
+      .collect()(0).getDouble(0)
+    assert(upd == orig + 100.0)
+  }
+
+  test("q106 vector ops: L1 mass equals q81's code_sum; stats internally consistent") {
+    val ops = ext.Similarity.vectorOps(spark, dir)
+    val quant = ext.Similarity.sq8Quantize(spark, dir)
+      .select(col("vec_id"), col("code_sum"), col("n_dims"))
+    val joined = ops.join(quant, "vec_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("l1_code") == r.getAs[Long]("code_sum"),
+        "nonnegative codes: L1 mass == plain sum")
+      val d = r.getAs[Int]("n_dims")
+      assert(r.getAs[Int]("argmax_dim") >= 1 && r.getAs[Int]("argmax_dim") <= d)
+      assert(r.getAs[Int]("n_hi") + r.getAs[Int]("n_zero") <= d)
+      assert(r.getAs[Long]("total_variation") >= 0L)
+    }
+  }
+
+  test("q107 partition-pruned scan matches the direct computation") {
+    val viaLayout = Layout.partitionPrunedScan(spark, dir)
+    val direct = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === 1997)
+      .groupBy(month(col("o_orderdate")).cast("int").as("o_month"))
+      .agg(count(lit(1)).as("n_orders"), engine.Dec.sum2(col("o_totalprice")).as("revenue"))
+      .orderBy("o_month")
+    assert(rows(viaLayout) == rows(direct))
+  }
+
+  test("q108 ORC roundtrip matches the parquet-direct rollup") {
+    val viaOrc = Bronze.orcRoundtripCustomer(spark, dir)
+    val direct = Tables.customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        engine.Dec.sum2(col("c_acctbal")).as("segment_balance"))
+      .orderBy("c_mktsegment")
+    assert(rows(viaOrc) == rows(direct))
+  }
+
+  test("q109 bucketed join matches the plain join+rollup") {
+    val bucketed = Bucketing.bucketedOrderRevenue(spark, dir, numBuckets = 8)
+    val o = Tables.orders(spark, dir)
+    val plain = o.join(Tables.lineitem(spark, dir), o("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_totalprice")
+      .agg(count(lit(1)).as("n_items"),
+        engine.Dec.sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy("o_orderkey")
+    assert(rows(bucketed) == rows(plain))
+  }
+
+  test("q110 user paths: bounded path length, user conservation, deterministic") {
+    val paths = Events.userPaths(spark, dir).collect()
+    assert(paths.nonEmpty && paths.length <= 20)
+    assert(paths.forall(_.getAs[String]("path").split(">").length <= 8))
+    val nUsers = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(paths.map(_.getAs[Long]("n_users")).sum <= nUsers)
+    val again = Events.userPaths(spark, dir).collect()
+    assert(paths.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+}
