@@ -1363,6 +1363,50 @@ object Catalog {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey""".stripMargin),
 
+    // SCD2 maintenance cycle: change/depart/re-enter paths in one full-outer
+    // join + union (no windows over history); null-safe change detection.
+    q("q113_scd2_history", engine.Scd2.customerScd2,
+      """WITH cur AS (SELECT c_custkey, c_mktsegment, DATE '2020-01-01' AS effective_date,
+        |                    CAST(NULL AS DATE) AS end_date, TRUE AS is_current FROM customer),
+        |upd AS (SELECT c_custkey AS u_key,
+        |          CASE WHEN c_custkey % 5 = 0 THEN 'SEG_CHANGED' ELSE c_mktsegment END AS u_seg
+        |        FROM customer WHERE c_custkey % 11 <> 0
+        |        UNION ALL
+        |        SELECT c_custkey + 1000000, c_mktsegment FROM customer WHERE c_custkey % 13 = 0),
+        |j AS (SELECT cur.c_custkey AS k, cur.c_mktsegment AS seg,
+        |             cur.effective_date, cur.end_date, upd.u_key, upd.u_seg
+        |      FROM cur FULL OUTER JOIN upd ON cur.c_custkey = upd.u_key),
+        |kept AS (
+        |  SELECT k AS c_custkey, seg AS c_mktsegment, effective_date,
+        |    CASE WHEN u_key IS NULL OR NOT (seg IS NOT DISTINCT FROM u_seg)
+        |         THEN DATE '2020-06-15' ELSE DATE '2099-12-31' END AS end_date,
+        |    NOT (u_key IS NULL OR NOT (seg IS NOT DISTINCT FROM u_seg)) AS is_current
+        |  FROM j WHERE k IS NOT NULL),
+        |newv AS (
+        |  SELECT u_key AS c_custkey, u_seg AS c_mktsegment,
+        |    DATE '2020-06-15' AS effective_date,
+        |    DATE '2099-12-31' AS end_date, TRUE AS is_current
+        |  FROM j
+        |  WHERE u_key IS NOT NULL AND (k IS NULL OR NOT (seg IS NOT DISTINCT FROM u_seg)))
+        |SELECT * FROM kept UNION ALL SELECT * FROM newv
+        |ORDER BY c_custkey, effective_date""".stripMargin),
+
+    // CSV sink + explicit-schema source roundtrip (S1 surface, oracle-checked:
+    // the rollup must match the parquet-direct computation).
+    q("q111_csv_roundtrip", engine.Bronze.csvRoundtripPart,
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS brand_value,
+        |  MAX(p_size) AS max_size
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+
+    // JSON-lines sink + pinned-schema source roundtrip (event-bus interchange).
+    q("q112_jsonl_roundtrip", engine.Bronze.jsonlRoundtripEvents,
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // Top user journeys: first-8-event paths, bounded per-user state,
     // TakeOrderedAndProject for the final top-20.
     q("q110_user_paths", (s, d) => streaming.Events.userPaths(s, d),

@@ -54,6 +54,45 @@ object Bronze {
       .orderBy("c_mktsegment")
   }
 
+  /** CSV sink + source roundtrip (q111): the part table written as
+    * header-CSV and read back with the EXPLICIT parquet-derived schema (the
+    * reference's `inferSchema=true` double-scans every file —
+    * `ingestion.py:12-14`; a pinned schema reads once). Doubles round-trip
+    * CSV exactly (shortest-repr print, exact parse), so the rollup is
+    * oracle-identical to the parquet-direct path. */
+  def csvRoundtripPart(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val path = Fs.scratchDir("graft_csv")
+    val part = Tables.part(spark, dir)
+    part.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    spark.read.schema(part.schema).option("header", "true").csv(path)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        Dec.sum2(col("p_retailprice")).as("brand_value"),
+        max(col("p_size")).as("max_size"))
+      .orderBy("p_brand")
+  }
+
+  /** JSON-lines sink + source roundtrip (q112): events projected to a
+    * JSONL feed and read back with a pinned schema — the interchange format
+    * every event bus / export job speaks. Aggregates are integer/decimal
+    * exact, so the roundtrip is oracle-identical to the parquet source. */
+  def jsonlRoundtripEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min}
+    val path = Fs.scratchDir("graft_jsonl")
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    ev.write.mode(SaveMode.Overwrite).json(path)
+    spark.read.schema(ev.schema).json(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"),
+        Dec.sum2(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
   /** JDBC sink kept for reference parity (S2/S4 semantics: overwrite, batched,
     * retry loop with linear backoff — `reporting.py:411-431`).
     *

@@ -90,4 +90,25 @@ object Layout {
       .groupBy(month(col("o_orderdate")).cast("int").as("o_month"))
       .agg(count(lit(1)).as("n_orders"), Dec.sum2(col("o_totalprice")).as("revenue"))
       .orderBy("o_month")
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetFileBytes) balanced files. The small-files problem is
+    * a first-order 100 TB cost — a day of streaming micro-batches leaves
+    * thousands of KB-scale files whose open/footer overhead dominates scan
+    * time; periodic compaction restores large sequential reads. Round-robin
+    * `repartition(n)` balances output sizes (a `coalesce` would merge
+    * neighbors unevenly and skip the shuffle's rebalancing). Returns the
+    * target file count. Sizes come from Hadoop's FileSystem, so this works on
+    * any storage the session addresses. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    val in = new org.apache.hadoop.fs.Path(inPath)
+    val fs = in.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.listStatus(in)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inPath).repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    n
+  }
 }

@@ -60,4 +60,33 @@ object Scd2 {
 
     closed.unionByName(keptOrClosed).unionByName(newVersions)
   }
+
+  /** q113 catalog entry: one SCD2 maintenance cycle on the customer dim,
+    * exercising all three paths deterministically — every 5th key changes
+    * its tracked segment (close + re-insert), every 11th key departs (close
+    * only), every 13th key re-enters shifted past the keyspace (brand-new
+    * version). The initial state opens every customer at a fixed date, so
+    * the whole history is reproducible from the snapshot alone. */
+  def customerScd2(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val current = cust.select(col("c_custkey"), col("c_mktsegment"),
+      lit(java.sql.Date.valueOf("2020-01-01")).as("effective_date"),
+      lit(null).cast("date").as("end_date"),
+      lit(true).as("is_current"))
+    val updates = cust.filter(col("c_custkey") % 11 =!= 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 5 === 0, lit("SEG_CHANGED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
+          col("c_mktsegment")))
+    Scd2(current, updates, "c_custkey", Seq("c_mktsegment"),
+        java.sql.Date.valueOf("2020-06-15"))
+      // open rows carry the SCD2 high-date sentinel at the output boundary:
+      // range predicates on end_date stay sargable, and the cross-engine
+      // compare never depends on NULL-date client formatting
+      .withColumn("end_date",
+        coalesce(col("end_date"), lit(java.sql.Date.valueOf("2099-12-31"))))
+      .orderBy("c_custkey", "effective_date")
+  }
 }

@@ -149,6 +149,51 @@ object IncrementalPipeline {
     } finally fact.unpersist()
   }
 
+  /** Streaming MERGE sink: each micro-batch's per-user event deltas fold
+    * additively into a parquet serving table (the "continuously maintained
+    * profile store" shape — foreachBatch + read-modify-write snapshot swap).
+    * The swap goes tmp-write → delete → rename via Hadoop FileSystem; a
+    * table format with atomic commit (Delta/Iceberg) would replace the swap
+    * 1:1 at cluster scale, the merge logic is unchanged. Totals stay
+    * DECIMAL(18,2) inside the table so additive folding is exact across any
+    * batch arrival order. `Trigger.AvailableNow` drains the backlog and
+    * stops; re-invoking with the same checkpoint processes only files that
+    * arrived since (exactly-once folding — the IncrementalSpec asserts a
+    * re-run with no new files is a no-op). */
+  def upsertUserProfilesAvailableNow(spark: SparkSession, srcDir: String,
+      targetPath: String, checkpoint: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import org.apache.spark.sql.types._
+    import org.apache.hadoop.fs.Path
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val deltas = batch.groupBy("user_id").agg(
+          count(lit(1)).as("n_events"),
+          sum(graft.engine.Dec.d2(col("value"))).cast(graft.engine.Dec.D18_2)
+            .as("total_value"))
+        val target = new Path(targetPath)
+        val fs = target.getFileSystem(s.sessionState.newHadoopConf())
+        val existing =
+          if (fs.exists(target)) s.read.parquet(targetPath) else deltas.limit(0)
+        val next = existing.unionByName(deltas)
+          .groupBy("user_id")
+          .agg(sum(col("n_events")).cast("long").as("n_events"),
+            sum(col("total_value")).cast(graft.engine.Dec.D18_2).as("total_value"))
+        val tmp = new Path(targetPath + "__next")
+        next.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(target, true)
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(s"snapshot swap failed: $tmp -> $target")
+      }
+      .start().awaitTermination()
+  }
+
   /** Incrementally ingest + clean `orders` CSVs from `csvDir` into
     * `outDir/silver/orders` parquet via the exactly-once streaming file sink
     * (checkpoint + _spark_metadata). Returns after the backlog is drained. */

@@ -131,4 +131,51 @@ class IncrementalSpec extends SparkSuite {
     assert(spark.read.parquet(s"$out/silver/order_items").count() == 1,
       "the violating batch must not be committed")
   }
+
+  test("streaming upsert sink: deltas fold additively, exactly once, across waves") {
+    import org.apache.spark.sql.functions._
+    val src = "/tmp/graft_upsert_src"
+    val target = "/tmp/graft_upsert_target"
+    val ckpt = "/tmp/graft_upsert_ckpt"
+    Seq(src, target, target + "__next", ckpt).foreach(rmTree)
+    Files.createDirectories(Paths.get(src))
+
+    // the file-stream source needs flat files in srcDir, so write each wave
+    // to a staging dir and move the part file in
+    def landFlat(name: String, rows: Seq[(Long, Long, String, Double)]): Unit = {
+      import spark.implicits._
+      val stage = s"$src-stage"
+      rmTree(stage)
+      rows.toDF("event_id", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$src/$name"))
+      rmTree(stage)
+    }
+
+    landFlat("wave1.parquet", Seq(
+      (1L, 10L, "click", 1.50), (2L, 10L, "view", 2.25), (3L, 20L, "click", 4.00)))
+    IncrementalPipeline.upsertUserProfilesAvailableNow(spark, src, target, ckpt)
+    val v1 = spark.read.parquet(target).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[java.math.BigDecimal]("total_value").toPlainString)).toSet
+    assert(v1 == Set((10L, 2L, "3.75"), (20L, 1L, "4.00")))
+
+    landFlat("wave2.parquet", Seq(
+      (4L, 10L, "click", 0.25), (5L, 30L, "view", 9.99)))
+    IncrementalPipeline.upsertUserProfilesAvailableNow(spark, src, target, ckpt)
+    val v2 = spark.read.parquet(target).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[java.math.BigDecimal]("total_value").toPlainString)).toSet
+    assert(v2 == Set((10L, 3L, "4.00"), (20L, 1L, "4.00"), (30L, 1L, "9.99")),
+      "wave-2 deltas fold onto wave-1 totals without reprocessing wave 1")
+
+    // a re-run with no new files must be a no-op (exactly-once folding)
+    IncrementalPipeline.upsertUserProfilesAvailableNow(spark, src, target, ckpt)
+    val v3 = spark.read.parquet(target).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[java.math.BigDecimal]("total_value").toPlainString)).toSet
+    assert(v3 == v2, "no new files -> no state change")
+  }
 }

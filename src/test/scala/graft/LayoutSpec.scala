@@ -61,4 +61,21 @@ class LayoutSpec extends SparkSuite {
     // nothing lost in the rewrite
     assert(files.map(_._3).sum == graft.engine.Tables.customer(spark, dir).count())
   }
+
+  test("compact: a fragmented directory rewrites to the computed file count, rows intact") {
+    val dir = "/root/testdata/sf0.001"
+    val frag = "/tmp/graft_test_frag"
+    val out = "/tmp/graft_test_compacted"
+    rmTree(frag); rmTree(out)
+    val orders = graft.engine.Tables.orders(spark, dir)
+    orders.repartition(32).write.parquet(frag)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(frag).length == 32, "fixture: fragmented input")
+    val totalBytes = parquetFiles(frag).map(_.length).sum
+    val n = Layout.compact(spark, frag, out, targetFileBytes = totalBytes / 4 + 1)
+    assert(n >= 2 && n <= 8, s"expected a single-digit target, got $n")
+    assert(parquetFiles(out).length == n, "output file count matches the computed target")
+    assert(spark.read.parquet(out).count() == orders.count())
+  }
 }

@@ -130,6 +130,47 @@ class ScaleOpsSpec extends SparkSuite {
     assert(rows(bucketed) == rows(plain))
   }
 
+  test("q113 scd2: one open row per surviving key; closed rows for changed+departed") {
+    val cust = Tables.customer(spark, dir)
+    val nCust = cust.count()
+    val nDeparted = cust.filter(col("c_custkey") % 11 === 0).count()
+    val nChanged = cust.filter(col("c_custkey") % 5 === 0 && col("c_custkey") % 11 =!= 0).count()
+    val nNew = cust.filter(col("c_custkey") % 13 === 0).count()
+    val hist = engine.Scd2.customerScd2(spark, dir)
+    assert(hist.filter(!col("is_current")).count() == nChanged + nDeparted,
+      "closed = changed + departed")
+    assert(hist.filter(col("is_current")).count() == nCust - nDeparted + nNew,
+      "open = survivors + re-entries")
+    assert(hist.count() == nCust + nChanged + nNew)
+    val dupOpen = hist.filter(col("is_current")).groupBy("c_custkey").count()
+      .filter(col("count") > 1).count()
+    assert(dupOpen == 0, "at most one open version per key")
+  }
+
+  test("q111 CSV roundtrip matches the parquet-direct rollup") {
+    val viaCsv = Bronze.csvRoundtripPart(spark, dir)
+    val direct = Tables.part(spark, dir)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        engine.Dec.sum2(col("p_retailprice")).as("brand_value"),
+        max(col("p_size")).as("max_size"))
+      .orderBy("p_brand")
+    assert(rows(viaCsv) == rows(direct))
+  }
+
+  test("q112 JSONL roundtrip matches the parquet-direct rollup") {
+    val viaJson = Bronze.jsonlRoundtripEvents(spark, dir)
+    val direct = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"),
+        engine.Dec.sum2(col("value")).as("total_value"))
+      .orderBy("event_type")
+    assert(rows(viaJson) == rows(direct))
+  }
+
   test("q110 user paths: bounded path length, user conservation, deterministic") {
     val paths = Events.userPaths(spark, dir).collect()
     assert(paths.nonEmpty && paths.length <= 20)
