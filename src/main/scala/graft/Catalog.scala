@@ -1338,7 +1338,7 @@ object Catalog {
          |  CAST(len(list_filter(codes, x -> x >= 192)) AS INT) AS n_hi,
          |  CAST(len(list_filter(codes, x -> x = 0)) AS INT) AS n_zero,
          |  CAST(list_position(codes, list_max(codes)) AS INT) AS argmax_dim,
-         |  CAST(list_sum(list_transform(range(1, len(codes)), i -> abs(codes[i+1] - codes[i]))) AS BIGINT) AS total_variation
+         |  CAST(COALESCE(list_sum(list_transform(range(1, len(codes)), i -> abs(codes[i+1] - codes[i]))), 0) AS BIGINT) AS total_variation
          |FROM c ORDER BY vec_id""".stripMargin),
 
     // Partitioned write + partition-pruned read: only year-1997 directories

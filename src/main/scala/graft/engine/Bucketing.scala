@@ -47,23 +47,25 @@ object Bucketing {
     * the write cost is the once-per-drop price the cluster pays to make
     * EVERY subsequent key join exchange-free. PlanSpec asserts the no-
     * exchange property on this exact frame. */
+  /** `tablePrefix` keeps concurrent users (catalog at 32 buckets, test
+    * suites at 8) from clobbering each other's layout in one JVM/warehouse. */
   def bucketedOrderRevenue(spark: SparkSession, dir: String,
-      numBuckets: Int = 32): DataFrame = {
-    import org.apache.spark.sql.functions.{col, count, lit}
+      numBuckets: Int = 32, tablePrefix: String = "graft_bk"): DataFrame = {
     writeBucketed(Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
-      "graft_bk_orders", "o_orderkey", numBuckets)
+      s"${tablePrefix}_orders", "o_orderkey", numBuckets)
     writeBucketed(
       Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
-      "graft_bk_lineitem", "l_orderkey", numBuckets)
-    bucketedJoinFrame(spark)
+      s"${tablePrefix}_lineitem", "l_orderkey", numBuckets)
+    bucketedJoinFrame(spark, tablePrefix)
   }
 
   /** The join+rollup over the bucketed tables, split out so PlanSpec can
     * assert exchange-freeness on the exact frame the catalog returns. */
-  def bucketedJoinFrame(spark: SparkSession): DataFrame = {
+  def bucketedJoinFrame(spark: SparkSession,
+      tablePrefix: String = "graft_bk"): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, lit}
-    readTable(spark, "graft_bk_orders").hint("merge")
-      .join(readTable(spark, "graft_bk_lineitem").hint("merge"),
+    readTable(spark, s"${tablePrefix}_orders").hint("merge")
+      .join(readTable(spark, s"${tablePrefix}_lineitem").hint("merge"),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderkey", "o_totalprice")
       .agg(count(lit(1)).as("n_items"),

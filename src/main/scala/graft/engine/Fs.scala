@@ -12,19 +12,30 @@ package graft.engine
 object Fs {
 
   private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val stableDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   Runtime.getRuntime.addShutdownHook(new Thread(() => scratchDirs.forEach(rmTree)))
 
-  /** JVM-lifetime scratch dir (shutdown-hook reclaimed) for operators that
-    * materialize intermediate or roundtrip data (partitioned/ORC/bucketed
-    * sinks, iterative label snapshots). Mirrors the lifecycle of
-    * [[graft.ext.Dedup]]'s private Scratch: a returned lazy frame may still
-    * read the dir, so eager deletion is unsafe; the hook reclaims it at JVM
-    * exit. */
+  /** Fresh JVM-lifetime scratch dir (shutdown-hook reclaimed) for operators
+    * that materialize intermediate data a returned lazy frame may still read
+    * (eager deletion is unsafe; the hook reclaims at JVM exit). The single
+    * queue+hook here is THE scratch lifecycle — [[graft.ext.Dedup]] delegates
+    * to it. Callers that re-run per bench pass should prefer
+    * [[stableScratchDir]] so repeated invocations don't accumulate copies. */
   def scratchDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix).toString
     scratchDirs.add(p)
     p
   }
+
+  /** One scratch dir PER PREFIX per JVM (cached): repeated invocations of the
+    * same operator overwrite one location instead of stacking a full table
+    * copy per call — a bench looping a sink-roundtrip query N times holds one
+    * copy, not N. Only safe for callers that fully overwrite the dir each
+    * invocation and never run the same prefix concurrently (catalog queries
+    * execute serially in verify/bench). */
+  def stableScratchDir(prefix: String): String =
+    stableDirs.computeIfAbsent(prefix, p => scratchDir(p))
 
   /** Recursively delete `path`; no-op if absent. `listFiles` returns null on
     * an IO error or a concurrent delete — guarded, so one bad directory

@@ -75,12 +75,18 @@ object Layout {
     * through a real partitioned write is the point of the query, so its cost
     * includes the write. */
   def partitionPrunedScan(spark: SparkSession, dir: String): DataFrame = {
-    val path = Fs.scratchDir("graft_part")
+    val path = Fs.stableScratchDir("graft_part")
+    partitionedOrdersWrite(spark, dir, path)
+    prunedYearRollup(spark.read.parquet(path))
+  }
+
+  /** The partitioned-layout writer behind [[partitionPrunedScan]], callable
+    * on its own so a test can build the layout once and explain the pruned
+    * read separately. */
+  def partitionedOrdersWrite(spark: SparkSession, dir: String, path: String): Unit =
     Tables.orders(spark, dir)
       .withColumn("o_year", year(col("o_orderdate")).cast("int"))
       .write.mode("overwrite").partitionBy("o_year").parquet(path)
-    prunedYearRollup(spark.read.parquet(path))
-  }
 
   /** The pruned-read rollup over a partitioned orders layout; split out so
     * PlanSpec can assert the partition filter on the exact frame returned. */
@@ -104,8 +110,15 @@ object Layout {
       targetFileBytes: Long = 128L << 20): Int = {
     val in = new org.apache.hadoop.fs.Path(inPath)
     val fs = in.getFileSystem(spark.sessionState.newHadoopConf())
-    val bytes = fs.listStatus(in)
-      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    // recursive listing: a Hive-partitioned layout keeps its data files in
+    // key=value subdirectories — a flat listStatus would see 0 bytes and
+    // collapse the whole dataset to one file
+    var bytes = 0L
+    val it = fs.listFiles(in, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     spark.read.parquet(inPath).repartition(n)
       .write.mode("overwrite").parquet(outPath)

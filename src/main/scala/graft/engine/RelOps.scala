@@ -598,11 +598,16 @@ object RelOps {
     * affected partitions join (see [[graft.streaming.IncrementalPipeline]]).
     * Source must share the target's schema. */
   def mergeUpsert(target: DataFrame, source: DataFrame, key: String): DataFrame = {
+    // a presence marker, not per-column coalesce: MERGE assigns the SOURCE
+    // value on a match even when that value is NULL (an update that clears a
+    // field) — coalesce would silently keep the stale target value
     val joined = target.alias("t")
-      .join(source.alias("s"), col(s"t.$key") === col(s"s.$key"), "full_outer")
-    val merged = target.columns.map(c => coalesce(col(s"s.$c"), col(s"t.$c")).as(c))
+      .join(source.withColumn("__src", lit(true)).alias("s"),
+        col(s"t.$key") === col(s"s.$key"), "full_outer")
+    val merged = target.columns.map(c =>
+      when(col("s.__src").isNotNull, col(s"s.$c")).otherwise(col(s"t.$c")).as(c))
     val action = when(col(s"t.$key").isNull, lit("insert"))
-      .when(col(s"s.$key").isNull, lit("keep"))
+      .when(col("s.__src").isNull, lit("keep"))
       .otherwise(lit("update")).as("action")
     joined.select(merged :+ action: _*)
   }

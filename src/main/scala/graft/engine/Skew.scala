@@ -67,16 +67,12 @@ object Skew {
   def lineitemKeyShares(spark: SparkSession, dir: String): DataFrame =
     keyShares(Tables.lineitem(spark, dir), "l_suppkey")
 
-  /** Key-frequency profile: the observability query that decides whether a
-    * join needs salting (top keys + their share of rows). */
-  def keyProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
-    val total = Window.partitionBy()
-    df.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
-      .withColumn("pct_of_total",
-        round(col("n_rows") * 100.0 / sum(col("n_rows")).over(total), 2))
-      .orderBy(col("n_rows").desc, col(key))
-      .limit(topN)
-  }
-
-  private val Window = org.apache.spark.sql.expressions.Window
+  /** Human-readable view over [[keyShares]] (rounded percentage instead of
+    * ppm) — one profiling implementation, two output units; this form also
+    * inherits keyShares' broadcast-scalar total rather than the
+    * single-partition window sum it previously used. */
+  def keyProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame =
+    keyShares(df, key, topN)
+      .withColumn("pct_of_total", round(col("share_ppm") / 10000.0, 2))
+      .drop("share_ppm")
 }

@@ -34,14 +34,7 @@ object Dedup {
     * session's JVM exits, so bench/verify/test runs clean up after
     * themselves. */
   private object Scratch {
-    private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      dirs.forEach(graft.engine.Fs.rmTree)))
-    def dir(prefix: String): String = {
-      val p = java.nio.file.Files.createTempDirectory(prefix).toString
-      dirs.add(p)
-      p
-    }
+    def dir(prefix: String): String = graft.engine.Fs.scratchDir(prefix)
     def delete(path: String): Unit = graft.engine.Fs.rmTree(path)
   }
 

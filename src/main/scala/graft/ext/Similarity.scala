@@ -212,9 +212,12 @@ object Similarity {
         expr("size(filter(codes, x -> x >= 192))").cast("int").as("n_hi"),
         expr("size(filter(codes, x -> x = 0))").cast("int").as("n_zero"),
         expr("array_position(codes, array_max(codes))").cast("int").as("argmax_dim"),
-        expr("""aggregate(transform(sequence(1, size(codes) - 1),
+        // guarded: sequence(1, 0) would DESCEND ([1,0] → element_at index 0)
+        // on a 1-dim vector rather than produce an empty list
+        expr("""CASE WHEN size(codes) <= 1 THEN 0L
+              ELSE aggregate(transform(sequence(1, size(codes) - 1),
                 i -> abs(element_at(codes, i + 1) - element_at(codes, i))),
-              0L, (a, x) -> a + x)""").as("total_variation"))
+              0L, (a, x) -> a + x) END""").as("total_variation"))
       .orderBy("vec_id")
 
   /** IVF cell centroids in SQ8 code space — the index-maintenance counterpart

@@ -158,11 +158,18 @@ object IncrementalPipeline {
     * DECIMAL(18,2) inside the table so additive folding is exact across any
     * batch arrival order. `Trigger.AvailableNow` drains the backlog and
     * stops; re-invoking with the same checkpoint processes only files that
-    * arrived since (exactly-once folding — the IncrementalSpec asserts a
-    * re-run with no new files is a no-op). */
+    * arrived since.
+    *
+    * foreachBatch's contract is at-least-once, so exactly-once FOLDING is
+    * built here: the snapshot carries the last folded `_batch_id` and a
+    * replayed batch (swap committed, checkpoint commit lost) is skipped; a
+    * crash between delete and rename is recovered by completing the swap
+    * from the `_SUCCESS`-marked tmp snapshot before reading state.
+    * IncrementalSpec asserts the no-new-files no-op and the three-wave
+    * folding. */
   def upsertUserProfilesAvailableNow(spark: SparkSession, srcDir: String,
       targetPath: String, checkpoint: String): Unit = {
-    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import org.apache.spark.sql.functions.{col, count, lit, max, sum}
     import org.apache.spark.sql.types._
     import org.apache.hadoop.fs.Path
     val schema = StructType(Seq(
@@ -171,25 +178,47 @@ object IncrementalPipeline {
     spark.readStream.schema(schema).parquet(srcDir)
       .writeStream.trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val deltas = batch.groupBy("user_id").agg(
-          count(lit(1)).as("n_events"),
-          sum(graft.engine.Dec.d2(col("value"))).cast(graft.engine.Dec.D18_2)
-            .as("total_value"))
         val target = new Path(targetPath)
-        val fs = target.getFileSystem(s.sessionState.newHadoopConf())
-        val existing =
-          if (fs.exists(target)) s.read.parquet(targetPath) else deltas.limit(0)
-        val next = existing.unionByName(deltas)
-          .groupBy("user_id")
-          .agg(sum(col("n_events")).cast("long").as("n_events"),
-            sum(col("total_value")).cast(graft.engine.Dec.D18_2).as("total_value"))
         val tmp = new Path(targetPath + "__next")
-        next.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(target, true)
-        if (!fs.rename(tmp, target))
-          throw new java.io.IOException(s"snapshot swap failed: $tmp -> $target")
+        val fs = target.getFileSystem(s.sessionState.newHadoopConf())
+        // crash recovery: a previous run died between delete and rename —
+        // the tmp snapshot IS the committed state, finish the swap first
+        // (without this, the replayed batch would rebuild from empty and
+        // silently lose all prior history)
+        if (!fs.exists(target) && fs.exists(tmp) &&
+            fs.exists(new Path(tmp, "_SUCCESS"))) {
+          if (!fs.rename(tmp, target))
+            throw new java.io.IOException(s"swap recovery failed: $tmp -> $target")
+        }
+        // replay guard: foreachBatch is at-least-once — a batch whose swap
+        // completed but whose checkpoint commit was lost re-runs on restart;
+        // folding it again would double-count, so the snapshot carries the
+        // last folded batch id and replays are skipped
+        val lastId: Long =
+          if (fs.exists(target))
+            s.read.parquet(targetPath).agg(max(col("_batch_id")))
+              .collect()(0).getLong(0)
+          else -1L
+        if (batchId > lastId) {
+          val deltas = batch.groupBy("user_id").agg(
+            count(lit(1)).as("n_events"),
+            sum(graft.engine.Dec.d2(col("value"))).cast(graft.engine.Dec.D18_2)
+              .as("total_value"))
+          val existing =
+            if (fs.exists(target)) s.read.parquet(targetPath).drop("_batch_id")
+            else deltas.limit(0)
+          val next = existing.unionByName(deltas)
+            .groupBy("user_id")
+            .agg(sum(col("n_events")).cast("long").as("n_events"),
+              sum(col("total_value")).cast(graft.engine.Dec.D18_2).as("total_value"))
+            .withColumn("_batch_id", lit(batchId))
+          next.write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(target, true)
+          if (!fs.rename(tmp, target))
+            throw new java.io.IOException(s"snapshot swap failed: $tmp -> $target")
+        }
       }
       .start().awaitTermination()
   }

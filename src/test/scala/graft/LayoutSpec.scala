@@ -78,4 +78,18 @@ class LayoutSpec extends SparkSuite {
     assert(parquetFiles(out).length == n, "output file count matches the computed target")
     assert(spark.read.parquet(out).count() == orders.count())
   }
+
+  test("compact sizes a Hive-partitioned layout recursively (no 0-byte collapse)") {
+    val dir = "/root/testdata/sf0.001"
+    val part = "/tmp/graft_test_part_compact"
+    val out = "/tmp/graft_test_part_compacted"
+    rmTree(part); rmTree(out)
+    Layout.partitionedOrdersWrite(spark, dir, part)
+    // tiny target forces multiple files IF the recursive listing saw the
+    // real bytes; the old flat listing computed bytes=0 -> always 1 file
+    val n = Layout.compact(spark, part, out, targetFileBytes = 16 << 10)
+    assert(n >= 2, s"partitioned input must not collapse to one file, got $n")
+    assert(spark.read.parquet(out).count() ==
+      graft.engine.Tables.orders(spark, dir).count())
+  }
 }

@@ -163,10 +163,12 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q107 partitioned layout: the year filter prunes partitions at the scan") {
-    // build the partitioned layout once, then explain the pruned read on it
-    engine.Layout.partitionPrunedScan(spark, dir).count()
+    // build the partitioned layout ONCE, then explain the pruned read on it
+    val path = "/tmp/graft_test_part_layout"
+    rmTree(path)
+    engine.Layout.partitionedOrdersWrite(spark, dir, path)
     spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
-    val df = engine.Layout.partitionPrunedScan(spark, dir)
+    val df = engine.Layout.prunedYearRollup(spark.read.parquet(path))
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
     assert(pf.contains("o_year") && pf.contains("1997"),
@@ -174,7 +176,8 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q109 bucketed join: zero hash exchange end-to-end") {
-    val df = engine.Bucketing.bucketedOrderRevenue(spark, dir, numBuckets = 8)
+    val df = engine.Bucketing.bucketedOrderRevenue(spark, dir, numBuckets = 8,
+      tablePrefix = "graft_bk_plan")
     assert(!engine.Bucketing.hasShuffleExchange(df),
       s"bucketed join must not shuffle:\n${df.queryExecution.executedPlan}")
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -83,6 +83,21 @@ class ScaleOpsSpec extends SparkSuite {
     assert(upd == orig + 100.0)
   }
 
+  test("mergeUpsert assigns the source value on match even when it is NULL (MERGE semantics)") {
+    val s = spark; import s.implicits._
+    val target = Seq((1L, "keep-me", 10.0), (2L, "stale", 20.0))
+      .toDF("k", "comment", "amount")
+    val source = Seq((2L, Option.empty[String], 25.0), (3L, Some("new"), 30.0))
+      .toDF("k", "comment", "amount")
+    val merged = engine.RelOps.mergeUpsert(target, source, "k")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("comment"),
+        r.getAs[Double]("amount"), r.getAs[String]("action"))).toSet
+    assert(merged == Set(
+      (1L, "keep-me", 10.0, "keep"),
+      (2L, null, 25.0, "update"), // the source's NULL clears the field
+      (3L, "new", 30.0, "insert")))
+  }
+
   test("q106 vector ops: L1 mass equals q81's code_sum; stats internally consistent") {
     val ops = ext.Similarity.vectorOps(spark, dir)
     val quant = ext.Similarity.sq8Quantize(spark, dir)
@@ -120,7 +135,8 @@ class ScaleOpsSpec extends SparkSuite {
   }
 
   test("q109 bucketed join matches the plain join+rollup") {
-    val bucketed = Bucketing.bucketedOrderRevenue(spark, dir, numBuckets = 8)
+    val bucketed = Bucketing.bucketedOrderRevenue(spark, dir, numBuckets = 8,
+      tablePrefix = "graft_bk_spec")
     val o = Tables.orders(spark, dir)
     val plain = o.join(Tables.lineitem(spark, dir), o("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderkey", "o_totalprice")
