@@ -48,21 +48,33 @@ object Bucketing {
     * EVERY subsequent key join exchange-free. PlanSpec asserts the no-
     * exchange property on this exact frame. */
   /** `tablePrefix` keeps concurrent users (catalog at 32 buckets, test
-    * suites at 8) from clobbering each other's layout in one JVM/warehouse. */
+    * suites at 8) from clobbering each other's layout in one JVM/warehouse.
+    *
+    * The bucketed layout is built ONCE PER (source dir, bucket count) per
+    * session — the table name carries the dataset tag, and an existing table
+    * is reused. That is bucketing's actual cost model ("pay the shuffle once
+    * per data drop, never again"); rebuilding per invocation would charge
+    * the one-time layout cost to every query. The source dirs here are
+    * immutable test fixtures, so dir-keyed reuse cannot serve stale data; a
+    * mutable-source deployment would key on a snapshot/commit id instead. */
   def bucketedOrderRevenue(spark: SparkSession, dir: String,
       numBuckets: Int = 32, tablePrefix: String = "graft_bk"): DataFrame = {
-    writeBucketed(Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
-      s"${tablePrefix}_orders", "o_orderkey", numBuckets)
-    writeBucketed(
-      Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
-      s"${tablePrefix}_lineitem", "l_orderkey", numBuckets)
-    bucketedJoinFrame(spark, tablePrefix)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val prefix = s"${tablePrefix}_${tag}_b$numBuckets"
+    if (!spark.catalog.tableExists(s"${prefix}_orders") ||
+        !spark.catalog.tableExists(s"${prefix}_lineitem")) {
+      writeBucketed(Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
+        s"${prefix}_orders", "o_orderkey", numBuckets)
+      writeBucketed(
+        Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
+        s"${prefix}_lineitem", "l_orderkey", numBuckets)
+    }
+    bucketedJoinFrame(spark, prefix)
   }
 
   /** The join+rollup over the bucketed tables, split out so PlanSpec can
     * assert exchange-freeness on the exact frame the catalog returns. */
-  def bucketedJoinFrame(spark: SparkSession,
-      tablePrefix: String = "graft_bk"): DataFrame = {
+  def bucketedJoinFrame(spark: SparkSession, tablePrefix: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, lit}
     readTable(spark, s"${tablePrefix}_orders").hint("merge")
       .join(readTable(spark, s"${tablePrefix}_lineitem").hint("merge"),

