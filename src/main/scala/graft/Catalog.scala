@@ -1363,6 +1363,29 @@ object Catalog {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey""".stripMargin),
 
+    // Interval-overlap join via hour-bucket equi-join (sessions x error
+    // hours) — no nested-loop range join (PlanSpec asserts).
+    q("q114_interval_join", streaming.Events.sessionErrorOverlap,
+      """WITH x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |           FROM events),
+        |y AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |        OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM x),
+        |z AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |      FROM y),
+        |s AS (SELECT user_id, session_idx,
+        |        CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS s_start,
+        |        CAST(epoch(date_trunc('second', max(ts))) AS BIGINT) AS s_end
+        |      FROM z GROUP BY user_id, session_idx),
+        |eh AS (SELECT DISTINCT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h
+        |       FROM events WHERE event_type = 'error')
+        |SELECT s.user_id, s.session_idx, s.s_start, s.s_end,
+        |  COUNT(DISTINCT eh.h) AS n_error_hours
+        |FROM s JOIN eh ON eh.h BETWEEN s.s_start // 3600 AND s.s_end // 3600
+        |GROUP BY s.user_id, s.session_idx, s.s_start, s.s_end
+        |ORDER BY s.user_id, s.session_idx""".stripMargin),
+
     // SCD2 maintenance cycle: change/depart/re-enter paths in one full-outer
     // join + union (no windows over history); null-safe change detection.
     q("q113_scd2_history", engine.Scd2.customerScd2,

@@ -250,6 +250,43 @@ object Events {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Interval-overlap join (q114): user sessions × the distinct hours in
+    * which errors occurred — "how many incident hours did each session
+    * touch". The scalable shape is NOT a nested-loop range join: each session
+    * explodes into the hour keys it covers (bounded — sessions are
+    * gap-bounded, so covered hours per session are few), the error hours are
+    * a distinct dim-sized set, and the overlap becomes an EQUI-join on the
+    * hour key. At 100 TB this is the standard interval-join bucketing trick;
+    * a BroadcastNestedLoopJoin over raw inequalities would be quadratic and
+    * PlanSpec asserts it is absent. Session construction mirrors
+    * [[sessionize]] (q36) exactly. */
+  def sessionErrorOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMicros = 30L * 60 * 1000 * 1000
+    val sessions = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        unix_timestamp(date_trunc("second", min(col("ts")))).as("s_start"),
+        unix_timestamp(date_trunc("second", max(col("ts")))).as("s_end"))
+    val errorHours = Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+        .cast("long").as("h"))
+      .distinct()
+    sessions
+      .withColumn("h", explode(expr("sequence(s_start div 3600, s_end div 3600)")))
+      .join(errorHours, Seq("h"))
+      .groupBy("user_id", "session_idx", "s_start", "s_end")
+      .agg(countDistinct(col("h")).as("n_error_hours"))
+      .orderBy("user_id", "session_idx")
+  }
+
   /** Top user journeys (q110): each user's first `maxEvents` event types (by
     * event_id) joined into a path string, then the most common paths. The
     * per-user state is bounded (`maxEvents` structs, sorted by the explicit

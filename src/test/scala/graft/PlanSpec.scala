@@ -188,4 +188,10 @@ class PlanSpec extends SparkSuite {
     val p = plan("q110_user_paths")
     assert(p.contains("TakeOrderedAndProject"), s"top-N lost its per-partition trim:\n$p")
   }
+
+  test("q114 interval join: hour-bucket equi-join, no nested-loop range join") {
+    val p = plan("q114_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval overlap must be an equi-join on the hour bucket:\n$p")
+  }
 }

@@ -146,6 +146,25 @@ class ScaleOpsSpec extends SparkSuite {
     assert(rows(bucketed) == rows(plain))
   }
 
+  test("q114 interval join matches a brute-force overlap recomputation") {
+    val out = Events.sessionErrorOverlap(spark, dir).collect()
+    assert(out.nonEmpty)
+    // brute-force check: for each output session, recount overlapping error
+    // hours directly from the raw events
+    val errHours = Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select((unix_timestamp(date_trunc("hour", col("ts"))) / 3600).cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    out.foreach { r =>
+      val lo = r.getAs[Long]("s_start") / 3600
+      val hi = r.getAs[Long]("s_end") / 3600
+      val expected = (lo to hi).count(errHours.contains)
+      assert(r.getAs[Long]("n_error_hours") == expected,
+        s"session ${r.getAs[Long]("user_id")}/${r.getAs[Long]("session_idx")}")
+      assert(expected > 0, "inner join must only emit overlapping sessions")
+    }
+  }
+
   test("q113 scd2: one open row per surviving key; closed rows for changed+departed") {
     val cust = Tables.customer(spark, dir)
     val nCust = cust.count()
