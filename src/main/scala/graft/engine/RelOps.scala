@@ -609,7 +609,7 @@ object RelOps {
     val action = when(col(s"t.$key").isNull, lit("insert"))
       .when(col("s.__src").isNull, lit("keep"))
       .otherwise(lit("update")).as("action")
-    joined.select(merged :+ action: _*)
+    joined.select((merged :+ action).toIndexedSeq: _*)
   }
 
   /** q105 catalog entry: MERGE a deterministic change batch into the customer

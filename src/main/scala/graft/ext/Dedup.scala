@@ -261,16 +261,25 @@ object Dedup {
       .toDF("src", "dst")
     // round 0 folded into the init: label0 = min(id, min neighbor) — one
     // aggregate instead of a full propagation iteration
-    edges.groupBy(col("src"))
-      .agg(least(min(col("dst")), col("src")).as("label"))
-      .select(col("src").as("id"), col("label"))
-      .write.mode("overwrite").parquet(s"$tmp/labels0")
+    // convergence metric rides ON the snapshot write via CollectMetrics
+    // (df.observe): the label sum is computed by the same tasks that write
+    // the parquet, so each round costs exactly ONE job — no follow-up scan
+    // of the just-written snapshot. DECIMAL(38,0): a 64-bit sum of ~10⁹ node
+    // ids would overflow (ANSI throw).
+    def writeObserved(df: DataFrame, path: String): java.math.BigDecimal = {
+      val obs = org.apache.spark.sql.Observation()
+      df.observe(obs,
+          coalesce(sum(col("label").cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO)).as("label_sum"))
+        .write.mode("overwrite").parquet(path)
+      obs.get("label_sum").asInstanceOf[java.math.BigDecimal]
+    }
+    var prevSum = writeObserved(
+      edges.groupBy(col("src"))
+        .agg(least(min(col("dst")), col("src")).as("label"))
+        .select(col("src").as("id"), col("label")),
+      s"$tmp/labels0")
     var labels = spark.read.parquet(s"$tmp/labels0")
-    // DECIMAL(38,0): a 64-bit sum of ~10⁹ node ids would overflow (ANSI throw)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)))
-        .head().getDecimal(0)
-    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -285,18 +294,16 @@ object Dedup {
       // includes the labeled node), so the self-join always resolves; labels
       // are monotone non-increasing, hence label(label(v)) <= label(v) and
       // `least` + coalesce only defend against a hypothetical miss.
-      prop
+      val shortcut = prop
         .join(prop.select(col("id").as("j_id"), col("label").as("j_label")),
           col("label") === col("j_id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("j_label"), col("label"))).as("label"))
-        .write.mode("overwrite").parquet(s"$tmp/labels${i + 1}")
-      labels = spark.read.parquet(s"$tmp/labels${i + 1}")
       // convergence via the label-sum invariant: per-node labels are monotone
-      // non-increasing, so ANY change strictly decreases the total — one tiny
-      // scan of the just-written parquet instead of a join against the
-      // previous iteration's labels
-      val s = labelSum(labels)
+      // non-increasing, so ANY change strictly decreases the total — observed
+      // on the write itself
+      val s = writeObserved(shortcut, s"$tmp/labels${i + 1}")
+      labels = spark.read.parquet(s"$tmp/labels${i + 1}")
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       i += 1
