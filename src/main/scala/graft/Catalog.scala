@@ -1363,6 +1363,26 @@ object Catalog {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey""".stripMargin),
 
+    // Length-biased deterministic sampling: P(keep) = n_tokens/max_tokens,
+    // decided in exact integers from a 28-bit md5 prefix.
+    q("q115_length_biased_sample", (s, d) => ext.Sampling.lengthBiasedSample(s, d),
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |m AS (SELECT MAX(n_tokens) AS max_tokens FROM d)
+        |SELECT doc_id, n_tokens, max_tokens,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS sample_key
+        |FROM d, m
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) * max_tokens < n_tokens * 268435456
+        |ORDER BY doc_id""".stripMargin),
+
+    // Per-source duplication-rate dashboard: one scan, two-phase countDistinct.
+    q("q116_source_dup_rates", (s, d) => ext.TextStats.sourceDupRates(s, d),
+      """WITH f AS (SELECT source, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |           FROM documents)
+        |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_distinct,
+        |  COUNT(*) - COUNT(DISTINCT fp) AS n_dup_docs,
+        |  CAST(((COUNT(*) - COUNT(DISTINCT fp)) * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm
+        |FROM f GROUP BY source ORDER BY source""".stripMargin),
+
     // Interval-overlap join via hour-bucket equi-join (sessions x error
     // hours) — no nested-loop range join (PlanSpec asserts).
     q("q114_interval_join", streaming.Events.sessionErrorOverlap,

@@ -40,4 +40,24 @@ object Sampling {
       .select(col("lang"), col("pick"), col("doc_id"))
       .orderBy("lang", "pick")
   }
+
+  /** Length-biased deterministic sample (q115): P(keep) = n_tokens /
+    * max_tokens — the standard debiasing draw when a corpus over-represents
+    * short documents and the training mix should weight by token mass.
+    * Content-addressed like [[hashSample]]: the 28-bit md5 prefix of the key
+    * is compared against the length ratio IN INTEGERS (u * max < n * 2²⁸),
+    * so membership is exact, reproducible on any engine, and independent of
+    * partitioning. One corpus scan + a broadcast 1-row max. */
+  def lengthBiasedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val mx = docs.agg(max(col("n_tokens")).as("max_tokens"))
+    docs.crossJoin(broadcast(mx))
+      .withColumn("sample_key",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10).cast("long"))
+      .filter(col("sample_key") * col("max_tokens") < col("n_tokens") * lit(268435456L))
+      .select(col("doc_id"), col("n_tokens"), col("max_tokens"), col("sample_key"))
+      .orderBy("doc_id")
+  }
 }

@@ -139,6 +139,21 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Per-source duplication rates (q116): docs, distinct fingerprints, and
+    * the dup share per source — the curation dashboard that decides which
+    * sources need aggressive dedup before mixing. One scan; the
+    * count-distinct expands to a two-phase (source, fp) aggregate —
+    * map-side combinable, no joins. */
+  def sourceDupRates(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), fingerprint(col("text")).as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"))
+      .withColumn("dup_ppm", expr("n_dup_docs * 1000000L div n_docs"))
+      .orderBy("source")
+
   /** Per-document n-gram novelty (q103): the share of a document's distinct
     * 3-token shingles whose corpus-wide FIRST occurrence (min doc_id) is this
     * document — the "how much new text does this doc contribute" signal a

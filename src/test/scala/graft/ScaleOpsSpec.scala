@@ -146,6 +146,51 @@ class ScaleOpsSpec extends SparkSuite {
     assert(rows(bucketed) == rows(plain))
   }
 
+  test("q115 length-biased sample: keep probability proportional to token count") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mx = docs.values.max
+    val kept = ext.Sampling.lengthBiasedSample(spark, dir).collect()
+    assert(kept.nonEmpty && kept.length < docs.size, "a strict, non-empty subsample")
+    // the longest document is always kept (P = 1, u28 < 2^28 strictly)
+    val longest = docs.maxBy(_._2)._1
+    assert(kept.exists(_.getAs[Long]("doc_id") == longest))
+    // determinism: same members on a re-run
+    val again = ext.Sampling.lengthBiasedSample(spark, dir).collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).toSeq ==
+      again.map(_.getAs[Long]("doc_id")).toSeq)
+    assert(kept.forall { r =>
+      r.getAs[Long]("sample_key") * mx < r.getAs[Long]("n_tokens") * 268435456L
+    })
+  }
+
+  test("q116 source dup rates: totals reconcile with the corpus-wide exact dedup") {
+    val rates = ext.TextStats.sourceDupRates(spark, dir).collect()
+    assert(rates.nonEmpty)
+    rates.foreach { r =>
+      val n = r.getAs[Long]("n_docs"); val d = r.getAs[Long]("n_distinct")
+      assert(d >= 1 && d <= n)
+      assert(r.getAs[Long]("n_dup_docs") == n - d)
+      assert(r.getAs[Long]("dup_ppm") == (n - d) * 1000000L / n)
+    }
+    val totalDocs = rates.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs == Tables.documents(spark, dir).count())
+  }
+
+  test("outputs are shuffle-partition invariant (4 vs 13 partitions)") {
+    val names = Seq("q46_hash_sample", "q47_stratified_sample",
+      "q103_ngram_novelty", "q115_length_biased_sample", "q116_source_dup_rates")
+    for (n <- names) {
+      val fn = Catalog.queries(n)
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val a = try rows(fn(spark, dir))
+        finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val b = rows(fn(spark, dir))
+      assert(a == b, s"$n changed output across partition counts")
+    }
+  }
+
   test("q114 interval join matches a brute-force overlap recomputation") {
     val out = Events.sessionErrorOverlap(spark, dir).collect()
     assert(out.nonEmpty)
