@@ -1398,7 +1398,7 @@ object Catalog {
         |        CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS s_start,
         |        CAST(epoch(date_trunc('second', max(ts))) AS BIGINT) AS s_end
         |      FROM z GROUP BY user_id, session_idx),
-        |eh AS (SELECT DISTINCT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h
+        |eh AS (SELECT DISTINCT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h
         |       FROM events WHERE event_type = 'error')
         |SELECT s.user_id, s.session_idx, s.s_start, s.s_end,
         |  COUNT(DISTINCT eh.h) AS n_error_hours

@@ -308,6 +308,20 @@ object Dedup {
       prevSum = s
       i += 1
     }
+    // Observed accumulator sums can in principle over-count on speculative /
+    // retried tasks at cluster scale (the committed files would not). Before
+    // failing, re-derive the last two sums from the COMMITTED snapshots —
+    // if they agree, the fixed point was reached and only the metric was
+    // inflated.
+    if (!converged && i >= 1) {
+      def committedSum(path: String): java.math.BigDecimal =
+        spark.read.parquet(path)
+          .agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO)))
+          .head().getDecimal(0)
+      converged = committedSum(s"$tmp/labels$i")
+        .compareTo(committedSum(s"$tmp/labels${i - 1}")) == 0
+    }
     // Partial propagation is WRONG output (one component reported as two) —
     // fail loudly rather than return it. Components deeper than maxIters hops
     // need a larger budget (or pointer-jumping), not silent truncation.

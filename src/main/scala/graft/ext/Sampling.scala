@@ -17,9 +17,17 @@ import graft.engine.Tables
   */
 object Sampling {
 
-  /** Hash of the key into [0, 100) — md5-based so any engine can recompute. */
-  private def pctBucket(keyCol: String) =
-    conv(substring(md5(col(keyCol).cast("string")), 1, 7), 16, 10).cast("long") % 100
+  /** 28-bit md5-prefix hash of the key (uniform on [0, 2²⁸)) — the one
+    * content-addressed randomness primitive every sampler here derives from;
+    * md5-based so any engine can recompute membership. */
+  private def u28(keyCol: String) =
+    conv(substring(md5(col(keyCol).cast("string")), 1, 7), 16, 10).cast("long")
+
+  /** [[u28]]'s range: 2²⁸. */
+  private val U28Range = 268435456L
+
+  /** Hash of the key into [0, 100). */
+  private def pctBucket(keyCol: String) = u28(keyCol) % 100
 
   /** ~pct% deterministic sample of documents by doc_id hash. */
   def hashSample(spark: SparkSession, dir: String, pct: Int = 10): DataFrame =
@@ -54,9 +62,8 @@ object Sampling {
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val mx = docs.agg(max(col("n_tokens")).as("max_tokens"))
     docs.crossJoin(broadcast(mx))
-      .withColumn("sample_key",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10).cast("long"))
-      .filter(col("sample_key") * col("max_tokens") < col("n_tokens") * lit(268435456L))
+      .withColumn("sample_key", u28("doc_id"))
+      .filter(col("sample_key") * col("max_tokens") < col("n_tokens") * lit(U28Range))
       .select(col("doc_id"), col("n_tokens"), col("max_tokens"), col("sample_key"))
       .orderBy("doc_id")
   }

@@ -274,16 +274,20 @@ object Events {
       .agg(
         unix_timestamp(date_trunc("second", min(col("ts")))).as("s_start"),
         unix_timestamp(date_trunc("second", max(col("ts")))).as("s_end"))
+    // pure epoch//3600 buckets on BOTH sides: date_trunc('hour') would cut at
+    // session-timezone boundaries (wrong key space under a half-hour-offset
+    // zone) while the session coverage below is UTC-epoch arithmetic
     val errorHours = Tables.events(spark, dir)
       .filter(col("event_type") === "error")
-      .select((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
-        .cast("long").as("h"))
+      .select(expr("unix_timestamp(ts) div 3600").as("h"))
       .distinct()
     sessions
       .withColumn("h", explode(expr("sequence(s_start div 3600, s_end div 3600)")))
       .join(errorHours, Seq("h"))
       .groupBy("user_id", "session_idx", "s_start", "s_end")
-      .agg(countDistinct(col("h")).as("n_error_hours"))
+      // each covered hour appears once (sequence is duplicate-free, errorHours
+      // distinct), so a plain count suffices — no distinct-agg pass
+      .agg(count(col("h")).as("n_error_hours"))
       .orderBy("user_id", "session_idx")
   }
 

@@ -181,11 +181,12 @@ class ScaleOpsSpec extends SparkSuite {
   test("outputs are shuffle-partition invariant (4 vs 13 partitions)") {
     val names = Seq("q46_hash_sample", "q47_stratified_sample",
       "q103_ngram_novelty", "q115_length_biased_sample", "q116_source_dup_rates")
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
     for (n <- names) {
       val fn = Catalog.queries(n)
       spark.conf.set("spark.sql.shuffle.partitions", "13")
       val a = try rows(fn(spark, dir))
-        finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+        finally spark.conf.set("spark.sql.shuffle.partitions", prior)
       val b = rows(fn(spark, dir))
       assert(a == b, s"$n changed output across partition counts")
     }
@@ -198,7 +199,7 @@ class ScaleOpsSpec extends SparkSuite {
     // hours directly from the raw events
     val errHours = Tables.events(spark, dir)
       .filter(col("event_type") === "error")
-      .select((unix_timestamp(date_trunc("hour", col("ts"))) / 3600).cast("long"))
+      .select(expr("unix_timestamp(ts) div 3600"))
       .distinct().collect().map(_.getLong(0)).toSet
     out.foreach { r =>
       val lo = r.getAs[Long]("s_start") / 3600
@@ -208,6 +209,18 @@ class ScaleOpsSpec extends SparkSuite {
         s"session ${r.getAs[Long]("user_id")}/${r.getAs[Long]("session_idx")}")
       assert(expected > 0, "inner join must only emit overlapping sessions")
     }
+    // completeness: EVERY session with an overlapping error hour must be
+    // emitted — derive the full session list independently from q36's output
+    val allSessions = Events.sessionize(spark, dir).collect().map { r =>
+      val s = r.getAs[java.sql.Timestamp]("session_start").getTime / 1000
+      (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        s, s + r.getAs[Long]("duration_s"))
+    }
+    val expectedOverlapping = allSessions.count { case (_, _, s, e) =>
+      (s / 3600 to e / 3600).exists(errHours.contains)
+    }
+    assert(out.length == expectedOverlapping,
+      "an overlapping session is missing from the interval-join output")
   }
 
   test("q113 scd2: one open row per surviving key; closed rows for changed+departed") {
