@@ -155,4 +155,62 @@ class PropertySpec extends SparkSuite {
       }
     })
   }
+
+  test("property: mergeUpsert matches a reference map-merge on arbitrary batches") {
+    val s = spark; import s.implicits._
+    // rows: (key, Option[payload]) — None payloads exercise the NULL-clears-
+    // field MERGE path; keys overlap between target and source by design
+    val row = Gen.zip(Gen.choose(1L, 8L), Gen.option(Gen.choose(0, 99)))
+    val gen = Gen.zip(Gen.listOfN(10, row), Gen.listOfN(6, row))
+    check(Prop.forAll(gen) { case (tRows, sRows) =>
+      (tRows.nonEmpty && sRows.nonEmpty) ==> {
+        // unique keys per side (mergeUpsert's contract: source/target are keyed)
+        val t = tRows.distinctBy(_._1)
+        val src = sRows.distinctBy(_._1)
+        val tDf = t.map { case (k, v) => (k, v.map(Integer.valueOf).orNull) }
+          .toDF("k", "payload")
+        val sDf = src.map { case (k, v) => (k, v.map(Integer.valueOf).orNull) }
+          .toDF("k", "payload")
+        val out = engine.RelOps.mergeUpsert(tDf, sDf, "k").collect()
+          .map(r => r.getAs[Long]("k") ->
+            (Option(r.getAs[Integer]("payload")), r.getAs[String]("action"))).toMap
+        val tm = t.toMap
+        val sm = src.toMap
+        val expected = (tm.keySet ++ sm.keySet).map { k =>
+          val action =
+            if (!tm.contains(k)) "insert"
+            else if (!sm.contains(k)) "keep"
+            else "update"
+          // MERGE semantics: the source value wins on any match, even when NULL
+          k -> (sm.getOrElse(k, tm(k)), action)
+        }.toMap
+        out.size == expected.size && expected.forall { case (k, (pv, act)) =>
+          out(k)._2 == act && out(k)._1.map(_.toInt) == pv
+        }
+      }
+    })
+  }
+
+  test("property: a second SCD2 application of the same snapshot is a no-op") {
+    val s = spark; import s.implicits._
+    val row = Gen.zip(Gen.choose(1L, 6L), Gen.choose(0, 3))
+    val gen = Gen.zip(Gen.listOfN(8, row), Gen.listOfN(8, row))
+    check(Prop.forAll(gen) { case (curRows, updRows) =>
+      (curRows.nonEmpty && updRows.nonEmpty) ==> {
+        val cur = curRows.distinctBy(_._1)
+          .map { case (k, v) => (k, s"v$v", Date.valueOf("2020-01-01"),
+            null.asInstanceOf[Date], true) }
+          .toDF("k", "attr", "effective_date", "end_date", "is_current")
+        val upd = updRows.distinctBy(_._1)
+          .map { case (k, v) => (k, s"v$v") }.toDF("k", "attr")
+        val once = engine.Scd2(cur, upd, "k", Seq("attr"), Date.valueOf("2020-06-15"))
+        // applying the SAME snapshot again must change nothing: every open row
+        // now agrees with the update side, departed keys are already closed
+        val twice = engine.Scd2(once, upd, "k", Seq("attr"), Date.valueOf("2020-12-31"))
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.toString).sorted.toSeq
+        canon(once) == canon(twice)
+      }
+    })
+  }
 }
