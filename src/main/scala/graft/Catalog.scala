@@ -1363,6 +1363,34 @@ object Catalog {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey""".stripMargin),
 
+    // Corpus snapshot diff: added/removed/changed/unchanged between two
+    // deterministic corpus versions — slim (id, fp) full-outer join.
+    q("q117_snapshot_diff", (s, d) => ext.TextStats.snapshotDiff(s, d),
+      """WITH v1 AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp1
+        |            FROM documents WHERE doc_id % 3 <> 2),
+        |v2 AS (SELECT doc_id, md5(lower(trim(regexp_replace(
+        |           CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END,
+        |           '\s+', ' ', 'g')))) AS fp2
+        |       FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT CASE WHEN fp1 IS NULL THEN 'added'
+        |            WHEN fp2 IS NULL THEN 'removed'
+        |            WHEN fp1 = fp2 THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |  COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS min_doc_id,
+        |  MAX(doc_id) AS max_doc_id
+        |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        |GROUP BY status ORDER BY status""".stripMargin),
+
+    // Per-group top-k: WindowGroupLimit keeps only k rows per group per
+    // partition before the shuffle (PlanSpec asserts).
+    q("q118_topk_per_group", (s, d) => ext.TextStats.topKPerLang(s, d),
+      """SELECT lang, doc_id, n_chars, CAST(rk AS INT) AS rk FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin),
+
     // Length-biased deterministic sampling: P(keep) = n_tokens/max_tokens,
     // decided in exact integers from a 28-bit md5 prefix.
     q("q115_length_biased_sample", (s, d) => ext.Sampling.lengthBiasedSample(s, d),

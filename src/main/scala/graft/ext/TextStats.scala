@@ -139,6 +139,50 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Corpus snapshot diff (q117): added / removed / changed / unchanged
+    * document counts between two corpus versions — the audit a pipeline runs
+    * before promoting a new crawl. Versions are derived deterministically
+    * from the fixture (v1 = doc_id % 3 != 2, v2 = doc_id % 3 != 0, and every
+    * 5th doc's v2 text is amended so the changed path is non-empty). One
+    * full-outer join on doc_id with fingerprint comparison — the diff never
+    * touches text bytes beyond the md5, so at 100 TB it joins two slim
+    * (id, fp) projections. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.filter(col("doc_id") % 3 =!= 2)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp1"))
+    val v2 = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"),
+        fingerprint(when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp1").isNull, lit("added"))
+          .when(col("fp2").isNull, lit("removed"))
+          .when(col("fp1") === col("fp2"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy("status")
+  }
+
+  /** Per-group top-k (q118): the k longest documents per language, ranked by
+    * a full tie-break. `row_number <= k` over a per-group window gets Spark's
+    * WindowGroupLimit pushdown — each partition keeps only k rows per group
+    * BEFORE the shuffle, so the window never sees the full corpus
+    * (PlanSpec asserts the pushdown). */
+  def topKPerLang(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy("lang", "rk")
+  }
+
   /** Per-source duplication rates (q116): docs, distinct fingerprints, and
     * the dup share per source — the curation dashboard that decides which
     * sources need aggressive dedup before mixing. One scan; the

@@ -189,6 +189,11 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-N lost its per-partition trim:\n$p")
   }
 
+  test("q118 per-group top-k gets the WindowGroupLimit pushdown") {
+    val p = plan("q118_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), s"rank<=k pushdown missing:\n$p")
+  }
+
   test("q114 interval join: hour-bucket equi-join, no nested-loop range join") {
     val p = plan("q114_interval_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -165,6 +165,37 @@ class ScaleOpsSpec extends SparkSuite {
     })
   }
 
+  test("q117 snapshot diff: statuses partition the union of both versions") {
+    val out = ext.TextStats.snapshotDiff(spark, dir).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n_docs")).toMap
+    val n = Tables.documents(spark, dir).count()
+    val v1 = Tables.documents(spark, dir).filter(col("doc_id") % 3 =!= 2).count()
+    val v2 = Tables.documents(spark, dir).filter(col("doc_id") % 3 =!= 0).count()
+    assert(out.values.sum == v1 + v2 - (out.getOrElse("unchanged", 0L) + out.getOrElse("changed", 0L)),
+      "every doc in either version appears in exactly one status")
+    assert(out.getOrElse("added", 0L) == n - v1, "v2-only docs (doc_id % 3 == 0 removed from v1)")
+    assert(out.getOrElse("removed", 0L) == n - v2)
+    assert(out.getOrElse("changed", 0L) > 0, "the amended-text path must be non-empty")
+  }
+
+  test("q118 per-group top-k: exactly k rows per language, correctly ranked") {
+    val out = ext.TextStats.topKPerLang(spark, dir).collect()
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length <= 3, lang)
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rows.length))
+      val chars = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("n_chars"))
+      assert(chars.zip(chars.tail).forall { case (a, b) => a >= b }, lang)
+    }
+    // rank-1 docs are the true per-language maxima
+    val maxima = Tables.documents(spark, dir).groupBy("lang")
+      .agg(max("n_chars").as("mx")).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("mx")).toMap
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.find(_.getAs[Int]("rk") == 1).get.getAs[Long]("n_chars") == maxima(lang))
+    }
+  }
+
   test("q116 source dup rates: totals reconcile with the corpus-wide exact dedup") {
     val rates = ext.TextStats.sourceDupRates(spark, dir).collect()
     assert(rates.nonEmpty)
