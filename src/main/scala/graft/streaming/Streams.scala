@@ -91,6 +91,42 @@ object Streams {
       }
   }
 
+  final case class EvType(event_id: Long, user_id: Long, event_type: String)
+  final case class LastEv(event_id: Long, event_type: String)
+  final case class Transition(user_id: Long, prev_type: String, next_type: String)
+
+  /** Streaming form of [[Events.eventBigrams]] (q104): per-user event-type
+    * transitions emitted incrementally. State is ONE fixed-size record per
+    * user (the last event seen, by event_id order within each batch), so the
+    * cross-batch transition comes from carried state — the Markov transition
+    * feed maintained continuously instead of recomputed per run. NoTimeout:
+    * state is O(distinct users), never grows with volume. Exact parity with
+    * the batch bigram matrix holds when arrival order respects event_id order
+    * across batches (the replay test lands waves that way); out-of-order
+    * arrival degrades gracefully to arrival-order transitions. */
+  def transitionsStream(spark: SparkSession, srcDir: String,
+      maxFilesPerTrigger: Int = 0): Dataset[Transition] = {
+    import spark.implicits._
+    val reader = spark.readStream.schema(eventSchema)
+    val src = (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
+      .parquet(srcDir)
+    src.select(col("event_id"), col("user_id"), col("event_type")).as[EvType]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, events: Iterator[EvType], state: GroupState[LastEv]) =>
+          val sorted = events.toSeq.sortBy(_.event_id)
+          var last = state.getOption
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { e =>
+            last.foreach(l => out += Transition(userId, l.event_type, e.event_type))
+            last = Some(LastEv(e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream inner join with watermarks + event-time range bounds:
     * each error joined to the same user's clicks from the preceding hour.
     * Watermarks + the range condition let Spark prune both join-state sides —

@@ -160,4 +160,28 @@ class StreamsSpec extends SparkSuite {
     assert(streamed.nonEmpty)
     assert(streamed.subsetOf(batch))
   }
+
+  test("streaming transitions across micro-batch boundaries == batch bigram matrix") {
+    val dir = "/root/testdata/sf0.001"
+    val src = "/tmp/graft_stream_trans_src"
+    rmTree(src)
+    // two waves split at the median event_id — per-file micro-batches force
+    // the cross-batch transition to come from carried state, not batch-local
+    // ordering
+    val all = graft.engine.Tables.events(spark, dir)
+    val mid = all.count() / 2
+    all.filter(col("event_id") < mid).coalesce(1).write.mode("append").parquet(src)
+    all.filter(col("event_id") >= mid).coalesce(1).write.mode("append").parquet(src)
+    Streams.runToMemory(
+      Streams.transitionsStream(spark, src, maxFilesPerTrigger = 1).toDF(),
+      "transitions_out")
+    val streamed = spark.table("transitions_out")
+      .groupBy("prev_type", "next_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = Events.eventBigrams(spark, dir)
+      .collect().map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type")) ->
+        r.getAs[Long]("n_pairs")).toMap
+    assert(streamed == batch,
+      "incremental transition counts must equal the batch matrix on replay")
+  }
 }
