@@ -161,12 +161,17 @@ object IncrementalPipeline {
     * arrived since.
     *
     * foreachBatch's contract is at-least-once, so exactly-once FOLDING is
-    * built here: the snapshot carries the last folded `_batch_id` and a
-    * replayed batch (swap committed, checkpoint commit lost) is skipped; a
-    * crash between delete and rename is recovered by completing the swap
-    * from the `_SUCCESS`-marked tmp snapshot before reading state.
-    * IncrementalSpec asserts the no-new-files no-op and the three-wave
-    * folding. */
+    * built here: the snapshot carries the last folded `(_query_id,
+    * _batch_id)` and a replayed batch (swap committed, checkpoint commit
+    * lost) is skipped; a crash between delete and rename is recovered by
+    * completing the swap from the `_SUCCESS`-marked tmp snapshot before
+    * reading state. Batch ids are only meaningful within one checkpoint
+    * lineage (the stable streaming query id), so folding under a DIFFERENT
+    * lineage fails loudly — a fresh checkpoint's batch 0 bundles
+    * already-folded and new data indistinguishably, and both silent options
+    * (skip = lose new data, fold = double-count old) are wrong.
+    * IncrementalSpec drives all four paths: three-wave folding, no-new-files
+    * no-op, crash-swap recovery, and the lineage-mismatch failure. */
   def upsertUserProfilesAvailableNow(spark: SparkSession, srcDir: String,
       targetPath: String, checkpoint: String): Unit = {
     import org.apache.spark.sql.functions.{col, count, lit, max, sum}
@@ -195,25 +200,43 @@ object IncrementalPipeline {
         // replay guard: foreachBatch is at-least-once — a batch whose swap
         // completed but whose checkpoint commit was lost re-runs on restart;
         // folding it again would double-count, so the snapshot carries the
-        // last folded batch id and replays are skipped
-        val lastId: Long =
-          if (fs.exists(target))
-            s.read.parquet(targetPath).agg(max(col("_batch_id")))
-              .collect()(0).getLong(0)
-          else -1L
+        // last folded (query id, batch id) and replays are skipped. Batch ids
+        // are only monotone WITHIN one checkpoint lineage (the stable query
+        // id persisted in checkpoint metadata); under a different lineage a
+        // "batch 0" bundles already-folded and new data indistinguishably, so
+        // the only safe behavior is to fail loudly, not skip or re-fold.
+        val queryId = Option(s.sparkContext.getLocalProperty("sql.streaming.queryId"))
+          .getOrElse(throw new IllegalStateException(
+            "upsert sink must run inside a streaming query"))
+        val lastState: Option[(String, Long)] =
+          if (fs.exists(target)) {
+            val r = s.read.parquet(targetPath)
+              .agg(max(col("_query_id")), max(col("_batch_id"))).collect()(0)
+            Some((r.getString(0), r.getLong(1)))
+          } else None
+        lastState.foreach { case (qid, _) =>
+          if (qid != queryId)
+            throw new IllegalStateException(
+              s"checkpoint lineage mismatch: target $targetPath was folded under " +
+                s"streaming query $qid but this query is $queryId — restore that " +
+                "checkpoint or rebuild the target before resuming")
+        }
+        val lastId: Long = lastState.map(_._2).getOrElse(-1L)
         if (batchId > lastId) {
           val deltas = batch.groupBy("user_id").agg(
             count(lit(1)).as("n_events"),
             sum(graft.engine.Dec.d2(col("value"))).cast(graft.engine.Dec.D18_2)
               .as("total_value"))
           val existing =
-            if (fs.exists(target)) s.read.parquet(targetPath).drop("_batch_id")
+            if (fs.exists(target))
+              s.read.parquet(targetPath).drop("_batch_id", "_query_id")
             else deltas.limit(0)
           val next = existing.unionByName(deltas)
             .groupBy("user_id")
             .agg(sum(col("n_events")).cast("long").as("n_events"),
               sum(col("total_value")).cast(graft.engine.Dec.D18_2).as("total_value"))
             .withColumn("_batch_id", lit(batchId))
+            .withColumn("_query_id", lit(queryId))
           next.write.mode("overwrite").parquet(tmp.toString)
           fs.delete(target, true)
           if (!fs.rename(tmp, target))

@@ -177,5 +177,38 @@ class IncrementalSpec extends SparkSuite {
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
         r.getAs[java.math.BigDecimal]("total_value").toPlainString)).toSet
     assert(v3 == v2, "no new files -> no state change")
+
+    // crash recovery: simulate dying between delete and rename — the tmp
+    // snapshot (with _SUCCESS) exists, the target does not; the next batch
+    // (same checkpoint lineage) must first complete the swap, then fold its
+    // own wave on top
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(target + "__next"), true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(target),
+      new org.apache.hadoop.fs.Path(target + "__next")), "fixture: stage the crash state")
+    landFlat("wave3.parquet", Seq((6L, 20L, "view", 1.00)))
+    IncrementalPipeline.upsertUserProfilesAvailableNow(spark, src, target, ckpt)
+    val v5 = spark.read.parquet(target).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[java.math.BigDecimal]("total_value").toPlainString)).toSet
+    assert(v5 == Set((10L, 3L, "4.00"), (20L, 2L, "5.00"), (30L, 1L, "9.99")),
+      "recovery completes the interrupted swap, then folds the new wave")
+
+    // checkpoint-lineage loss: a FRESH checkpoint replays everything as its
+    // batch 0, bundling already-folded and new data indistinguishably — the
+    // sink must fail loudly (restore the checkpoint or rebuild the target),
+    // never silently skip or double-fold
+    rmTree(ckpt)
+    val e = intercept[Exception] {
+      IncrementalPipeline.upsertUserProfilesAvailableNow(spark, src, target, ckpt)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("checkpoint lineage mismatch")))
+    val v6 = spark.read.parquet(target).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[java.math.BigDecimal]("total_value").toPlainString)).toSet
+    assert(v6 == v5, "a refused fold must leave the target untouched")
   }
 }
