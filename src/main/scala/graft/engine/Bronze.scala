@@ -45,7 +45,7 @@ object Bronze {
     * the roundtrip is oracle-exact. */
   def orcRoundtripCustomer(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, lit}
-    val path = Fs.stableScratchDir("graft_orc")
+    val path = Fs.stableScratchDir(s"graft_orc_${Fs.dirTag(dir)}")
     Tables.customer(spark, dir).write.mode(SaveMode.Overwrite).orc(path)
     spark.read.orc(path)
       .groupBy(col("c_mktsegment"))
@@ -62,7 +62,7 @@ object Bronze {
     * oracle-identical to the parquet-direct path. */
   def csvRoundtripPart(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, lit, max}
-    val path = Fs.stableScratchDir("graft_csv")
+    val path = Fs.stableScratchDir(s"graft_csv_${Fs.dirTag(dir)}")
     val part = Tables.part(spark, dir)
     part.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
     spark.read.schema(part.schema).option("header", "true").csv(path)
@@ -79,7 +79,7 @@ object Bronze {
     * exact, so the roundtrip is oracle-identical to the parquet source. */
   def jsonlRoundtripEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min}
-    val path = Fs.stableScratchDir("graft_jsonl")
+    val path = Fs.stableScratchDir(s"graft_jsonl_${Fs.dirTag(dir)}")
     val ev = Tables.events(spark, dir)
       .select("event_id", "user_id", "event_type", "value")
     ev.write.mode(SaveMode.Overwrite).json(path)

@@ -59,12 +59,7 @@ object Bucketing {
     * mutable-source deployment would key on a snapshot/commit id instead. */
   def bucketedOrderRevenue(spark: SparkSession, dir: String,
       numBuckets: Int = 32, tablePrefix: String = "graft_bk"): DataFrame = {
-    // md5 tag: character-sanitizing the dir would not be injective ("/a/b_c"
-    // vs "/a/b/c" collide), and a tag collision silently serves the wrong
-    // dataset's layout
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val prefix = s"${tablePrefix}_${tag}_b$numBuckets"
+    val prefix = s"${tablePrefix}_${Fs.dirTag(dir)}_b$numBuckets"
     if (!spark.catalog.tableExists(s"${prefix}_orders") ||
         !spark.catalog.tableExists(s"${prefix}_lineitem")) {
       writeBucketed(Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),

@@ -28,6 +28,15 @@ object Fs {
     p
   }
 
+  /** Injective 12-hex tag of a source dir for layout/scratch cache keys —
+    * character sanitization is NOT injective ("/a/b_c" vs "/a/b/c" collide),
+    * and a tag collision silently serves one dataset's cached layout for
+    * another. A mutable-source deployment would tag a snapshot/commit id
+    * instead of the path. */
+  def dirTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+
   /** One scratch dir PER PREFIX per JVM (cached): repeated invocations of the
     * same operator overwrite one location instead of stacking a full table
     * copy per call — a bench looping a sink-roundtrip query N times holds one

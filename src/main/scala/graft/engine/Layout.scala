@@ -78,11 +78,8 @@ object Layout {
     // one partitioned layout per source dir per session: the write is the
     // once-per-drop layout cost, the OPERATOR under test is the pruned read.
     // Fixture dirs are immutable, so dir-keyed reuse cannot serve stale data
-    // (a mutable source would key on a snapshot id). md5 tag: character
-    // sanitization is not injective across dirs.
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path = Fs.stableScratchDir(s"graft_part_$tag")
+    // (a mutable source would key on a snapshot id).
+    val path = Fs.stableScratchDir(s"graft_part_${Fs.dirTag(dir)}")
     val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(marker)) partitionedOrdersWrite(spark, dir, path)

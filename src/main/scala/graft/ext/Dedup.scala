@@ -274,6 +274,11 @@ object Dedup {
         .write.mode("overwrite").parquet(path)
       obs.get("label_sum").asInstanceOf[java.math.BigDecimal]
     }
+    def committedSum(s: SparkSession, path: String): java.math.BigDecimal =
+      s.read.parquet(path)
+        .agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)))
+        .head().getDecimal(0)
     var prevSum = writeObserved(
       edges.groupBy(col("src"))
         .agg(least(min(col("dst")), col("src")).as("label"))
@@ -304,24 +309,26 @@ object Dedup {
       // on the write itself
       val s = writeObserved(shortcut, s"$tmp/labels${i + 1}")
       labels = spark.read.parquet(s"$tmp/labels${i + 1}")
-      converged = s.compareTo(prevSum) == 0
+      // Observed accumulator sums can in principle over-count on speculative/
+      // retried tasks at cluster scale (the committed files would not) — in
+      // EITHER direction that matters: an inflated sum masking a real change
+      // would declare convergence on partially-propagated (wrong) labels.
+      // So the observed equality is only a TRIGGER; the verdict comes from
+      // the committed snapshots (two tiny scans, paid once at the fixed
+      // point, not per round).
+      if (s.compareTo(prevSum) == 0)
+        converged = committedSum(spark, s"$tmp/labels${i + 1}")
+          .compareTo(committedSum(spark, s"$tmp/labels$i")) == 0
       prevSum = s
       i += 1
     }
-    // Observed accumulator sums can in principle over-count on speculative /
-    // retried tasks at cluster scale (the committed files would not). Before
-    // failing, re-derive the last two sums from the COMMITTED snapshots —
-    // if they agree, the fixed point was reached and only the metric was
-    // inflated.
-    if (!converged && i >= 1) {
-      def committedSum(path: String): java.math.BigDecimal =
-        spark.read.parquet(path)
-          .agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-            lit(java.math.BigDecimal.ZERO)))
-          .head().getDecimal(0)
-      converged = committedSum(s"$tmp/labels$i")
-        .compareTo(committedSum(s"$tmp/labels${i - 1}")) == 0
-    }
+    // Not converged by observed sums within budget: the committed snapshots
+    // are still the ground truth (an over-counted metric could have masked
+    // the fixed point on every round) — one last committed comparison before
+    // failing.
+    if (!converged && i >= 1)
+      converged = committedSum(spark, s"$tmp/labels$i")
+        .compareTo(committedSum(spark, s"$tmp/labels${i - 1}")) == 0
     // Partial propagation is WRONG output (one component reported as two) —
     // fail loudly rather than return it. Components deeper than maxIters hops
     // need a larger budget (or pointer-jumping), not silent truncation.

@@ -188,6 +188,10 @@ object IncrementalPipeline {
         val target = new Path(targetPath)
         val tmp = new Path(targetPath + "__next")
         val fs = target.getFileSystem(s.sessionState.newHadoopConf())
+        // an empty initial batch must not write a 0-row snapshot: its
+        // all-NULL metadata maxima would poison every later lineage read
+        if (batch.isEmpty) ()
+        else {
         // crash recovery: a previous run died between delete and rename —
         // the tmp snapshot IS the committed state, finish the swap first
         // (without this, the replayed batch would rebuild from empty and
@@ -208,39 +212,48 @@ object IncrementalPipeline {
         val queryId = Option(s.sparkContext.getLocalProperty("sql.streaming.queryId"))
           .getOrElse(throw new IllegalStateException(
             "upsert sink must run inside a streaming query"))
-        val lastState: Option[(String, Long)] =
-          if (fs.exists(target)) {
-            val r = s.read.parquet(targetPath)
-              .agg(max(col("_query_id")), max(col("_batch_id"))).collect()(0)
-            Some((r.getString(0), r.getLong(1)))
-          } else None
-        lastState.foreach { case (qid, _) =>
-          if (qid != queryId)
-            throw new IllegalStateException(
-              s"checkpoint lineage mismatch: target $targetPath was folded under " +
-                s"streaming query $qid but this query is $queryId — restore that " +
-                "checkpoint or rebuild the target before resuming")
-        }
-        val lastId: Long = lastState.map(_._2).getOrElse(-1L)
-        if (batchId > lastId) {
-          val deltas = batch.groupBy("user_id").agg(
-            count(lit(1)).as("n_events"),
-            sum(graft.engine.Dec.d2(col("value"))).cast(graft.engine.Dec.D18_2)
-              .as("total_value"))
-          val existing =
-            if (fs.exists(target))
-              s.read.parquet(targetPath).drop("_batch_id", "_query_id")
-            else deltas.limit(0)
-          val next = existing.unionByName(deltas)
-            .groupBy("user_id")
-            .agg(sum(col("n_events")).cast("long").as("n_events"),
-              sum(col("total_value")).cast(graft.engine.Dec.D18_2).as("total_value"))
-            .withColumn("_batch_id", lit(batchId))
-            .withColumn("_query_id", lit(queryId))
-          next.write.mode("overwrite").parquet(tmp.toString)
-          fs.delete(target, true)
-          if (!fs.rename(tmp, target))
-            throw new java.io.IOException(s"snapshot swap failed: $tmp -> $target")
+        // one scan of the serving table per batch: the persisted snapshot
+        // serves both the lineage probe and the fold input
+        val snapshot: Option[DataFrame] =
+          if (fs.exists(target)) Some(s.read.parquet(targetPath).persist())
+          else None
+        try {
+          val lastState: Option[(String, Long)] = snapshot.map { snap =>
+            val r = snap.agg(max(col("_query_id")), max(col("_batch_id"))).collect()(0)
+            if (r.isNullAt(0) || r.isNullAt(1))
+              throw new IllegalStateException(
+                s"target $targetPath carries no lineage stamp — " +
+                  "not a snapshot this sink wrote; rebuild or remove it")
+            (r.getString(0), r.getLong(1))
+          }
+          lastState.foreach { case (qid, _) =>
+            if (qid != queryId)
+              throw new IllegalStateException(
+                s"checkpoint lineage mismatch: target $targetPath was folded under " +
+                  s"streaming query $qid but this query is $queryId — restore that " +
+                  "checkpoint or rebuild the target before resuming")
+          }
+          val lastId: Long = lastState.map(_._2).getOrElse(-1L)
+          if (batchId > lastId) {
+            val deltas = batch.groupBy("user_id").agg(
+              count(lit(1)).as("n_events"),
+              sum(graft.engine.Dec.d2(col("value"))).cast(graft.engine.Dec.D18_2)
+                .as("total_value"))
+            val existing = snapshot.map(_.drop("_batch_id", "_query_id"))
+              .getOrElse(deltas.limit(0))
+            val next = existing.unionByName(deltas)
+              .groupBy("user_id")
+              .agg(sum(col("n_events")).cast("long").as("n_events"),
+                sum(col("total_value")).cast(graft.engine.Dec.D18_2).as("total_value"))
+              .withColumn("_batch_id", lit(batchId))
+              .withColumn("_query_id", lit(queryId))
+            // tmp write FIRST (reads the cached snapshot), delete + rename after
+            next.write.mode("overwrite").parquet(tmp.toString)
+            fs.delete(target, true)
+            if (!fs.rename(tmp, target))
+              throw new java.io.IOException(s"snapshot swap failed: $tmp -> $target")
+          }
+        } finally snapshot.foreach(_.unpersist())
         }
       }
       .start().awaitTermination()
