@@ -1363,6 +1363,47 @@ object Catalog {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey""".stripMargin),
 
+    // Token co-occurrence (PMI input): pairs restricted to the broadcast
+    // top-50 vocabulary BEFORE pairing — output bounded by vocab².
+    q("q119_cooccurrence", (s, d) => ext.TextStats.tokenCooccurrence(s, d),
+      """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (SELECT tok FROM (SELECT tok, COUNT(*) AS df FROM t GROUP BY tok
+        |                       ORDER BY df DESC, tok LIMIT 50)),
+        |vt AS (SELECT t.doc_id, t.tok FROM t JOIN v USING (tok))
+        |SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_docs
+        |FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |GROUP BY tok_a, tok_b
+        |ORDER BY n_docs DESC, tok_a, tok_b LIMIT 20""".stripMargin),
+
+    // MinHash sketch-quality monitor: signature slot-agreement estimate vs
+    // exact Jaccard per candidate pair, both integer-ppm exact.
+    q("q120_sketch_quality", ext.Dedup.sketchQuality,
+      s"""WITH $bandsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |         GROUP BY doc_a, doc_b),
+         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+         |           FROM cand c
+         |           JOIN sh a ON a.doc_id = c.doc_a
+         |           JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+         |           GROUP BY c.doc_a, c.doc_b),
+         |ex AS (SELECT c.doc_a, c.doc_b, ca.n_sh AS n_a, cb.n_sh AS n_b,
+         |         COALESCE(cm.n_common, 0) AS n_common
+         |       FROM cand c
+         |       JOIN counts ca ON ca.doc_id = c.doc_a
+         |       JOIN counts cb ON cb.doc_id = c.doc_b
+         |       LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b),
+         |eq AS (SELECT ex.*, ${(0 until 12).map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)").mkString(" + ")} AS n_eq
+         |       FROM ex JOIN sig sa ON sa.doc_id = ex.doc_a
+         |                JOIN sig sb ON sb.doc_id = ex.doc_b)
+         |SELECT doc_a, doc_b, CAST(n_eq AS INT) AS n_eq_slots,
+         |  CAST((n_eq * 1000000) // 12 AS BIGINT) AS est_ppm,
+         |  CAST((n_common * 1000000) // (n_a + n_b - n_common) AS BIGINT) AS jaccard_ppm,
+         |  CAST(abs((n_eq * 1000000) // 12 - (n_common * 1000000) // (n_a + n_b - n_common)) AS BIGINT) AS abs_err_ppm
+         |FROM eq ORDER BY doc_a, doc_b""".stripMargin),
+
     // Corpus snapshot diff: added/removed/changed/unchanged between two
     // deterministic corpus versions — slim (id, fp) full-outer join.
     q("q117_snapshot_diff", (s, d) => ext.TextStats.snapshotDiff(s, d),

@@ -70,19 +70,26 @@ object Dedup {
   def minhashBands(spark: SparkSession, dir: String): DataFrame =
     bandsUnordered(spark, dir).orderBy("doc_id", "band_idx")
 
-  private def bandsUnordered(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document 12-slot MinHash signature (s0..s11): ONE md5 per (doc,
+    * shingle), 28-bit prefix as the integer hash base, all 12 universal-hash
+    * minima folded in a single aggregate. Shared by the band construction
+    * and the sketch-quality monitor (q120). */
+  private def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val sigCols = seedsAB.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % P).as(s"s$i")
     }
+    docShingles(spark, dir)
+      .select(col("doc_id"), conv(substring(md5(col("sh")), 1, 7), 16, 10).cast("long").as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  private def bandsUnordered(spark: SparkSession, dir: String): DataFrame = {
     val bandCols = (0 until 6).map { j =>
       (col(s"s${2 * j}") * P + col(s"s${2 * j + 1}")).as(s"band$j")
     }
     val stackExpr = (0 until 6).map(j => s"$j, band$j").mkString("stack(6, ", ", ", ") AS (band_idx, band_hash)")
-    docShingles(spark, dir)
-      // ONE md5 per (doc, shingle); 28-bit prefix → integer hash base
-      .select(col("doc_id"), conv(substring(md5(col("sh")), 1, 7), 16, 10).cast("long").as("h"))
-      .groupBy(col("doc_id"))
-      .agg(sigCols.head, sigCols.tail: _*)
+    minhashSignatures(spark, dir)
       .select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"), expr(stackExpr))
   }
@@ -356,6 +363,34 @@ object Dedup {
     * the (unique-keyed) frequency table; docs join it 1:1 per segment — a hot
     * boilerplate segment is a popular DIM key, never a k² pair blowup. The
     * per-doc rollup is a second hash aggregate. No window, no self-join. */
+  /** Sketch-quality monitor (q120): per LSH candidate pair, the MinHash
+    * signature ESTIMATE of Jaccard (equal-slot fraction — the unbiased
+    * estimator the sketch is built on) against the EXACT shingle Jaccard,
+    * plus the absolute error. The continuous check that the 12-slot budget
+    * still tracks reality on current data, the MinHash counterpart of q90's
+    * ANN recall monitor. Integer ppm on both sides, so the comparison is
+    * oracle-exact. Cost: the [[minhashJaccard]] pipeline (exact side) + one
+    * signatures join per pair side — candidate-bounded, never all-pairs. */
+  def sketchQuality(spark: SparkSession, dir: String): DataFrame = {
+    val exact = minhashJaccard(spark, dir)
+      .select("doc_a", "doc_b", "n_a", "n_b", "n_common")
+    val sig = minhashSignatures(spark, dir)
+    val sa = sig.select(col("doc_id").as("doc_a") +:
+      (0 until 12).map(i => col(s"s$i").as(s"a$i")): _*)
+    val sb = sig.select(col("doc_id").as("doc_b") +:
+      (0 until 12).map(i => col(s"s$i").as(s"b$i")): _*)
+    val nEq = (0 until 12)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    exact.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("n_eq_slots", nEq.cast("int"))
+      .select(col("doc_a"), col("doc_b"), col("n_eq_slots"),
+        expr("CAST(n_eq_slots AS BIGINT) * 1000000 div 12").as("est_ppm"),
+        expr("n_common * 1000000L div (n_a + n_b - n_common)").as("jaccard_ppm"))
+      .withColumn("abs_err_ppm", abs(col("est_ppm") - col("jaccard_ppm")))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def segmentDedup(spark: SparkSession, dir: String, segTokens: Int = 10): DataFrame = {
     val segs = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("words"))

@@ -139,6 +139,30 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Token co-occurrence matrix (q119): document-frequency counts for pairs
+    * of top-vocabulary tokens appearing in the same document — the input
+    * statistic for PMI/embedding-style association measures. The self-join
+    * is restricted to the BROADCAST top-`vocabSize` vocabulary BEFORE
+    * pairing, so each document contributes at most C(vocabSize, 2) pairs and
+    * the output is bounded by vocab² regardless of corpus size — the join on
+    * doc_id can never blow up on a long document. Top-N by a full tie-break
+    * via TakeOrderedAndProject. */
+  def tokenCooccurrence(spark: SparkSession, dir: String, vocabSize: Int = 50,
+      topN: Int = 20): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(vocabSize).select("tok")
+    val vt = toks.join(broadcast(vocab), Seq("tok"))
+    vt.select(col("doc_id"), col("tok").as("tok_a"))
+      .join(vt.select(col("doc_id"), col("tok").as("tok_b")), Seq("doc_id"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("tok_a"), col("tok_b"))
+      .limit(topN)
+  }
+
   /** Corpus snapshot diff (q117): added / removed / changed / unchanged
     * document counts between two corpus versions — the audit a pipeline runs
     * before promoting a new crawl. Versions are derived deterministically

@@ -189,6 +189,12 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-N lost its per-partition trim:\n$p")
   }
 
+  test("q119 cooccurrence: the vocabulary restriction joins as broadcast") {
+    val p = plan("q119_cooccurrence")
+    assert(p.contains("BroadcastHashJoin"), s"vocab must broadcast before pairing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pairing must stay doc-keyed:\n$p")
+  }
+
   test("q118 per-group top-k gets the WindowGroupLimit pushdown") {
     val p = plan("q118_topk_per_group")
     assert(p.contains("WindowGroupLimit"), s"rank<=k pushdown missing:\n$p")

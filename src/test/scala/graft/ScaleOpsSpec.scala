@@ -165,6 +165,47 @@ class ScaleOpsSpec extends SparkSuite {
     })
   }
 
+  test("q119 cooccurrence: pairs drawn from the top vocabulary, counts bounded") {
+    val out = ext.TextStats.tokenCooccurrence(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val vocab = toks.groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok")).limit(50)
+      .collect().map(_.getString(0)).toSet
+    val nDocs = Tables.documents(spark, dir).count()
+    out.foreach { r =>
+      assert(vocab.contains(r.getAs[String]("tok_a")) &&
+        vocab.contains(r.getAs[String]("tok_b")))
+      assert(r.getAs[String]("tok_a") < r.getAs[String]("tok_b"))
+      assert(r.getAs[Long]("n_docs") >= 1 && r.getAs[Long]("n_docs") <= nDocs)
+    }
+    val counts = out.map(_.getAs[Long]("n_docs"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q120 sketch quality: estimate and exact sides are internally consistent with q61") {
+    val sq = ext.Dedup.sketchQuality(spark, dir).collect()
+    assert(sq.nonEmpty)
+    sq.foreach { r =>
+      val eq = r.getAs[Int]("n_eq_slots")
+      assert(eq >= 0 && eq <= 12)
+      assert(r.getAs[Long]("est_ppm") == eq.toLong * 1000000L / 12L)
+      assert(r.getAs[Long]("abs_err_ppm") ==
+        math.abs(r.getAs[Long]("est_ppm") - r.getAs[Long]("jaccard_ppm")))
+    }
+    // same candidate-pair set and exact-jaccard values as q61
+    val fromQ61 = ext.Dedup.minhashJaccard(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("n_common") * 1000000L /
+          (r.getAs[Long]("n_a") + r.getAs[Long]("n_b") - r.getAs[Long]("n_common")))).toMap
+    assert(sq.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet == fromQ61.keySet)
+    sq.foreach { r =>
+      assert(r.getAs[Long]("jaccard_ppm") ==
+        fromQ61((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))))
+    }
+  }
+
   test("q117 snapshot diff: statuses partition the union of both versions") {
     val out = ext.TextStats.snapshotDiff(spark, dir).collect()
       .map(r => r.getAs[String]("status") -> r.getAs[Long]("n_docs")).toMap
