@@ -583,12 +583,12 @@ object Catalog {
         |ORDER BY window_start, event_type""".stripMargin),
 
     q("q36_sessionize", streaming.Events.sessionize,
-      """WITH x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      """WITH x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
         |           FROM events),
         |y AS (SELECT *, CASE WHEN prev_ts IS NULL
-        |        OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000 THEN 1 ELSE 0 END AS is_new
+        |        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS is_new
         |      FROM x),
-        |z AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |z AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         |      FROM y)
         |SELECT user_id, session_idx, COUNT(*) AS n_events,
@@ -601,10 +601,10 @@ object Catalog {
       """WITH ec AS (SELECT * FROM events WHERE event_type IN ('click', 'error')),
         |x AS (SELECT *,
         |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_event_id,
         |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
         |  FROM ec)
         |SELECT event_id AS error_event_id, user_id, click_event_id,
@@ -696,12 +696,12 @@ object Catalog {
         |ORDER BY window_start_epoch, event_type""".stripMargin),
 
     q("q54_session_window", streaming.Events.sessionWindowNative,
-      """WITH x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      """WITH x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
         |           FROM events),
         |y AS (SELECT *, CASE WHEN prev_ts IS NULL
-        |        OR epoch_ns(ts) - epoch_ns(prev_ts) >= 1800000000000 THEN 1 ELSE 0 END AS is_new
+        |        OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS is_new
         |      FROM x),
-        |z AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |z AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         |      FROM y)
         |SELECT user_id,
@@ -1001,10 +1001,10 @@ object Catalog {
       """WITH ec AS (SELECT * FROM events WHERE event_type IN ('click', 'error')),
         |x AS (SELECT *,
         |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_event_id,
         |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
         |  FROM ec),
         |y AS (SELECT event_id AS error_event_id, user_id, click_event_id,
@@ -1197,13 +1197,13 @@ object Catalog {
       """WITH ec AS (SELECT * FROM events WHERE event_type IN ('click', 'purchase')),
         |x AS (SELECT *,
         |    first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_click_id,
         |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_prior_clicks
         |  FROM ec)
         |SELECT event_id AS purchase_event_id, user_id, first_click_id, last_click_id,
@@ -1455,12 +1455,12 @@ object Catalog {
     // Interval-overlap join via hour-bucket equi-join (sessions x error
     // hours) — no nested-loop range join (PlanSpec asserts).
     q("q114_interval_join", streaming.Events.sessionErrorOverlap,
-      """WITH x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      """WITH x AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
         |           FROM events),
         |y AS (SELECT *, CASE WHEN prev_ts IS NULL
-        |        OR epoch_ns(ts) - epoch_ns(prev_ts) > 1800000000000 THEN 1 ELSE 0 END AS is_new
+        |        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS is_new
         |      FROM x),
-        |z AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |z AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         |      FROM y),
         |s AS (SELECT user_id, session_idx,

@@ -45,8 +45,8 @@ object Bronze {
     * the roundtrip is oracle-exact. */
   def orcRoundtripCustomer(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, lit}
-    val path = Fs.stableScratchDir(s"graft_orc_${Fs.dirTag(dir)}")
-    Tables.customer(spark, dir).write.mode(SaveMode.Overwrite).orc(path)
+    val path = Fs.overwriteVersioned(s"graft_orc_${Fs.dirTag(dir)}")(p =>
+      Tables.customer(spark, dir).write.mode(SaveMode.Overwrite).orc(p))
     spark.read.orc(path)
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
@@ -62,9 +62,9 @@ object Bronze {
     * oracle-identical to the parquet-direct path. */
   def csvRoundtripPart(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, lit, max}
-    val path = Fs.stableScratchDir(s"graft_csv_${Fs.dirTag(dir)}")
     val part = Tables.part(spark, dir)
-    part.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    val path = Fs.overwriteVersioned(s"graft_csv_${Fs.dirTag(dir)}")(p =>
+      part.write.mode(SaveMode.Overwrite).option("header", "true").csv(p))
     spark.read.schema(part.schema).option("header", "true").csv(path)
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_parts"),
@@ -79,10 +79,10 @@ object Bronze {
     * exact, so the roundtrip is oracle-identical to the parquet source. */
   def jsonlRoundtripEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min}
-    val path = Fs.stableScratchDir(s"graft_jsonl_${Fs.dirTag(dir)}")
     val ev = Tables.events(spark, dir)
       .select("event_id", "user_id", "event_type", "value")
-    ev.write.mode(SaveMode.Overwrite).json(path)
+    val path = Fs.overwriteVersioned(s"graft_jsonl_${Fs.dirTag(dir)}")(p =>
+      ev.write.mode(SaveMode.Overwrite).json(p))
     spark.read.schema(ev.schema).json(path)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),

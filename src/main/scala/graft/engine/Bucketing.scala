@@ -60,13 +60,15 @@ object Bucketing {
   def bucketedOrderRevenue(spark: SparkSession, dir: String,
       numBuckets: Int = 32, tablePrefix: String = "graft_bk"): DataFrame = {
     val prefix = s"${tablePrefix}_${Fs.dirTag(dir)}_b$numBuckets"
-    if (!spark.catalog.tableExists(s"${prefix}_orders") ||
-        !spark.catalog.tableExists(s"${prefix}_lineitem")) {
-      writeBucketed(Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
-        s"${prefix}_orders", "o_orderkey", numBuckets)
-      writeBucketed(
-        Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
-        s"${prefix}_lineitem", "l_orderkey", numBuckets)
+    Fs.withPrefixLock(prefix) { // serialize the build-or-reuse decision
+      if (!spark.catalog.tableExists(s"${prefix}_orders") ||
+          !spark.catalog.tableExists(s"${prefix}_lineitem")) {
+        writeBucketed(Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
+          s"${prefix}_orders", "o_orderkey", numBuckets)
+        writeBucketed(
+          Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
+          s"${prefix}_lineitem", "l_orderkey", numBuckets)
+      }
     }
     bucketedJoinFrame(spark, prefix)
   }

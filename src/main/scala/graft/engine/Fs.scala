@@ -40,11 +40,45 @@ object Fs {
   /** One scratch dir PER PREFIX per JVM (cached): repeated invocations of the
     * same operator overwrite one location instead of stacking a full table
     * copy per call — a bench looping a sink-roundtrip query N times holds one
-    * copy, not N. Only safe for callers that fully overwrite the dir each
-    * invocation and never run the same prefix concurrently (catalog queries
-    * execute serially in verify/bench). */
+    * copy, not N. Only safe for WRITE-ONCE callers (the dir is populated on
+    * first use and read-only after — see [[graft.engine.Layout]]); callers
+    * that re-write per invocation must use [[overwriteVersioned]], which a
+    * concurrently-held lazy frame can survive. */
   def stableScratchDir(prefix: String): String =
     stableDirs.computeIfAbsent(prefix, p => scratchDir(p))
+
+  private val prefixLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val versions =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Run `body` under the JVM-wide lock for `prefix` — serializes build-or-
+    * reuse decisions on a shared per-prefix dir (two threads racing a
+    * marker-guarded build would otherwise both write it). */
+  def withPrefixLock[A](prefix: String)(body: => A): A =
+    prefixLocks.computeIfAbsent(prefix, _ => new Object).synchronized(body)
+
+  /** Overwrite-safe bounded scratch: each invocation writes a FRESH `vN`
+    * subdir under the stable per-prefix dir, and the PREVIOUS version is
+    * deleted only after `write` returns (commits). Space stays bounded at ~1
+    * table copy per prefix (transiently 2 during the write), like the old
+    * overwrite-in-place pattern — but a lazy frame over a previously returned
+    * path never observes a mid-overwrite or mixed state: it either reads its
+    * own fully-committed version, or (if held across a LATER invocation) fails
+    * loudly on the deleted path instead of silently reading torn data.
+    * Invocations are serialized per prefix by [[withPrefixLock]], so two
+    * suites sharing a JVM cannot interleave writes either. */
+  def overwriteVersioned(prefix: String)(write: String => Unit): String =
+    withPrefixLock(prefix) {
+      val base = stableDirs.computeIfAbsent(prefix, p => scratchDir(p))
+      val prev = Option(versions.get(prefix)).map(_.longValue)
+      val n = prev.getOrElse(0L) + 1
+      val next = s"$base/v$n"
+      write(next)
+      versions.put(prefix, n)
+      prev.foreach(v => rmTree(s"$base/v$v"))
+      next
+    }
 
   /** Recursively delete `path`; no-op if absent. `listFiles` returns null on
     * an IO error or a concurrent delete — guarded, so one bad directory

@@ -79,10 +79,14 @@ object Layout {
     // once-per-drop layout cost, the OPERATOR under test is the pruned read.
     // Fixture dirs are immutable, so dir-keyed reuse cannot serve stale data
     // (a mutable source would key on a snapshot id).
-    val path = Fs.stableScratchDir(s"graft_part_${Fs.dirTag(dir)}")
-    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(marker)) partitionedOrdersWrite(spark, dir, path)
+    val prefix = s"graft_part_${Fs.dirTag(dir)}"
+    val path = Fs.withPrefixLock(prefix) { // two threads must not both build
+      val p = Fs.stableScratchDir(prefix)
+      val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(marker)) partitionedOrdersWrite(spark, dir, p)
+      p
+    }
     prunedYearRollup(spark.read.parquet(path))
   }
 

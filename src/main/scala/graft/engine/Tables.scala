@@ -24,8 +24,11 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4's reader rejects
     * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos and truncate to microseconds
     * (`ts div 1000` — integral division; a double division would lose precision
-    * on ~1.7e18 nano epochs). Downstream queries only ever truncate to >= second
-    * granularity, so micro vs nano is semantics-neutral vs the DuckDB oracle. */
+    * on ~1.7e18 nano epochs). Cross-engine comparisons are pinned to MICRO (or
+    * coarser) granularity on BOTH engines — oracle session-gap predicates use
+    * `epoch_us`, oracle event windows order by `(epoch_us(ts), event_id)`, and
+    * everything else truncates to >= seconds — so the truncation here is
+    * semantics-neutral vs the oracle even on sub-microsecond fixtures. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")

@@ -259,7 +259,9 @@ object Events {
     * hour key. At 100 TB this is the standard interval-join bucketing trick;
     * a BroadcastNestedLoopJoin over raw inequalities would be quadratic and
     * PlanSpec asserts it is absent. Session construction mirrors
-    * [[sessionize]] (q36) exactly. */
+    * [[sessionize]] (q36) exactly; the 30-min gap compares micro-precision
+    * epochs on both engines (the oracle uses `epoch_us`, matching
+    * [[graft.engine.Tables.events]]'s micro truncation). */
   def sessionErrorOverlap(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val gapMicros = 30L * 60 * 1000 * 1000

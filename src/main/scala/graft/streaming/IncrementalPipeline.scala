@@ -163,9 +163,15 @@ object IncrementalPipeline {
     * foreachBatch's contract is at-least-once, so exactly-once FOLDING is
     * built here: the snapshot carries the last folded `(_query_id,
     * _batch_id)` and a replayed batch (swap committed, checkpoint commit
-    * lost) is skipped; a crash between delete and rename is recovered by
-    * completing the swap from the `_SUCCESS`-marked tmp snapshot before
-    * reading state. Batch ids are only meaningful within one checkpoint
+    * lost) is skipped. The swap itself never passes through a recursive
+    * delete of the serving path: the committed target is RENAMED aside
+    * (atomic), the `_SUCCESS`-marked tmp is renamed in, and only then is the
+    * retired copy deleted — so every crash window leaves either a committed
+    * target or a committed tmp/retired snapshot to recover from, never a
+    * partially-deleted target that would fold as if it were complete. A
+    * target without its `_SUCCESS` marker is treated as torn state: replaced
+    * from a committed tmp if one exists, otherwise a loud failure (both
+    * silent options lose rows). Batch ids are only meaningful within one checkpoint
     * lineage (the stable streaming query id), so folding under a DIFFERENT
     * lineage fails loudly — a fresh checkpoint's batch 0 bundles
     * already-folded and new data indistinguishably, and both silent options
@@ -187,20 +193,42 @@ object IncrementalPipeline {
         val s = batch.sparkSession
         val target = new Path(targetPath)
         val tmp = new Path(targetPath + "__next")
+        val retired = new Path(targetPath + "__old")
         val fs = target.getFileSystem(s.sessionState.newHadoopConf())
+        def committed(p: Path): Boolean =
+          fs.exists(p) && fs.exists(new Path(p, "_SUCCESS"))
+        // ---- crash recovery: restore the invariant "only a committed target
+        // exists" before reading ANY state (runs even for empty batches, so a
+        // crashed swap is healed on the next drain, not the next data wave).
+        // A target without _SUCCESS is torn (e.g. a crash mid-write by some
+        // foreign process, or a partially-deleted dir): its surviving files
+        // still carry valid lineage stamps, so folding onto it would silently
+        // lose exactly the rows the crash destroyed — replace it from a
+        // committed snapshot or fail loudly, never read it.
+        if (fs.exists(target) && !committed(target)) {
+          if (committed(tmp) || committed(retired)) fs.delete(target, true): Unit
+          else throw new IllegalStateException(
+            s"target $targetPath has no _SUCCESS marker and no committed " +
+              "tmp/retired snapshot exists to restore it — torn state; " +
+              "rebuild the target before resuming")
+        }
+        if (!fs.exists(target)) {
+          // died between retire and promote (or mid-delete under recovery
+          // above): the newest committed snapshot takes the serving path
+          val restore = if (committed(tmp)) Some(tmp)
+            else if (committed(retired)) Some(retired) else None
+          restore.foreach { src =>
+            if (!fs.rename(src, target))
+              throw new java.io.IOException(s"swap recovery failed: $src -> $target")
+          }
+        }
+        // leftovers from a half-finished swap are garbage once the target is
+        // committed; an uncommitted tmp (crash mid-write) is rebuilt anyway
+        Seq(tmp, retired).foreach(p => if (fs.exists(p)) fs.delete(p, true): Unit)
         // an empty initial batch must not write a 0-row snapshot: its
         // all-NULL metadata maxima would poison every later lineage read
         if (batch.isEmpty) ()
         else {
-        // crash recovery: a previous run died between delete and rename —
-        // the tmp snapshot IS the committed state, finish the swap first
-        // (without this, the replayed batch would rebuild from empty and
-        // silently lose all prior history)
-        if (!fs.exists(target) && fs.exists(tmp) &&
-            fs.exists(new Path(tmp, "_SUCCESS"))) {
-          if (!fs.rename(tmp, target))
-            throw new java.io.IOException(s"swap recovery failed: $tmp -> $target")
-        }
         // replay guard: foreachBatch is at-least-once — a batch whose swap
         // completed but whose checkpoint commit was lost re-runs on restart;
         // folding it again would double-count, so the snapshot carries the
@@ -247,11 +275,17 @@ object IncrementalPipeline {
                 sum(col("total_value")).cast(graft.engine.Dec.D18_2).as("total_value"))
               .withColumn("_batch_id", lit(batchId))
               .withColumn("_query_id", lit(queryId))
-            // tmp write FIRST (reads the cached snapshot), delete + rename after
+            // tmp write FIRST (reads the cached snapshot); then an all-rename
+            // swap — retire the committed target aside, promote tmp, delete
+            // the retired copy LAST. Renames are atomic, so no crash point
+            // leaves the serving path partially deleted; recovery above can
+            // always find a committed snapshot under one of the three names.
             next.write.mode("overwrite").parquet(tmp.toString)
-            fs.delete(target, true)
+            if (fs.exists(target) && !fs.rename(target, retired))
+              throw new java.io.IOException(s"snapshot retire failed: $target -> $retired")
             if (!fs.rename(tmp, target))
               throw new java.io.IOException(s"snapshot swap failed: $tmp -> $target")
+            fs.delete(retired, true): Unit
           }
         } finally snapshot.foreach(_.unpersist())
         }

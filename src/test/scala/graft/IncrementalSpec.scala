@@ -211,4 +211,59 @@ class IncrementalSpec extends SparkSuite {
         r.getAs[java.math.BigDecimal]("total_value").toPlainString)).toSet
     assert(v6 == v5, "a refused fold must leave the target untouched")
   }
+
+  test("streaming upsert sink: torn target is replaced from a committed snapshot or fails loudly") {
+    val src = "/tmp/graft_upsert2_src"
+    val target = "/tmp/graft_upsert2_target"
+    val ckpt = "/tmp/graft_upsert2_ckpt"
+    Seq(src, target, target + "__next", target + "__old", ckpt).foreach(rmTree)
+    Files.createDirectories(Paths.get(src))
+    def landFlat(name: String, rows: Seq[(Long, Long, String, Double)]): Unit = {
+      import spark.implicits._
+      val stage = s"$src-stage"
+      rmTree(stage)
+      rows.toDF("event_id", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$src/$name"))
+      rmTree(stage)
+    }
+    def state(): Set[(Long, Long, String)] = spark.read.parquet(target).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[java.math.BigDecimal]("total_value").toPlainString)).toSet
+
+    landFlat("wave1.parquet", Seq((1L, 10L, "click", 1.00), (2L, 20L, "view", 2.00)))
+    IncrementalPipeline.upsertUserProfilesAvailableNow(spark, src, target, ckpt)
+    assert(state() == Set((10L, 1L, "1.00"), (20L, 1L, "2.00")))
+
+    // ADVICE scenario: crash midway through removing the old target — the tmp
+    // snapshot is committed, the target dir survives PARTIALLY (data files
+    // with valid lineage stamps, no _SUCCESS). exists() alone would fold onto
+    // the partial history and silently lose rows; the marker check must
+    // replace it from tmp instead.
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(target),
+      new org.apache.hadoop.fs.Path(target + "__next")), "fixture: stage committed tmp")
+    Files.createDirectories(Paths.get(target))
+    val aPart = new java.io.File(target + "__next").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(aPart.toPath, Paths.get(target, aPart.getName))
+    landFlat("wave2.parquet", Seq((3L, 10L, "click", 0.50)))
+    IncrementalPipeline.upsertUserProfilesAvailableNow(spark, src, target, ckpt)
+    assert(state() == Set((10L, 2L, "1.50"), (20L, 1L, "2.00")),
+      "torn target replaced from the committed tmp, then the new wave folds once")
+
+    // torn target with NO committed snapshot anywhere: both silent options
+    // lose rows, so the sink must refuse to fold
+    fs.delete(new org.apache.hadoop.fs.Path(target, "_SUCCESS"), false)
+    landFlat("wave3.parquet", Seq((4L, 30L, "view", 9.00)))
+    val e = intercept[Exception] {
+      IncrementalPipeline.upsertUserProfilesAvailableNow(spark, src, target, ckpt)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("torn state")))
+  }
 }

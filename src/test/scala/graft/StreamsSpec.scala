@@ -171,7 +171,17 @@ class StreamsSpec extends SparkSuite {
     val all = graft.engine.Tables.events(spark, dir)
     val mid = all.count() / 2
     all.filter(col("event_id") < mid).coalesce(1).write.mode("append").parquet(src)
+    // the file source orders micro-batches by modification time; two appends
+    // landing in the same mtime tick would make batch order (and the carried
+    // state the test exercises) nondeterministic — pin wave1 strictly earlier
+    val wave1Parts = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val base = System.currentTimeMillis() - 60000
+    wave1Parts.foreach(f => assert(f.setLastModified(base), s"setLastModified $f"))
     all.filter(col("event_id") >= mid).coalesce(1).write.mode("append").parquet(src)
+    new java.io.File(src).listFiles().filter(_.getName.endsWith(".parquet"))
+      .filterNot(wave1Parts.map(_.getName).toSet contains _.getName)
+      .foreach(f => assert(f.setLastModified(base + 30000), s"setLastModified $f"))
     Streams.runToMemory(
       Streams.transitionsStream(spark, src, maxFilesPerTrigger = 1).toDF(),
       "transitions_out")
