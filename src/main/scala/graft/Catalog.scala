@@ -1529,6 +1529,100 @@ object Catalog {
         |      FROM r WHERE rn <= 8 GROUP BY user_id)
         |SELECT path, COUNT(*) AS n_users FROM p GROUP BY path
         |ORDER BY n_users DESC, path LIMIT 20""".stripMargin),
+
+    // Dynamic partition pruning: partition-column join against a dim filtered
+    // on a NON-key attribute — the pruned years are only knowable at runtime
+    // (PlanSpec asserts the dynamicpruning subquery in PartitionFilters).
+    q("q121_dynamic_pruning", engine.Layout.dynamicPrunedJoin,
+      """WITH ydim AS (
+        |  SELECT CAST(year(l_shipdate) AS INT) AS o_year, COUNT(*) AS n_items,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returns
+        |  FROM lineitem GROUP BY 1),
+        |sel AS (SELECT o_year, CAST(n_returns * 1000000 // n_items AS BIGINT) AS return_ppm
+        |        FROM ydim WHERE n_returns * 1000000 // n_items >= 200000)
+        |SELECT o.o_year, s.return_ppm, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM (SELECT *, CAST(year(o_orderdate) AS INT) AS o_year FROM orders) o
+        |JOIN sel s USING (o_year)
+        |GROUP BY o.o_year, s.return_ppm ORDER BY o.o_year""".stripMargin),
+
+    // Fixed-size deterministic sample: exactly k docs by md5-priority order —
+    // content-addressed reservoir equivalent; TakeOrderedAndProject plan.
+    q("q122_fixed_sample", (s, d) => ext.Sampling.fixedSizeSample(s, d),
+      """SELECT doc_id, lang, source,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS sample_key
+        |FROM documents
+        |ORDER BY sample_key, doc_id LIMIT 200""".stripMargin),
+
+    // Exact-moment correlation/OLS: BIGINT moment sums, one double conversion,
+    // identical IEEE expression shape on both engines — hash-exact corr.
+    q("q123_corr_slope", (s, d) => engine.Analytics.corrSlope(engine.Tables.lineitem(s, d)),
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x*x) AS BIGINT) AS sx2, CAST(SUM(y*y) AS BIGINT) AS sy2
+        |  FROM (SELECT l_returnflag, CAST(month(l_shipdate) AS BIGINT) AS x,
+        |               CAST(l_quantity AS BIGINT) AS y FROM lineitem)
+        |  GROUP BY l_returnflag),
+        |v AS (SELECT *, CAST(n*sx2 - sx*sx AS DOUBLE) AS vx,
+        |        CAST(n*sy2 - sy*sy AS DOUBLE) AS vy,
+        |        CAST(n*sxy - sx*sy AS DOUBLE) AS vxy FROM m)
+        |SELECT l_returnflag, n, sx, sy,
+        |  CAST(floor(vxy / sqrt(vx * vy) * 1000000.0) AS BIGINT) AS corr_e6,
+        |  CAST(floor(vxy / vx * 1000000.0) AS BIGINT) AS slope_e6
+        |FROM v ORDER BY l_returnflag""".stripMargin),
+
+    // k-anonymity profile: quasi-identifier equivalence classes below k and
+    // the share of customers they expose, per nation.
+    q("q124_k_anonymity", (s, d) => engine.Quality.kAnonymity(engine.Tables.customer(s, d)),
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS INT) AS bal_band, COUNT(*) AS grp_n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, COUNT(*) AS n_groups,
+        |  CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS risky_groups,
+        |  CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT) AS risky_customers,
+        |  CAST(SUM(grp_n) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) * 1000000 // SUM(grp_n) AS BIGINT) AS risky_ppm
+        |FROM g GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+
+    // Bounded-prefix edit distance over LSH candidate pairs: the order-aware
+    // verifier beside Jaccard (q61); cost bounded by candidates x prefix².
+    q("q125_edit_distance", (s, d) => ext.Dedup.editDistancePairs(s, d),
+      s"""WITH $bandsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |         GROUP BY doc_a, doc_b),
+         |h AS (SELECT doc_id, substr(regexp_replace(text, '\\s+', ' ', 'g'), 1, 160) AS head
+         |      FROM documents)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(levenshtein(ha.head, hb.head) AS BIGINT) AS lev,
+         |  CAST(greatest(length(ha.head), length(hb.head)) AS BIGINT) AS max_len,
+         |  CAST((greatest(length(ha.head), length(hb.head)) - levenshtein(ha.head, hb.head)) * 1000000
+         |       // greatest(length(ha.head), length(hb.head)) AS BIGINT) AS sim_ppm
+         |FROM cand c JOIN h ha ON ha.doc_id = c.doc_a JOIN h hb ON hb.doc_id = c.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // BPE merge-pair counting: the distributed step of BPE vocab induction.
+    q("q126_bpe_pairs", (s, d) => ext.TextStats.bpePairs(s, d),
+      """WITH words AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |pairs AS (
+        |  SELECT substr(w, CAST(i AS INT), 2) AS pair
+        |  FROM (SELECT w, unnest(range(1, length(w))) AS i
+        |        FROM words WHERE regexp_full_match(w, '[a-z]+') AND length(w) >= 2))
+        |SELECT pair, COUNT(*) AS n_pair FROM pairs GROUP BY pair
+        |ORDER BY n_pair DESC, pair LIMIT 50""".stripMargin),
+
+    // Temperature (alpha = 0.5) mixture weights as exact integers.
+    q("q127_temperature_mixture", (s, d) => ext.Sampling.temperatureMixture(s, d),
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs, CAST(round(sqrt(n_docs) * 1000) AS BIGINT) AS w_milli FROM c)
+        |SELECT source, n_docs, w_milli,
+        |  CAST(w_milli * 1000000 // (SELECT CAST(SUM(w_milli) AS BIGINT) FROM w) AS BIGINT) AS share_ppm
+        |FROM w ORDER BY source""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

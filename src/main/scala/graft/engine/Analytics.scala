@@ -74,6 +74,38 @@ object Analytics {
       .orderBy(col("Group_Sales").desc)
   }
 
+  /** Exact-moment Pearson correlation + OLS slope (q123): corr(ship month,
+    * quantity) per return flag. Spark's `corr()` (and DuckDB's) accumulate
+    * DOUBLE moments in partition order — the result drifts in the last ulps
+    * across engines and runs, so it can never hash-match. Here the five
+    * moments (Σx, Σy, Σxy, Σx², Σy²) are EXACT BIGINT sums (month ≤ 12,
+    * quantity ≤ 50 — no overflow at any SF), converted to double once, and
+    * the corr/slope formulas are evaluated in the identical expression shape
+    * on both engines: same inputs, same IEEE op sequence, same bits. The
+    * aggregation itself stays one map-side-combinable pass — this is the
+    * numerically-stable two-pass-free corr for distributed data. */
+  def corrSlope(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_returnflag"),
+        month(col("l_shipdate")).cast("long").as("x"),
+        col("l_quantity").cast("long").as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"))
+      .withColumn("vx", expr("CAST(n * sx2 - sx * sx AS DOUBLE)"))
+      .withColumn("vy", expr("CAST(n * sy2 - sy * sy AS DOUBLE)"))
+      .withColumn("vxy", expr("CAST(n * sxy - sx * sy AS DOUBLE)"))
+      .withColumn("corr_e6",
+        expr("CAST(floor(vxy / sqrt(vx * vy) * 1000000.0) AS BIGINT)"))
+      .withColumn("slope_e6",
+        expr("CAST(floor(vxy / vx * 1000000.0) AS BIGINT)"))
+      .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+        col("corr_e6"), col("slope_e6"))
+      .orderBy("l_returnflag")
+
   /** Delivery-performance KPIs from fact_orders (Dashboard 3,
     * `Readme.md:189-196`): average approval / delivery days, late share. */
   def deliveryKpis(factOrders: DataFrame): DataFrame =

@@ -74,21 +74,12 @@ object Layout {
     * the first-line pruning lever before row-group stats; the roundtrip
     * through a real partitioned write is the point of the query, so its cost
     * includes the write. */
-  def partitionPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+  def partitionPrunedScan(spark: SparkSession, dir: String): DataFrame =
     // one partitioned layout per source dir per session: the write is the
     // once-per-drop layout cost, the OPERATOR under test is the pruned read.
     // Fixture dirs are immutable, so dir-keyed reuse cannot serve stale data
     // (a mutable source would key on a snapshot id).
-    val prefix = s"graft_part_${Fs.dirTag(dir)}"
-    val path = Fs.withPrefixLock(prefix) { // two threads must not both build
-      val p = Fs.stableScratchDir(prefix)
-      val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
-      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(marker)) partitionedOrdersWrite(spark, dir, p)
-      p
-    }
-    prunedYearRollup(spark.read.parquet(path))
-  }
+    prunedYearRollup(spark.read.parquet(partitionedOrdersPath(spark, dir)))
 
   /** The partitioned-layout writer behind [[partitionPrunedScan]], callable
     * on its own so a test can build the layout once and explain the pruned
@@ -106,6 +97,61 @@ object Layout {
       .groupBy(month(col("o_orderdate")).cast("int").as("o_month"))
       .agg(count(lit(1)).as("n_orders"), Dec.sum2(col("o_totalprice")).as("revenue"))
       .orderBy("o_month")
+
+  /** Build-or-reuse path of the year-partitioned orders layout — the shared
+    * once-per-drop build behind [[partitionPrunedScan]] (q107) and
+    * [[dynamicPrunedJoin]] (q121). */
+  def partitionedOrdersPath(spark: SparkSession, dir: String): String = {
+    val prefix = s"graft_part_${Fs.dirTag(dir)}"
+    Fs.withPrefixLock(prefix) {
+      val p = Fs.stableScratchDir(prefix)
+      val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(marker)) partitionedOrdersWrite(spark, dir, p)
+      p
+    }
+  }
+
+  /** Per-ship-year dim over lineitem (year, returned-item share in ppm),
+    * materialized once per data drop: the small filtered side of
+    * [[dynamicPrunedJoin]]. A real deployment's date/scope dim; built here
+    * from the fixture so the query is self-contained. */
+  def shipYearDimPath(spark: SparkSession, dir: String): String = {
+    val prefix = s"graft_ydim_${Fs.dirTag(dir)}"
+    Fs.withPrefixLock(prefix) {
+      val p = Fs.stableScratchDir(prefix)
+      val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(marker))
+        Tables.lineitem(spark, dir)
+          .groupBy(year(col("l_shipdate")).cast("int").as("o_year"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returns"))
+          .withColumn("return_ppm", expr("n_returns * 1000000L div n_items"))
+          .write.mode("overwrite").parquet(p)
+      p
+    }
+  }
+
+  /** Dynamic partition pruning (q121): the year-partitioned orders layout
+    * joined ON ITS PARTITION COLUMN to a dim filtered on a NON-key attribute
+    * (ship years whose returned-item share clears a threshold). The pruning
+    * years are unknowable at plan time — static pruning (q107) cannot apply —
+    * so Catalyst's DynamicPartitionPruning injects a `dynamicpruning#`
+    * subquery into the fact scan's PartitionFilters and only the selected
+    * year directories are opened (PlanSpec asserts). At 100 TB this is THE
+    * star-join scan guard: a date-dim filter ("fiscal Q4", "promo weeks")
+    * prunes the fact to the matching partitions without the user naming them. */
+  def dynamicPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = spark.read.parquet(partitionedOrdersPath(spark, dir))
+    val dim = spark.read.parquet(shipYearDimPath(spark, dir))
+      .filter(col("return_ppm") >= 200000L)
+      .select(col("o_year"), col("return_ppm"))
+    fact.join(broadcast(dim), Seq("o_year"))
+      .groupBy(col("o_year"), col("return_ppm"))
+      .agg(count(lit(1)).as("n_orders"), Dec.sum2(col("o_totalprice")).as("revenue"))
+      .orderBy("o_year")
+  }
 
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(bytes / targetFileBytes) balanced files. The small-files problem is

@@ -41,6 +41,29 @@ object Quality {
     CheckResult(s"$key unique", row.getLong(0))
   }
 
+  /** k-anonymity profile (q124): group customers by a quasi-identifier tuple
+    * (nation, market segment, account-balance band) and report, per nation,
+    * how many equivalence classes fall below `k` members and what share of
+    * customers sits in those re-identifiable classes. The release-gate
+    * counterpart of the PII redaction op (q64): redaction strips direct
+    * identifiers, this measures whether the remaining quasi-identifiers
+    * still single people out. Two chained aggregations, both map-side
+    * combinable; the balance band uses floor() (not integer cast) so
+    * negative balances band identically on both engines. */
+  def kAnonymity(customer: DataFrame, k: Int = 5): DataFrame =
+    customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("int").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("grp_n"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("grp_n") < k, 1L).otherwise(0L)).as("risky_groups"),
+        sum(when(col("grp_n") < k, col("grp_n")).otherwise(0L)).as("risky_customers"),
+        sum(col("grp_n")).as("n_customers"))
+      .withColumn("risky_ppm", expr("risky_customers * 1000000L div n_customers"))
+      .orderBy("c_nationkey")
+
   /** Run all reference gates; throws like the DAG's ValueError on failure
     * (`E-commerce_dag.py:69-77`). */
   def gate(silver: Map[String, DataFrame]): Seq[CheckResult] = {

@@ -223,6 +223,33 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Bounded-prefix edit-distance verification (q125) of LSH candidate
+    * pairs: levenshtein over the first `prefixLen` chars of the
+    * whitespace-normalized text. Edit distance is O(len²) per pair —
+    * unusable corpus-wide, fine as a VERIFICATION stage once candidate
+    * generation bounds the pair count and the prefix bounds the per-pair
+    * cost. Complements the Jaccard verifier ([[minhashJaccard]]): Jaccard
+    * sees shingle-SET overlap, edit distance sees ORDER (a paragraph-
+    * shuffled near-dup keeps high Jaccard but gains edit distance).
+    * Similarity is integer ppm of the longer prefix, so the output is
+    * engine-exact. */
+  def editDistancePairs(spark: SparkSession, dir: String,
+      prefixLen: Int = 160): DataFrame = {
+    val heads = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(regexp_replace(col("text"), "\\s+", " "), 1, prefixLen).as("head"))
+    minhashCandidatePairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .join(heads.select(col("doc_id").as("doc_a"), col("head").as("head_a")), Seq("doc_a"))
+      .join(heads.select(col("doc_id").as("doc_b"), col("head").as("head_b")), Seq("doc_b"))
+      .withColumn("lev", levenshtein(col("head_a"), col("head_b")).cast("long"))
+      .withColumn("max_len",
+        greatest(length(col("head_a")), length(col("head_b"))).cast("long"))
+      .withColumn("sim_ppm", expr("(max_len - lev) * 1000000L div max_len"))
+      .select(col("doc_a"), col("doc_b"), col("lev"), col("max_len"), col("sim_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Duplicate CLUSTERS from the LSH candidate graph: connected components via
     * iterative min-label propagation WITH POINTER JUMPING — the final step of
     * a dedup pipeline (pairs → clusters → keep one canonical doc per cluster).

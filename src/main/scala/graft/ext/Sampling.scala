@@ -49,6 +49,40 @@ object Sampling {
       .orderBy("lang", "pick")
   }
 
+  /** Fixed-size deterministic sample (q122): exactly `k` documents, chosen
+    * as the k smallest md5-priority keys — the content-addressed equivalent
+    * of a size-k reservoir sample (same marginal uniformity, but reproducible
+    * on any engine/partitioning, unlike a stateful reservoir). Plans as
+    * TakeOrderedAndProject (PlanSpec asserts): each partition forwards at
+    * most k rows, so no global sort materializes — the scale-safe fixed-size
+    * draw. Full tie-break via doc_id for the (never observed) equal-key case. */
+  def fixedSizeSample(spark: SparkSession, dir: String, k: Int = 200): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), u28("doc_id").as("sample_key"))
+      .orderBy(col("sample_key"), col("doc_id"))
+      .limit(k)
+
+  /** Temperature-weighted mixture (q127): per-source sampling weights
+    * proportional to n_docs^0.5 — the standard temperature reweighting
+    * (alpha = 1/2) that keeps large sources from drowning small ones in a
+    * training mix. Weights are kept as exact integers: sqrt of a BIGINT is
+    * IEEE-correctly-rounded in both engines, round(.*1000) can never land on
+    * a .5 boundary (only perfect squares yield finite sqrt digits), and the
+    * shares are integer ppm — so the mix is engine-exact, not
+    * approximately-equal doubles. One tiny aggregate (n_sources rows) + a
+    * single-partition window for the total: driver-scale state. */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val weights = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_milli", round(sqrt(col("n_docs")) * 1000).cast("long"))
+    val total = weights.agg(sum(col("w_milli")).as("total_milli"))
+    weights.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("w_milli * 1000000L div total_milli"))
+      .select(col("source"), col("n_docs"), col("w_milli"), col("share_ppm"))
+      .orderBy("source")
+  }
+
   /** Length-biased deterministic sample (q115): P(keep) = n_tokens /
     * max_tokens — the standard debiasing draw when a corpus over-represents
     * short documents and the training mix should weight by token mass.

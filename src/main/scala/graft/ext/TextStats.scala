@@ -390,6 +390,26 @@ object TextStats {
       .orderBy("vocab_id")
   }
 
+  /** BPE merge-pair statistics (q126): the distributed half of byte-pair-
+    * encoding vocabulary induction. Pre-tokenize to lowercase ASCII words
+    * (the GPT-2-style regex boundary, restricted to `[a-z]+` so char
+    * semantics are engine-identical), explode each word into its adjacent
+    * symbol pairs, and count — the top pair is the next BPE merge. A full
+    * BPE trainer loops this: the driver holds the (tiny) merge table and
+    * re-counts after each merge; the pair COUNT is the only step that
+    * touches the corpus, and it is one explode + one map-side-combinable
+    * aggregate + a top-N (TakeOrderedAndProject) here. */
+  def bpePairs(spark: SparkSession, dir: String, topN: Int = 50): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_pair"))
+      .orderBy(col("n_pair").desc, col("pair"))
+      .limit(topN)
+
   /** Deterministic train/val/test split assignment: content-addressed hash of
     * doc_id into 100 buckets → split by fixed band (train 0-89, val 90-94,
     * test 95-99). Partition-layout-independent (the same doc always lands in

@@ -205,4 +205,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"interval overlap must be an equi-join on the hour bucket:\n$p")
   }
+
+  test("q121: the dim filter prunes fact partitions DYNAMICALLY at the scan") {
+    val p = plan("q121_dynamic_pruning")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("dynamicpruning"),
+      s"fact scan lost its runtime partition pruning subquery:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"year dim must broadcast:\n$p")
+  }
+
+  test("q122/q126: fixed-size sample and BPE top-N plan as TakeOrderedAndProject") {
+    for (q <- Seq("q122_fixed_sample", "q126_bpe_pairs")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: top-k lost its per-partition trim:\n$p")
+    }
+  }
 }

@@ -345,4 +345,118 @@ class ScaleOpsSpec extends SparkSuite {
     val again = Events.userPaths(spark, dir).collect()
     assert(paths.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("q121 dynamic pruning matches the direct derived-year join (non-vacuously)") {
+    val pruned = Layout.dynamicPrunedJoin(spark, dir)
+    val dim = Tables.lineitem(spark, dir)
+      .groupBy(year(col("l_shipdate")).cast("int").as("o_year"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returns"))
+      .withColumn("return_ppm", expr("n_returns * 1000000L div n_items"))
+      .filter(col("return_ppm") >= 200000L)
+      .select("o_year", "return_ppm")
+    val plain = Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+      .join(dim, Seq("o_year"))
+      .groupBy("o_year", "return_ppm")
+      .agg(count(lit(1)).as("n_orders"),
+        engine.Dec.sum2(col("o_totalprice")).as("revenue"))
+      .orderBy("o_year")
+    val got = rows(pruned)
+    assert(got.nonEmpty, "no year cleared the return-share threshold — fixture drift")
+    assert(got == rows(plain))
+  }
+
+  test("q122 fixed-size sample: exactly k docs, the k smallest priority keys") {
+    val k = 10
+    val got = ext.Sampling.fixedSizeSample(spark, dir, k = k).collect()
+    assert(got.length == k)
+    val expected = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+          .cast("long").as("key"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.take(k)
+      .map(_._2).toSeq
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == expected)
+  }
+
+  test("q123 exact-moment corr: perfect linear fixture is exactly 1000000") {
+    import spark.implicits._
+    val li = (1 to 12).map(m =>
+      ("A", java.sql.Timestamp.valueOf(f"2020-$m%02d-15 00:00:00"), m.toDouble))
+      .toDF("l_returnflag", "l_shipdate", "l_quantity")
+    val out = engine.Analytics.corrSlope(li).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("corr_e6") == 1000000L)
+    assert(out.head.getAs[Long]("slope_e6") == 1000000L)
+    // real data: correlation stays inside [-1, 1] after the e6 scaling
+    val real = engine.Analytics.corrSlope(Tables.lineitem(spark, dir)).collect()
+    assert(real.nonEmpty)
+    assert(real.forall(r => math.abs(r.getAs[Long]("corr_e6")) <= 1000000L))
+  }
+
+  test("q124 k-anonymity: planted classes flag exactly the sub-k ones") {
+    import spark.implicits._
+    val df = ((1 to 5).map(_ => (1, "AUTO", 500.0)) ++
+      (1 to 2).map(_ => (1, "BIKE", 1500.0)) ++
+      Seq((2, "AUTO", -100.0)))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val out = engine.Quality.kAnonymity(df, k = 5).collect()
+      .map(r => r.getAs[Int]("c_nationkey") -> r).toMap
+    val n1 = out(1)
+    assert(n1.getAs[Long]("n_groups") == 2 && n1.getAs[Long]("risky_groups") == 1)
+    assert(n1.getAs[Long]("risky_customers") == 2 && n1.getAs[Long]("n_customers") == 7)
+    assert(n1.getAs[Long]("risky_ppm") == 2L * 1000000L / 7L)
+    val n2 = out(2) // single negative-balance customer: floor bands to -1, fully risky
+    assert(n2.getAs[Long]("risky_ppm") == 1000000L && n2.getAs[Long]("n_groups") == 1)
+  }
+
+  test("q125 edit distance: planted identical docs verify at sim 1000000; bounds hold") {
+    import spark.implicits._
+    val tmp = "/tmp/graft_test_docs_ed"
+    rmTree(tmp)
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different content words here now"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val ed = ext.Dedup.editDistancePairs(spark, tmp).collect()
+    val p12 = ed.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(p12.nonEmpty, "identical docs must surface as an LSH candidate pair")
+    assert(p12.get.getAs[Long]("lev") == 0L && p12.get.getAs[Long]("sim_ppm") == 1000000L)
+    val real = ext.Dedup.editDistancePairs(spark, dir).collect()
+    assert(real.forall { r =>
+      val l = r.getAs[Long]("lev"); val m = r.getAs[Long]("max_len")
+      l >= 0 && l <= m && r.getAs[Long]("sim_ppm") == (m - l) * 1000000L / m
+    })
+  }
+
+  test("q126 BPE pairs: hand-counted fixture; rejects non-[a-z] and 1-char words") {
+    import spark.implicits._
+    val tmp = "/tmp/graft_test_docs_bpe"
+    rmTree(tmp)
+    Seq((1L, "aaa bb aaa"), (2L, "ab AB x9 a"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = ext.TextStats.bpePairs(spark, tmp).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n_pair")).toSeq
+    assert(got == Seq("aa" -> 4L, "ab" -> 2L, "bb" -> 1L))
+  }
+
+  test("q127 temperature mixture: exact integer weights, shares conserve") {
+    val m = ext.Sampling.temperatureMixture(spark, dir).collect()
+    assert(m.nonEmpty)
+    assert(m.forall { r =>
+      r.getAs[Long]("w_milli") ==
+        math.round(math.sqrt(r.getAs[Long]("n_docs").toDouble) * 1000)
+    })
+    val shares = m.map(_.getAs[Long]("share_ppm"))
+    assert(shares.sum <= 1000000L && shares.forall(s => s > 0 && s < 1000000L))
+    // temperature flattens: the weight spread is the SQRT of the size spread
+    val byN = m.sortBy(_.getAs[Long]("n_docs"))
+    val sizeRatio = byN.last.getAs[Long]("n_docs").toDouble / byN.head.getAs[Long]("n_docs")
+    val wRatio = byN.last.getAs[Long]("w_milli").toDouble / byN.head.getAs[Long]("w_milli")
+    assert(wRatio <= sizeRatio / wRatio * 1.01, "weights must grow sub-linearly in size")
+  }
 }
