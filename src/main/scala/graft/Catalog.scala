@@ -1623,6 +1623,66 @@ object Catalog {
         |SELECT source, n_docs, w_milli,
         |  CAST(w_milli * 1000000 // (SELECT CAST(SUM(w_milli) AS BIGINT) FROM w) AS BIGINT) AS share_ppm
         |FROM w ORDER BY source""".stripMargin),
+
+    // Declarative expectation suite: N rules, ONE scan (Deequ analyzer-batch
+    // shape), unpivoted to per-rule rows.
+    q("q128_expectations", engine.Quality.orderExpectations,
+      """WITH a AS (SELECT
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_null,
+        |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS r_uniq,
+        |  CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS r_range,
+        |  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS r_dom,
+        |  CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+        |                  OR o_orderdate >= TIMESTAMP '2002-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS r_date
+        | FROM orders)
+        |SELECT 'orderkey_not_null' AS rule_name, r_null AS violations, r_null = 0 AS passed FROM a
+        |UNION ALL SELECT 'orderkey_unique', r_uniq, r_uniq = 0 FROM a
+        |UNION ALL SELECT 'totalprice_in_range', r_range, r_range = 0 FROM a
+        |UNION ALL SELECT 'status_in_domain', r_dom, r_dom = 0 FROM a
+        |UNION ALL SELECT 'orderdate_in_window', r_date, r_date = 0 FROM a
+        |ORDER BY rule_name""".stripMargin),
+
+    // Order-independent content checksum: commutative bit_xor of canonical
+    // row hashes — replica/migration divergence check without sorting.
+    q("q129_table_fingerprint", engine.Quality.tableFingerprint,
+      """WITH f AS (SELECT o_orderpriority,
+        |  CAST(('0x' || substr(md5(
+        |    COALESCE(CAST(o_orderkey AS VARCHAR), '\N') || '|' ||
+        |    COALESCE(CAST(o_custkey AS VARCHAR), '\N') || '|' ||
+        |    COALESCE(o_orderstatus, '\N') || '|' ||
+        |    COALESCE(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '\N') || '|' ||
+        |    COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '\N')), 1, 15)) AS BIGINT) AS fp
+        |  FROM orders)
+        |SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |  CAST(bit_xor(fp) AS BIGINT) AS fingerprint
+        |FROM f GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // Corpus boilerplate share: high-doc-frequency shingles -> per-doc ppm.
+    q("q130_boilerplate", (s, d) => ext.TextStats.boilerplateShare(s, d),
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] || ' ' || ws[CAST(i AS INT) + 2] AS sh
+        |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w)),
+        |t AS (SELECT COUNT(*) AS n_total FROM documents),
+        |b AS (SELECT d.sh AS bsh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh) d, t
+        |      WHERE d.df * 1000000 >= 10000 * t.n_total)
+        |SELECT s.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN b.bsh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  CAST(SUM(CASE WHEN b.bsh IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS boiler_ppm
+        |FROM sh s LEFT JOIN b ON s.sh = b.bsh
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
+
+    // Null-key skew guard: null FKs bypass the exchange; output identical to
+    // the naive LEFT join (the oracle) — PlanSpec asserts the split.
+    q("q131_null_skew_join", engine.Skew.nullSkewJoin,
+      """WITH o AS (SELECT o_orderkey, o_totalprice,
+        |    CASE WHEN o_orderkey % 3 <> 0 THEN o_custkey END AS loyalty_key FROM orders)
+        |SELECT COALESCE(c_mktsegment, 'NO_PROGRAM') AS segment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM o LEFT JOIN customer ON loyalty_key = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-quality gates: the reference runs these as SQL in Postgres from Airflow
@@ -40,6 +40,60 @@ object Quality {
     val row = df.agg((count(lit(1)) - countDistinct(col(key))).as("dups")).head()
     CheckResult(s"$key unique", row.getLong(0))
   }
+
+  /** Declarative expectation suite (q128): each check is an AGGREGATE
+    * expression yielding its violation count, so an arbitrary rule set
+    * evaluates in ONE table scan (the Deequ-style "analyzer batch" shape —
+    * at 100 TB the scan dominates, so rules must share it, never re-scan per
+    * rule). The wide 1-row aggregate is unpivoted to (rule_name, violations,
+    * passed) rows via stack. */
+  def expect(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    val aggs = checks.zipWithIndex.map { case ((_, c), i) => c.cast("long").as(s"_r$i") }
+    val stackExpr = s"stack(${checks.size}, " +
+      checks.zipWithIndex.map { case ((n, _), i) => s"'$n', _r$i" }.mkString(", ") +
+      ") AS (rule_name, violations)"
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(stackExpr))
+      .withColumn("passed", col("violations") === 0L)
+      .orderBy("rule_name")
+  }
+
+  /** The orders expectation suite behind q128: null / uniqueness / range /
+    * domain / date-window rules, all in one pass over orders. */
+  def orderExpectations(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    expect(Tables.orders(spark, dir), Seq(
+      "orderkey_not_null" -> sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)),
+      "orderkey_unique" -> (count(lit(1)) - countDistinct(col("o_orderkey"))),
+      "totalprice_in_range" -> sum(when(col("o_totalprice") < 0 ||
+        col("o_totalprice") > 1000000, 1L).otherwise(0L)),
+      "status_in_domain" -> sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+        .otherwise(0L)),
+      "orderdate_in_window" -> sum(when(
+        col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+          col("o_orderdate") >= lit("2002-01-01").cast("timestamp"), 1L).otherwise(0L))))
+
+  /** Order-independent table fingerprint (q129): per-group bit_xor of 60-bit
+    * md5 row hashes over a CANONICAL string encoding. XOR is commutative and
+    * associative, so the checksum is independent of partitioning, row order,
+    * and merge order — two replicas (or a table before/after a rewrite,
+    * compaction, or engine migration) compare by exchanging one row per
+    * group, never by sorting or co-locating 100 TB. Doubles enter via the
+    * exact DECIMAL(18,2) rendering and timestamps via the DATE rendering, the
+    * two canonical forms both engines print identically; NULLs via a sentinel
+    * (concat_ws would silently drop them, aliasing (NULL,'x') with ('x',NULL)). */
+  def tableFingerprint(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        conv(substring(md5(concat_ws("|",
+          coalesce(col("o_orderkey").cast("string"), lit("\\N")),
+          coalesce(col("o_custkey").cast("string"), lit("\\N")),
+          coalesce(col("o_orderstatus"), lit("\\N")),
+          coalesce(col("o_totalprice").cast(Dec.D18_2).cast("string"), lit("\\N")),
+          coalesce(col("o_orderdate").cast("date").cast("string"), lit("\\N")))),
+          1, 15), 16, 10).cast("long").as("fp"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(fp)").as("fingerprint"))
+      .orderBy("o_orderpriority")
 
   /** k-anonymity profile (q124): group customers by a quasi-identifier tuple
     * (nation, market segment, account-balance band) and report, per nation,

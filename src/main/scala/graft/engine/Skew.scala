@@ -75,4 +75,31 @@ object Skew {
     keyShares(df, key, topN)
       .withColumn("pct_of_total", round(col("share_ppm") / 10000.0, 2))
       .drop("share_ppm")
+
+  /** Null-key skew guard (q131): a LEFT join through a nullable FK must not
+    * ship its null keys through the exchange — every NULL hashes to the SAME
+    * reducer, so a column that is one-third null sends one-third of a 100 TB
+    * table to one task (and a null key can match nothing anyway: SQL join
+    * equality is null-rejecting). Split form: null-key rows bypass the join
+    * entirely with the dim columns nulled in, non-null rows join normally,
+    * union afterwards. Output is row-identical to the naive LEFT join — the
+    * oracle IS the naive join — but no null ever enters a shuffle. The
+    * nullable `loyalty_key` is derived here (orders opted out of the loyalty
+    * program); at scale it is any sparsely-populated FK. */
+  def nullSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        when(col("o_orderkey") % 3 =!= 0, col("o_custkey")).as("loyalty_key"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val matched = o.filter(col("loyalty_key").isNotNull)
+      .join(c, col("loyalty_key") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_mktsegment"))
+    val bypass = o.filter(col("loyalty_key").isNull)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        lit(null).cast("string").as("c_mktsegment"))
+    matched.unionByName(bypass)
+      .groupBy(coalesce(col("c_mktsegment"), lit("NO_PROGRAM")).as("segment"))
+      .agg(count(lit(1)).as("n_orders"), Dec.sum2(col("o_totalprice")).as("revenue"))
+      .orderBy("segment")
+  }
 }

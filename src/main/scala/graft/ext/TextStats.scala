@@ -246,6 +246,36 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Corpus boilerplate share (q130): 3-token shingles present in >= `dfPpm`
+    * of documents are boilerplate (disclaimers, navigation chrome, license
+    * headers); each document reports what share of its distinct shingles is
+    * boilerplate — the corpus-level form of C4's repeated-line removal, and
+    * the upstream signal for stripping chrome before dedup (boilerplate
+    * inflates Jaccard between unrelated pages). Shapes: one groupBy(sh) for
+    * doc frequency; the boilerplate set is tiny by construction (high-df
+    * tail) so the per-doc re-join broadcasts; threshold compared in exact
+    * integers against a broadcast 1-row corpus count — no driver collect. */
+  def boilerplateShare(spark: SparkSession, dir: String,
+      dfPpm: Long = 10000L): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(words)-2),
+          |  i -> concat_ws(' ', element_at(words, i), element_at(words, i+1), element_at(words, i+2))))""".stripMargin)).as("sh"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_total"))
+    val boiler = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * lit(1000000L) >= lit(dfPpm) * col("n_total"))
+      .select(col("sh"), lit(1L).as("is_boiler"))
+    sh.join(broadcast(boiler), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+      .withColumn("boiler_ppm", expr("n_boiler * 1000000L div n_shingles"))
+      .orderBy("doc_id")
+  }
+
   /** Document-length histogram: 100-char buckets (scan + one tiny aggregate). */
   def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

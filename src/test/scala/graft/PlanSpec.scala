@@ -221,4 +221,21 @@ class PlanSpec extends SparkSuite {
         s"$q: top-k lost its per-partition trim:\n$p")
     }
   }
+
+  test("q128 expectations: the whole rule suite evaluates in ONE table scan") {
+    val p = plan("q128_expectations")
+    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"rule suite must share one scan, found $scans:\n$p")
+  }
+
+  test("q131 null-skew join: nulls bypass the join via the union split") {
+    val p = plan("q131_null_skew_join")
+    assert(p.contains("Union"), s"null band must bypass the join:\n$p")
+    // split shape: orders scanned once per branch + the dim — exactly one
+    // join, fed by a filtered branch (the optimizer rewrites the loyalty_key
+    // alias into its defining condition, so assert structure, not the name)
+    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 3, s"expected 2 orders branches + 1 dim scan, got $scans:\n$p")
+    assert(p.contains("BroadcastHashJoin LeftOuter"), s"dim join must broadcast:\n$p")
+  }
 }

@@ -459,4 +459,78 @@ class ScaleOpsSpec extends SparkSuite {
     val wRatio = byN.last.getAs[Long]("w_milli").toDouble / byN.head.getAs[Long]("w_milli")
     assert(wRatio <= sizeRatio / wRatio * 1.01, "weights must grow sub-linearly in size")
   }
+
+  test("q128 expectations: planted violations are counted per rule") {
+    import spark.implicits._
+    val df = Seq(
+      (Option.empty[Long], 10.0, "O"),   // null key
+      (Some(1L), 20.0, "O"),
+      (Some(1L), -5.0, "X"),             // dup key + negative price + bad status
+      (Some(2L), 30.0, "F"))
+      .toDF("k", "price", "status")
+    val out = engine.Quality.expect(df, Seq(
+      "k_not_null" -> sum(when(col("k").isNull, 1L).otherwise(0L)),
+      "k_unique" -> (count(col("k")) - countDistinct(col("k"))),
+      "price_nonneg" -> sum(when(col("price") < 0, 1L).otherwise(0L)),
+      "status_domain" -> sum(when(!col("status").isin("O", "F"), 1L).otherwise(0L))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out("k_not_null") == ((1L, false)))
+    assert(out("k_unique") == ((1L, false)))
+    assert(out("price_nonneg") == ((1L, false)))
+    assert(out("status_domain") == ((1L, false)))
+    // the real orders table passes its whole suite
+    val real = engine.Quality.orderExpectations(spark, dir).collect()
+    assert(real.length == 5 && real.forall(_.getAs[Boolean]("passed")))
+  }
+
+  test("q129 fingerprint: equals a locally-recomputed XOR; order-independent") {
+    val got = engine.Quality.tableFingerprint(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_rows"), r.getAs[Long]("fingerprint"))).toMap
+    // recompute the same 60-bit row hashes row-by-row on the driver and fold
+    // with XOR in a DIFFERENT (collection) order
+    val rows = Tables.orders(spark, dir).select(
+      col("o_orderpriority"),
+      conv(substring(md5(concat_ws("|",
+        col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+        col("o_orderstatus"), col("o_totalprice").cast(engine.Dec.D18_2).cast("string"),
+        col("o_orderdate").cast("date").cast("string"))), 1, 15), 16, 10)
+        .cast("long").as("fp"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val local = rows.reverse.groupBy(_._1).map { case (k, vs) =>
+      k -> (vs.length.toLong, vs.map(_._2).foldLeft(0L)(_ ^ _)) }
+    assert(got == local)
+  }
+
+  test("q130 boilerplate: planted common shingle flagged, unique tails are not") {
+    import spark.implicits._
+    val tmp = "/tmp/graft_test_docs_boiler"
+    rmTree(tmp)
+    // 150 docs: unique-shingle df (1/150 ≈ 6667 ppm) sits BELOW the 1%
+    // threshold, the shared header (df = 150) far above it
+    (1 to 150).map(i => (i.toLong, s"common header line u${i}a u${i}b u${i}c"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = ext.TextStats.boilerplateShare(spark, tmp).collect()
+    assert(out.length == 150)
+    // per doc: 4 shingles, exactly "common header line" is boilerplate
+    assert(out.forall(r => r.getAs[Long]("n_shingles") == 4L &&
+      r.getAs[Long]("n_boiler") == 1L &&
+      r.getAs[Long]("boiler_ppm") == 250000L))
+  }
+
+  test("q131 null-skew join is row-identical to the naive left join") {
+    val split = engine.Skew.nullSkewJoin(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        when(col("o_orderkey") % 3 =!= 0, col("o_custkey")).as("loyalty_key"))
+    val naive = o.join(Tables.customer(spark, dir).select("c_custkey", "c_mktsegment"),
+        col("loyalty_key") === col("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("NO_PROGRAM")).as("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        engine.Dec.sum2(col("o_totalprice")).as("revenue"))
+      .orderBy("segment")
+    assert(rows(split) == rows(naive))
+    // non-vacuous: the null band exists and is materialized under the sentinel
+    assert(split.collect().exists(_.getAs[String]("segment") == "NO_PROGRAM"))
+  }
 }
