@@ -1683,6 +1683,35 @@ object Catalog {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM o LEFT JOIN customer ON loyalty_key = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Pure-SQL surface: the same engine through spark.sql over registered
+    // views; the oracle is the IDENTICAL SQL text run by DuckDB.
+    q("q132_sql_surface", RelOps.sqlShippingPriority,
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-30'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin),
+
+    // Rolling 7-day distinct users: dedup to (day, user), explode to the 7
+    // window anchors, plain groupBy — no per-day re-scan of the raw events.
+    q("q133_rolling_distinct", RelOps.rollingDistinctUsers,
+      """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+        |wau AS (SELECT day + k.k AS day, COUNT(DISTINCT user_id) AS wau
+        |        FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS k) k
+        |        GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY dau.day""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

@@ -625,4 +625,52 @@ object RelOps {
     mergeUpsert(cust, updates.unionByName(inserts), "c_custkey")
       .orderBy("c_custkey")
   }
+
+  /** SQL API surface (q132): the same engine driven entirely through
+    * `spark.sql` over registered views — a SQL-first user needs no DataFrame
+    * code (the reference's users write SQL against Postgres; this is that
+    * surface on Spark). TPC-H Q3's shipping-priority shape; Catalyst plans
+    * it exactly like the DataFrame form — broadcast customer dim, one
+    * shuffle on the order key, TakeOrderedAndProject for the top-10 — there
+    * is no penalty for choosing the SQL front door. */
+  def sqlShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-30'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
+  /** Rolling 7-day distinct users (q133): DAU + WAU per day. A naive rolling
+    * COUNT(DISTINCT) re-scans a week of events per day (or worse, windows
+    * over the raw stream); the scalable exact form dedups to (day, user)
+    * first — the only heavy shuffle, map-side combinable — then EXPLODES each
+    * active day into the 7 window anchors it contributes to, turning the
+    * sliding window into a plain groupBy. Rows after the dedup are
+    * |active-days| × 7, independent of raw event volume — at 100 TB the
+    * explode runs over millions of rows, not trillions of events. */
+  def rollingDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val dayUsers = Tables.events(spark, dir)
+      .select(expr("unix_timestamp(ts) div 86400").as("day"), col("user_id"))
+      .distinct()
+    val dau = dayUsers.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = dayUsers
+      .select(explode(expr("sequence(day, day + 6)")).as("day"), col("user_id"))
+      .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+    // inner join restricts the window anchors to days that actually had
+    // activity (the +6 explode also lands on post-horizon days)
+    dau.join(wau, Seq("day")).orderBy("day")
+  }
 }

@@ -228,6 +228,12 @@ class PlanSpec extends SparkSuite {
     assert(scans == 1, s"rule suite must share one scan, found $scans:\n$p")
   }
 
+  test("q132 SQL surface plans like the DataFrame form: broadcast dim + top-N trim") {
+    val p = plan("q132_sql_surface")
+    assert(p.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must trim per partition:\n$p")
+  }
+
   test("q131 null-skew join: nulls bypass the join via the union split") {
     val p = plan("q131_null_skew_join")
     assert(p.contains("Union"), s"null band must bypass the join:\n$p")

@@ -518,6 +518,20 @@ class ScaleOpsSpec extends SparkSuite {
       r.getAs[Long]("boiler_ppm") == 250000L))
   }
 
+  test("q133 rolling distinct: WAU bounds and a brute-force day recompute") {
+    val out = engine.RelOps.rollingDistinctUsers(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("wau") >= r.getAs[Long]("dau")),
+      "a day's actives are a subset of its trailing week's actives")
+    // brute-force one day: distinct users over [day-6, day]
+    val probe = out(out.length / 2).getAs[Long]("day")
+    val brute = Tables.events(spark, dir)
+      .select(expr("unix_timestamp(ts) div 86400").as("day"), col("user_id"))
+      .filter(col("day") >= probe - 6 && col("day") <= probe)
+      .select("user_id").distinct().count()
+    assert(out.find(_.getAs[Long]("day") == probe).get.getAs[Long]("wau") == brute)
+  }
+
   test("q131 null-skew join is row-identical to the naive left join") {
     val split = engine.Skew.nullSkewJoin(spark, dir)
     val o = Tables.orders(spark, dir)
