@@ -1565,12 +1565,14 @@ object Catalog {
         |  FROM (SELECT l_returnflag, CAST(month(l_shipdate) AS BIGINT) AS x,
         |               CAST(l_quantity AS BIGINT) AS y FROM lineitem)
         |  GROUP BY l_returnflag),
-        |v AS (SELECT *, CAST(n*sx2 - sx*sx AS DOUBLE) AS vx,
-        |        CAST(n*sy2 - sy*sy AS DOUBLE) AS vy,
-        |        CAST(n*sxy - sx*sy AS DOUBLE) AS vxy FROM m)
+        |v AS (SELECT *,
+        |        CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |        CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+        |        CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS vxy
+        |      FROM m)
         |SELECT l_returnflag, n, sx, sy,
-        |  CAST(floor(vxy / sqrt(vx * vy) * 1000000.0) AS BIGINT) AS corr_e6,
-        |  CAST(floor(vxy / vx * 1000000.0) AS BIGINT) AS slope_e6
+        |  CASE WHEN vx > 0 AND vy > 0 THEN CAST(floor(vxy / sqrt(vx * vy) * 1000000.0) AS BIGINT) END AS corr_e6,
+        |  CASE WHEN vx > 0 THEN CAST(floor(vxy / vx * 1000000.0) AS BIGINT) END AS slope_e6
         |FROM v ORDER BY l_returnflag""".stripMargin),
 
     // k-anonymity profile: quasi-identifier equivalence classes below k and
@@ -1595,7 +1597,7 @@ object Catalog {
          |         FROM bands a JOIN bands b
          |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
          |         GROUP BY doc_a, doc_b),
-         |h AS (SELECT doc_id, substr(regexp_replace(text, '\\s+', ' ', 'g'), 1, 160) AS head
+         |h AS (SELECT doc_id, substr(regexp_replace(text, '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g'), 1, 160) AS head
          |      FROM documents)
          |SELECT c.doc_a, c.doc_b,
          |  CAST(levenshtein(ha.head, hb.head) AS BIGINT) AS lev,
@@ -1608,7 +1610,7 @@ object Catalog {
     // BPE merge-pair counting: the distributed step of BPE vocab induction.
     q("q126_bpe_pairs", (s, d) => ext.TextStats.bpePairs(s, d),
       """WITH words AS (
-        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |  SELECT unnest(string_split_regex(lower(text), '[ \t\n\f\r\x0B]+')) AS w FROM documents),
         |pairs AS (
         |  SELECT substr(w, CAST(i AS INT), 2) AS pair
         |  FROM (SELECT w, unnest(range(1, length(w))) AS i

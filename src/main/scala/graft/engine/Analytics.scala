@@ -79,11 +79,16 @@ object Analytics {
     * DOUBLE moments in partition order — the result drifts in the last ulps
     * across engines and runs, so it can never hash-match. Here the five
     * moments (Σx, Σy, Σxy, Σx², Σy²) are EXACT BIGINT sums (month ≤ 12,
-    * quantity ≤ 50 — no overflow at any SF), converted to double once, and
-    * the corr/slope formulas are evaluated in the identical expression shape
-    * on both engines: same inputs, same IEEE op sequence, same bits. The
-    * aggregation itself stays one map-side-combinable pass — this is the
-    * numerically-stable two-pass-free corr for distributed data. */
+    * quantity ≤ 50 keep every SUM far inside int64 at any SF), each moment
+    * is converted to double once, and the corr/slope formulas are evaluated
+    * in the identical expression shape on both engines: same inputs, same
+    * IEEE op sequence, same bits. The variance/covariance terms multiply
+    * AFTER the double conversion — n·Σy² exceeds int64 near ~6×10⁷ rows per
+    * group, and Spark would wrap where DuckDB raises; double products round
+    * identically on both engines instead. Zero-variance groups (one row, or
+    * a constant x/y) yield NULL rather than a cross-engine NaN/Inf cast
+    * divergence. One map-side-combinable pass — the two-pass-free corr for
+    * distributed data. */
   def corrSlope(lineitem: DataFrame): DataFrame =
     lineitem
       .select(col("l_returnflag"),
@@ -95,13 +100,16 @@ object Analytics {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sx2"),
         sum(col("y") * col("y")).as("sy2"))
-      .withColumn("vx", expr("CAST(n * sx2 - sx * sx AS DOUBLE)"))
-      .withColumn("vy", expr("CAST(n * sy2 - sy * sy AS DOUBLE)"))
-      .withColumn("vxy", expr("CAST(n * sxy - sx * sy AS DOUBLE)"))
-      .withColumn("corr_e6",
-        expr("CAST(floor(vxy / sqrt(vx * vy) * 1000000.0) AS BIGINT)"))
-      .withColumn("slope_e6",
-        expr("CAST(floor(vxy / vx * 1000000.0) AS BIGINT)"))
+      .withColumn("vx", expr(
+        "CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"))
+      .withColumn("vy", expr(
+        "CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"))
+      .withColumn("vxy", expr(
+        "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"))
+      .withColumn("corr_e6", expr(
+        "CASE WHEN vx > 0 AND vy > 0 THEN CAST(floor(vxy / sqrt(vx * vy) * 1000000.0) AS BIGINT) END"))
+      .withColumn("slope_e6", expr(
+        "CASE WHEN vx > 0 THEN CAST(floor(vxy / vx * 1000000.0) AS BIGINT) END"))
       .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
         col("corr_e6"), col("slope_e6"))
       .orderBy("l_returnflag")

@@ -58,6 +58,23 @@ object Fs {
   def withPrefixLock[A](prefix: String)(body: => A): A =
     prefixLocks.computeIfAbsent(prefix, _ => new Object).synchronized(body)
 
+  /** Build-or-reuse a per-prefix scratch dir guarded by a `_SUCCESS` marker:
+    * the first caller (per JVM per prefix, serialized by [[withPrefixLock]])
+    * runs `write` into the stable dir; later callers — and callers racing on
+    * other threads — reuse the marker-committed build. `write` must commit
+    * the marker itself (every Spark write does). The shared build-once
+    * lifecycle behind the cached layouts ([[Layout]]); one definition so a
+    * marker-protocol fix cannot miss a site. */
+  def buildOnce(prefix: String, hadoopConf: org.apache.hadoop.conf.Configuration)(
+      write: String => Unit): String =
+    withPrefixLock(prefix) {
+      val p = stableScratchDir(prefix)
+      val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      val fs = marker.getFileSystem(hadoopConf)
+      if (!fs.exists(marker)) write(p)
+      p
+    }
+
   /** Overwrite-safe bounded scratch: each invocation writes a FRESH `vN`
     * subdir under the stable per-prefix dir, and the PREVIOUS version is
     * deleted only after `write` returns (commits). Space stays bounded at ~1

@@ -101,37 +101,24 @@ object Layout {
   /** Build-or-reuse path of the year-partitioned orders layout — the shared
     * once-per-drop build behind [[partitionPrunedScan]] (q107) and
     * [[dynamicPrunedJoin]] (q121). */
-  def partitionedOrdersPath(spark: SparkSession, dir: String): String = {
-    val prefix = s"graft_part_${Fs.dirTag(dir)}"
-    Fs.withPrefixLock(prefix) {
-      val p = Fs.stableScratchDir(prefix)
-      val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
-      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(marker)) partitionedOrdersWrite(spark, dir, p)
-      p
-    }
-  }
+  def partitionedOrdersPath(spark: SparkSession, dir: String): String =
+    Fs.buildOnce(s"graft_part_${Fs.dirTag(dir)}",
+      spark.sessionState.newHadoopConf())(p => partitionedOrdersWrite(spark, dir, p))
 
   /** Per-ship-year dim over lineitem (year, returned-item share in ppm),
     * materialized once per data drop: the small filtered side of
     * [[dynamicPrunedJoin]]. A real deployment's date/scope dim; built here
     * from the fixture so the query is self-contained. */
-  def shipYearDimPath(spark: SparkSession, dir: String): String = {
-    val prefix = s"graft_ydim_${Fs.dirTag(dir)}"
-    Fs.withPrefixLock(prefix) {
-      val p = Fs.stableScratchDir(prefix)
-      val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
-      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(marker))
-        Tables.lineitem(spark, dir)
-          .groupBy(year(col("l_shipdate")).cast("int").as("o_year"))
-          .agg(count(lit(1)).as("n_items"),
-            sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returns"))
-          .withColumn("return_ppm", expr("n_returns * 1000000L div n_items"))
-          .write.mode("overwrite").parquet(p)
-      p
+  def shipYearDimPath(spark: SparkSession, dir: String): String =
+    Fs.buildOnce(s"graft_ydim_${Fs.dirTag(dir)}",
+      spark.sessionState.newHadoopConf()) { p =>
+      Tables.lineitem(spark, dir)
+        .groupBy(year(col("l_shipdate")).cast("int").as("o_year"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returns"))
+        .withColumn("return_ppm", expr("n_returns * 1000000L div n_items"))
+        .write.mode("overwrite").parquet(p)
     }
-  }
 
   /** Dynamic partition pruning (q121): the year-partitioned orders layout
     * joined ON ITS PARTITION COLUMN to a dim filtered on a NON-key attribute

@@ -235,9 +235,12 @@ object Dedup {
     * engine-exact. */
   def editDistancePairs(spark: SparkSession, dir: String,
       prefixLen: Int = 160): DataFrame = {
+    // explicit whitespace class: Java's \s includes \x0B, RE2's does not —
+    // the one character where the two engines' \s sets differ
     val heads = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        substring(regexp_replace(col("text"), "\\s+", " "), 1, prefixLen).as("head"))
+        substring(regexp_replace(col("text"), "[ \\t\\n\\f\\r\\x0B]+", " "),
+          1, prefixLen).as("head"))
     minhashCandidatePairs(spark, dir)
       .select(col("doc_a"), col("doc_b"))
       .join(heads.select(col("doc_id").as("doc_a"), col("head").as("head_a")), Seq("doc_a"))

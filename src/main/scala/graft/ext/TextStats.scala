@@ -431,7 +431,8 @@ object TextStats {
     * aggregate + a top-N (TakeOrderedAndProject) here. */
   def bpePairs(spark: SparkSession, dir: String, topN: Int = 50): DataFrame =
     Tables.documents(spark, dir)
-      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      // explicit whitespace class: Java \s and RE2 \s differ on \x0B
+      .select(explode(split(lower(col("text")), "[ \\t\\n\\f\\r\\x0B]+")).as("w"))
       .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))

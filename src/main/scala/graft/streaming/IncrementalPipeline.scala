@@ -197,6 +197,14 @@ object IncrementalPipeline {
         val fs = target.getFileSystem(s.sessionState.newHadoopConf())
         def committed(p: Path): Boolean =
           fs.exists(p) && fs.exists(new Path(p, "_SUCCESS"))
+        // deletes in the swap protocol must be CHECKED: fs.delete returns
+        // false on partial failure (e.g. a permission-locked file), and
+        // proceeding past one would either fold onto a torn target or leave
+        // a stale snapshot that a later recovery could mistake for newer
+        // state — fail loudly instead
+        def deleteOrThrow(p: Path): Unit =
+          if (fs.exists(p) && !fs.delete(p, true))
+            throw new java.io.IOException(s"failed to delete $p during snapshot swap")
         // ---- crash recovery: restore the invariant "only a committed target
         // exists" before reading ANY state (runs even for empty batches, so a
         // crashed swap is healed on the next drain, not the next data wave).
@@ -206,7 +214,7 @@ object IncrementalPipeline {
         // lose exactly the rows the crash destroyed — replace it from a
         // committed snapshot or fail loudly, never read it.
         if (fs.exists(target) && !committed(target)) {
-          if (committed(tmp) || committed(retired)) fs.delete(target, true): Unit
+          if (committed(tmp) || committed(retired)) deleteOrThrow(target)
           else throw new IllegalStateException(
             s"target $targetPath has no _SUCCESS marker and no committed " +
               "tmp/retired snapshot exists to restore it — torn state; " +
@@ -223,8 +231,10 @@ object IncrementalPipeline {
           }
         }
         // leftovers from a half-finished swap are garbage once the target is
-        // committed; an uncommitted tmp (crash mid-write) is rebuilt anyway
-        Seq(tmp, retired).foreach(p => if (fs.exists(p)) fs.delete(p, true): Unit)
+        // committed; an uncommitted tmp (crash mid-write) is rebuilt anyway.
+        // Checked: a stale committed tmp surviving a failed delete could be
+        // restored over a NEWER target by a later torn-state recovery.
+        Seq(tmp, retired).foreach(deleteOrThrow)
         // an empty initial batch must not write a 0-row snapshot: its
         // all-NULL metadata maxima would poison every later lineage read
         if (batch.isEmpty) ()
@@ -285,7 +295,7 @@ object IncrementalPipeline {
               throw new java.io.IOException(s"snapshot retire failed: $target -> $retired")
             if (!fs.rename(tmp, target))
               throw new java.io.IOException(s"snapshot swap failed: $tmp -> $target")
-            fs.delete(retired, true): Unit
+            deleteOrThrow(retired)
           }
         } finally snapshot.foreach(_.unpersist())
         }

@@ -393,6 +393,11 @@ class ScaleOpsSpec extends SparkSuite {
     val real = engine.Analytics.corrSlope(Tables.lineitem(spark, dir)).collect()
     assert(real.nonEmpty)
     assert(real.forall(r => math.abs(r.getAs[Long]("corr_e6")) <= 1000000L))
+    // zero-variance group (single row): NULL, not a NaN/Inf cast divergence
+    val z = engine.Analytics.corrSlope(
+      Seq(("Z", java.sql.Timestamp.valueOf("2020-01-15 00:00:00"), 5.0))
+        .toDF("l_returnflag", "l_shipdate", "l_quantity")).collect().head
+    assert(z.isNullAt(z.fieldIndex("corr_e6")) && z.isNullAt(z.fieldIndex("slope_e6")))
   }
 
   test("q124 k-anonymity: planted classes flag exactly the sub-k ones") {
