@@ -1703,6 +1703,31 @@ object Catalog {
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin),
 
+    // Triangle counts on the LSH candidate graph: degree-ordered edge
+    // orientation (each triangle counted once at its min-order vertex).
+    q("q134_triangles", (s, d) => ext.Dedup.candidateTriangles(s, d),
+      s"""WITH $bandsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |         GROUP BY doc_a, doc_b),
+         |deg AS (SELECT v, COUNT(*) AS deg FROM (
+         |          SELECT doc_a AS v FROM cand UNION ALL SELECT doc_b FROM cand) u GROUP BY v),
+         |e AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.doc_a < c.doc_b)
+         |                  THEN c.doc_a ELSE c.doc_b END AS src,
+         |             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND c.doc_a < c.doc_b)
+         |                  THEN c.doc_b ELSE c.doc_a END AS dst
+         |      FROM cand c JOIN deg da ON da.v = c.doc_a JOIN deg db ON db.v = c.doc_b),
+         |w AS (SELECT e1.src, e1.dst AS w1, e2.dst AS w2
+         |      FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+         |tri AS (SELECT w.src, w.w1, w.w2
+         |        FROM w JOIN cand ON w.w1 = cand.doc_a AND w.w2 = cand.doc_b)
+         |SELECT doc_id, COUNT(*) AS n_triangles FROM (
+         |  SELECT src AS doc_id FROM tri
+         |  UNION ALL SELECT w1 FROM tri
+         |  UNION ALL SELECT w2 FROM tri) corners
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // Rolling 7-day distinct users: dedup to (day, user), explode to the 7
     // window anchors, plain groupBy — no per-day re-scan of the raw events.
     q("q133_rolling_distinct", RelOps.rollingDistinctUsers,

@@ -75,16 +75,23 @@ class PropertySpec extends SparkSuite {
 
   test("property: dup-cluster labels are component members and never exceed the doc id") {
     val s = spark; import s.implicits._
-    // random near-dup groups: docs in the same group share identical text
+    // random near-dup groups: docs in the same group share identical text.
+    // A FRESH dir per iteration: the dedup stack's at-rest indexes
+    // (Dedup.candidatePairsPath) are build-once per source dir per JVM —
+    // rewriting one dir with different content would serve the first
+    // iteration's cached index (the documented immutable-dir contract).
+    var iter = 0
     val gen = Gen.listOfN(12, Gen.choose(0, 3))
     check(Prop.forAll(gen) { groups =>
       groups.nonEmpty ==> {
+        iter += 1
+        val dir = s"/tmp/graft_prop_cc/$iter"
         val docs = groups.zipWithIndex.map { case (g, i) =>
           (i.toLong, (1 to 30).map(w => s"g${g}tok$w").mkString(" "))
         }
         docs.toDF("doc_id", "text")
-          .write.mode("overwrite").parquet("/tmp/graft_prop_cc/documents.parquet")
-        val out = graft.ext.Dedup.duplicateClusters(spark, "/tmp/graft_prop_cc").collect()
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val out = graft.ext.Dedup.duplicateClusters(spark, dir).collect()
           .map(r => r.getLong(0) -> r.getLong(1))
         val ids = out.map(_._1).toSet
         out.forall { case (id, label) => label <= id && ids.contains(label) } &&

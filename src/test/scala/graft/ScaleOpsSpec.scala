@@ -537,6 +537,27 @@ class ScaleOpsSpec extends SparkSuite {
     assert(out.find(_.getAs[Long]("day") == probe).get.getAs[Long]("wau") == brute)
   }
 
+  test("q134 triangles: planted K3 counted once per vertex; corner sum divisible by 3") {
+    import spark.implicits._
+    val tmp = "/tmp/graft_test_docs_tri"
+    rmTree(tmp)
+    // three identical docs form K3 (one triangle); the isolated near-pair
+    // (4,5) and the singleton (6) contribute none
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq((1L, dup), (2L, dup), (3L, dup),
+      (4L, "totally different words appear here now indeed"),
+      (5L, "totally different words appear here now indeed"),
+      (6L, "nothing shares shingles with this one at all"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = ext.Dedup.candidateTriangles(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_triangles")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // real corpus: per-vertex memberships always sum to 3 x #triangles
+    val real = ext.Dedup.candidateTriangles(spark, dir).collect()
+    assert(real.map(_.getAs[Long]("n_triangles")).sum % 3 == 0)
+  }
+
   test("q131 null-skew join is row-identical to the naive left join") {
     val split = engine.Skew.nullSkewJoin(spark, dir)
     val o = Tables.orders(spark, dir)
