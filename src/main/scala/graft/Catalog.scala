@@ -1728,6 +1728,49 @@ object Catalog {
          |  UNION ALL SELECT w2 FROM tri) corners
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // Referential-integrity audit: orphan counts per FK edge of the star
+    // (NULL child keys are not orphans — SQL FK semantics).
+    q("q135_referential_integrity", engine.Quality.referentialIntegrity,
+      """WITH
+        |e1 AS (SELECT COUNT(*) AS n_rows,
+        |         CAST(SUM(CASE WHEN p.pk IS NULL AND c.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |       FROM (SELECT l_orderkey AS k FROM lineitem) c
+        |       LEFT JOIN (SELECT DISTINCT o_orderkey AS pk FROM orders) p ON c.k = p.pk),
+        |e2 AS (SELECT COUNT(*) AS n_rows,
+        |         CAST(SUM(CASE WHEN p.pk IS NULL AND c.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |       FROM (SELECT l_partkey AS k FROM lineitem) c
+        |       LEFT JOIN (SELECT DISTINCT p_partkey AS pk FROM part) p ON c.k = p.pk),
+        |e3 AS (SELECT COUNT(*) AS n_rows,
+        |         CAST(SUM(CASE WHEN p.pk IS NULL AND c.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |       FROM (SELECT l_suppkey AS k FROM lineitem) c
+        |       LEFT JOIN (SELECT DISTINCT s_suppkey AS pk FROM supplier) p ON c.k = p.pk),
+        |e4 AS (SELECT COUNT(*) AS n_rows,
+        |         CAST(SUM(CASE WHEN p.pk IS NULL AND c.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |       FROM (SELECT o_custkey AS k FROM orders) c
+        |       LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer) p ON c.k = p.pk)
+        |SELECT * FROM (
+        |  SELECT 'lineitem.l_orderkey->orders' AS fk_edge, n_rows, n_orphans,
+        |    CAST(n_orphans * 1000000 // n_rows AS BIGINT) AS orphan_ppm FROM e1
+        |  UNION ALL SELECT 'lineitem.l_partkey->part', n_rows, n_orphans,
+        |    CAST(n_orphans * 1000000 // n_rows AS BIGINT) FROM e2
+        |  UNION ALL SELECT 'lineitem.l_suppkey->supplier', n_rows, n_orphans,
+        |    CAST(n_orphans * 1000000 // n_rows AS BIGINT) FROM e3
+        |  UNION ALL SELECT 'orders.o_custkey->customer', n_rows, n_orphans,
+        |    CAST(n_orphans * 1000000 // n_rows AS BIGINT) FROM e4) u
+        |ORDER BY fk_edge""".stripMargin),
+
+    // JSON key histogram per event type: the schema-drift monitor ahead of
+    // the typed parse (q99).
+    q("q136_json_keys", RelOps.jsonKeyHistogram,
+      """WITH t AS (SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type),
+        |k AS (SELECT event_type, unnest(json_keys(props)) AS json_key
+        |      FROM events WHERE json_valid(props))
+        |SELECT k.event_type, k.json_key, COUNT(*) AS n_with_key,
+        |  CAST(COUNT(*) * 1000000 // t.n_events AS BIGINT) AS coverage_ppm
+        |FROM k JOIN t ON k.event_type = t.event_type
+        |GROUP BY k.event_type, k.json_key, t.n_events
+        |ORDER BY k.event_type, k.json_key""".stripMargin),
+
     // Rolling 7-day distinct users: dedup to (day, user), explode to the 7
     // window anchors, plain groupBy — no per-day re-scan of the raw events.
     q("q133_rolling_distinct", RelOps.rollingDistinctUsers,

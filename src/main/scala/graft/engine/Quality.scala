@@ -95,6 +95,42 @@ object Quality {
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(fp)").as("fingerprint"))
       .orderBy("o_orderpriority")
 
+  /** Referential-integrity audit (q135): orphan counts for every FK edge of
+    * the star schema — the cross-TABLE complement of the single-table
+    * expectation suite (q128). Each edge is one LEFT join of the child key
+    * against the DISTINCT parent key set plus a 1-row aggregate; a NULL
+    * child key is NOT an orphan (SQL FK semantics — unknowns are allowed,
+    * dangling references are not). At 100 TB each edge's join shuffles only
+    * the key columns, and the distinct parent side is dim-sized for
+    * dimension edges (broadcast). Integer ppm keeps the audit oracle-exact. */
+  /** One FK edge of [[referentialIntegrity]]: orphan stats for
+    * `child.childKey -> parent.parentKey`. */
+  def fkOrphans(name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey).as("k"))
+      .join(parent.select(col(parentKey).as("k")).distinct()
+        .withColumn("hit", lit(1)), Seq("k"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("hit").isNull && col("k").isNotNull, 1L).otherwise(0L))
+          .as("n_orphans"))
+      .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"),
+        expr("n_orphans * 1000000L div n_rows").as("orphan_ppm"))
+
+  def referentialIntegrity(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    fkOrphans("lineitem.l_orderkey->orders", li, "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey")
+      .unionByName(fkOrphans("lineitem.l_partkey->part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionByName(fkOrphans("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"))
+      .unionByName(fkOrphans("orders.o_custkey->customer",
+        Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+      .orderBy("fk_edge")
+  }
+
   /** k-anonymity profile (q124): group customers by a quasi-identifier tuple
     * (nation, market segment, account-balance band) and report, per nation,
     * how many equivalence classes fall below `k` members and what share of

@@ -653,6 +653,28 @@ object RelOps {
         |LIMIT 10""".stripMargin)
   }
 
+  /** JSON schema-drift observability (q136): per event type, the histogram
+    * of top-level keys in the raw `props` payloads with each key's coverage
+    * share — the monitor that catches a producer adding/dropping/renaming
+    * fields before a typed parse (q99) starts silently NULLing. One scan +
+    * one explode of the (small) per-row key list + a combinable aggregate;
+    * invalid JSON contributes no keys on either engine (NULL key-list
+    * explode in Spark; a validity filter in the oracle). On healthy data
+    * the histogram is the (stable) schema itself. */
+  def jsonKeyHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val typed = Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        explode(expr("json_object_keys(props)")).as("json_key"))
+      .groupBy(col("event_type"), col("json_key"))
+      .agg(count(lit(1)).as("n_with_key"))
+      .join(typed, Seq("event_type"))
+      .withColumn("coverage_ppm", expr("n_with_key * 1000000L div n_events"))
+      .select(col("event_type"), col("json_key"), col("n_with_key"), col("coverage_ppm"))
+      .orderBy("event_type", "json_key")
+  }
+
   /** Rolling 7-day distinct users (q133): DAU + WAU per day. A naive rolling
     * COUNT(DISTINCT) re-scans a week of events per day (or worse, windows
     * over the raw stream); the scalable exact form dedups to (day, user)

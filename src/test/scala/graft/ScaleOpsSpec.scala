@@ -558,6 +558,25 @@ class ScaleOpsSpec extends SparkSuite {
     assert(real.map(_.getAs[Long]("n_triangles")).sum % 3 == 0)
   }
 
+  test("q135 referential integrity: planted orphan counted, NULL key is not") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(99L), Option.empty[Long]).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = engine.Quality.fkOrphans("t.fk->p", child, "fk", parent, "pk").collect().head
+    assert(r.getAs[Long]("n_rows") == 4L && r.getAs[Long]("n_orphans") == 1L)
+    assert(r.getAs[Long]("orphan_ppm") == 250000L)
+    // the star fixture itself is referentially clean
+    val real = engine.Quality.referentialIntegrity(spark, dir).collect()
+    assert(real.length == 4 && real.forall(_.getAs[Long]("n_orphans") == 0L))
+  }
+
+  test("q136 json keys: stable producer -> full coverage of the single key") {
+    val out = engine.RelOps.jsonKeyHistogram(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[String]("json_key") == "k" &&
+      r.getAs[Long]("coverage_ppm") == 1000000L))
+  }
+
   test("q131 null-skew join is row-identical to the naive left join") {
     val split = engine.Skew.nullSkewJoin(spark, dir)
     val o = Tables.orders(spark, dir)
