@@ -1607,6 +1607,22 @@ object Catalog {
          |FROM cand c JOIN h ha ON ha.doc_id = c.doc_a JOIN h hb ON hb.doc_id = c.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // Budgeted edit-distance gate via the native banded expression: exact
+    // distances <= k, sentinel k+1 beyond (= the oracle's least()).
+    q("q137_bounded_lev", (s, d) => ext.Dedup.editDistanceGate(s, d),
+      s"""WITH $bandsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |         GROUP BY doc_a, doc_b),
+         |h AS (SELECT doc_id, substr(regexp_replace(text, '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g'), 1, 160) AS head
+         |      FROM documents)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(LEAST(levenshtein(ha.head, hb.head), 9) AS BIGINT) AS lev_k,
+         |  LEAST(levenshtein(ha.head, hb.head), 9) <= 8 AS within_budget
+         |FROM cand c JOIN h ha ON ha.doc_id = c.doc_a JOIN h hb ON hb.doc_id = c.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
     // BPE merge-pair counting: the distributed step of BPE vocab induction.
     q("q126_bpe_pairs", (s, d) => ext.TextStats.bpePairs(s, d),
       """WITH words AS (

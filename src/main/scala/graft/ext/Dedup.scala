@@ -275,6 +275,31 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Budgeted edit-distance gate (q137): [[editDistancePairs]]'s production
+    * form — the native banded `graft_bounded_lev` expression
+    * ([[graft.functions.BoundedLevenshtein]]) evaluates only the |i−j| ≤ k
+    * DP band, so per-pair cost scales with the edit BUDGET (O(k·len))
+    * instead of the prefix area (O(len²)). Distances ≤ k are exact, k+1 is
+    * the beyond-budget sentinel — which is all a keep/drop dedup gate needs,
+    * and exactly what the oracle's `least(levenshtein, k+1)` checks. */
+  def editDistanceGate(spark: SparkSession, dir: String,
+      prefixLen: Int = 160, k: Int = 8): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val heads = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(regexp_replace(col("text"), "[ \\t\\n\\f\\r\\x0B]+", " "),
+          1, prefixLen).as("head"))
+    spark.read.parquet(candidatePairsPath(spark, dir))
+      .select(col("doc_a"), col("doc_b"))
+      .join(heads.select(col("doc_id").as("doc_a"), col("head").as("head_a")), Seq("doc_a"))
+      .join(heads.select(col("doc_id").as("doc_b"), col("head").as("head_b")), Seq("doc_b"))
+      .withColumn("lev_k",
+        expr(s"graft_bounded_lev(head_a, head_b, $k)").cast("long"))
+      .withColumn("within_budget", col("lev_k") <= k)
+      .select(col("doc_a"), col("doc_b"), col("lev_k"), col("within_budget"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Triangle counts (q134) on the LSH candidate graph — the standard graph
     * density probe over near-dup candidates: a doc in many triangles sits in
     * a tightly-interlinked duplicate cluster (template families), while

@@ -16,6 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bounded_lev"),
+      new ExpressionInfo(classOf[BoundedLevenshtein].getName, "graft_bounded_lev"),
+      (exprs: Seq[Expression]) => BoundedLevenshtein(exprs(0), exprs(1), exprs(2))))
     ext.injectOptimizerRule(_ => SpecializeFloatDot)
   }
 }

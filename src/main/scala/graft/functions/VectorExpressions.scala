@@ -70,12 +70,16 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorExpressions {
-  /** Register `graft_dot` in the session's function registry so plans (and
-    * SQL) can call it, plus the float-specialization optimizer rule; both
+  /** Register the engine's native functions (`graft_dot`,
+    * `graft_bounded_lev`) in the session's function registry so plans (and
+    * SQL) can call them, plus the float-specialization optimizer rule; all
     * idempotent. (Cluster deployments get the same via [[GraftExtensions]].) */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bounded_lev",
+      exprs => BoundedLevenshtein(exprs(0), exprs(1), exprs(2)), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(SpecializeFloatDot))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SpecializeFloatDot

@@ -102,6 +102,19 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("property: graft_bounded_lev == min(levenshtein, k+1) on random strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val gen = Gen.zip(
+      Gen.listOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString),
+      Gen.listOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString),
+      Gen.choose(0, 6))
+    check(Prop.forAll(gen) { case (a, b, k) =>
+      val ref = UTF8String.fromString(a).levenshteinDistance(UTF8String.fromString(b))
+      graft.functions.GraftStrings.boundedLev(
+        UTF8String.fromString(a), UTF8String.fromString(b), k) == math.min(ref, k + 1)
+    })
+  }
+
   test("property: Morton zValue is a bijection that preserves per-dimension order at fixed other") {
     val s = spark; import s.implicits._
     val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)))

@@ -22,6 +22,22 @@ class VectorSpec extends SparkSuite {
     out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("graft_bounded_lev: SQL-callable; equals least(levenshtein, k+1) on real text") {
+    VectorExpressions.register(spark)
+    val heads = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(25).selectExpr("substring(text, 1, 80) AS h")
+    val pairs = heads.crossJoin(heads.withColumnRenamed("h", "h2"))
+    val bad = pairs.filter(
+      expr("graft_bounded_lev(h, h2, 5) != least(levenshtein(h, h2), 6)")).count()
+    assert(bad == 0)
+    // null propagation + negative-bound clamp
+    val edge = spark.sql(
+      "SELECT graft_bounded_lev(CAST(NULL AS STRING), 'x', 3) AS a, " +
+        "graft_bounded_lev('x', 'x', -2) AS b, graft_bounded_lev('x', 'y', -2) AS c")
+      .collect().head
+    assert(edge.isNullAt(0) && edge.getInt(1) == 0 && edge.getInt(2) == 1)
+  }
+
   test("SpecializeFloatDot rewrites cast form to FloatDotProduct with identical results") {
     VectorExpressions.register(spark)
     // parquet source (array<float>), so constant folding can't pre-evaluate
