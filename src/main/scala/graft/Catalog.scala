@@ -1607,6 +1607,35 @@ object Catalog {
          |FROM cand c JOIN h ha ON ha.doc_id = c.doc_a JOIN h hb ON hb.doc_id = c.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // Quality-based canonical selection per duplicate cluster (best doc, not
+    // min id): one cluster-sized window over clusters ⋈ quality.
+    q("q138_canonical_selection", (s, d) => ext.Dedup.canonicalSelection(s, d),
+      s"""WITH RECURSIVE $bandsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |         GROUP BY doc_a, doc_b),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |          UNION SELECT doc_b, doc_a FROM cand),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+         |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |qual AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |           length(text) >= 100 AND length(text) <= 20000
+         |             AND len(string_split(text, ' ')) >= 20
+         |             AND len(list_filter(string_split(text, ' '), w -> w IN $stop9)) > 0
+         |             AS passes_quality
+         |         FROM documents),
+         |r AS (SELECT l.doc_id, l.cluster_id, q.n_chars, q.passes_quality,
+         |        first_value(l.doc_id) OVER (PARTITION BY l.cluster_id
+         |          ORDER BY q.passes_quality DESC, q.n_chars DESC, l.doc_id) AS canonical_id
+         |      FROM labels l JOIN qual q ON q.doc_id = l.doc_id)
+         |SELECT doc_id, cluster_id, n_chars, passes_quality, canonical_id,
+         |  doc_id = canonical_id AS is_canonical
+         |FROM r ORDER BY doc_id""".stripMargin),
+
     // Budgeted edit-distance gate via the native banded expression: exact
     // distances <= k, sentinel k+1 beyond (= the oracle's least()).
     q("q137_bounded_lev", (s, d) => ext.Dedup.editDistanceGate(s, d),

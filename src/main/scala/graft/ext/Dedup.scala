@@ -622,6 +622,28 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Quality-based canonical selection (q138): within each duplicate
+    * cluster, keep the BEST document — highest quality gate, then longest,
+    * then min id — instead of [[dedupSurvivors]]'s min-id policy. This is
+    * the curation decision real pipelines make (the shortest mirror of a
+    * page often carries the min id; keeping it throws away content). One
+    * window per cluster — partitions are cluster-sized, bounded by the
+    * component-size cap the LSH bucket cap implies, never corpus-wide. */
+  def canonicalSelection(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = spark.read.parquet(clustersPath(spark, dir))
+    val quality = TextStats.qualityScore(spark, dir)
+      .select(col("doc_id"), col("n_chars"), col("passes_quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("passes_quality").desc, col("n_chars").desc, col("doc_id"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("canonical_id", first(col("doc_id")).over(w))
+      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+        col("passes_quality"), col("canonical_id"), col("is_canonical"))
+      .orderBy("doc_id")
+  }
+
   /** The clusters table materialized once per (dir, iters, cap) per JVM —
     * the dedup stack's second at-rest index (the first is
     * [[candidatePairsPath]]): in production the cluster assignment is

@@ -577,6 +577,24 @@ class ScaleOpsSpec extends SparkSuite {
       r.getAs[Long]("coverage_ppm") == 1000000L))
   }
 
+  test("q138 canonical selection: exactly one canonical per cluster; quality beats length beats id") {
+    val out = ext.Dedup.canonicalSelection(spark, dir).collect()
+    if (out.nonEmpty) {
+      val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+      byCluster.values.foreach { grp =>
+        assert(grp.count(_.getAs[Boolean]("is_canonical")) == 1)
+        val canon = grp.find(_.getAs[Boolean]("is_canonical")).get
+        val key = (r: org.apache.spark.sql.Row) =>
+          (!r.getAs[Boolean]("passes_quality"), -r.getAs[Long]("n_chars"),
+            r.getAs[Long]("doc_id"))
+        assert(grp.map(key).min == key(canon),
+          "canonical must be the (quality, length, id)-best member")
+        assert(grp.forall(_.getAs[Long]("canonical_id") ==
+          canon.getAs[Long]("doc_id")))
+      }
+    }
+  }
+
   test("q131 null-skew join is row-identical to the naive left join") {
     val split = engine.Skew.nullSkewJoin(spark, dir)
     val o = Tables.orders(spark, dir)
