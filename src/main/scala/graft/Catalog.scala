@@ -456,6 +456,18 @@ object Catalog {
     * drift between engines. */
   private val stop9 = ext.TextStats.stopWords.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** BM25 oracle fragments generated from the SAME fixed query-term list the
+    * engine scores ([[ext.TextStats.Bm25QueryTerms]]): the IN-set, one pivot
+    * column per term, and the fixed-order left-assoc sum — so the oracle adds
+    * the per-term doubles in exactly the order the engine does. */
+  private val bm25Terms =
+    ext.TextStats.Bm25QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+  private val bm25PivotSql = ext.TextStats.Bm25QueryTerms
+    .map(t => s"          max(CASE WHEN term = '$t' THEN term_score END) AS s_$t")
+    .mkString(",\n")
+  private val bm25SumSql = ext.TextStats.Bm25QueryTerms
+    .map(t => s"coalesce(s_$t, 0.0)").mkString(" + ")
+
   /** Shared DuckDB chunking fragment (mirrors TextStats.chunkDocs: 64-token
     * chunks, stride 32, chunk starts stop once a start no longer extends
     * past the previous chunk's end — no strict-subset tail chunk). One
@@ -1827,6 +1839,152 @@ object Catalog {
         |SELECT dau.day, dau.dau, wau.wau
         |FROM dau JOIN wau ON dau.day = wau.day
         |ORDER BY dau.day""".stripMargin),
+
+    // BM25 retrieval for a fixed query-term set: inverted-index-shaped tf
+    // filter, broadcast corpus stats, per-term scores summed in a FIXED
+    // term order (both engines add the same doubles left-to-right).
+    q("q139_bm25", (s, d) => ext.TextStats.bm25Retrieval(s, d),
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |qt AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+         |       WHERE term IN $bm25Terms GROUP BY doc_id, term),
+         |dfx AS (SELECT term, COUNT(*) AS df FROM qt GROUP BY term),
+         |dlx AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+         |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dlx),
+         |sc AS (SELECT qt.doc_id, qt.term,
+         |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+         |           (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))) AS term_score
+         |       FROM qt JOIN dfx USING (term) JOIN dlx USING (doc_id) CROSS JOIN st),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms_matched,
+         |$bm25PivotSql
+         |        FROM sc GROUP BY doc_id),
+         |fin AS (SELECT doc_id, n_terms_matched, $bm25SumSql AS score FROM agg)
+         |SELECT doc_id, n_terms_matched, round(score, 6) AS score
+         |FROM fin ORDER BY score DESC, doc_id LIMIT 15""".stripMargin),
+
+    // Split-leakage audit: near-dup clusters spanning train/val/test.
+    q("q140_split_leakage", (s, d) => ext.Dedup.splitLeakage(s, d),
+      s"""WITH RECURSIVE $bandsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |         GROUP BY doc_a, doc_b),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |          UNION SELECT doc_b, doc_a FROM cand),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+         |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN bkt < ${ext.TextStats.TrainUpper} THEN 'train'
+         |              WHEN bkt < ${ext.TextStats.ValUpper} THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM (SELECT doc_id,
+         |               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100 AS bkt
+         |             FROM documents)),
+         |g AS (SELECT l.cluster_id, COUNT(*) AS n_docs,
+         |        CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |        CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         |        CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+         |      FROM labels l JOIN sp USING (doc_id) GROUP BY l.cluster_id)
+         |SELECT cluster_id, n_docs, n_train, n_val, n_test,
+         |  ((CASE WHEN n_train > 0 THEN 1 ELSE 0 END) +
+         |   (CASE WHEN n_val > 0 THEN 1 ELSE 0 END) +
+         |   (CASE WHEN n_test > 0 THEN 1 ELSE 0 END)) > 1 AS leaks
+         |FROM g WHERE n_docs >= 2 ORDER BY cluster_id""".stripMargin),
+
+    // Deterministic count-min sketch (4 x 512, md5 row hashes) vs exact
+    // counts for the top-20 tokens — sketch table <= 2048 rows at any scale.
+    q("q141_countmin", (s, d) => ext.TextStats.countMinSketch(s, d),
+      """WITH c AS (SELECT term, COUNT(*) AS exact_count
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |           GROUP BY term),
+        |u AS (SELECT term, exact_count, CAST(t.r AS INT) AS hash_row,
+        |        CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || term), 1, 7)) AS BIGINT) % 512 AS bucket
+        |      FROM c, LATERAL (SELECT unnest(range(0, 4)) AS r) t),
+        |sk AS (SELECT hash_row, bucket, CAST(SUM(exact_count) AS BIGINT) AS bucket_total
+        |       FROM u GROUP BY hash_row, bucket),
+        |est AS (SELECT u.term, u.exact_count, MIN(bucket_total) AS cms_estimate
+        |        FROM u JOIN sk USING (hash_row, bucket) GROUP BY u.term, u.exact_count)
+        |SELECT term, exact_count, cms_estimate,
+        |  CAST((cms_estimate - exact_count) * 1000000 // exact_count AS BIGINT) AS over_ppm
+        |FROM est ORDER BY exact_count DESC, term LIMIT 20""".stripMargin),
+
+    // Debounce / burst collapse per (user, event_type): 2-hour gap, kept
+    // representative + suppressed count per burst.
+    q("q142_event_debounce", (s, d) => streaming.Events.eventDebounce(s, d),
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+        |x AS (SELECT *, lag(us) OVER (PARTITION BY user_id, event_type ORDER BY us, event_id) AS prev_us
+        |      FROM e),
+        |y AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 7200000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM x),
+        |z AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id, event_type ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS burst_idx
+        |      FROM y)
+        |SELECT user_id, event_type, burst_idx, COUNT(*) AS n_events,
+        |  MIN(event_id) AS kept_event_id,
+        |  CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS span_s,
+        |  COUNT(*) - 1 AS n_suppressed
+        |FROM z GROUP BY user_id, event_type, burst_idx
+        |ORDER BY user_id, event_type, burst_idx""".stripMargin),
+
+    // Rank-ensemble curation score: three integer signals ranked per lang,
+    // blended by exact rank sum.
+    q("q143_rank_ensemble", ext.TextStats.qualityRankEnsemble,
+      s"""WITH s AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS words FROM documents),
+         |sig AS (SELECT doc_id, lang, n_chars,
+         |          CAST(len(list_distinct(words)) * 1000000 // len(words) AS BIGINT) AS distinct_ppm,
+         |          CAST(len(list_filter(words, w -> w IN $stop9)) * 1000000 // len(words) AS BIGINT) AS stop_ppm
+         |        FROM s),
+         |r AS (SELECT *,
+         |        CAST(rank() OVER (PARTITION BY lang ORDER BY n_chars DESC) AS BIGINT) AS rank_len,
+         |        CAST(rank() OVER (PARTITION BY lang ORDER BY distinct_ppm DESC) AS BIGINT) AS rank_diversity,
+         |        CAST(rank() OVER (PARTITION BY lang ORDER BY stop_ppm DESC) AS BIGINT) AS rank_stopword
+         |      FROM sig),
+         |f AS (SELECT *, rank_len + rank_diversity + rank_stopword AS rank_sum FROM r)
+         |SELECT doc_id, lang, n_chars, distinct_ppm, stop_ppm,
+         |  rank_len, rank_diversity, rank_stopword, rank_sum,
+         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY rank_sum, doc_id) AS INT) AS final_rank
+         |FROM f ORDER BY doc_id""".stripMargin),
+
+    // Intra-bucket diversity in O(n) per bucket via the sum-vector identity
+    // on SQ8 codes (exact integers; never the O(n^2) pair enumeration).
+    q("q144_bucket_diversity", ext.Similarity.bucketDiversity,
+      s"""WITH $vecsCte,
+         |b AS (SELECT vec_id, v, CAST($lshBucketExpr AS INT) AS bucket FROM n),
+         |m AS (SELECT vec_id, bucket, v, list_min(v) AS mn, list_max(v) AS mx FROM b),
+         |cdx AS (SELECT vec_id, bucket, $sq8CodesSql AS codes FROM m),
+         |sd AS (SELECT bucket, COUNT(*) AS n_vectors,
+         |         CAST(SUM(list_sum(list_transform(codes, x -> CAST(x AS BIGINT) * x))) AS BIGINT) AS self_dot_sum
+         |       FROM cdx GROUP BY bucket),
+         |dimx AS (SELECT bucket, CAST(t.d AS INT) AS pos, codes[CAST(t.d AS INT)] AS code
+         |         FROM cdx, LATERAL (SELECT unnest(range(1, len(codes) + 1)) AS d) t),
+         |ds AS (SELECT bucket, pos, CAST(SUM(code) AS BIGINT) AS s FROM dimx GROUP BY bucket, pos),
+         |dss AS (SELECT bucket, CAST(SUM(s * s) AS BIGINT) AS dot_ss FROM ds GROUP BY bucket)
+         |SELECT sd.bucket, sd.n_vectors,
+         |  sd.n_vectors * (sd.n_vectors - 1) // 2 AS n_pairs,
+         |  (dss.dot_ss - sd.self_dot_sum) // 2 AS pair_dot_sum,
+         |  ((dss.dot_ss - sd.self_dot_sum) // 2) // (sd.n_vectors * (sd.n_vectors - 1) // 2) AS avg_pair_dot
+         |FROM sd JOIN dss USING (bucket) WHERE sd.n_vectors >= 2
+         |ORDER BY sd.bucket""".stripMargin),
+
+    // Per-source vocabulary divergence: exact-integer L1 distance between a
+    // source's token distribution and the corpus's, in ppm of the max (2).
+    q("q145_source_divergence", ext.TextStats.sourceDivergence,
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |bysrc AS (SELECT source, term, COUNT(*) AS cnt_src FROM toks GROUP BY source, term),
+        |st AS (SELECT source, CAST(SUM(cnt_src) AS BIGINT) AS total_src FROM bysrc GROUP BY source),
+        |corpus AS (SELECT term, COUNT(*) AS cnt_corpus FROM toks GROUP BY term),
+        |ct AS (SELECT CAST(SUM(cnt_corpus) AS BIGINT) AS total_corpus FROM corpus),
+        |pres AS (SELECT b.source, st.total_src, ct.total_corpus,
+        |           CAST(SUM(abs(b.cnt_src * ct.total_corpus - c.cnt_corpus * st.total_src)) AS BIGINT) AS l1_present,
+        |           CAST(SUM(c.cnt_corpus) AS BIGINT) AS corpus_mass_present
+        |         FROM bysrc b JOIN corpus c USING (term) JOIN st ON st.source = b.source CROSS JOIN ct
+        |         GROUP BY b.source, st.total_src, ct.total_corpus)
+        |SELECT source, total_src,
+        |  CAST((l1_present + (total_corpus - corpus_mass_present) * total_src) * 1000000
+        |       // (2 * total_src * total_corpus) AS BIGINT) AS divergence_ppm
+        |FROM pres ORDER BY source""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

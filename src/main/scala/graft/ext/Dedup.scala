@@ -644,6 +644,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Split-leakage audit (q140): near-duplicate clusters whose members land
+    * in DIFFERENT train/val/test splits — the contamination a hash-split
+    * cannot prevent on its own (near-dups of a test doc sitting in train
+    * leak evaluation data into training). Composes the committed cluster
+    * assignment ([[clustersPath]]) with the content-addressed split
+    * ([[TextStats.splitAssign]]); output is one row per multi-doc cluster
+    * with its per-split member counts and the leak verdict. The fix a real
+    * pipeline applies — re-assign whole CLUSTERS to splits, not docs — is
+    * exactly "group by cluster_id, pick min member's split", which this
+    * audit's output feeds directly.
+    *
+    * Scale shape: one equi-join of the (slim) cluster table against the
+    * (computed-in-place) split column, one cluster-keyed hash aggregate —
+    * map-side combinable, no window, no all-pairs anything. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = spark.read.parquet(clustersPath(spark, dir))
+    val splits = TextStats.splitAssign(spark, dir).select(col("doc_id"), col("split"))
+    clusters.join(splits, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      .filter(col("n_docs") >= 2)
+      .withColumn("leaks",
+        (when(col("n_train") > 0, 1).otherwise(0) +
+          when(col("n_val") > 0, 1).otherwise(0) +
+          when(col("n_test") > 0, 1).otherwise(0)) > 1)
+      .orderBy("cluster_id")
+  }
+
   /** The clusters table materialized once per (dir, iters, cap) per JVM —
     * the dedup stack's second at-rest index (the first is
     * [[candidatePairsPath]]): in production the cluster assignment is

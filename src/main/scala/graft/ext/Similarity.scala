@@ -305,4 +305,48 @@ object Similarity {
         round(col("cos"), 4).as("cos_sim"))
       .orderBy("query_id", "rank")
   }
+
+  /** Intra-bucket diversity in O(n) per bucket (q144): the exact sum of all
+    * pairwise SQ8-code dot products within each LSH bucket via the sum-vector
+    * identity Σ_{i<j} ⟨c_i,c_j⟩ = (⟨S,S⟩ − Σ_i ⟨c_i,c_i⟩) / 2 with
+    * S = Σ_i c_i elementwise — the curation metric "how self-similar is this
+    * bucket" WITHOUT the O(n²) pair enumeration a naive diversity probe
+    * would run. High average pairwise similarity flags a bucket of
+    * templated/mirrored content worth a closer dedup pass.
+    *
+    * Everything is exact integer arithmetic on the quantized codes (floats
+    * would make the per-dimension sums order-dependent): per-row self-dots
+    * fold in codegen, the per-(bucket, dim) sums and the final per-bucket
+    * rollup are map-side-combinable hash aggregates. Long range: with d ≤
+    * 64 dims and codes ≤ 255, ⟨S,S⟩ ≤ d·(255·n)² — overflow needs a single
+    * bucket of ~10⁹ vectors; re-bucket with more planes (or lift to
+    * DECIMAL(38,0)) long before that.
+    *
+    * avg_pair_dot is the floor integer division of the pair-dot mass by the
+    * pair count (exact; same `div`//`//` on both engines). */
+  def bucketDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val coded = lshBuckets(spark, dir)
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .withColumn("codes", expr(sq8CodesExpr))
+      .select(col("vec_id"), col("bucket"), col("codes"),
+        expr("aggregate(codes, 0L, (a, x) -> a + CAST(x AS BIGINT) * x)").as("self_dot"))
+    val perBucket = coded.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("self_dot")).as("self_dot_sum"))
+    val dimSums = coded
+      .select(col("bucket"), posexplode(col("codes")).as(Seq("pos", "code")))
+      .groupBy(col("bucket"), col("pos"))
+      .agg(sum(col("code").cast("long")).as("s"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("s") * col("s")).as("dot_ss"))
+    perBucket.join(dimSums, Seq("bucket"))
+      .filter(col("n_vectors") >= 2)
+      // the grand dot Σ_{i,j} minus the diagonal is exactly 2·Σ_{i<j}, so the
+      // halving is exact integer division (never a truncation)
+      .withColumn("n_pairs", expr("n_vectors * (n_vectors - 1) div 2"))
+      .withColumn("pair_dot_sum", expr("(dot_ss - self_dot_sum) div 2"))
+      .select(col("bucket"), col("n_vectors"), col("n_pairs"), col("pair_dot_sum"),
+        expr("pair_dot_sum div n_pairs").as("avg_pair_dot"))
+      .orderBy("bucket")
+  }
 }

@@ -824,4 +824,188 @@ object TextStats {
       Tables.documents(spark, dir).join(clean, Seq("doc_id"), "left_semi"),
       chunkSize, stride)
   }
+
+  /** Fixed retrieval query terms shared by [[bm25Retrieval]] and the Catalog
+    * oracle SQL (single source — the two engines must score the same query). */
+  val Bm25QueryTerms: Seq[String] = Seq("spark", "hash", "join", "vector", "stream")
+
+  /** BM25 top-k document retrieval (Okapi, k1 = 1.2, b = 0.75) for the fixed
+    * query [[Bm25QueryTerms]] — the keyword-retrieval side of a training-data
+    * curation stack (the lexical complement of the embedding ANN path in
+    * [[Similarity]]).
+    *
+    * Scale shape: the per-(doc, term) frequency table is built by filtering
+    * tokens to the (tiny, broadcast-literal) query set BEFORE the groupBy —
+    * the shuffle carries only matching tokens, an inverted-index posting
+    * probe, not the corpus. Corpus stats (N, avgdl) are two scalar aggregates
+    * broadcast via a 1-row cross join; document lengths join on doc_id; the
+    * final top-k is `orderBy().limit()` (TakeOrderedAndProject — only k rows
+    * per partition cross the shuffle).
+    *
+    * Determinism: scores are IEEE doubles built from exact integer (tf, df,
+    * dl) inputs with the same operation tree the oracle SQL spells, rounded
+    * to 6 dp at the boundary (same convention as the tf-idf query). Ranking
+    * ties break on doc_id. */
+  def bm25Retrieval(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    val termSet = Bm25QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(expr(s"term IN $termSet"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // df per query term: (doc_id, term) is unique in tf, so count(*) = doc count
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+    // Per-doc score: (doc, term) is unique, so each conditional max picks up
+    // at most ONE value and the final sum adds the per-term scores in the
+    // FIXED written term order — a plain float sum() over the group would add
+    // in partition order and the last-ulp noise could flip rank ties against
+    // the oracle.
+    val perTerm = Bm25QueryTerms.map(t =>
+      max(when(col("term") === t, col("term_score"))).as(s"s_$t"))
+    val total = Bm25QueryTerms.map(t => coalesce(col(s"s_$t"), lit(0.0)))
+      .reduce(_ + _)
+    scored
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_terms_matched"), perTerm: _*)
+      .withColumn("score", total)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_terms_matched"), round(col("score"), 6).as("score"))
+  }
+
+  /** Deterministic count-min sketch over the token stream (d = 4 hash rows ×
+    * w = 512 buckets, md5-derived row hashes), evaluated against the exact
+    * counts for the 20 most frequent tokens: estimate, exact, and the
+    * overestimate in ppm — the sketch-accuracy monitor a streaming
+    * heavy-hitters pipeline runs beside its CMS.
+    *
+    * Scale shape: the sketch itself is 4 groupBys over (row, bucket) — at any
+    * corpus size the sketch table is ≤ d·w = 2048 rows (map-side combine does
+    * the heavy lifting), and the probe is a broadcast-sized join of the
+    * top-20 terms' bucket coordinates against it. Everything is exact integer
+    * arithmetic: the "estimate" is deterministic because the hash family is
+    * (md5 of row:term), not a seeded RNG. */
+  def countMinSketch(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    val rows = 4
+    val width = 512
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("exact_count"))
+    def bucket(r: Int): Column =
+      (conv(substring(md5(concat(lit(s"$r:"), col("term"))), 1, 7), 16, 10)
+        .cast("long") % width).as(s"b$r")
+    val withBuckets = counts.select(
+      col("term") +: col("exact_count") +: (0 until rows).map(bucket): _*)
+    // (term, row, bucket, count) — the sketch update stream, one row per hash row
+    val updates = withBuckets.select(col("term"), col("exact_count"),
+      posexplode(array((0 until rows).map(r => col(s"b$r")): _*)).as(Seq("hash_row", "bucket")))
+    val sketch = updates.groupBy(col("hash_row"), col("bucket"))
+      .agg(sum(col("exact_count")).as("bucket_total"))
+    updates
+      .join(sketch, Seq("hash_row", "bucket"))
+      .groupBy(col("term"), col("exact_count"))
+      .agg(min(col("bucket_total")).as("cms_estimate"))
+      .select(col("term"), col("exact_count"), col("cms_estimate"),
+        expr("CAST((cms_estimate - exact_count) * 1000000 div exact_count AS BIGINT)").as("over_ppm"))
+      .orderBy(col("exact_count").desc, col("term"))
+      .limit(topN)
+  }
+
+  /** Rank-ensemble quality score: three integer signals — document length,
+    * lexical diversity (distinct-token ppm), stopword density (ppm) — each
+    * ranked WITHIN the document's language (rank() ties, deterministic), then
+    * combined by rank sum; the final per-language ordering is the composite
+    * curation ranking. Rank blending is how production quality stacks combine
+    * incommensurable signals without calibrating scales (and ranking within
+    * language is the correct grain — length and stopword density are not
+    * comparable across languages); ranks are exact integers, so the output is
+    * hash-stable where a weighted float blend would not be.
+    *
+    * Scale shape: one linear pass computes the signals; the rank windows
+    * partition by lang over slim (doc_id, signal) projections. A language's
+    * partition is corpus-sized in the worst case — if exact global ranks are
+    * required at 100 TB this becomes a range-partitioned sort per signal;
+    * relaxing to quantile-bucket ranks turns it into one pass over
+    * approx-quantile bounds. */
+  def qualityRankEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        // cast BEFORE the ×1e6: size() is INT and a 3k-token doc would
+        // overflow 32-bit under ANSI arithmetic
+        expr("CAST(size(array_distinct(words)) AS BIGINT) * 1000000 div size(words)")
+          .as("distinct_ppm"),
+        expr(s"CAST(size(filter(words, w -> w IN $stopWordsSqlSet)) AS BIGINT) * 1000000 div size(words)")
+          .as("stop_ppm"))
+    val byLang = Window.partitionBy(col("lang"))
+    val r1 = byLang.orderBy(col("n_chars").desc)
+    val r2 = byLang.orderBy(col("distinct_ppm").desc)
+    val r3 = byLang.orderBy(col("stop_ppm").desc)
+    sig
+      .withColumn("rank_len", rank().over(r1).cast("long"))
+      .withColumn("rank_diversity", rank().over(r2).cast("long"))
+      .withColumn("rank_stopword", rank().over(r3).cast("long"))
+      .withColumn("rank_sum", col("rank_len") + col("rank_diversity") + col("rank_stopword"))
+      .withColumn("final_rank",
+        row_number().over(byLang.orderBy(col("rank_sum"), col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("distinct_ppm"), col("stop_ppm"),
+        col("rank_len"), col("rank_diversity"), col("rank_stopword"),
+        col("rank_sum"), col("final_rank"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source vocabulary divergence — the domain-shift monitor: for each
+    * source, the L1 distance between its token distribution and the whole
+    * corpus's, computed entirely in exact integer cross-products
+    * (|cnt_src · total_corpus − cnt_corpus · total_src| summed over the
+    * vocabulary, scaled to ppm of 2 · total_src · total_corpus — the exact
+    * integer form of ½ Σ|p_src − p_corpus|, range 0..1e6). Flags a source
+    * whose text drifted from the corpus mix (scraper broke, new template,
+    * language shift) without any float accumulation.
+    *
+    * Scale shape: two hash aggregates (per-source × term, and per-term) over
+    * the token stream — both map-side-combinable; the join is on term
+    * (vocabulary-sized, broadcastable); the output is one row per source.
+    * Terms absent from a source still contribute |0 − cnt_corpus · total_src|
+    * to that source's sum, handled by a right-join + per-source missing-mass
+    * complement rather than materializing the full source × vocab grid. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+    val bySrc = toks.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cnt_src"))
+    val srcTotals = bySrc.groupBy(col("source"))
+      .agg(sum(col("cnt_src")).as("total_src"))
+    val corpus = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt_corpus"))
+    val corpusTotal = corpus.agg(sum(col("cnt_corpus")).as("total_corpus"))
+    // present terms: |cnt_src·T − cnt_corpus·t_s|; absent terms contribute
+    // cnt_corpus·t_s each, i.e. (T − Σ_present cnt_corpus)·t_s in one closed form
+    val present = bySrc.join(broadcast(corpus), Seq("term"))
+      .join(broadcast(srcTotals), Seq("source"))
+      .crossJoin(broadcast(corpusTotal))
+      .groupBy(col("source"), col("total_src"), col("total_corpus"))
+      .agg(
+        sum(abs(col("cnt_src") * col("total_corpus") - col("cnt_corpus") * col("total_src")))
+          .as("l1_present"),
+        sum(col("cnt_corpus")).as("corpus_mass_present"))
+    present
+      .withColumn("l1_absent",
+        (col("total_corpus") - col("corpus_mass_present")) * col("total_src"))
+      .withColumn("divergence_ppm",
+        expr("CAST((l1_present + l1_absent) * 1000000 div (2 * total_src * total_corpus) AS BIGINT)"))
+      .select(col("source"), col("total_src"), col("divergence_ppm"))
+      .orderBy("source")
+  }
 }

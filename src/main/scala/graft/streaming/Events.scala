@@ -314,4 +314,44 @@ object Events {
       .orderBy(col("n_users").desc, col("path"))
       .limit(topN)
   }
+
+  /** Event debounce / burst collapse (q142): consecutive events of the same
+    * (user, event_type) closer than `gapHours` collapse into one burst — the
+    * retry-storm / double-fire suppression a feature-store ingest applies
+    * before counting ("one purchase, not five rapid-fire submits"). Per
+    * burst: the representative first event (min event_id — the one a
+    * debounced stream would KEEP), the suppressed count, and the burst span
+    * in seconds.
+    *
+    * Same lag-gap-cumsum shape as [[sessionize]] but keyed on (user_id,
+    * event_type) — one shuffle on the composite key, both window passes and
+    * the final aggregate share that partitioning. The streaming form of this
+    * operator is `dropDuplicatesWithinWatermark` on (user_id, event_type)
+    * (kept-event semantics) — see StreamsSpec — with the gap as the
+    * watermark delay; the batch form here is the oracle-checkable spec.
+    * Ordering is (epoch_us, event_id) per the events-table convention —
+    * micro-precision ties break on the id, never on sub-micro timestamp
+    * detail the two engines read differently. */
+  def eventDebounce(spark: SparkSession, dir: String, gapHours: Int = 2): DataFrame = {
+    val byKey = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val gapMicros = gapHours.toLong * 3600L * 1000000L
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byKey))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("burst_idx",
+        sum(col("is_new")).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy(col("user_id"), col("event_type"), col("burst_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("kept_event_id"),
+        expr("(max(us) - min(us)) div 1000000").as("span_s"))
+      .withColumn("n_suppressed", col("n_events") - 1)
+      .orderBy("user_id", "event_type", "burst_idx")
+  }
 }

@@ -595,6 +595,106 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("q139 bm25: scores positive and descending, matched terms within the query set") {
+    val out = ext.TextStats.bm25Retrieval(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 15)
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.forall(_ > 0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "descending by score")
+    assert(out.forall { r =>
+      val m = r.getAs[Int]("n_terms_matched")
+      m >= 1 && m <= ext.TextStats.Bm25QueryTerms.length
+    })
+  }
+
+  test("q140 split leakage: split counts partition each cluster; leak flag consistent") {
+    val out = ext.Dedup.splitLeakage(spark, dir).collect()
+    out.foreach { r =>
+      val (n, tr, va, te) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_train"),
+        r.getAs[Long]("n_val"), r.getAs[Long]("n_test"))
+      assert(n >= 2 && tr + va + te == n, "splits must partition the cluster")
+      val spanned = Seq(tr, va, te).count(_ > 0)
+      assert(r.getAs[Boolean]("leaks") == (spanned > 1))
+    }
+  }
+
+  test("q141 count-min estimates never underestimate and are exact-count-consistent") {
+    val out = ext.TextStats.countMinSketch(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("cms_estimate") >= r.getAs[Long]("exact_count"),
+        "CMS is an overestimate sketch")
+      assert(r.getAs[Long]("over_ppm") >= 0)
+    }
+    // the exact counts must agree with a direct token count
+    val direct = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(direct(r.getAs[String]("term")) == r.getAs[Long]("exact_count")))
+  }
+
+  test("q142 debounce: bursts partition each (user, type) stream; kept id is the min") {
+    val out = Events.eventDebounce(spark, dir)
+    val totalBurstEvents = out.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(totalBurstEvents == Tables.events(spark, dir).count())
+    val bad = out.filter(col("n_suppressed") =!= col("n_events") - 1).count()
+    assert(bad == 0)
+    // within a burst every event is within gap of its predecessor, so a
+    // multi-event burst's span must be positive
+    assert(out.filter(col("n_events") > 1 && col("span_s") < 0).count() == 0)
+  }
+
+  test("q143 rank ensemble: final_rank is a 1..n permutation per language") {
+    val out = ext.TextStats.qualityRankEnsemble(spark, dir).collect()
+    out.groupBy(_.getAs[String]("lang")).values.foreach { grp =>
+      val ranks = grp.map(_.getAs[Int]("final_rank")).sorted
+      assert(ranks.toSeq == (1 to grp.length).toSeq, "per-lang permutation")
+    }
+    out.foreach { r =>
+      assert(r.getAs[Long]("rank_sum") ==
+        r.getAs[Long]("rank_len") + r.getAs[Long]("rank_diversity") + r.getAs[Long]("rank_stopword"))
+    }
+  }
+
+  test("q144 bucket diversity: O(n) identity equals the brute-force pair sum") {
+    val out = ext.Similarity.bucketDiversity(spark, dir).collect()
+    assert(out.nonEmpty, "sf0.001 embeddings must fill more than one bucket member")
+    // recompute the pairwise mass brute-force from the quantized codes
+    val coded = ext.Similarity.lshBuckets(spark, dir)
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .withColumn("codes", expr(
+        "transform(v, x -> CASE WHEN mx = mn THEN 0 " +
+          "ELSE CAST(least(floor((x - mn) * 255D / (mx - mn)), 255D) AS INT) END)"))
+      .select("bucket", "codes").collect()
+      .map(r => r.getAs[Int]("bucket") -> r.getSeq[Int](1).toArray)
+    val byBucket = coded.groupBy(_._1)
+    out.foreach { r =>
+      val vs = byBucket(r.getAs[Int]("bucket")).map(_._2)
+      val brute = (for {
+        i <- vs.indices; j <- (i + 1) until vs.length
+      } yield vs(i).zip(vs(j)).map { case (a, b) => a.toLong * b }.sum).sum
+      assert(r.getAs[Long]("pair_dot_sum") == brute,
+        s"sum-vector identity must equal brute force in bucket ${r.getAs[Int]("bucket")}")
+      assert(r.getAs[Long]("n_pairs") == vs.length.toLong * (vs.length - 1) / 2)
+    }
+  }
+
+  test("q145 source divergence: ppm bounded and zero only for a perfectly average source") {
+    val out = ext.TextStats.sourceDivergence(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val d = r.getAs[Long]("divergence_ppm")
+      assert(d >= 0 && d <= 1000000L)
+    }
+    // all sources together must cover the corpus token mass
+    val total = out.map(_.getAs[Long]("total_src")).sum
+    val direct = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " "))).count()
+    assert(total == direct)
+  }
+
   test("q131 null-skew join is row-identical to the naive left join") {
     val split = engine.Skew.nullSkewJoin(spark, dir)
     val o = Tables.orders(spark, dir)
