@@ -162,6 +162,21 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming debounce — the incremental form of the batch burst collapse
+    * ([[Events.eventDebounce]], q142): within the watermark delay (= the
+    * debounce gap), only the FIRST event per (user_id, event_type) survives;
+    * repeats are suppressed, and the key's state is GC'd once the watermark
+    * passes it, so state stays O(active keys within the gap) — never the
+    * history. Batch form emits one row per burst with the suppressed count;
+    * the stream emits the kept representative (count-of-suppressed is not
+    * observable from a dedup operator — a production pipeline wanting counts
+    * uses the [[Events.eventDebounce]] rollup over the at-rest copy). */
+  def debounceStream(spark: SparkSession, srcDir: String,
+      gap: String = "2 hours"): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(srcDir)
+      .withWatermark("ts", gap)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** Stream-STATIC enrichment join: the event stream joined to a static
     * dimension table (e.g. a user→segment mapping refreshed out-of-band).
     * The static side is broadcast — no streaming state at all is kept for it

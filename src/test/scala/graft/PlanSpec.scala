@@ -244,4 +244,39 @@ class PlanSpec extends SparkSuite {
     assert(scans == 3, s"expected 2 orders branches + 1 dim scan, got $scans:\n$p")
     assert(p.contains("BroadcastHashJoin LeftOuter"), s"dim join must broadcast:\n$p")
   }
+
+  test("q139 bm25: df and corpus stats broadcast; top-k is TakeOrderedAndProject") {
+    val p = plan("q139_bm25")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k lost its per-partition trim:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"df + corpus stats must broadcast, never shuffle the postings:\n$p")
+  }
+
+  test("q141 count-min: probe joins the sketch broadcast (<= d*w rows at any scale)") {
+    val p = plan("q141_countmin")
+    assert(p.contains("BroadcastHashJoin"), s"sketch table must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must trim per partition:\n$p")
+  }
+
+  test("q142 debounce: windows and burst rollup share one (user, type) shuffle") {
+    val p = plan("q142_event_debounce")
+    // detail-header exchanges: the key shuffle + the deterministic output sort
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"expected exactly the key shuffle + output sort, got $exchanges:\n$p")
+  }
+
+  test("q144 bucket diversity: no cross/nested-loop join, all joins broadcast") {
+    val p = plan("q144_bucket_diversity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"diversity must never enumerate pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"per-bucket rollup join must broadcast:\n$p")
+  }
+
+  test("q145 source divergence: vocabulary joins broadcast, postings never shuffle twice") {
+    val p = plan("q145_source_divergence")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"corpus vocab + totals must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no big-big join exists in this shape:\n$p")
+  }
 }

@@ -44,6 +44,29 @@ class StreamsSpec extends SparkSuite {
     assert(ids.length == 200, "all planted originals survive, all replays dropped")
   }
 
+  test("streaming debounce: rapid-fire (user, type) repeats collapse to one kept event") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-03-01 10:00:00")
+    def at(minutes: Int) = new Timestamp(t0.getTime + minutes * 60000L)
+    // one triple-fire burst, plus two other keys as controls
+    val wave = Seq(
+      (1L, at(0), 7L, "click", 1.0, "{}"),
+      (2L, at(3), 7L, "click", 1.0, "{}"),
+      (3L, at(9), 7L, "click", 1.0, "{}"),
+      (4L, at(0), 7L, "view", 1.0, "{}"),
+      (5L, at(1), 8L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val burstDir = "/tmp/graft_stream_debounce_src"
+    wave.write.mode("overwrite").parquet(burstDir)
+    Streams.runToMemory(Streams.debounceStream(spark, burstDir), "debounce_out")
+    val kept = spark.table("debounce_out")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.length == 3, "exactly one survivor per (user, type) inside the gap")
+    assert(kept.toSet == Set((7L, "click"), (7L, "view"), (8L, "click")))
+  }
+
   test("stream-stream join with watermarks matches the batch range join on replay") {
     materializeEvents()
     Streams.runToMemory(Streams.errorClickJoinStream(spark, srcDir), "ssj_out")
