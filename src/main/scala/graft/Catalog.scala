@@ -468,6 +468,14 @@ object Catalog {
   private val bm25SumSql = ext.TextStats.Bm25QueryTerms
     .map(t => s"coalesce(s_$t, 0.0)").mkString(" + ")
 
+  /** Content-addressed split CASE over an id expression, generated from the
+    * SAME band constants the engine uses ([[ext.TextStats.TrainUpper]]/
+    * [[ext.TextStats.ValUpper]]). */
+  private def splitCaseSql(idExpr: String): String =
+    s"(CASE WHEN CAST(('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 7)) AS BIGINT) % 100 < ${ext.TextStats.TrainUpper} THEN 'train' " +
+      s"WHEN CAST(('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 7)) AS BIGINT) % 100 < ${ext.TextStats.ValUpper} THEN 'val' " +
+      "ELSE 'test' END)"
+
   /** Shared DuckDB chunking fragment (mirrors TextStats.chunkDocs: 64-token
     * chunks, stride 32, chunk starts stop once a start no longer extends
     * past the previous chunk's end — no strict-subset tail chunk). One
@@ -1967,6 +1975,77 @@ object Catalog {
          |  ((dss.dot_ss - sd.self_dot_sum) // 2) // (sd.n_vectors * (sd.n_vectors - 1) // 2) AS avg_pair_dot
          |FROM sd JOIN dss USING (bucket) WHERE sd.n_vectors >= 2
          |ORDER BY sd.bucket""".stripMargin),
+
+    // Leakage-free split: clusters assigned to one split atomically by the
+    // cluster id; the doc-level vs cluster-level splits are both emitted.
+    q("q146_cluster_safe_split", (s, d) => ext.Dedup.clusterSafeSplit(s, d),
+      s"""WITH RECURSIVE $bandsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |         GROUP BY doc_a, doc_b),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |          UNION SELECT doc_b, doc_a FROM cand),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+         |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |j AS (SELECT d.doc_id, l.cluster_id,
+         |        coalesce(l.cluster_id, d.doc_id) AS effective_key
+         |      FROM documents d LEFT JOIN labels l USING (doc_id))
+         |SELECT doc_id, effective_key, cluster_id IS NOT NULL AS in_cluster,
+         |  ${splitCaseSql("doc_id")} AS doc_split,
+         |  ${splitCaseSql("effective_key")} AS assigned_split,
+         |  ${splitCaseSql("doc_id")} <> ${splitCaseSql("effective_key")} AS moved
+         |FROM j ORDER BY doc_id""".stripMargin),
+
+    // Over-represented-source quota: content-addressed priority rank per
+    // source, auditable kept/dropped verdict.
+    q("q147_source_quota", (s, d) => ext.Sampling.sourceQuotaCap(s, d),
+      """SELECT doc_id, source, priority_rank, priority_rank <= 20 AS kept
+        |FROM (SELECT doc_id, source,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS priority_rank
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin),
+
+    // Embedding drift per label between corpus halves: exact-integer L1 on
+    // SQ8 centroid sums via cross-multiplication, ppm of max.
+    q("q148_label_drift", ext.Similarity.labelDrift,
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |m AS (SELECT vec_id, label, vec_id % 2 = 0 AS is_a, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+         |c AS (SELECT vec_id, label, is_a, $sq8CodesSql AS codes FROM m),
+         |pd AS (SELECT label, CAST(t.d AS INT) AS pos,
+         |         CAST(SUM(CASE WHEN is_a THEN codes[CAST(t.d AS INT)] ELSE 0 END) AS BIGINT) AS sum_a,
+         |         CAST(SUM(CASE WHEN NOT is_a THEN codes[CAST(t.d AS INT)] ELSE 0 END) AS BIGINT) AS sum_b
+         |       FROM c, LATERAL (SELECT unnest(range(1, len(codes) + 1)) AS d) t
+         |       GROUP BY label, pos),
+         |ct AS (SELECT label,
+         |         CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |         CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |         CAST(MAX(len(codes)) AS BIGINT) AS n_dims
+         |       FROM c GROUP BY label),
+         |agg AS (SELECT pd.label, n_a, n_b, n_dims,
+         |          CAST(SUM(abs(sum_a * n_b - sum_b * n_a)) AS BIGINT) AS l1_cross
+         |        FROM pd JOIN ct USING (label) GROUP BY pd.label, n_a, n_b, n_dims)
+         |SELECT label, n_a, n_b,
+         |  CAST(l1_cross * 1000000 // (255 * n_a * n_b * n_dims) AS BIGINT) AS drift_ppm
+         |FROM agg WHERE n_a > 0 AND n_b > 0 ORDER BY label""".stripMargin),
+
+    // Deterministic round-robin training order across sources.
+    q("q149_interleave_order", ext.Sampling.interleaveOrder,
+      """WITH si AS (SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS source_idx
+        |            FROM (SELECT DISTINCT source FROM documents)),
+        |ns AS (SELECT COUNT(*) AS n_sources FROM si),
+        |r AS (SELECT doc_id, source,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank_in_source
+        |      FROM documents)
+        |SELECT r.doc_id, r.source, r.rank_in_source, si.source_idx,
+        |  (r.rank_in_source - 1) * ns.n_sources + si.source_idx AS global_order
+        |FROM r JOIN si USING (source) CROSS JOIN ns
+        |ORDER BY global_order""".stripMargin),
 
     // Per-source vocabulary divergence: exact-integer L1 distance between a
     // source's token distribution and the corpus's, in ppm of the max (2).

@@ -676,6 +676,40 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** Leakage-free split assignment (q146) — the REMEDIATION for what
+    * [[splitLeakage]] detects: every near-dup cluster is assigned to one
+    * split ATOMICALLY, keyed by the cluster id (= the min member's doc id),
+    * so no cluster can straddle train/test. Singleton docs keep their own
+    * content-addressed split. Output: per doc, the naive per-doc split, the
+    * cluster-atomic split actually assigned, and whether the doc moved.
+    *
+    * The split is a pure function of an id (md5 bucket), so the reassignment
+    * is a PROJECTION over docs left-joined to the slim cluster table — no
+    * second join against a split lookup, no shuffle beyond the cluster join
+    * (broadcast at dim scale, shuffled-hash at corpus scale). */
+  def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    def splitOf(idCol: Column): Column = {
+      val bucket = conv(substring(md5(idCol.cast("string")), 1, 7), 16, 10)
+        .cast("long") % 100
+      when(bucket < TextStats.TrainUpper, "train")
+        .when(bucket < TextStats.ValUpper, "val")
+        .otherwise("test")
+    }
+    val clusters = spark.read.parquet(clustersPath(spark, dir))
+    // effective_key (never null) instead of a nullable cluster_id column:
+    // NULL integers round-trip differently through the two engines' pandas
+    // frames (float64/NaN), which would poison the hash compare
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("effective_key", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("effective_key"),
+        col("cluster_id").isNotNull.as("in_cluster"),
+        splitOf(col("doc_id")).as("doc_split"),
+        splitOf(col("effective_key")).as("assigned_split"))
+      .withColumn("moved", col("doc_split") =!= col("assigned_split"))
+      .orderBy("doc_id")
+  }
+
   /** The clusters table materialized once per (dir, iters, cap) per JVM —
     * the dedup stack's second at-rest index (the first is
     * [[candidatePairsPath]]): in production the cluster assignment is

@@ -101,4 +101,57 @@ object Sampling {
       .select(col("doc_id"), col("n_tokens"), col("max_tokens"), col("sample_key"))
       .orderBy("doc_id")
   }
+
+  /** Per-source quota cap (q147): at most `cap` documents per source, chosen
+    * by content-addressed priority (md5 of the doc id, ties on the id) — the
+    * standard over-represented-domain cap in a curation mix ("no more than N
+    * pages from any one host"). Every doc is emitted with its priority rank
+    * and the kept/dropped verdict so the trim is auditable, not silent.
+    *
+    * Scale shape: one row_number window partitioned by source — the same
+    * per-stratum trim as [[stratifiedSample]]; no global sort, no shuffle
+    * beyond the source partitioning. */
+  def sourceQuotaCap(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("priority_rank", row_number().over(w).cast("int"))
+      .withColumn("kept", col("priority_rank") <= cap)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic training-order interleave (q149): a reproducible epoch
+    * order that round-robins across sources — doc with per-source
+    * content-addressed rank r (1-based) from source s (0-based index over the
+    * sorted source names) lands at global position (r−1)·n_sources + s. The
+    * result is the stratified shuffle a training run wants (no long runs of
+    * one domain; order is a pure function of the data) WITHOUT globally
+    * sorting the corpus by a random key: the per-source rank windows
+    * partition by source, and the source index is a dimension-cardinality
+    * frame (n_sources rows) joined broadcast. Positions are exact and
+    * collision-free: r ranks are unique within a source, s is unique across
+    * sources, and s < n_sources.
+    *
+    * The final orderBy is output-determinism cost only — a production writer
+    * would `repartitionByRange(global_order)` straight to files. */
+  def interleaveOrder(spark: SparkSession, dir: String): DataFrame = {
+    val srcW = Window.orderBy(col("source")) // dimension-cardinality (n_sources)
+    val sources = Tables.documents(spark, dir)
+      .select(col("source")).distinct()
+      .withColumn("source_idx", (row_number().over(srcW) - 1).cast("long"))
+    val nSources = sources.agg(count(lit(1)).as("n_sources"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .join(broadcast(sources), Seq("source"))
+      .crossJoin(broadcast(nSources))
+      .withColumn("global_order",
+        (col("rank_in_source") - 1) * col("n_sources") + col("source_idx"))
+      .select(col("doc_id"), col("source"), col("rank_in_source"),
+        col("source_idx"), col("global_order"))
+      .orderBy("global_order")
+  }
 }

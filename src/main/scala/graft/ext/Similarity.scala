@@ -349,4 +349,48 @@ object Similarity {
         expr("pair_dot_sum div n_pairs").as("avg_pair_dot"))
       .orderBy("bucket")
   }
+
+  /** Embedding drift monitor per label (q148): compare the SQ8 integer
+    * centroid of each label's vectors between two corpus halves (stand-in:
+    * even vs odd vec_id — in production the two sides are consecutive
+    * snapshot drops) as the exact-integer L1 distance between mean code
+    * vectors, scaled to ppm of the max possible (255 per dimension). A label
+    * whose embedding mass moved — encoder drift, upstream distribution
+    * shift, a corrupted re-embed — shows a large drift_ppm without any float
+    * accumulation (mean comparison is done by cross-multiplying the integer
+    * sums: |sumA·nB − sumB·nA| per dim, denominated in 255·nA·nB·dims).
+    *
+    * Scale shape: one linear pass computes codes, one posexplode + hash
+    * aggregate per (label, dim) with both halves' sums as conditional
+    * aggregates in the SAME pass (no self-join of the two halves), then a
+    * label-level rollup — output is n_labels rows. */
+  def labelDrift(spark: SparkSession, dir: String): DataFrame = {
+    val coded = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .withColumn("codes", expr(sq8CodesExpr))
+      .select(col("vec_id"), col("label"), (col("vec_id") % 2 === 0).as("is_a"),
+        col("codes"))
+    val perDim = coded
+      .select(col("label"), col("is_a"), posexplode(col("codes")).as(Seq("pos", "code")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        sum(when(col("is_a"), col("code").cast("long")).otherwise(0L)).as("sum_a"),
+        sum(when(!col("is_a"), col("code").cast("long")).otherwise(0L)).as("sum_b"))
+    val counts = coded.groupBy(col("label"))
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+        max(size(col("codes"))).cast("long").as("n_dims"))
+    perDim.join(broadcast(counts), Seq("label"))
+      .groupBy(col("label"), col("n_a"), col("n_b"), col("n_dims"))
+      .agg(sum(abs(col("sum_a") * col("n_b") - col("sum_b") * col("n_a"))).as("l1_cross"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("drift_ppm",
+        expr("l1_cross * 1000000 div (255 * n_a * n_b * n_dims)"))
+      .select(col("label"), col("n_a"), col("n_b"), col("drift_ppm"))
+      .orderBy("label")
+  }
 }

@@ -695,6 +695,55 @@ class ScaleOpsSpec extends SparkSuite {
     assert(total == direct)
   }
 
+  test("q146 cluster-safe split eliminates every leak q140 finds") {
+    val out = ext.Dedup.clusterSafeSplit(spark, dir).collect()
+    assert(out.nonEmpty)
+    // all members of a cluster get the cluster's split
+    out.filter(_.getAs[Boolean]("in_cluster"))
+      .groupBy(_.getAs[Long]("effective_key")).values.foreach { grp =>
+        assert(grp.map(_.getAs[String]("assigned_split")).distinct.length == 1,
+          "a cluster must land in exactly one split")
+      }
+    // singletons keep their content-addressed split
+    out.filterNot(_.getAs[Boolean]("in_cluster")).foreach { r =>
+      assert(r.getAs[String]("doc_split") == r.getAs[String]("assigned_split"))
+      assert(!r.getAs[Boolean]("moved"))
+    }
+    out.foreach(r => assert(r.getAs[Boolean]("moved") ==
+      (r.getAs[String]("doc_split") != r.getAs[String]("assigned_split"))))
+  }
+
+  test("q147 source quota: ranks are per-source permutations; kept iff within cap") {
+    val out = ext.Sampling.sourceQuotaCap(spark, dir).collect()
+    out.groupBy(_.getAs[String]("source")).values.foreach { grp =>
+      val ranks = grp.map(_.getAs[Int]("priority_rank")).sorted
+      assert(ranks.toSeq == (1 to grp.length).toSeq)
+    }
+    out.foreach(r => assert(r.getAs[Boolean]("kept") == (r.getAs[Int]("priority_rank") <= 20)))
+  }
+
+  test("q148 label drift: ppm bounded; identical halves would read zero") {
+    val out = ext.Similarity.labelDrift(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val d = r.getAs[Long]("drift_ppm")
+      assert(d >= 0 && d <= 1000000L)
+      assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    }
+  }
+
+  test("q149 interleave: global positions unique, consecutive ranks stride by n_sources") {
+    val out = ext.Sampling.interleaveOrder(spark, dir).collect()
+    val orders = out.map(_.getAs[Long]("global_order"))
+    assert(orders.length == orders.distinct.length, "positions must be collision-free")
+    val n = out.map(_.getAs[Long]("source_idx")).max + 1
+    out.groupBy(_.getAs[String]("source")).values.foreach { grp =>
+      val sorted = grp.sortBy(_.getAs[Long]("rank_in_source")).map(_.getAs[Long]("global_order"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => b - a == n },
+        "within a source, consecutive ranks are n_sources apart")
+    }
+  }
+
   test("q131 null-skew join is row-identical to the naive left join") {
     val split = engine.Skew.nullSkewJoin(spark, dir)
     val o = Tables.orders(spark, dir)
