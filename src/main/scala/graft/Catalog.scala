@@ -2047,6 +2047,12 @@ object Catalog {
         |FROM r JOIN si USING (source) CROSS JOIN ns
         |ORDER BY global_order""".stripMargin),
 
+    // Shuffle-free MinHash banding: identical table to q28, computed as a
+    // pure projection (HOF fold per row) — zero exchanges before the sort.
+    q("q150_minhash_inline", (s, d) => ext.Dedup.minhashBandsInline(s, d),
+      s"""WITH $bandsCte
+         |SELECT doc_id, band_idx, band_hash FROM bands ORDER BY doc_id, band_idx""".stripMargin),
+
     // Per-source vocabulary divergence: exact-integer L1 distance between a
     // source's token distribution and the corpus's, in ppm of the max (2).
     q("q145_source_divergence", ext.TextStats.sourceDivergence,

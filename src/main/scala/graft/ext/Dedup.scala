@@ -84,6 +84,39 @@ object Dedup {
       .agg(sigCols.head, sigCols.tail: _*)
   }
 
+  /** Shuffle-FREE MinHash banding (q150): the same (doc_id, band_idx,
+    * band_hash) table as [[minhashBands]], computed as a pure per-row
+    * projection — the per-doc shingle array is folded to all 12 universal-
+    * hash minima with higher-order `aggregate`, never exploded into a
+    * groupBy. The explode + map-side-combined agg of [[minhashSignatures]]
+    * shuffles only ~12 longs per doc per partition (cheap), but it is still
+    * a full repartition of the corpus at 100 TB; this form has ZERO
+    * exchanges before the output sort (PlanSpec pins that), so signature
+    * computation rides whatever partitioning the scan already has — the
+    * shape to prefer when banding feeds a same-partitioning write.
+    * Oracle-identical to q28 (same md5 base hash, same seed family, fold
+    * init = P is +inf for values in [0, P)). */
+  def minhashBandsInline(spark: SparkSession, dir: String): DataFrame = {
+    val sigCols = seedsAB.zipWithIndex.map { case ((a, b), i) =>
+      expr(s"aggregate(hs, CAST($P AS BIGINT), (acc, x) -> least(acc, (x * ${a}L + ${b}L) % ${P}L))")
+        .as(s"s$i")
+    }
+    val bandCols = (0 until 6).map { j =>
+      (col(s"s${2 * j}") * P + col(s"s${2 * j + 1}")).as(s"band$j")
+    }
+    val stackExpr = (0 until 6).map(j => s"$j, band$j").mkString("stack(6, ", ", ", ") AS (band_idx, band_hash)")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+      .withColumn("shs", shingles)
+      .withColumn("hs", expr(
+        "transform(shs, s -> CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT))"))
+      .select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), expr(stackExpr))
+      .orderBy("doc_id", "band_idx")
+  }
+
   private def bandsUnordered(spark: SparkSession, dir: String): DataFrame = {
     val bandCols = (0 until 6).map { j =>
       (col(s"s${2 * j}") * P + col(s"s${2 * j + 1}")).as(s"band$j")

@@ -273,6 +273,13 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"per-bucket rollup join must broadcast:\n$p")
   }
 
+  test("q150 inline minhash: zero exchanges before the output sort") {
+    val p = plan("q150_minhash_inline")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"signature fold must be projection-only, got $exchanges:\n$p")
+    assert(!p.contains("HashAggregate"), s"no aggregate may appear:\n$p")
+  }
+
   test("q145 source divergence: vocabulary joins broadcast, postings never shuffle twice") {
     val p = plan("q145_source_divergence")
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,

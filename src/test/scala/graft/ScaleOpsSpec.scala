@@ -744,6 +744,11 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("q150 inline minhash bands are row-identical to the agg form (q28)") {
+    assert(rows(ext.Dedup.minhashBandsInline(spark, dir)) ==
+      rows(ext.Dedup.minhashBands(spark, dir)))
+  }
+
   test("q131 null-skew join is row-identical to the naive left join") {
     val split = engine.Skew.nullSkewJoin(spark, dir)
     val o = Tables.orders(spark, dir)
