@@ -97,8 +97,13 @@ object Bench {
     val calAfter = calibration()
 
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val errList = results.collect { case (k, _, Some(e)) => "\"" + k + ": " + e + "\"" }
-      .mkString("[", ",", "]")
+    val allErrs = results.collect { case (k, _, Some(e)) => "\"" + k + ": " + e + "\"" }
+    // full error list only in the file; the stdout line caps at 8 so a
+    // mass-failure run cannot push the line past the driver's tail window
+    val errList = allErrs.mkString("[", ",", "]")
+    val errListCapped = (if (allErrs.size > 8)
+      allErrs.take(8) :+ ("\"...and " + (allErrs.size - 8) + " more\"")
+    else allErrs).mkString("[", ",", "]")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
 
     // Full per-query map goes to a FILE; the stdout line stays compact. The
@@ -116,9 +121,10 @@ object Bench {
         (fullJson + "\n").getBytes("UTF-8"))
     } catch { case t: Throwable => System.err.println(s"[bench] bench_full.json write failed: ${t.getMessage}") }
 
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+    val slowestSeq = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+    val slowest = slowestSeq
       .map { case (k, v, _) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_reported":20,"sf":"$sfDir","passes":$passes,"errors":$errList,"calibration_before_sec":${f3(calBefore)},"calibration_after_sec":${f3(calAfter)},"full":"bench_full.json"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_reported":${slowestSeq.size},"sf":"$sfDir","passes":$passes,"errors":$errListCapped,"calibration_before_sec":${f3(calBefore)},"calibration_after_sec":${f3(calAfter)},"full":"bench_full.json"}"""
     println(line)
     spark.stop()
   }
