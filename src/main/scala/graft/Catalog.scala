@@ -1865,9 +1865,9 @@ object Catalog {
          |agg AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms_matched,
          |$bm25PivotSql
          |        FROM sc GROUP BY doc_id),
-         |fin AS (SELECT doc_id, n_terms_matched, $bm25SumSql AS score FROM agg)
-         |SELECT doc_id, n_terms_matched, round(score, 6) AS score
-         |FROM fin ORDER BY score DESC, doc_id LIMIT 15""".stripMargin),
+         |fin AS (SELECT doc_id, n_terms_matched, $bm25SumSql AS raw_score FROM agg)
+         |SELECT doc_id, n_terms_matched, round(raw_score, 6) AS score
+         |FROM fin ORDER BY raw_score DESC, doc_id LIMIT 15""".stripMargin),
 
     // Split-leakage audit: near-dup clusters spanning train/val/test.
     q("q140_split_leakage", (s, d) => ext.Dedup.splitLeakage(s, d),
@@ -1883,13 +1883,7 @@ object Catalog {
          |  UNION
          |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
          |labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
-         |sp AS (SELECT doc_id,
-         |         CASE WHEN bkt < ${ext.TextStats.TrainUpper} THEN 'train'
-         |              WHEN bkt < ${ext.TextStats.ValUpper} THEN 'val'
-         |              ELSE 'test' END AS split
-         |       FROM (SELECT doc_id,
-         |               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100 AS bkt
-         |             FROM documents)),
+         |sp AS (SELECT doc_id, ${splitCaseSql("doc_id")} AS split FROM documents),
          |g AS (SELECT l.cluster_id, COUNT(*) AS n_docs,
          |        CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
          |        CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,

@@ -721,13 +721,8 @@ object Dedup {
     * second join against a split lookup, no shuffle beyond the cluster join
     * (broadcast at dim scale, shuffled-hash at corpus scale). */
   def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
-    def splitOf(idCol: Column): Column = {
-      val bucket = conv(substring(md5(idCol.cast("string")), 1, 7), 16, 10)
-        .cast("long") % 100
-      when(bucket < TextStats.TrainUpper, "train")
-        .when(bucket < TextStats.ValUpper, "val")
-        .otherwise("test")
-    }
+    def splitOf(idCol: Column): Column =
+      TextStats.splitBand(TextStats.splitBucket(idCol))
     val clusters = spark.read.parquet(clustersPath(spark, dir))
     // effective_key (never null) instead of a nullable cluster_id column:
     // NULL integers round-trip differently through the two engines' pandas

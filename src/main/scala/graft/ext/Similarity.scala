@@ -363,7 +363,12 @@ object Similarity {
     * Scale shape: one linear pass computes codes, one posexplode + hash
     * aggregate per (label, dim) with both halves' sums as conditional
     * aggregates in the SAME pass (no self-join of the two halves), then a
-    * label-level rollup — output is n_labels rows. */
+    * label-level rollup — output is n_labels rows.
+    *
+    * The cross-products and the ppm scaling run in DECIMAL(38,0): l1_cross
+    * is quadratic in the label's size (bounded by 255·nA·nB·dims), so a
+    * drifted label of ~50 k vectors per half already clears int64 after the
+    * ×10⁶ — Spark would wrap where the DuckDB oracle promotes to HUGEINT. */
   def labelDrift(spark: SparkSession, dir: String): DataFrame = {
     val coded = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
@@ -386,10 +391,12 @@ object Similarity {
         max(size(col("codes"))).cast("long").as("n_dims"))
     perDim.join(broadcast(counts), Seq("label"))
       .groupBy(col("label"), col("n_a"), col("n_b"), col("n_dims"))
-      .agg(sum(abs(col("sum_a") * col("n_b") - col("sum_b") * col("n_a"))).as("l1_cross"))
+      .agg(sum(abs(col("sum_a").cast("decimal(38,0)") * col("n_b") -
+        col("sum_b").cast("decimal(38,0)") * col("n_a"))).as("l1_cross"))
       .filter(col("n_a") > 0 && col("n_b") > 0)
       .withColumn("drift_ppm",
-        expr("l1_cross * 1000000 div (255 * n_a * n_b * n_dims)"))
+        expr("CAST(l1_cross * 1000000 div " +
+          "(255 * CAST(n_a AS DECIMAL(38,0)) * n_b * n_dims) AS BIGINT)"))
       .select(col("label"), col("n_a"), col("n_b"), col("drift_ppm"))
       .orderBy("label")
   }

@@ -441,6 +441,20 @@ object TextStats {
       .orderBy(col("n_pair").desc, col("pair"))
       .limit(topN)
 
+  /** Content-addressed 100-bucket hash of an id — THE split-bucket primitive;
+    * every split derivation (here, [[corpusExport]],
+    * [[graft.ext.Dedup.clusterSafeSplit]]) and the Catalog's `splitCaseSql`
+    * oracle fragment must agree with this definition. */
+  def splitBucket(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 7), 16, 10).cast("long") % 100
+
+  /** Split band over a [[splitBucket]] value: train < TrainUpper ≤ val <
+    * ValUpper ≤ test. */
+  def splitBand(bucket: Column): Column =
+    when(bucket < TrainUpper, "train")
+      .when(bucket < ValUpper, "val")
+      .otherwise("test")
+
   /** Deterministic train/val/test split assignment: content-addressed hash of
     * doc_id into 100 buckets → split by fixed band (train 0-89, val 90-94,
     * test 95-99). Partition-layout-independent (the same doc always lands in
@@ -449,13 +463,9 @@ object TextStats {
     * [[graft.ext.Sampling.hashSample]]. */
   def splitAssign(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
-          .cast("long") % 100).as("bucket"))
+      .select(col("doc_id"), col("source"), splitBucket(col("doc_id")).as("bucket"))
       .select(col("doc_id"), col("source"), col("bucket"),
-        when(col("bucket") < TrainUpper, "train")
-          .when(col("bucket") < ValUpper, "val")
-          .otherwise("test").as("split"))
+        splitBand(col("bucket")).as("split"))
       .orderBy("doc_id")
 
   /** Capstone composition — the end-to-end corpus-export flow a training run
@@ -477,13 +487,8 @@ object TextStats {
         size(expr(s"filter(words, w -> w IN $stopWordsSqlSet)")).cast("long").as("n_stopwords"))
       .filter(col("n_chars").between(MinChars, MaxChars) &&
         col("n_tokens") >= MinTokens && col("n_stopwords") > 0)
-    val withSplit = gated.withColumn("bucket",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
-          .cast("long") % 100)
-      .withColumn("split",
-        when(col("bucket") < TrainUpper, "train")
-          .when(col("bucket") < ValUpper, "val")
-          .otherwise("test"))
+    val withSplit = gated.withColumn("bucket", splitBucket(col("doc_id")))
+      .withColumn("split", splitBand(col("bucket")))
     val w = Window.partitionBy(col("split"), col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withSplit
@@ -908,13 +913,17 @@ object TextStats {
         .cast("long") % width).as(s"b$r")
     val withBuckets = counts.select(
       col("term") +: col("exact_count") +: (0 until rows).map(bucket): _*)
-    // (term, row, bucket, count) — the sketch update stream, one row per hash row
+    // (term, row, bucket, count) — the sketch update stream, one row per hash
+    // row. Bucket totals come from a WINDOW over this (vocabulary-sized)
+    // frame, not a groupBy + self-join back: the join form would evaluate the
+    // corpus-scale token-count lineage twice (once under each join side);
+    // the window shares the single pass, and its (hash_row, bucket)
+    // partitions are bounded by the bucket's term population.
     val updates = withBuckets.select(col("term"), col("exact_count"),
       posexplode(array((0 until rows).map(r => col(s"b$r")): _*)).as(Seq("hash_row", "bucket")))
-    val sketch = updates.groupBy(col("hash_row"), col("bucket"))
-      .agg(sum(col("exact_count")).as("bucket_total"))
+    val byCell = Window.partitionBy(col("hash_row"), col("bucket"))
     updates
-      .join(sketch, Seq("hash_row", "bucket"))
+      .withColumn("bucket_total", sum(col("exact_count")).over(byCell))
       .groupBy(col("term"), col("exact_count"))
       .agg(min(col("bucket_total")).as("cms_estimate"))
       .select(col("term"), col("exact_count"), col("cms_estimate"),
@@ -980,8 +989,15 @@ object TextStats {
     * (vocabulary-sized, broadcastable); the output is one row per source.
     * Terms absent from a source still contribute |0 − cnt_corpus · total_src|
     * to that source's sum, handled by a right-join + per-source missing-mass
-    * complement rather than materializing the full source × vocab grid. */
+    * complement rather than materializing the full source × vocab grid.
+    *
+    * The cross-products run in DECIMAL(38,0): cnt·total products clear int64
+    * around 10⁹·10¹⁰ tokens, well inside a 100 TB corpus — Spark would wrap
+    * where the DuckDB oracle promotes to HUGEINT, a silent cross-engine
+    * divergence. DECIMAL keeps both sides exact to 10³⁸ (≈ 10¹⁴ tokens
+    * corpus-wide with ppm scaling). */
   def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
     val toks = Tables.documents(spark, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("term"))
     val bySrc = toks.groupBy(col("source"), col("term"))
@@ -997,14 +1013,16 @@ object TextStats {
       .crossJoin(broadcast(corpusTotal))
       .groupBy(col("source"), col("total_src"), col("total_corpus"))
       .agg(
-        sum(abs(col("cnt_src") * col("total_corpus") - col("cnt_corpus") * col("total_src")))
+        sum(abs(col("cnt_src").cast(d38) * col("total_corpus") -
+          col("cnt_corpus").cast(d38) * col("total_src")))
           .as("l1_present"),
         sum(col("cnt_corpus")).as("corpus_mass_present"))
     present
       .withColumn("l1_absent",
-        (col("total_corpus") - col("corpus_mass_present")) * col("total_src"))
+        (col("total_corpus") - col("corpus_mass_present")).cast(d38) * col("total_src"))
       .withColumn("divergence_ppm",
-        expr("CAST((l1_present + l1_absent) * 1000000 div (2 * total_src * total_corpus) AS BIGINT)"))
+        expr(s"CAST((l1_present + l1_absent) * 1000000 div " +
+          s"(2 * CAST(total_src AS $d38) * total_corpus) AS BIGINT)"))
       .select(col("source"), col("total_src"), col("divergence_ppm"))
       .orderBy("source")
   }

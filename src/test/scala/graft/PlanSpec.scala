@@ -245,16 +245,22 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin LeftOuter"), s"dim join must broadcast:\n$p")
   }
 
-  test("q139 bm25: df and corpus stats broadcast; top-k is TakeOrderedAndProject") {
+  test("q139 bm25: no shuffled join anywhere (postings only ever join broadcast sides)") {
     val p = plan("q139_bm25")
     assert(p.contains("TakeOrderedAndProject"), s"top-k lost its per-partition trim:\n$p")
-    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
-      s"df + corpus stats must broadcast, never shuffle the postings:\n$p")
+    // the df table and the 1-row corpus stats are broadcast (hash join and
+    // nested-loop respectively); what must NEVER appear is a shuffle-side
+    // join that would repartition the postings by a non-doc key
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"postings must not shuffle for a join:\n$p")
   }
 
-  test("q141 count-min: probe joins the sketch broadcast (<= d*w rows at any scale)") {
+  test("q141 count-min: one token-count lineage, no self-join back onto it") {
     val p = plan("q141_countmin")
-    assert(p.contains("BroadcastHashJoin"), s"sketch table must broadcast:\n$p")
+    // bucket totals come from a window over the vocab-sized frame, so the
+    // corpus-scale explode + count appears exactly ONCE in the plan
+    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"token lineage must be evaluated once, found $scans scans:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-20 must trim per partition:\n$p")
   }
 
