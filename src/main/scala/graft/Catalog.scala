@@ -2047,6 +2047,54 @@ object Catalog {
       s"""WITH $bandsCte
          |SELECT doc_id, band_idx, band_hash FROM bands ORDER BY doc_id, band_idx""".stripMargin),
 
+    // Hybrid retrieval: integer reciprocal-rank fusion of the BM25 top-100
+    // and an exact-phrase-count top-100 (k = 60).
+    q("q151_rrf_fusion", (s, d) => ext.TextStats.rrfFusion(s, d),
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |qt AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+         |       WHERE term IN $bm25Terms GROUP BY doc_id, term),
+         |dfx AS (SELECT term, COUNT(*) AS df FROM qt GROUP BY term),
+         |dlx AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+         |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dlx),
+         |sc AS (SELECT qt.doc_id, qt.term,
+         |         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+         |           (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))) AS term_score
+         |       FROM qt JOIN dfx USING (term) JOIN dlx USING (doc_id) CROSS JOIN st),
+         |agg AS (SELECT doc_id,
+         |$bm25PivotSql
+         |        FROM sc GROUP BY doc_id),
+         |fin AS (SELECT doc_id, $bm25SumSql AS raw_score FROM agg),
+         |bmtop AS (SELECT doc_id, raw_score FROM fin ORDER BY raw_score DESC, doc_id LIMIT 100),
+         |bmr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY raw_score DESC, doc_id) AS BIGINT) AS bm25_rank FROM bmtop),
+         |ph AS (SELECT doc_id, CAST(len(string_split(text, '${ext.TextStats.RrfPhrase}')) - 1 AS BIGINT) AS phrase_count FROM documents),
+         |phtop AS (SELECT doc_id, phrase_count FROM ph WHERE phrase_count > 0
+         |          ORDER BY phrase_count DESC, doc_id LIMIT 100),
+         |phr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY phrase_count DESC, doc_id) AS BIGINT) AS phrase_rank FROM phtop),
+         |f AS (SELECT coalesce(b.doc_id, p.doc_id) AS doc_id,
+         |        coalesce(b.bm25_rank, 0) AS bm25_rank,
+         |        coalesce(p.phrase_rank, 0) AS phrase_rank,
+         |        coalesce(1000000 // (60 + b.bm25_rank), 0) +
+         |          coalesce(1000000 // (60 + p.phrase_rank), 0) AS rrf_score
+         |      FROM bmr b FULL OUTER JOIN phr p ON b.doc_id = p.doc_id)
+         |SELECT doc_id, bm25_rank, phrase_rank, rrf_score
+         |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin),
+
+    // Exact median/p90 from the value histogram — order statistics without
+    // sorting rows; the cumulative window runs over |groups| x |values|.
+    q("q152_percentiles_by_counting", RelOps.percentilesByCounting,
+      """WITH hist AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS c
+        |              FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT *,
+        |          CAST(SUM(c) OVER (PARTITION BY flag ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |          CAST(SUM(c) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |        FROM hist),
+        |med AS (SELECT flag, n, MIN(v) AS median_qty FROM cum WHERE cum >= (n + 1) // 2 GROUP BY flag, n),
+        |p90 AS (SELECT flag, n, MIN(v) AS p90_qty FROM cum WHERE cum >= (9 * n + 9) // 10 GROUP BY flag, n)
+        |SELECT med.flag, med.n AS n_rows, median_qty, p90_qty
+        |FROM med JOIN p90 ON med.flag = p90.flag
+        |ORDER BY med.flag""".stripMargin),
+
     // Per-source vocabulary divergence: exact-integer L1 distance between a
     // source's token distribution and the corpus's, in ppm of the max (2).
     q("q145_source_divergence", ext.TextStats.sourceDivergence,

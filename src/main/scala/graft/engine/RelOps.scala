@@ -695,4 +695,40 @@ object RelOps {
     // activity (the +6 explode also lands on post-horizon days)
     dau.join(wau, Seq("day")).orderBy("day")
   }
+
+  /** Exact order statistics by VALUE COUNTING (q152): per l_returnflag, the
+    * exact lower median and exact p90 of l_quantity — computed from the
+    * value histogram, never by sorting rows. One hash aggregate collapses
+    * the fact table to (group, value, count) — cardinality |groups| ×
+    * |value domain|, independent of row count — and a cumulative window over
+    * THAT frame selects the smallest value whose cumulative count reaches
+    * the rank threshold. The row-sort alternatives (global sort, or
+    * row_number per group as q83 does at dimension scale) shuffle every row;
+    * this shuffles the histogram. Thresholds in exact integer arithmetic:
+    * lower median rank = (n+1) div 2, p90 rank = ceil(0.9·n) = (9n+9) div 10.
+    *
+    * The selection windows partition by group and order by value — partition
+    * size = value-domain size per group, bounded regardless of scale (for
+    * unbounded numeric domains, bucket values first; the mechanism is
+    * unchanged). */
+  def percentilesByCounting(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("flag"), col("l_quantity").cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("flag")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("flag"))))
+    def pick(threshold: Column, name: String) =
+      cum.filter(col("cum") >= threshold)
+        .groupBy(col("flag"), col("n"))
+        .agg(min(col("v")).as(name))
+    val med = pick(expr("(n + 1) div 2"), "median_qty")
+    val p90 = pick(expr("(9 * n + 9) div 10"), "p90_qty")
+    med.join(p90, Seq("flag", "n"))
+      .select(col("flag"), col("n").as("n_rows"), col("median_qty"), col("p90_qty"))
+      .orderBy("flag")
+  }
 }

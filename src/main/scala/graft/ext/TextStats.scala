@@ -890,6 +890,82 @@ object TextStats {
       .select(col("doc_id"), col("n_terms_matched"), round(col("score"), 6).as("score"))
   }
 
+  /** The exact phrase used by [[rrfFusion]]'s proximity signal and its
+    * oracle (single source). */
+  val RrfPhrase: String = "spark hash"
+
+  /** Reciprocal-rank fusion of two retrieval signals (q151) — the standard
+    * hybrid-retrieval combiner (score = Σ 1/(k + rank), k = 60), computed in
+    * EXACT integers (1 000 000 div (60 + rank)) so the fusion is hash-stable
+    * across engines: floats only influence the BM25 rank order itself (same
+    * convention as q139). Signals:
+    *   - lexical: the full BM25 ranking for [[Bm25QueryTerms]] (row_number
+    *     over raw score desc, doc_id);
+    *   - proximity: docs ranked by occurrences of the exact phrase
+    *     [[RrfPhrase]] (desc, doc_id), docs without the phrase unranked.
+    * A doc missing from a signal contributes 0 for it — the asymmetric-
+    * coverage case every production fusion has to define.
+    *
+    * Scale shape: both signals are corpus-linear with broadcast-side joins
+    * (q139's shape; the phrase count is one split projection); each signal
+    * is trimmed to its top-`perSignal` via orderBy().limit() —
+    * TakeOrderedAndProject, only perSignal rows per partition cross the
+    * shuffle — and the rank window then runs over that bounded frame (never
+    * a corpus-wide single-partition rank). Fusing per-signal top-N lists is
+    * also RRF's production semantics. The fusion itself is a full-outer
+    * join of two ≤ perSignal-row frames. */
+  def rrfFusion(spark: SparkSession, dir: String, k: Int = 10,
+      perSignal: Int = 100): DataFrame = {
+    val termSet = Bm25QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(expr(s"term IN $termSet"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val perTerm = Bm25QueryTerms.map(t =>
+      max(when(col("term") === t, col("term_score"))).as(s"s_$t"))
+    val total = Bm25QueryTerms.map(t => coalesce(col(s"s_$t"), lit(0.0)))
+      .reduce(_ + _)
+    val bm25 = tf.join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+      .groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("raw_score", total)
+      .orderBy(col("raw_score").desc, col("doc_id"))
+      .limit(perSignal)
+      .withColumn("bm25_rank",
+        row_number().over(Window.orderBy(col("raw_score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("bm25_rank"))
+    val phrase = docs
+      .select(col("doc_id"),
+        (size(split(col("text"), java.util.regex.Pattern.quote(RrfPhrase), -1)) - 1)
+          .cast("long").as("phrase_count"))
+      .filter(col("phrase_count") > 0)
+      .orderBy(col("phrase_count").desc, col("doc_id"))
+      .limit(perSignal)
+      .withColumn("phrase_rank",
+        row_number().over(Window.orderBy(col("phrase_count").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("phrase_rank"))
+    bm25.join(phrase, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
+        coalesce(col("phrase_rank"), lit(0L)).as("phrase_rank"),
+        (coalesce(expr("1000000 div (60 + bm25_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + phrase_rank)"), lit(0L))).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Deterministic count-min sketch over the token stream (d = 4 hash rows ×
     * w = 512 buckets, md5-derived row hashes), evaluated against the exact
     * counts for the 20 most frequent tokens: estimate, exact, and the

@@ -749,6 +749,34 @@ class ScaleOpsSpec extends SparkSuite {
       rows(ext.Dedup.minhashBands(spark, dir)))
   }
 
+  test("q151 rrf fusion: scores match the rank formula and descend") {
+    val out = ext.TextStats.rrfFusion(spark, dir).collect()
+    assert(out.nonEmpty)
+    def contrib(rank: Long): Long = if (rank == 0L) 0L else 1000000L / (60L + rank)
+    out.foreach { r =>
+      val (b, p) = (r.getAs[Long]("bm25_rank"), r.getAs[Long]("phrase_rank"))
+      assert(b > 0 || p > 0, "a fused doc must appear in at least one signal")
+      assert(r.getAs[Long]("rrf_score") == contrib(b) + contrib(p))
+    }
+    val scores = out.map(_.getAs[Long]("rrf_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q152 counting percentiles equal the sort-based order statistics") {
+    val out = engine.RelOps.percentilesByCounting(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byFlag = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+    out.foreach { r =>
+      val vs = byFlag(r.getAs[String]("flag")).map(_._2).sorted
+      val n = vs.length
+      assert(r.getAs[Long]("n_rows") == n.toLong)
+      assert(r.getAs[Long]("median_qty") == vs((n + 1) / 2 - 1), "lower median")
+      assert(r.getAs[Long]("p90_qty") == vs((9 * n + 9) / 10 - 1), "ceil-rank p90")
+    }
+  }
+
   test("q131 null-skew join is row-identical to the naive left join") {
     val split = engine.Skew.nullSkewJoin(spark, dir)
     val o = Tables.orders(spark, dir)
