@@ -2095,6 +2095,27 @@ object Catalog {
         |FROM med JOIN p90 ON med.flag = p90.flag
         |ORDER BY med.flag""".stripMargin),
 
+    // Equi-depth range-bucket bounds + balance audit from the value
+    // histogram (the exact-arithmetic repartitionByRange bounds).
+    q("q153_equi_depth_buckets", (s, d) => RelOps.equiDepthBuckets(s, d),
+      """WITH hist AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v, COUNT(*) AS c
+        |              FROM orders GROUP BY 1),
+        |n_t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+        |cum AS (SELECT v, c, CAST(SUM(c) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |        FROM hist),
+        |ks AS (SELECT unnest(range(1, 8)) AS k),
+        |bounds AS (SELECT ks.k, cum.v AS bound
+        |           FROM cum CROSS JOIN n_t CROSS JOIN ks
+        |           WHERE cum * 8 >= k * n AND (cum - c) * 8 < k * n),
+        |bl AS (SELECT list_sort(list(bound)) AS bs FROM bounds),
+        |b AS (SELECT cum.v, cum.c, n_t.n,
+        |        CAST(len(list_filter(bl.bs, x -> x < cum.v)) AS INT) AS bucket_idx
+        |      FROM cum CROSS JOIN n_t CROSS JOIN bl)
+        |SELECT bucket_idx, MIN(v) AS lo, MAX(v) AS hi, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(SUM(c) * 1000000 // n AS BIGINT) AS share_ppm
+        |FROM b GROUP BY bucket_idx, n ORDER BY bucket_idx""".stripMargin),
+
     // Per-source vocabulary divergence: exact-integer L1 distance between a
     // source's token distribution and the corpus's, in ppm of the max (2).
     q("q145_source_divergence", ext.TextStats.sourceDivergence,

@@ -711,6 +711,50 @@ object RelOps {
     * size = value-domain size per group, bounded regardless of scale (for
     * unbounded numeric domains, bucket values first; the mechanism is
     * unchanged). */
+  /** Equi-depth range bucketing (q153): the bounds computation behind a
+    * balanced `repartitionByRange` export, made explicit and auditable.
+    * From the (dollar-floor) value histogram of o_totalprice — value-domain
+    * cardinality, not row cardinality — the N−1 exact bucket bounds are the
+    * smallest values whose cumulative count reaches ceil(k·n/N); every
+    * histogram row then gets its bucket by counting bounds below its value
+    * (N−1 bounds, broadcast), and the output is one row per bucket with its
+    * actual range, row count, and share in ppm — the skew audit that tells
+    * you whether the planned file layout is balanced BEFORE paying the
+    * export shuffle. Spark's own repartitionByRange computes approximate
+    * bounds by sampling; this is the exact-arithmetic equivalent, priced in
+    * histogram rows. */
+  def equiDepthBuckets(spark: SparkSession, dir: String, nBuckets: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.orders(spark, dir)
+      // explicit floor on BOTH engines: a bare double->bigint CAST truncates
+      // in Spark but rounds in DuckDB
+      .groupBy(expr("CAST(floor(o_totalprice) AS BIGINT)").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+    // bound_k = min v with cum >= ceil(k*n/N), k = 1..N-1
+    val bounds = cum
+      .crossJoin(broadcast(spark.range(1, nBuckets).toDF("k")))
+      .filter(col("cum") * nBuckets >= col("k") * col("n") &&
+        (col("cum") - col("c")) * nBuckets < col("k") * col("n"))
+      .select(col("k"), col("v").as("bound"))
+    val bucketed = cum
+      .join(broadcast(bounds.groupBy().agg(
+        sort_array(collect_list(col("bound"))).as("bs"))))
+      .withColumn("bucket_idx",
+        expr("CAST(size(filter(bs, b -> b < v)) AS INT)"))
+    bucketed
+      .groupBy(col("bucket_idx"), col("n"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(col("c")).as("n_rows"))
+      .withColumn("share_ppm", expr("n_rows * 1000000 div n"))
+      .select(col("bucket_idx"), col("lo"), col("hi"), col("n_rows"), col("share_ppm"))
+      .orderBy("bucket_idx")
+  }
+
   def percentilesByCounting(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = Tables.lineitem(spark, dir)

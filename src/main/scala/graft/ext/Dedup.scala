@@ -96,7 +96,16 @@ object Dedup {
     * shape to prefer when banding feeds a same-partitioning write.
     * Oracle-identical to q28 (same md5 base hash, same seed family, fold
     * init = P is +inf for values in [0, P)). */
-  def minhashBandsInline(spark: SparkSession, dir: String): DataFrame = {
+  def minhashBandsInline(spark: SparkSession, dir: String): DataFrame =
+    bandsProjection(Tables.documents(spark, dir))
+      .orderBy("doc_id", "band_idx")
+
+  /** The shuffle-free banding as a reusable PROJECTION over any frame with
+    * (doc_id, text) — the form [[minhashBandsInline]] wraps for the catalog
+    * and [[graft.streaming.Streams.bandIndexStream]] applies per micro-batch
+    * (a pure projection is exactly what the streaming file sink can run
+    * with end-to-end exactly-once semantics and zero state). */
+  def bandsProjection(docs: DataFrame): DataFrame = {
     val sigCols = seedsAB.zipWithIndex.map { case ((a, b), i) =>
       expr(s"aggregate(hs, CAST($P AS BIGINT), (acc, x) -> least(acc, (x * ${a}L + ${b}L) % ${P}L))")
         .as(s"s$i")
@@ -105,7 +114,7 @@ object Dedup {
       (col(s"s${2 * j}") * P + col(s"s${2 * j + 1}")).as(s"band$j")
     }
     val stackExpr = (0 until 6).map(j => s"$j, band$j").mkString("stack(6, ", ", ", ") AS (band_idx, band_hash)")
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
       .withColumn("shs", shingles)
@@ -114,7 +123,6 @@ object Dedup {
       .select(col("doc_id") +: sigCols: _*)
       .select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"), expr(stackExpr))
-      .orderBy("doc_id", "band_idx")
   }
 
   private def bandsUnordered(spark: SparkSession, dir: String): DataFrame = {

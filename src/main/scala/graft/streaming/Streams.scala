@@ -220,6 +220,44 @@ object Streams {
       }
   }
 
+  /** Schema of a documents parquet directory (streaming reader needs it
+    * explicit). */
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Incremental near-dup BAND INDEX maintenance: new document waves landing
+    * in `srcDir` are banded with the shuffle-free projection
+    * ([[graft.ext.Dedup.bandsProjection]]) and APPENDED to the at-rest index
+    * — the streaming realization of the deployment model the batch dedup
+    * stack assumes (the band/pair index is maintained at rest and appended
+    * per data drop, never recomputed over the corpus). Because banding is a
+    * pure stateless projection, the whole pipeline runs under the streaming
+    * parquet FILE SINK: checkpointed offsets + _spark_metadata give
+    * end-to-end exactly-once, no foreachBatch and no replay guard needed.
+    * Downstream (candidate generation, clustering) reads the index exactly
+    * as the batch path does. */
+  def bandIndexStream(spark: SparkSession, srcDir: String): DataFrame =
+    graft.ext.Dedup.bandsProjection(
+      spark.readStream.schema(documentSchema).parquet(srcDir))
+
+  /** Drain [[bandIndexStream]] into the parquet index at `indexPath`
+    * (Trigger.AvailableNow; re-invoking with the same checkpoint processes
+    * only newly-landed files). */
+  def runBandIndex(spark: SparkSession, srcDir: String, indexPath: String,
+      checkpoint: String): Unit = {
+    val q = bandIndexStream(spark, srcDir).writeStream
+      .format("parquet")
+      .option("path", indexPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain a streaming DF into an in-memory table synchronously
     * (Trigger.AvailableNow) — the local test/dev harness for the queries above;
     * a production deployment swaps the sink for parquet/Kafka and a

@@ -777,6 +777,24 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("q153 equi-depth buckets partition all rows into near-balanced, disjoint ranges") {
+    val out = engine.RelOps.equiDepthBuckets(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 8)
+    val total = Tables.orders(spark, dir).count()
+    assert(out.map(_.getAs[Long]("n_rows")).sum == total, "buckets must partition the table")
+    // disjoint, ordered ranges
+    val ranges = out.sortBy(_.getAs[Int]("bucket_idx")).map(r =>
+      (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+    ranges.foreach { case (lo, hi) => assert(lo <= hi) }
+    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo2, _)) => assert(hi < lo2) }
+    // balance: every bucket within 3x of the ideal share (duplicate-heavy
+    // value domains can skew; the audit exists to EXPOSE that, not hide it)
+    out.foreach { r =>
+      val share = r.getAs[Long]("share_ppm")
+      assert(share > 0 && share <= 375000L, s"bucket ${r.getAs[Int]("bucket_idx")} share $share")
+    }
+  }
+
   test("q131 null-skew join is row-identical to the naive left join") {
     val split = engine.Skew.nullSkewJoin(spark, dir)
     val o = Tables.orders(spark, dir)

@@ -44,6 +44,29 @@ class StreamsSpec extends SparkSuite {
     assert(ids.length == 200, "all planted originals survive, all replays dropped")
   }
 
+  test("incrementally-built band index over two waves == batch banding of the corpus") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val srcDir = "/tmp/graft_stream_bands_src"
+    val idxDir = "/tmp/graft_stream_bands_idx"
+    val ckpt = "/tmp/graft_stream_bands_ckpt"
+    Seq(srcDir, idxDir, ckpt).foreach(rmTree)
+    // wave 1: even doc ids; drain; wave 2: odd doc ids; drain again
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("append").parquet(srcDir)
+    Streams.runBandIndex(spark, srcDir, idxDir, ckpt)
+    docs.filter(col("doc_id") % 2 === 1)
+      .write.mode("append").parquet(srcDir)
+    Streams.runBandIndex(spark, srcDir, idxDir, ckpt)
+    val streamed = spark.read.parquet(idxDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val batch = graft.ext.Dedup.minhashBandsInline(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed == batch, "at-rest index must equal the batch banding")
+    // idempotence: a third drain with no new files appends nothing
+    Streams.runBandIndex(spark, srcDir, idxDir, ckpt)
+    assert(spark.read.parquet(idxDir).count() == batch.size.toLong)
+  }
+
   test("streaming debounce: rapid-fire (user, type) repeats collapse to one kept event") {
     import java.sql.Timestamp
     import spark.implicits._
