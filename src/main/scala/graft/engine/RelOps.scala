@@ -755,24 +755,33 @@ object RelOps {
       .orderBy("bucket_idx")
   }
 
-  def percentilesByCounting(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hist = Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag").as("flag"), col("l_quantity").cast("long").as("v"))
-      .agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("flag")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist
-      .withColumn("cum", sum(col("c")).over(w))
-      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("flag"))))
-    def pick(threshold: Column, name: String) =
-      cum.filter(col("cum") >= threshold)
-        .groupBy(col("flag"), col("n"))
-        .agg(min(col("v")).as(name))
-    val med = pick(expr("(n + 1) div 2"), "median_qty")
-    val p90 = pick(expr("(9 * n + 9) div 10"), "p90_qty")
-    med.join(p90, Seq("flag", "n"))
-      .select(col("flag"), col("n").as("n_rows"), col("median_qty"), col("p90_qty"))
+  def percentilesByCounting(spark: SparkSession, dir: String): DataFrame =
+    percentilesByCountingOn(
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("v")))
+      .select(col("g").as("flag"), col("n_rows"),
+        col("median_v").as("median_qty"), col("p90_v").as("p90_qty"))
       .orderBy("flag")
+
+  /** The counting-selection mechanism of [[percentilesByCounting]] as a
+    * generic operator over any (g: group, v: long) frame — also the
+    * property-test surface (PropertySpec checks it against sort-based order
+    * statistics on arbitrary multisets). */
+  def percentilesByCountingOn(gv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = gv.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // both thresholds selected in ONE conditional aggregate over the
+    // cumulative histogram — a filter-per-percentile + join would evaluate
+    // the fact-scan lineage once per percentile
+    hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+      .groupBy(col("g"), col("n"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))).as("median_v"),
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("v"))).as("p90_v"))
+      .select(col("g"), col("n").as("n_rows"), col("median_v"), col("p90_v"))
   }
 }

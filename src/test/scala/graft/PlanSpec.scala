@@ -286,6 +286,31 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("HashAggregate"), s"no aggregate may appear:\n$p")
   }
 
+  test("q151 rrf: each signal trims per-partition before its bounded rank window") {
+    val p = plan("q151_rrf_fusion")
+    val takeOrdered = p.linesIterator.count(_.contains("TakeOrderedAndProject"))
+    assert(takeOrdered >= 2, s"both signals + the fusion must trim per partition:\n$p")
+  }
+
+  test("q152 counting percentiles: one fact scan, both thresholds in one aggregate") {
+    val p = plan("q152_percentiles_by_counting")
+    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"median and p90 must share one histogram pass, found $scans scans:\n$p")
+  }
+
+  test("q153 equi-depth buckets: one fact scan; branches reuse the histogram exchange") {
+    // exchange reuse is a static-planner property; under AQE the pre-execution
+    // explain shows the unreused initial plan (AQE re-applies reuse at runtime)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("q153_equi_depth_buckets")
+      val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"bounds and bucketing must reuse the cumulative histogram, found $scans:\n$p")
+      assert(p.contains("ReusedExchange"), s"histogram exchange must be reused:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("q145 source divergence: vocabulary joins broadcast, postings never shuffle twice") {
     val p = plan("q145_source_divergence")
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,

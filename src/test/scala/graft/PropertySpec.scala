@@ -233,4 +233,23 @@ class PropertySpec extends SparkSuite {
       }
     })
   }
+
+  test("property: counting-selection percentiles equal sort-based order statistics") {
+    val s = spark; import s.implicits._
+    val gen = Gen.listOfN(40, Gen.zip(Gen.choose(1, 3), Gen.choose(0L, 20L)))
+    check(Prop.forAll(gen) { pairs =>
+      pairs.nonEmpty ==> {
+        val df = pairs.map { case (g, v) => (s"g$g", v) }.toDF("g", "v")
+        val out = engine.RelOps.percentilesByCountingOn(df).collect()
+        val byG = pairs.groupBy(_._1)
+        out.forall { r =>
+          val vs = byG(r.getString(0).drop(1).toInt).map(_._2).sorted
+          val n = vs.length
+          r.getAs[Long]("n_rows") == n.toLong &&
+            r.getAs[Long]("median_v") == vs((n + 1) / 2 - 1) &&
+            r.getAs[Long]("p90_v") == vs((9 * n + 9) / 10 - 1)
+        } && out.length == byG.size
+      }
+    })
+  }
 }
