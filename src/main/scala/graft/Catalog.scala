@@ -2116,6 +2116,31 @@ object Catalog {
         |  CAST(SUM(c) * 1000000 // n AS BIGINT) AS share_ppm
         |FROM b GROUP BY bucket_idx, n ORDER BY bucket_idx""".stripMargin),
 
+    // Two-hop candidate expansion over the near-dup graph: direct degree,
+    // distinct 2-hop reach, and the NEW nodes a second dedup pass would add.
+    q("q154_two_hop", (s, d) => ext.Dedup.twoHopNeighbors(s, d),
+      s"""WITH RECURSIVE $bandsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |         GROUP BY doc_a, doc_b),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |          UNION ALL SELECT doc_b, doc_a FROM cand),
+         |deg AS (SELECT src, COUNT(*) AS n_neighbors FROM edges GROUP BY src),
+         |twohop AS (SELECT DISTINCT e1.src, e2.dst
+         |           FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+         |           WHERE e1.src <> e2.dst),
+         |newhop AS (SELECT t.src, t.dst FROM twohop t
+         |           LEFT JOIN edges e ON e.src = t.src AND e.dst = t.dst
+         |           WHERE e.src IS NULL),
+         |tot AS (SELECT src, COUNT(*) AS n_two_hop FROM twohop GROUP BY src),
+         |nw AS (SELECT src, COUNT(*) AS n_two_hop_new FROM newhop GROUP BY src)
+         |SELECT deg.src AS doc_id, deg.n_neighbors,
+         |  coalesce(tot.n_two_hop, 0) AS n_two_hop,
+         |  coalesce(nw.n_two_hop_new, 0) AS n_two_hop_new
+         |FROM deg LEFT JOIN tot ON tot.src = deg.src LEFT JOIN nw ON nw.src = deg.src
+         |ORDER BY doc_id""".stripMargin),
+
     // Per-source vocabulary divergence: exact-integer L1 distance between a
     // source's token distribution and the corpus's, in ppm of the max (2).
     q("q145_source_divergence", ext.TextStats.sourceDivergence,

@@ -382,6 +382,39 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Two-hop candidate expansion (q154): per document in the near-dup
+    * candidate graph, its direct degree, the count of distinct nodes exactly
+    * two hops away, and how many of those are NEW (not already direct
+    * neighbors) — the "check the neighbors of my neighbors" expansion a
+    * second-pass dedup runs when LSH recall needs a boost (transitive
+    * near-dups whose own band hashes missed each other).
+    *
+    * Scale shape: one self-join of the edge list on the mid vertex (shuffle
+    * co-partitions both sides on the join key), one distinct, one left-anti
+    * against the direct edges; every intermediate is bounded by Σ deg² —
+    * which the LSH bucket cap bounds in turn (that cap exists precisely so
+    * degree-squared terms stay manageable at 100 TB). */
+  def twoHopNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = spark.read.parquet(candidatePairsPath(spark, dir))
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionAll(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("n_neighbors"))
+    val twoHop = edges.select(col("src"), col("dst").as("mid"))
+      .join(edges.select(col("src").as("mid"), col("dst")), Seq("mid"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val newTwoHop = twoHop.join(edges, Seq("src", "dst"), "left_anti")
+    val totals = twoHop.groupBy(col("src")).agg(count(lit(1)).as("n_two_hop"))
+    val news = newTwoHop.groupBy(col("src")).agg(count(lit(1)).as("n_two_hop_new"))
+    deg.join(totals, Seq("src"), "left")
+      .join(news, Seq("src"), "left")
+      .select(col("src").as("doc_id"), col("n_neighbors"),
+        coalesce(col("n_two_hop"), lit(0L)).as("n_two_hop"),
+        coalesce(col("n_two_hop_new"), lit(0L)).as("n_two_hop_new"))
+      .orderBy("doc_id")
+  }
+
   /** Duplicate CLUSTERS from the LSH candidate graph: connected components via
     * iterative min-label propagation WITH POINTER JUMPING — the final step of
     * a dedup pipeline (pairs → clusters → keep one canonical doc per cluster).

@@ -795,6 +795,24 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("q154 two-hop expansion: counts consistent with a direct adjacency recomputation") {
+    val out = ext.Dedup.twoHopNeighbors(spark, dir).collect()
+    if (out.nonEmpty) {
+      val pairs = spark.read.parquet(
+        ext.Dedup.candidatePairsPath(spark, dir))
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      out.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        val direct = adj(id)
+        val twoHop = direct.flatMap(adj).filter(_ != id)
+        assert(r.getAs[Long]("n_neighbors") == direct.size.toLong)
+        assert(r.getAs[Long]("n_two_hop") == twoHop.size.toLong)
+        assert(r.getAs[Long]("n_two_hop_new") == (twoHop -- direct).size.toLong)
+      }
+    }
+  }
+
   test("q131 null-skew join is row-identical to the naive left join") {
     val split = engine.Skew.nullSkewJoin(spark, dir)
     val o = Tables.orders(spark, dir)
