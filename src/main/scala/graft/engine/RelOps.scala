@@ -696,21 +696,6 @@ object RelOps {
     dau.join(wau, Seq("day")).orderBy("day")
   }
 
-  /** Exact order statistics by VALUE COUNTING (q152): per l_returnflag, the
-    * exact lower median and exact p90 of l_quantity — computed from the
-    * value histogram, never by sorting rows. One hash aggregate collapses
-    * the fact table to (group, value, count) — cardinality |groups| ×
-    * |value domain|, independent of row count — and a cumulative window over
-    * THAT frame selects the smallest value whose cumulative count reaches
-    * the rank threshold. The row-sort alternatives (global sort, or
-    * row_number per group as q83 does at dimension scale) shuffle every row;
-    * this shuffles the histogram. Thresholds in exact integer arithmetic:
-    * lower median rank = (n+1) div 2, p90 rank = ceil(0.9·n) = (9n+9) div 10.
-    *
-    * The selection windows partition by group and order by value — partition
-    * size = value-domain size per group, bounded regardless of scale (for
-    * unbounded numeric domains, bucket values first; the mechanism is
-    * unchanged). */
   /** Equi-depth range bucketing (q153): the bounds computation behind a
     * balanced `repartitionByRange` export, made explicit and auditable.
     * From the (dollar-floor) value histogram of o_totalprice — value-domain
@@ -755,6 +740,21 @@ object RelOps {
       .orderBy("bucket_idx")
   }
 
+  /** Exact order statistics by VALUE COUNTING (q152): per l_returnflag, the
+    * exact lower median and exact p90 of l_quantity — computed from the
+    * value histogram, never by sorting rows. One hash aggregate collapses
+    * the fact table to (group, value, count) — cardinality |groups| ×
+    * |value domain|, independent of row count — and a cumulative window over
+    * THAT frame selects the smallest value whose cumulative count reaches
+    * the rank threshold. The row-sort alternatives (global sort, or
+    * row_number per group as q83 does at dimension scale) shuffle every row;
+    * this shuffles the histogram. Thresholds in exact integer arithmetic:
+    * lower median rank = (n+1) div 2, p90 rank = ceil(0.9·n) = (9n+9) div 10.
+    *
+    * The selection windows partition by group and order by value — partition
+    * size = value-domain size per group, bounded regardless of scale (for
+    * unbounded numeric domains, bucket values first; the mechanism is
+    * unchanged). */
   def percentilesByCounting(spark: SparkSession, dir: String): DataFrame =
     percentilesByCountingOn(
       Tables.lineitem(spark, dir)

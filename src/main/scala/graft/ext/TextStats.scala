@@ -852,42 +852,55 @@ object TextStats {
     * to 6 dp at the boundary (same convention as the tf-idf query). Ranking
     * ties break on doc_id. */
   def bm25Retrieval(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    bm25RawScores(docs, dl)
+      .orderBy(col("raw_score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_terms_matched"),
+        round(col("raw_score"), 6).as("score"))
+  }
+
+  /** The Okapi BM25 scoring pipeline (k1 = 1.2, b = 0.75) for
+    * [[Bm25QueryTerms]], shared by q139 and q151 so the determinism-critical
+    * math (operation tree, constants, fixed-order float sum) has ONE
+    * definition. `docs` must expose (doc_id, text); `dl` must expose
+    * (doc_id, dl) — a caller that already scans the corpus for another
+    * per-doc projection passes that frame so the length pass is not a
+    * second scan. Returns (doc_id, n_terms_matched, raw_score), unranked.
+    *
+    * Per-doc score: (doc, term) is unique, so each conditional max picks up
+    * at most ONE value and the final sum adds the per-term scores in the
+    * FIXED written term order — a plain float sum() over the group would add
+    * in partition order and the last-ulp noise could flip rank ties against
+    * the oracle. */
+  private def bm25RawScores(docs: DataFrame, dl: DataFrame): DataFrame = {
     val termSet = Bm25QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
-    val toks = Tables.documents(spark, dir)
+    val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(expr(s"term IN $termSet"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     // df per query term: (doc_id, term) is unique in tf, so count(*) = doc count
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = Tables.documents(spark, dir)
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
     val stats = dl.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val scored = tf.join(broadcast(df), Seq("term"))
-      .join(dl, Seq("doc_id"))
+    val perTerm = Bm25QueryTerms.map(t =>
+      max(when(col("term") === t, col("term_score"))).as(s"s_$t"))
+    val total = Bm25QueryTerms.map(t => coalesce(col(s"s_$t"), lit(0.0)))
+      .reduce(_ + _)
+    tf.join(broadcast(df), Seq("term"))
+      .join(dl.select(col("doc_id"), col("dl")), Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .withColumn("term_score",
         col("idf") * (col("tf") * lit(2.2)) /
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
-    // Per-doc score: (doc, term) is unique, so each conditional max picks up
-    // at most ONE value and the final sum adds the per-term scores in the
-    // FIXED written term order — a plain float sum() over the group would add
-    // in partition order and the last-ulp noise could flip rank ties against
-    // the oracle.
-    val perTerm = Bm25QueryTerms.map(t =>
-      max(when(col("term") === t, col("term_score"))).as(s"s_$t"))
-    val total = Bm25QueryTerms.map(t => coalesce(col(s"s_$t"), lit(0.0)))
-      .reduce(_ + _)
-    scored
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_terms_matched"), perTerm: _*)
-      .withColumn("score", total)
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
-      .select(col("doc_id"), col("n_terms_matched"), round(col("score"), 6).as("score"))
+      .withColumn("raw_score", total)
+      .select(col("doc_id"), col("n_terms_matched"), col("raw_score"))
   }
 
   /** The exact phrase used by [[rrfFusion]]'s proximity signal and its
@@ -916,40 +929,20 @@ object TextStats {
     * join of two ≤ perSignal-row frames. */
   def rrfFusion(spark: SparkSession, dir: String, k: Int = 10,
       perSignal: Int = 100): DataFrame = {
-    val termSet = Bm25QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
     val docs = Tables.documents(spark, dir)
-    val toks = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(expr(s"term IN $termSet"))
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val perTerm = Bm25QueryTerms.map(t =>
-      max(when(col("term") === t, col("term_score"))).as(s"s_$t"))
-    val total = Bm25QueryTerms.map(t => coalesce(col(s"s_$t"), lit(0.0)))
-      .reduce(_ + _)
-    val bm25 = tf.join(broadcast(df), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("term_score",
-        col("idf") * (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
-      .groupBy(col("doc_id"))
-      .agg(perTerm.head, perTerm.tail: _*)
-      .withColumn("raw_score", total)
+    // one projection serves both signals' per-doc columns (length for BM25
+    // normalization, phrase occurrences for proximity) — not a scan each
+    val dlPhrase = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"),
+      (size(split(col("text"), java.util.regex.Pattern.quote(RrfPhrase), -1)) - 1)
+        .cast("long").as("phrase_count"))
+    val bm25 = bm25RawScores(docs, dlPhrase)
       .orderBy(col("raw_score").desc, col("doc_id"))
       .limit(perSignal)
       .withColumn("bm25_rank",
         row_number().over(Window.orderBy(col("raw_score").desc, col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("bm25_rank"))
-    val phrase = docs
-      .select(col("doc_id"),
-        (size(split(col("text"), java.util.regex.Pattern.quote(RrfPhrase), -1)) - 1)
-          .cast("long").as("phrase_count"))
+    val phrase = dlPhrase
       .filter(col("phrase_count") > 0)
       .orderBy(col("phrase_count").desc, col("doc_id"))
       .limit(perSignal)
