@@ -2141,6 +2141,18 @@ object Catalog {
          |FROM deg LEFT JOIN tot ON tot.src = deg.src LEFT JOIN nw ON nw.src = deg.src
          |ORDER BY doc_id""".stripMargin),
 
+    // Blocked record linkage on the customer dim: (nation, segment) blocking
+    // + budgeted edit-distance verifier, matched pairs with exact distance.
+    q("q155_record_linkage", (s, d) => ext.Dedup.recordLinkage(s, d),
+      """SELECT a.c_nationkey AS nationkey, a.c_mktsegment AS mktsegment,
+        |  a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY custkey_a, custkey_b""".stripMargin),
+
     // Per-source vocabulary divergence: exact-integer L1 distance between a
     // source's token distribution and the corpus's, in ppm of the max (2).
     q("q145_source_divergence", ext.TextStats.sourceDivergence,

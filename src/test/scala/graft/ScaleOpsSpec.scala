@@ -813,6 +813,27 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("q155 record linkage: pairs respect blocking, bounded lev agrees with full lev") {
+    val out = ext.Dedup.recordLinkage(spark, dir).collect()
+    assert(out.nonEmpty, "TPC-H customer names differ in digits; blocks must yield matches")
+    val names = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getString(3)))).toMap
+    def fullLev(s: String, t: String): Int = {
+      val d = Array.tabulate(s.length + 1, t.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      d(s.length)(t.length)
+    }
+    out.foreach { r =>
+      val (na, ka, sa) = names(r.getAs[Long]("custkey_a"))
+      val (nb, kb, sb) = names(r.getAs[Long]("custkey_b"))
+      assert(ka == kb && sa == sb, "pairs must share the block key")
+      assert(r.getAs[Long]("lev") == fullLev(na, nb).toLong && r.getAs[Long]("lev") <= 2)
+    }
+  }
+
   test("q131 null-skew join is row-identical to the naive left join") {
     val split = engine.Skew.nullSkewJoin(spark, dir)
     val o = Tables.orders(spark, dir)
