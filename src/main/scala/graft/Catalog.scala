@@ -2153,6 +2153,66 @@ object Catalog {
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY custkey_a, custkey_b""".stripMargin),
 
+    // Half-life-decayed engagement per user: staircase shift decay in exact
+    // integer cents (pow()-free, order-independent, retry-safe).
+    q("q156_decayed_engagement", (s, d) => streaming.Events.decayedEngagement(s, d),
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |           FROM events),
+        |r AS (SELECT MAX(day) AS ref_day FROM e),
+        |d AS (SELECT user_id, cents,
+        |        cents // (CAST(1 AS BIGINT) << CAST(least((ref_day - day) // 7, 40) AS INT)) AS decayed_cents
+        |      FROM e CROSS JOIN r)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(cents) AS BIGINT) AS raw_cents,
+        |  CAST(SUM(decayed_cents) AS BIGINT) AS decayed_cents
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // Containment (near-subset) per candidate pair: |A ∩ B| / min(|A|, |B|)
+    // in exact ppm — catches quote/excerpt inclusion Jaccard misses.
+    q("q157_containment", (s, d) => ext.Dedup.containmentPairs(s, d),
+      s"""WITH $bandsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |         GROUP BY doc_a, doc_b),
+         |ids AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+         |cs AS (SELECT s.doc_id, s.sh FROM sh s JOIN ids USING (doc_id)),
+         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM cs GROUP BY doc_id),
+         |common AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+         |           FROM cand c
+         |           JOIN cs sa ON sa.doc_id = c.doc_a
+         |           JOIN cs sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |           GROUP BY c.doc_a, c.doc_b)
+         |SELECT c.doc_a, c.doc_b, ca.n_sh AS n_a, cb.n_sh AS n_b,
+         |  coalesce(cm.n_common, 0) AS n_common,
+         |  CAST(coalesce(cm.n_common, 0) * 1000000 // least(ca.n_sh, cb.n_sh) AS BIGINT) AS containment_ppm
+         |FROM cand c
+         |JOIN counts ca ON ca.doc_id = c.doc_a
+         |JOIN counts cb ON cb.doc_id = c.doc_b
+         |LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin),
+
+    // Source concentration: exact-integer Gini over per-source token masses
+    // + smallest source counts covering 50%/90% of the corpus.
+    q("q158_source_concentration", ext.TextStats.sourceConcentration,
+      """WITH m AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS m
+        |           FROM documents GROUP BY source),
+        |x AS (SELECT *,
+        |        CAST(row_number() OVER (ORDER BY m, source) AS BIGINT) AS i,
+        |        CAST(SUM(m) OVER () AS BIGINT) AS total,
+        |        CAST(SUM(m) OVER (ORDER BY m DESC, source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_desc,
+        |        CAST(row_number() OVER (ORDER BY m DESC, source) AS BIGINT) AS rank_desc
+        |      FROM m)
+        |SELECT COUNT(*) AS n_sources,
+        |  MAX(total) AS total_tokens,
+        |  CAST((2 * SUM(i * m) - (COUNT(*) + 1) * MAX(total)) * 1000000
+        |       // (COUNT(*) * MAX(total)) AS BIGINT) AS gini_ppm,
+        |  MIN(CASE WHEN cum_desc >= (total + 1) // 2 THEN rank_desc END) AS k50,
+        |  MIN(CASE WHEN cum_desc >= (9 * total + 9) // 10 THEN rank_desc END) AS k90
+        |FROM x""".stripMargin),
+
     // Per-source vocabulary divergence: exact-integer L1 distance between a
     // source's token distribution and the corpus's, in ppm of the max (2).
     q("q145_source_divergence", ext.TextStats.sourceDivergence,

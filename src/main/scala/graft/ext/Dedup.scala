@@ -341,6 +341,32 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Containment / near-subset detection (q157): per LSH candidate pair,
+    * |A∩B| / min(|A|, |B|) in exact integer ppm — the ASYMMETRIC companion
+    * of Jaccard (q61): a short document fully quoted inside a long one has
+    * low Jaccard (the union is large) but containment ≈ 1, and quote/
+    * excerpt inclusion is precisely what a training-corpus dedup must catch
+    * that symmetric similarity misses. Same at-rest candidate tables and
+    * composite-key intersection join as q61 (skew-immune, never all-pairs). */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val cand = spark.read.parquet(candidatePairsPath(spark, dir))
+    val candSh = spark.read.parquet(candidateShinglesPath(spark, dir))
+    val counts = candSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = cand.select(col("doc_a"), col("doc_b"))
+      .join(candSh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(candSh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    cand
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .join(common, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_common"),
+        expr("n_common * 1000000 div least(n_a, n_b)").as("containment_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Blocked record linkage over the customer dimension (q155) — the
     * relational-entity counterpart of the document near-dup stack: candidate
     * pairs come from equi-join BLOCKING on (nation, market segment) — never

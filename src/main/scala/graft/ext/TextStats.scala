@@ -1044,6 +1044,44 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Source concentration (q158): the exact-integer Gini coefficient of the
+    * per-source token masses, plus the smallest number of sources covering
+    * 50% and 90% of the corpus — the "is this corpus dominated by a handful
+    * of domains" monitor that drives quota decisions ([[graft.ext.Sampling
+    * .sourceQuotaCap]]) and temperature reweighting. Gini in ppm via the
+    * rank formula G = (2Σ i·m_i − (n+1)Σm) / (nΣm) over masses sorted
+    * ascending — every term an exact integer. Coverage counts come from the
+    * same conditional-min selection as the counting percentiles (q152).
+    *
+    * All windows run over the n_sources-row mass frame (dimension
+    * cardinality); the only corpus-scale work is the token count. */
+  def sourceConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val masses = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("m"))
+    val asc = Window.orderBy(col("m"), col("source")) // n_sources rows
+    val desc = Window.orderBy(col("m").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    masses
+      .withColumn("i", row_number().over(asc).cast("long"))
+      .withColumn("total", sum(col("m")).over(Window.partitionBy()))
+      .withColumn("cum_desc", sum(col("m")).over(desc))
+      .withColumn("rank_desc", row_number().over(Window.orderBy(col("m").desc, col("source"))).cast("long"))
+      .agg(
+        count(lit(1)).as("n_sources"),
+        max(col("total")).as("total_tokens"),
+        // DECIMAL(38,0): rank-weighted mass x 1e6 clears int64 on a corpus
+        // of ~1e14 tokens x 1e4 sources (same lift as q145/q148)
+        sum(col("i").cast("decimal(38,0)") * col("m")).as("iw"),
+        min(when(col("cum_desc") >= expr("(total + 1) div 2"), col("rank_desc"))).as("k50"),
+        min(when(col("cum_desc") >= expr("(9 * total + 9) div 10"), col("rank_desc"))).as("k90"))
+      .select(col("n_sources"), col("total_tokens"),
+        expr("CAST((2 * iw - (n_sources + 1) * CAST(total_tokens AS DECIMAL(38,0))) * 1000000 div " +
+          "(n_sources * CAST(total_tokens AS DECIMAL(38,0))) AS BIGINT)")
+          .as("gini_ppm"),
+        col("k50"), col("k90"))
+  }
+
   /** Per-source vocabulary divergence — the domain-shift monitor: for each
     * source, the L1 distance between its token distribution and the whole
     * corpus's, computed entirely in exact integer cross-products

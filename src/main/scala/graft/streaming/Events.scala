@@ -315,6 +315,36 @@ object Events {
       .limit(topN)
   }
 
+  /** Half-life-decayed engagement score (q156): per user, event values
+    * folded with a staircase exponential decay — value_cents div
+    * 2^((ref_day − event_day) div halfLifeDays) — entirely in exact integer
+    * arithmetic (DECIMAL cents, then a power-of-two floor division per
+    * halving step). The standard recency weighting for a serving-side
+    * engagement/LTV feature, made bit-deterministic: a float pow() decay
+    * diverges across engines and partition orders; the shift form is exact,
+    * order-independent, and AQE/retry-safe. The reference day is the
+    * corpus's max event day (1-row broadcast), so the score is a pure
+    * function of the data. Halvings cap at 40 (a 63-bit value is zero long
+    * before that). One shuffle on user_id. */
+  def decayedEngagement(spark: SparkSession, dir: String,
+      halfLifeDays: Int = 7): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val ref = ev.agg(max(col("day")).as("ref_day"))
+    ev.crossJoin(broadcast(ref))
+      .withColumn("halvings",
+        expr(s"least((ref_day - day) div $halfLifeDays, 40)"))
+      .withColumn("decayed_cents",
+        expr("cents div shiftleft(CAST(1 AS BIGINT), CAST(halvings AS INT))"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("raw_cents"),
+        sum(col("decayed_cents")).as("decayed_cents"))
+      .orderBy("user_id")
+  }
+
   /** Event debounce / burst collapse (q142): consecutive events of the same
     * (user, event_type) closer than `gapHours` collapse into one burst — the
     * retry-storm / double-fire suppression a feature-store ingest applies

@@ -834,6 +834,45 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("q156 decayed engagement: decayed never exceeds raw and never goes negative") {
+    val rows = Events.decayedEngagement(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("decayed_cents") <= r.getAs[Long]("raw_cents"))
+      assert(r.getAs[Long]("decayed_cents") >= 0)
+    }
+  }
+
+  test("q157 containment: bounded by ppm, >= jaccard's intersection view, subset flags") {
+    val out = ext.Dedup.containmentPairs(spark, dir).collect()
+    out.foreach { r =>
+      val (na, nb, common) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_common"))
+      assert(common <= math.min(na, nb), "intersection cannot exceed either set")
+      val c = r.getAs[Long]("containment_ppm")
+      assert(c >= 0 && c <= 1000000L)
+      // containment >= jaccard always (same numerator, smaller denominator)
+      val jacPpm = common * 1000000L / (na + nb - common)
+      assert(c >= jacPpm)
+    }
+  }
+
+  test("q158 source concentration: gini in [0,1e6); coverage counts consistent") {
+    val r = ext.TextStats.sourceConcentration(spark, dir).collect()(0)
+    val g = r.getAs[Long]("gini_ppm")
+    assert(g >= 0 && g < 1000000L)
+    val (n, k50, k90) = (r.getAs[Long]("n_sources"), r.getAs[Long]("k50"), r.getAs[Long]("k90"))
+    assert(k50 >= 1 && k50 <= k90 && k90 <= n, "50% needs no more sources than 90%")
+    // recompute coverage directly
+    val masses = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("m")).collect()
+      .map(x => (x.getString(0), x.getLong(1))).sortBy(x => (-x._2, x._1)).map(_._2)
+    val total = masses.sum
+    def kFor(thr: Long) = masses.scanLeft(0L)(_ + _).tail.indexWhere(_ >= thr) + 1
+    assert(k50 == kFor((total + 1) / 2).toLong)
+    assert(k90 == kFor((9 * total + 9) / 10).toLong)
+  }
+
   test("q131 null-skew join is row-identical to the naive left join") {
     val split = engine.Skew.nullSkewJoin(spark, dir)
     val o = Tables.orders(spark, dir)
