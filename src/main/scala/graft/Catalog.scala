@@ -2213,6 +2213,36 @@ object Catalog {
         |  MIN(CASE WHEN cum_desc >= (9 * total + 9) // 10 THEN rank_desc END) AS k90
         |FROM x""".stripMargin),
 
+    // Classifier eval: per-class precision/recall ppm of the lang-id
+    // heuristic against the ground-truth lang column.
+    q("q159_langid_eval", ext.TextStats.langIdEval,
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+        |p AS (SELECT doc_id, lang,
+        |        len(list_filter(words, w -> w IN ('the','a','of','and','is','to','in'))) AS en_m,
+        |        len(list_filter(words, w -> w IN ('el','la','de','y','que','los'))) AS es_m,
+        |        len(list_filter(words, w -> w IN ('le','la','de','et','les','des'))) AS fr_m
+        |      FROM t),
+        |pr AS (SELECT doc_id, lang,
+        |         CASE WHEN en_m >= es_m AND en_m >= fr_m AND en_m > 0 THEN 'en'
+        |              WHEN es_m >= fr_m AND es_m > 0 THEN 'es'
+        |              WHEN fr_m > 0 THEN 'fr'
+        |              ELSE 'unknown' END AS predicted_lang
+        |       FROM p),
+        |cells AS (SELECT lang, predicted_lang, COUNT(*) AS n FROM pr GROUP BY lang, predicted_lang),
+        |bt AS (SELECT lang AS cls, CAST(SUM(n) AS BIGINT) AS n_true,
+        |         CAST(SUM(CASE WHEN predicted_lang = lang THEN n ELSE 0 END) AS BIGINT) AS n_correct
+        |       FROM cells GROUP BY lang),
+        |bp AS (SELECT predicted_lang AS cls, CAST(SUM(n) AS BIGINT) AS n_pred FROM cells GROUP BY predicted_lang)
+        |SELECT coalesce(bt.cls, bp.cls) AS cls,
+        |  coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+        |  coalesce(n_correct, 0) AS n_correct,
+        |  CASE WHEN coalesce(n_pred, 0) > 0
+        |       THEN CAST(coalesce(n_correct, 0) * 1000000 // n_pred AS BIGINT) ELSE 0 END AS precision_ppm,
+        |  CASE WHEN coalesce(n_true, 0) > 0
+        |       THEN CAST(coalesce(n_correct, 0) * 1000000 // n_true AS BIGINT) ELSE 0 END AS recall_ppm
+        |FROM bt FULL OUTER JOIN bp ON bt.cls = bp.cls
+        |ORDER BY cls""".stripMargin),
+
     // Per-source vocabulary divergence: exact-integer L1 distance between a
     // source's token distribution and the corpus's, in ppm of the max (2).
     q("q145_source_divergence", ext.TextStats.sourceDivergence,

@@ -1044,6 +1044,41 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Classifier evaluation (q159): per-class precision/recall of the
+    * [[langId]] heuristic against the documents table's ground-truth `lang`
+    * column — the eval harness every classifier in a curation stack runs
+    * continuously (a quality/language/toxicity model is only as good as its
+    * monitored precision). Classes are the union of true and predicted
+    * labels; metrics are exact integer ppm (0 denominators → 0 rather than
+    * NULL, so the frame stays hash-stable).
+    *
+    * Scale shape: one prediction pass (pure projection, q25's plan), one
+    * hash aggregate per (true, predicted) cell — the matrix is |classes|²
+    * rows at any corpus size — then class-level rollups over that tiny
+    * frame. */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame = {
+    val pred = langId(spark, dir).select(col("doc_id"), col("predicted_lang"))
+    val truth = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val cells = truth.join(pred, Seq("doc_id"))
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+    val byTrue = cells.groupBy(col("lang").as("cls"))
+      .agg(sum(col("n")).as("n_true"),
+        sum(when(col("predicted_lang") === col("lang"), col("n")).otherwise(0L)).as("n_correct"))
+    val byPred = cells.groupBy(col("predicted_lang").as("cls"))
+      .agg(sum(col("n")).as("n_pred"))
+    byTrue.join(byPred, Seq("cls"), "full_outer")
+      .select(col("cls"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      .withColumn("precision_ppm",
+        when(col("n_pred") > 0, expr("n_correct * 1000000 div n_pred")).otherwise(0L))
+      .withColumn("recall_ppm",
+        when(col("n_true") > 0, expr("n_correct * 1000000 div n_true")).otherwise(0L))
+      .orderBy("cls")
+  }
+
   /** Source concentration (q158): the exact-integer Gini coefficient of the
     * per-source token masses, plus the smallest number of sources covering
     * 50% and 90% of the corpus — the "is this corpus dominated by a handful

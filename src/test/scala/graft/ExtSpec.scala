@@ -372,6 +372,29 @@ class ExtSpec extends SparkSuite {
     assert(out(0L) == "en" && out(1L) == "es" && out(2L) == "unknown")
   }
 
+  test("lang id eval: per-class precision/recall over a known confusion matrix") {
+    val s = spark; import s.implicits._
+    Seq(
+      (0L, "en", "the cat and the dog"),        // predicted en — correct
+      (1L, "es", "el gato y la casa de los"),   // predicted es — correct
+      (2L, "en", "xyz qqq"),                    // predicted unknown — en recall miss
+      (3L, "fr", "le chien et les chats des"),  // predicted fr — correct
+      (4L, "es", "the of and is"))              // predicted en — en precision miss
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_docs_eval/documents.parquet")
+    val rows = TextStats.langIdEval(spark, "/tmp/graft_test_docs_eval").collect()
+      .map(r => r.getAs[String]("cls") ->
+        ((r.getAs[Long]("n_true"), r.getAs[Long]("n_pred"), r.getAs[Long]("n_correct"),
+          r.getAs[Long]("precision_ppm"), r.getAs[Long]("recall_ppm")))).toMap
+    assert(rows("en") == ((2L, 2L, 1L, 500000L, 500000L)))
+    assert(rows("es") == ((2L, 1L, 1L, 1000000L, 500000L)))
+    assert(rows("fr") == ((1L, 1L, 1L, 1000000L, 1000000L)))
+    // 'unknown' appears only on the predicted side: full-outer keeps it,
+    // zero denominators report 0 ppm rather than NULL
+    assert(rows("unknown") == ((0L, 1L, 0L, 0L, 0L)))
+    assert(rows.keySet == Set("en", "es", "fr", "unknown"))
+  }
+
   test("sq8 quantize: flat vector → all-zero codes; known ramp → exact codes") {
     val s = spark; import s.implicits._
     Seq((0L, Array(1.0f, 1.0f, 1.0f, 1.0f)), (1L, Array(0.0f, 1.0f, 2.0f, 3.0f)))
