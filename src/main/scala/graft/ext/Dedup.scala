@@ -258,12 +258,27 @@ object Dedup {
     *
     * Output: one row per candidate pair with exact Jaccard, ordered for
     * determinism. Downstream dedup keeps pairs with jaccard ≥ threshold. */
-  def minhashJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // both tables come from the dir-keyed at-rest index ([[candidatePairsPath]]):
-    // cand sits on THREE lineage paths below (id restriction, intersection,
-    // final join) and candSh on three more — without materialization the
-    // whole MinHash pipeline would re-evaluate per path (PLANS.md exchange
-    // counts exposed the duplication)
+  def minhashJaccard(spark: SparkSession, dir: String): DataFrame =
+    candidateOverlapCounts(spark, dir)
+      .select(
+        col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  /** Per-candidate-pair shingle-set sizes and intersection — the shared
+    * verification core of [[minhashJaccard]] (q61, symmetric Jaccard) and
+    * [[containmentPairs]] (q157, asymmetric containment). One row per
+    * candidate pair: (doc_a, doc_b, n_shared_bands, n_a, n_b, n_common),
+    * unordered (callers append their metric and sort).
+    *
+    * Both tables come from the dir-keyed at-rest index
+    * ([[candidatePairsPath]]): cand sits on three lineage paths below (id
+    * restriction, intersection, final join) and candSh on three more —
+    * without materialization the whole MinHash pipeline would re-evaluate
+    * per path (PLANS.md exchange counts exposed the duplication). */
+  private def candidateOverlapCounts(spark: SparkSession, dir: String): DataFrame = {
     val cand = spark.read.parquet(candidatePairsPath(spark, dir))
     val candSh = spark.read.parquet(candidateShinglesPath(spark, dir))
     val counts = candSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -278,12 +293,6 @@ object Dedup {
       .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
       .join(common, Seq("doc_a", "doc_b"), "left")
       .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
-      .select(
-        col("doc_a"), col("doc_b"), col("n_shared_bands"),
-        col("n_a"), col("n_b"), col("n_common"),
-        (col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Bounded-prefix edit-distance verification (q125) of LSH candidate
@@ -347,25 +356,13 @@ object Dedup {
     * low Jaccard (the union is large) but containment ≈ 1, and quote/
     * excerpt inclusion is precisely what a training-corpus dedup must catch
     * that symmetric similarity misses. Same at-rest candidate tables and
-    * composite-key intersection join as q61 (skew-immune, never all-pairs). */
-  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
-    val cand = spark.read.parquet(candidatePairsPath(spark, dir))
-    val candSh = spark.read.parquet(candidateShinglesPath(spark, dir))
-    val counts = candSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = cand.select(col("doc_a"), col("doc_b"))
-      .join(candSh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(candSh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    cand
-      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
-      .join(common, Seq("doc_a", "doc_b"), "left")
-      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+    * composite-key intersection join as q61 ([[candidateOverlapCounts]] —
+    * skew-immune, never all-pairs). */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    candidateOverlapCounts(spark, dir)
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_common"),
         expr("n_common * 1000000 div least(n_a, n_b)").as("containment_ppm"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Blocked record linkage over the customer dimension (q155) — the
     * relational-entity counterpart of the document near-dup stack: candidate

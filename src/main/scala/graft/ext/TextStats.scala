@@ -930,8 +930,11 @@ object TextStats {
   def rrfFusion(spark: SparkSession, dir: String, k: Int = 10,
       perSignal: Int = 100): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // one projection serves both signals' per-doc columns (length for BM25
-    // normalization, phrase occurrences for proximity) — not a scan each
+    // one shared DEFINITION of the per-doc columns (length for BM25
+    // normalization, phrase occurrences for proximity); each consumer still
+    // scans the parquet on its own lineage path, with column pruning keeping
+    // every scan minimal — sharing here is single-source-of-truth, not
+    // materialization
     val dlPhrase = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("dl"),
       (size(split(col("text"), java.util.regex.Pattern.quote(RrfPhrase), -1)) - 1)
