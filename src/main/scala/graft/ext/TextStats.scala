@@ -66,7 +66,19 @@ object TextStats {
     * tokens per language and picks the max with a deterministic precedence.
     * A real pipeline would plug a fastText-style model behind the same
     * signature; the Spark plumbing (pure projection, no shuffle) is identical. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    withLangMarkers(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("en_markers"), col("es_markers"),
+        col("fr_markers"), col("predicted_lang"))
+      .orderBy("doc_id")
+
+  /** Appends the language-marker counts and `predicted_lang` to any frame
+    * with a `text` column — the single source of the lang-id heuristic,
+    * shared by [[langId]] (q25) and [[langIdEval]] (q159) so the classifier
+    * and its evaluation can never drift apart. Pure projection (no shuffle);
+    * carries every input column through. */
+  private def withLangMarkers(df: DataFrame): DataFrame = {
     val en = Seq("the", "a", "of", "and", "is", "to", "in")
     val es = Seq("el", "la", "de", "y", "que", "los")
     val fr = Seq("le", "la", "de", "et", "les", "des")
@@ -74,19 +86,17 @@ object TextStats {
       val set = langWords.map(w => s"'$w'").mkString("(", ", ", ")")
       size(expr(s"filter(words, w -> w IN $set)")).cast("long")
     }
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .select(
-        col("doc_id"),
-        markerCount(en).as("en_markers"),
-        markerCount(es).as("es_markers"),
-        markerCount(fr).as("fr_markers"))
+    df
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("en_markers", markerCount(en))
+      .withColumn("es_markers", markerCount(es))
+      .withColumn("fr_markers", markerCount(fr))
       .withColumn("predicted_lang",
         when(col("en_markers") >= col("es_markers") && col("en_markers") >= col("fr_markers") && col("en_markers") > 0, "en")
           .when(col("es_markers") >= col("fr_markers") && col("es_markers") > 0, "es")
           .when(col("fr_markers") > 0, "fr")
           .otherwise("unknown"))
-      .orderBy("doc_id")
+      .drop("words")
   }
 
   /** Quality scoring: integer component counts + boolean gate flags, the shape
@@ -1055,14 +1065,14 @@ object TextStats {
     * labels; metrics are exact integer ppm (0 denominators → 0 rather than
     * NULL, so the frame stays hash-stable).
     *
-    * Scale shape: one prediction pass (pure projection, q25's plan), one
-    * hash aggregate per (true, predicted) cell — the matrix is |classes|²
-    * rows at any corpus size — then class-level rollups over that tiny
-    * frame. */
+    * Scale shape: truth and prediction come off the SAME documents row in
+    * one scan ([[withLangMarkers]] is a pure projection — no doc_id
+    * self-join), then one hash aggregate per (true, predicted) cell — the
+    * matrix is |classes|² rows at any corpus size — and class-level rollups
+    * over that tiny frame. */
   def langIdEval(spark: SparkSession, dir: String): DataFrame = {
-    val pred = langId(spark, dir).select(col("doc_id"), col("predicted_lang"))
-    val truth = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
-    val cells = truth.join(pred, Seq("doc_id"))
+    val cells = withLangMarkers(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text")))
       .groupBy(col("lang"), col("predicted_lang"))
       .agg(count(lit(1)).as("n"))
     val byTrue = cells.groupBy(col("lang").as("cls"))

@@ -320,4 +320,54 @@ class PlanSpec extends SparkSuite {
       s"corpus vocab + totals must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"no big-big join exists in this shape:\n$p")
   }
+
+  test("q154 two-hop expansion: every graph join is an equi-join (no nested-loop blowup)") {
+    val p = plan("q154_two_hop")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"hop expansion must stay equi-join keyed on the shared endpoint:\n$p")
+  }
+
+  test("q155 record linkage: the self-join key IS the composite block key (never cartesian)") {
+    val p = plan("q155_record_linkage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must bound the pair space via an equi-join:\n$p")
+    // both blocking attributes must be part of the join key — dropping one
+    // quietly multiplies the per-block pair count
+    val joinKeys = p.linesIterator
+      .filter(l => l.contains("Left keys") || l.contains("Right keys")).mkString
+    assert(joinKeys.contains("nationkey") || joinKeys.contains("nk"),
+      s"nation must be a blocking key:\n$p")
+    assert(joinKeys.contains("mktsegment") || joinKeys.contains("seg"),
+      s"market segment must be a blocking key:\n$p")
+  }
+
+  test("q156 decayed engagement: the reference date broadcasts as a scalar, never a shuffle") {
+    val p = plan("q156_decayed_engagement")
+    // the single-row max-date frame joins via broadcast; the big side must
+    // not shuffle for it
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"scalar reference date must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffled or cartesian join belongs in this shape:\n$p")
+  }
+
+  test("q157 containment: intersection joins on the composite (doc, shingle) key") {
+    val p = plan("q157_containment")
+    val smjKeys = p.linesIterator.filter(_.contains("Left keys")).mkString
+    assert(smjKeys.contains("doc_b") && smjKeys.contains("sh"),
+      s"per-pair intersection must key on (doc_b, sh) — a hot shingle alone would k²-blow up:\n$p")
+  }
+
+  test("q159 langid eval: truth and prediction come off ONE scan (no doc_id self-join)") {
+    // AQE off: the ReusedExchange pin is a static-planner property
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("q159_langid_eval")
+      val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"prediction must not re-scan or re-join documents, found $scans scans:\n$p")
+      assert(p.contains("ReusedExchange"),
+        s"the confusion-matrix exchange must be shared by both class rollups:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
