@@ -2243,6 +2243,115 @@ object Catalog {
         |FROM bt FULL OUTER JOIN bp ON bt.cls = bp.cls
         |ORDER BY cls""".stripMargin),
 
+    // Exact ROC-AUC of the en-marker score against lang='en', via the
+    // Mann-Whitney U on the score histogram (doubled average ranks — exact
+    // integers for ties; cross-products in DECIMAL/HUGEINT).
+    q("q160_roc_auc", ext.Eval.rocAuc,
+      """WITH t AS (SELECT lang,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','of','and','is','to','in'))) AS score
+        |  FROM documents),
+        |h AS (SELECT score, CAST(COUNT(*) AS HUGEINT) AS c,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS HUGEINT) AS p
+        |  FROM t GROUP BY score),
+        |g AS (SELECT c, p,
+        |    COALESCE(SUM(c) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM h),
+        |a AS (SELECT SUM(c) AS n, SUM(p) AS n_pos,
+        |    SUM(p * (2 * (cum_before + 1) + c - 1)) AS sum2 FROM g)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(n - n_pos AS BIGINT) AS n_neg,
+        |  CAST(sum2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+        |  CASE WHEN n_pos > 0 AND n - n_pos > 0
+        |    THEN CAST((sum2 - n_pos * (n_pos + 1)) * 1000000
+        |      // (2 * n_pos * (n - n_pos)) AS BIGINT)
+        |    ELSE 0 END AS auc_ppm
+        |FROM a""".stripMargin),
+
+    // Truncation-stability Cohen's kappa: lang-id prediction on the full
+    // document vs its first half, chance-corrected, exact integer ppm.
+    q("q161_truncation_kappa", ext.Eval.truncationKappa,
+      """WITH m AS (SELECT
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','of','and','is','to','in'))) AS en_f,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('el','la','de','y','que','los'))) AS es_f,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('le','la','de','et','les','des'))) AS fr_f,
+        |    len(list_filter(string_split(substring(text, 1, CAST(n_chars // 2 AS INT)), ' '),
+        |        w -> w IN ('the','a','of','and','is','to','in'))) AS en_h,
+        |    len(list_filter(string_split(substring(text, 1, CAST(n_chars // 2 AS INT)), ' '),
+        |        w -> w IN ('el','la','de','y','que','los'))) AS es_h,
+        |    len(list_filter(string_split(substring(text, 1, CAST(n_chars // 2 AS INT)), ' '),
+        |        w -> w IN ('le','la','de','et','les','des'))) AS fr_h
+        |  FROM documents),
+        |p AS (SELECT
+        |    CASE WHEN en_f >= es_f AND en_f >= fr_f AND en_f > 0 THEN 'en'
+        |         WHEN es_f >= fr_f AND es_f > 0 THEN 'es'
+        |         WHEN fr_f > 0 THEN 'fr' ELSE 'unknown' END AS pred_full,
+        |    CASE WHEN en_h >= es_h AND en_h >= fr_h AND en_h > 0 THEN 'en'
+        |         WHEN es_h >= fr_h AND es_h > 0 THEN 'es'
+        |         WHEN fr_h > 0 THEN 'fr' ELSE 'unknown' END AS pred_half
+        |  FROM m),
+        |cells AS (SELECT pred_full, pred_half, CAST(COUNT(*) AS HUGEINT) AS cn
+        |  FROM p GROUP BY 1, 2),
+        |t AS (SELECT SUM(cn) AS n,
+        |    SUM(CASE WHEN pred_full = pred_half THEN cn ELSE 0 END) AS sum_diag
+        |  FROM cells),
+        |r AS (SELECT pred_full AS cls, SUM(cn) AS rn FROM cells GROUP BY 1),
+        |c2 AS (SELECT pred_half AS cls, SUM(cn) AS cln FROM cells GROUP BY 1),
+        |rc AS (SELECT SUM(COALESCE(rn, 0) * COALESCE(cln, 0)) AS sum_rowcol
+        |  FROM r FULL OUTER JOIN c2 USING (cls))
+        |SELECT CAST(n AS BIGINT) AS n, CAST(sum_diag AS BIGINT) AS sum_diag,
+        |  CAST(sum_rowcol AS BIGINT) AS sum_rowcol,
+        |  CAST(sum_diag * 1000000 // n AS BIGINT) AS po_ppm,
+        |  CAST(sum_rowcol * 1000000 // (n * n) AS BIGINT) AS pe_ppm,
+        |  CASE WHEN n * n - sum_rowcol > 0
+        |    THEN CAST((n * sum_diag - sum_rowcol) * 1000000
+        |      // (n * n - sum_rowcol) AS BIGINT)
+        |    ELSE 0 END AS kappa_ppm
+        |FROM t CROSS JOIN rc""".stripMargin),
+
+    // 2-D pareto frontier over (length, distinct-token count): docs no other
+    // doc strictly beats on both — skyline via per-length max + running max,
+    // never an all-pairs dominance join.
+    q("q162_pareto_frontier", ext.Eval.paretoFrontier,
+      """WITH m AS (SELECT doc_id, n_chars AS x,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+        |  FROM documents),
+        |px AS (SELECT x, MAX(y) AS max_y FROM m GROUP BY x),
+        |b AS (SELECT x, MAX(max_y) OVER (ORDER BY x DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_above
+        |  FROM px)
+        |SELECT m.doc_id, m.x, m.y FROM m JOIN b USING (x)
+        |WHERE b.best_above IS NULL OR m.y >= b.best_above
+        |ORDER BY doc_id""".stripMargin),
+
+    // Per-source decile values of n_chars mapped to corpus-wide cumulative
+    // ppm — the cross-source threshold-calibration table.
+    q("q163_score_calibration", ext.Eval.scoreCalibration,
+      """WITH vals AS (SELECT source, n_chars AS v FROM documents),
+        |h AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM vals GROUP BY source, v),
+        |cu AS (SELECT source, v, c,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY source) AS n
+        |  FROM h),
+        |dec AS (SELECT source, decile,
+        |    MIN(CASE WHEN cum >= (decile * n + 9) // 10 THEN v END) AS value
+        |  FROM cu CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS decile) ds
+        |  GROUP BY source, decile),
+        |ch AS (SELECT v AS value, CAST(COUNT(*) AS BIGINT) AS cc FROM vals GROUP BY v),
+        |cc2 AS (SELECT value, SUM(cc) OVER (ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccum FROM ch),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM vals)
+        |SELECT d.source, CAST(d.decile AS BIGINT) AS decile, d.value,
+        |  CAST(CAST(ccum AS HUGEINT) * 1000000 // n_corpus AS BIGINT) AS corpus_ppm
+        |FROM dec d JOIN cc2 USING (value) CROSS JOIN tot
+        |ORDER BY source, decile""".stripMargin),
+
     // Per-source vocabulary divergence: exact-integer L1 distance between a
     // source's token distribution and the corpus's, in ppm of the max (2).
     q("q145_source_divergence", ext.TextStats.sourceDivergence,

@@ -78,7 +78,7 @@ object TextStats {
     * shared by [[langId]] (q25) and [[langIdEval]] (q159) so the classifier
     * and its evaluation can never drift apart. Pure projection (no shuffle);
     * carries every input column through. */
-  private def withLangMarkers(df: DataFrame): DataFrame = {
+  private[ext] def withLangMarkers(df: DataFrame): DataFrame = {
     val en = Seq("the", "a", "of", "and", "is", "to", "in")
     val es = Seq("el", "la", "de", "y", "que", "los")
     val fr = Seq("le", "la", "de", "et", "les", "des")

@@ -358,6 +358,39 @@ class PlanSpec extends SparkSuite {
       s"per-pair intersection must key on (doc_b, sh) — a hot shingle alone would k²-blow up:\n$p")
   }
 
+  test("q160 roc auc: one corpus scan — ranks come from the score histogram, not a global sort") {
+    val p = plan("q160_roc_auc")
+    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"AUC must not rescan or row-rank the corpus, found $scans scans:\n$p")
+  }
+
+  test("q161 truncation kappa: both predictions come off ONE scan (sequential projections)") {
+    // scan-sharing flows through the reused cells exchange — a static-planner
+    // property (AQE re-applies reuse at runtime but hides it pre-execution)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("q161_truncation_kappa")
+      val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"full and half predictions must share one scan, found $scans:\n$p")
+      assert(p.contains("ReusedExchange"),
+        s"margins and totals must reuse the confusion-matrix exchange:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("q162 pareto: skyline joins back by broadcast, never an all-pairs dominance join") {
+    val p = plan("q162_pareto_frontier")
+    assert(p.contains("BroadcastHashJoin"), s"distinct-x skyline must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no pairwise dominance comparison belongs in the plan:\n$p")
+  }
+
+  test("q163 calibration: corpus histogram and total broadcast to the tiny decile table") {
+    val p = plan("q163_score_calibration")
+    assert(p.contains("BroadcastHashJoin"), s"corpus cum-histogram must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no big-big join exists in this shape:\n$p")
+  }
+
   test("q159 langid eval: truth and prediction come off ONE scan (no doc_id self-join)") {
     // AQE off: the ReusedExchange pin is a static-planner property
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
