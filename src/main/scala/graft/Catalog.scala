@@ -2352,6 +2352,45 @@ object Catalog {
         |FROM dec d JOIN cc2 USING (value) CROSS JOIN tot
         |ORDER BY source, decile""".stripMargin),
 
+    // One exact PageRank power iteration (d=0.85, uniform start) over the
+    // symmetrized near-dup candidate graph — integer ppm, truncating
+    // per-edge shares, DECIMAL/HUGEINT damped combine.
+    q("q164_pagerank_step", (s, d) => ext.Dedup.pagerankIteration(s, d),
+      s"""WITH RECURSIVE $bandsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |         GROUP BY doc_a, doc_b),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |          UNION ALL SELECT doc_b, doc_a FROM cand),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src),
+         |contrib AS (SELECT e.dst, 1000000 // d.degree AS c
+         |            FROM edges e JOIN deg d ON d.src = e.src),
+         |inflow AS (SELECT dst, CAST(SUM(c) AS BIGINT) AS inflow FROM contrib GROUP BY dst)
+         |SELECT i.dst AS doc_id, d2.degree,
+         |  CAST(150000 + CAST(850000 AS HUGEINT) * i.inflow // 1000000 AS BIGINT) AS rank_ppm
+         |FROM inflow i JOIN deg d2 ON d2.src = i.dst
+         |ORDER BY doc_id""".stripMargin),
+
+    // PMI collocations: top bigrams by the exact probability ratio
+    // N·c(w1,w2)/(c(w1)·c(w2)) in ppm (monotone in PMI), min pair count 5.
+    q("q165_pmi_collocations", (s, d) => ext.TextStats.pmiCollocations(s, d),
+      """WITH d AS (SELECT string_split(text, ' ') AS words FROM documents),
+        |b AS (SELECT
+        |    unnest(list_transform(range(1, len(words)), i -> words[i])) AS w1,
+        |    unnest(list_transform(range(1, len(words)), i -> words[i+1])) AS w2
+        |  FROM d WHERE len(words) >= 2),
+        |tok AS (SELECT unnest(words) AS w FROM d),
+        |u AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM tok GROUP BY w),
+        |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+        |       FROM b GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b)
+        |SELECT bc.w1, bc.w2, bc.c_xy,
+        |  CAST(CAST(nb.n AS HUGEINT) * bc.c_xy * 1000000
+        |    // (CAST(u1.cu AS HUGEINT) * u2.cu) AS BIGINT) AS pmi_ratio_ppm
+        |FROM bc JOIN u u1 ON bc.w1 = u1.w JOIN u u2 ON bc.w2 = u2.w CROSS JOIN nb
+        |ORDER BY pmi_ratio_ppm DESC, w1, w2 LIMIT 25""".stripMargin),
+
     // Per-source vocabulary divergence: exact-integer L1 distance between a
     // source's token distribution and the corpus's, in ppm of the max (2).
     q("q145_source_divergence", ext.TextStats.sourceDivergence,

@@ -469,6 +469,36 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** One exact PageRank power iteration (q164, damping 0.85, uniform start)
+    * over the symmetrized near-dup candidate graph — the centrality signal a
+    * canonical-selection pass ranks on (the most-connected member of a dup
+    * cluster is the best keep candidate, and rank separates hubs from
+    * periphery where raw degree ties). Arithmetic is exact integer ppm:
+    * each node passes `1000000 div degree` to every neighbor (truncating
+    * division — identical in both engines), and the damped combine runs its
+    * cross-product in DECIMAL(38,0) so a 10⁷-degree hub cannot overflow.
+    *
+    * Scale shape: the standard pregel step as three hash aggregates/joins —
+    * degree on src, per-edge contribution via an equi-join on src (colocated
+    * with the degree shuffle), inflow on dst. No broadcast required, no
+    * iteration-k lineage blowup (single step; the iterated form would
+    * materialize per round exactly like [[dupClusters]]). */
+  def pagerankIteration(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = spark.read.parquet(candidatePairsPath(spark, dir))
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionAll(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    val inflow = edges.join(deg, Seq("src"))
+      .select(col("dst"), expr("1000000 div degree").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+    inflow.join(deg.select(col("src").as("dst"), col("degree")), Seq("dst"))
+      .select(col("dst").as("doc_id"), col("degree"),
+        expr("CAST(150000 + CAST(850000 AS DECIMAL(38,0)) * inflow div 1000000 AS BIGINT)")
+          .as("rank_ppm"))
+      .orderBy("doc_id")
+  }
+
   /** Duplicate CLUSTERS from the LSH candidate graph: connected components via
     * iterative min-label propagation WITH POINTER JUMPING — the final step of
     * a dedup pipeline (pairs → clusters → keep one canonical doc per cluster).

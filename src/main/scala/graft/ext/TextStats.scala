@@ -601,6 +601,47 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** PMI collocation mining (q165): the corpus's strongest multi-word
+    * expressions by pointwise mutual information, the signal a tokenizer/
+    * vocabulary-curation pass uses to decide which bigrams deserve their own
+    * token. PMI's exponential — the probability RATIO N·c(w1,w2) /
+    * (c(w1)·c(w2)) — is computed instead of its log so the score stays exact
+    * integer ppm (monotone in PMI, so the ranking is identical); the triple
+    * product runs in DECIMAL(38,0) (HUGEINT on the oracle side). A minimum
+    * pair count keeps rare-pair noise (the classic PMI failure mode) out.
+    *
+    * Scale shape: bigrams are a pure array projection + explode (same shape
+    * as [[bigramLmScore]]); unigram counts join the bigram-count table on
+    * each endpoint — vocabulary-sized equi-joins the planner broadcasts when
+    * the vocab fits and SMJs when it doesn't; the total is a broadcast
+    * scalar; the final top-N is orderBy().limit() → TakeOrderedAndProject. */
+  def pmiCollocations(spark: SparkSession, dir: String,
+      minCount: Long = 5, topN: Int = 25): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bg = docs
+      .select(split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(words)-1),
+          |  i -> named_struct('w1', element_at(words, i),
+          |                    'w2', element_at(words, i+1)))""".stripMargin)).as("t"))
+      .select(col("t.w1").as("w1"), col("t.w2").as("w2"))
+    val uni = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val total = bg.agg(count(lit(1)).as("n"))
+    bc
+      .join(uni.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * c_xy * 1000000 div " +
+          "(CAST(cu1 AS DECIMAL(38,0)) * cu2) AS BIGINT)").as("pmi_ratio_ppm"))
+      .orderBy(col("pmi_ratio_ppm").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** Per-source length-outlier detection with EXACT integer arithmetic: doc x
     * is an outlier iff |x − μ| > 2σ over its source's n_chars distribution,
     * evaluated as (n·x − S)² > 4·(n·Q − S²) where S = Σx, Q = Σx² — no

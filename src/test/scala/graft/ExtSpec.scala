@@ -395,6 +395,20 @@ class ExtSpec extends SparkSuite {
     assert(rows.keySet == Set("en", "es", "fr", "unknown"))
   }
 
+  test("pmi collocations: planted bigram scores exactly, min-count filters the reverse pair") {
+    val s = spark; import s.implicits._
+    // "x y" occurs 5 times, "y x" 4 times → only (x, y) clears minCount=5.
+    // N=9 bigrams, c(x)=c(y)=5 → ratio = 9·5·1e6/25 = 1_800_000
+    Seq((0L, "x y x y x y x y x y", "en", "s", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_pmi/documents.parquet")
+    val rows = TextStats.pmiCollocations(spark, "/tmp/graft_test_pmi").collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[String]("w1") == "x" && r.getAs[String]("w2") == "y")
+    assert(r.getAs[Long]("c_xy") == 5L && r.getAs[Long]("pmi_ratio_ppm") == 1800000L)
+  }
+
   test("sq8 quantize: flat vector → all-zero codes; known ramp → exact codes") {
     val s = spark; import s.implicits._
     Seq((0L, Array(1.0f, 1.0f, 1.0f, 1.0f)), (1L, Array(0.0f, 1.0f, 2.0f, 3.0f)))

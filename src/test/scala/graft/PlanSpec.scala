@@ -391,6 +391,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"no big-big join exists in this shape:\n$p")
   }
 
+  test("q164 pagerank step: every propagation join is an equi-join on a node id") {
+    val p = plan("q164_pagerank_step")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the pregel step must stay keyed on src/dst:\n$p")
+  }
+
+  test("q165 pmi: the top-N is TakeOrderedAndProject, never a global sort") {
+    val p = plan("q165_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"collocation top-N must trim per partition:\n$p")
+  }
+
   test("q159 langid eval: truth and prediction come off ONE scan (no doc_id self-join)") {
     // AQE off: the ReusedExchange pin is a static-planner property
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")

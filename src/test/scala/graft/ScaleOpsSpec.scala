@@ -795,6 +795,27 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("q164 pagerank step: ranks consistent with a direct per-node recomputation") {
+    val out = ext.Dedup.pagerankIteration(spark, dir).collect()
+    if (out.nonEmpty) {
+      val pairs = spark.read.parquet(ext.Dedup.candidatePairsPath(spark, dir))
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      out.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        val deg = adj(id).size.toLong
+        assert(r.getAs[Long]("degree") == deg)
+        // exact integer recomputation: truncating per-edge share, truncating
+        // damped combine — must match the distributed form bit-for-bit
+        val inflow = adj(id).map(j => 1000000L / adj(j).size).sum
+        assert(r.getAs[Long]("rank_ppm") == 150000L + 850000L * inflow / 1000000L)
+      }
+      // a uniform start conserves mass only in expectation; sanity: every
+      // rank is at least the damping floor
+      assert(out.forall(_.getAs[Long]("rank_ppm") >= 150000L))
+    }
+  }
+
   test("q154 two-hop expansion: counts consistent with a direct adjacency recomputation") {
     val out = ext.Dedup.twoHopNeighbors(spark, dir).collect()
     if (out.nonEmpty) {
