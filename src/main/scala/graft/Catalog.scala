@@ -2391,6 +2391,28 @@ object Catalog {
         |FROM bc JOIN u u1 ON bc.w1 = u1.w JOIN u u2 ON bc.w2 = u2.w CROSS JOIN nb
         |ORDER BY pmi_ratio_ppm DESC, w1, w2 LIMIT 25""".stripMargin),
 
+    // Zone-map data-skipping audit: files a date-range predicate reads under
+    // a date-clustered vs hash-scattered layout (per-file min/max pruning).
+    q("q166_zonemap_audit", (s, d) => engine.Layout.zoneMapAudit(s, d),
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        |  FROM orders),
+        |f AS (
+        |  SELECT 'clustered' AS layout, day // 30 AS file_id, day FROM o
+        |  UNION ALL
+        |  SELECT 'hashed',
+        |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 7)) AS BIGINT) % 64,
+        |    day FROM o),
+        |z AS (SELECT layout, file_id, MIN(day) AS mn, MAX(day) AS mx
+        |      FROM f GROUP BY layout, file_id),
+        |p AS (SELECT CAST(date_diff('day', DATE '1970-01-01', DATE '1997-03-01') AS BIGINT) AS lo,
+        |             CAST(date_diff('day', DATE '1970-01-01', DATE '1997-06-30') AS BIGINT) AS hi)
+        |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(CASE WHEN mx >= lo AND mn <= hi THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+        |  CAST(COUNT(*) - SUM(CASE WHEN mx >= lo AND mn <= hi THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+        |  CAST(SUM(CASE WHEN mx >= lo AND mn <= hi THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS read_ppm
+        |FROM z CROSS JOIN p GROUP BY layout ORDER BY layout""".stripMargin),
+
     // Per-source vocabulary divergence: exact-integer L1 distance between a
     // source's token distribution and the corpus's, in ppm of the max (2).
     q("q145_source_divergence", ext.TextStats.sourceDivergence,

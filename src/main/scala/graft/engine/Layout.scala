@@ -167,4 +167,44 @@ object Layout {
       .write.mode("overwrite").parquet(outPath)
     n
   }
+
+  /** Zone-map / data-skipping audit (q166): how many files a date-range
+    * predicate must READ under two simulated layouts of the orders table —
+    * date-clustered (one file per 30-day window, the layout a sort-on-write
+    * or z-order produces) vs hash-scattered (md5 of the key mod 64, the
+    * layout an unsorted shuffle write produces). Parquet/iceberg prune a file
+    * when its [min, max] zone misses the predicate, so the per-layout
+    * `read_ppm` is exactly the scan-cost ratio a 100 TB table pays for its
+    * layout choice — this audit is the number that justifies
+    * [[zorderWrite]]/[[compact]] maintenance.
+    *
+    * One scan; both layouts' file assignments are computed per row and
+    * exploded, so the zone aggregate (min/max day per file) is a single
+    * map-side-combinable pass; the rollup frame is file-count-sized. All
+    * arithmetic is integer days/ppm — engine-exact. */
+  def zoneMapAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"),
+      expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
+        .as("day"))
+    val files = o
+      .select(col("day"),
+        expr("day div 30").as("clustered"),
+        expr("CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 7), 16, 10) AS BIGINT) % 64")
+          .as("hashed"))
+      .select(col("day"), explode(map(
+        lit("clustered"), col("clustered"),
+        lit("hashed"), col("hashed"))))
+      .withColumnRenamed("key", "layout").withColumnRenamed("value", "file_id")
+    val lo = expr("CAST(datediff(DATE '1997-03-01', DATE '1970-01-01') AS BIGINT)")
+    val hi = expr("CAST(datediff(DATE '1997-06-30', DATE '1970-01-01') AS BIGINT)")
+    files.groupBy(col("layout"), col("file_id"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("mx") >= lo && col("mn") <= hi, 1L).otherwise(0L)).as("files_hit"))
+      .select(col("layout"), col("n_files"), col("files_hit"),
+        (col("n_files") - col("files_hit")).as("files_skipped"),
+        expr("files_hit * 1000000 div n_files").as("read_ppm"))
+      .orderBy("layout")
+  }
 }

@@ -403,6 +403,13 @@ class PlanSpec extends SparkSuite {
       s"collocation top-N must trim per partition:\n$p")
   }
 
+  test("q166 zone-map audit: both layouts come off ONE orders scan (map-explode)") {
+    val p = plan("q166_zonemap_audit")
+    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"layout simulation must not rescan orders, found $scans scans:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this shape:\n$p")
+  }
+
   test("q159 langid eval: truth and prediction come off ONE scan (no doc_id self-join)") {
     // AQE off: the ReusedExchange pin is a static-planner property
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")

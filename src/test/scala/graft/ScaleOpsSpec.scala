@@ -795,6 +795,23 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("q166 zone-map audit: clustered layout prunes, hashed layout reads everything") {
+    val rows = engine.Layout.zoneMapAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    assert(rows.keySet == Set("clustered", "hashed"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_files") > 0)
+      assert(r.getAs[Long]("files_hit") + r.getAs[Long]("files_skipped") ==
+        r.getAs[Long]("n_files"))
+    }
+    // the whole point of the audit: a date predicate skips most date-
+    // clustered files and no hash-scattered ones (every md5 bucket spans
+    // the full date range once it holds a handful of rows)
+    assert(rows("clustered").getAs[Long]("read_ppm") <
+      rows("hashed").getAs[Long]("read_ppm"))
+    assert(rows("hashed").getAs[Long]("files_skipped") == 0L)
+  }
+
   test("q164 pagerank step: ranks consistent with a direct per-node recomputation") {
     val out = ext.Dedup.pagerankIteration(spark, dir).collect()
     if (out.nonEmpty) {
