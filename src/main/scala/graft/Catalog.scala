@@ -424,20 +424,26 @@ object Catalog {
   }
 
   /** DuckDB 16-bit SimHash SQL, generated to mirror Dedup.simhash bit-for-bit. */
-  private val simhashSql: String = {
+  /** SimHash CTE chain (terminal CTE `simh`: doc_id, simhash16), named to
+    * coexist with [[bandsCte]] in one WITH clause (q167/q168 combine both
+    * near-dup signals); [[simhashSql]] (q30) is the same chain selected. */
+  private val simhashCte: String = {
     val bitSums = (0 until 16)
       .map(b => s"  SUM(CASE WHEN (h16 >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bit$b")
       .mkString(",\n")
     val sig = (0 until 16)
       .map(b => s"(CASE WHEN bit$b > 0 THEN ${1 << b} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-       |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) AS h16 FROM t),
-       |b AS (SELECT doc_id,
+    s"""smt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |smh AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) AS h16 FROM smt),
+       |smb AS (SELECT doc_id,
        |$bitSums
-       |FROM h GROUP BY doc_id)
-       |SELECT doc_id, CAST($sig AS INT) AS simhash16 FROM b ORDER BY doc_id""".stripMargin
+       |FROM smh GROUP BY doc_id),
+       |simh AS (SELECT doc_id, CAST($sig AS INT) AS simhash16 FROM smb)""".stripMargin
   }
+
+  private val simhashSql: String =
+    s"WITH $simhashCte\nSELECT doc_id, simhash16 FROM simh ORDER BY doc_id"
 
   /** Shared DuckDB CTE: embeddings as double lists + L2 norm + LSH bucket
     * (mirrors Similarity.vecs / Similarity.lshBuckets). */
@@ -2412,6 +2418,76 @@ object Catalog {
         |  CAST(COUNT(*) - SUM(CASE WHEN mx >= lo AND mn <= hi THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
         |  CAST(SUM(CASE WHEN mx >= lo AND mn <= hi THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS read_ppm
         |FROM z CROSS JOIN p GROUP BY layout ORDER BY layout""".stripMargin),
+
+    // Modularity of the SimHash top-byte partition on the MinHash candidate
+    // graph: per-bucket Q_c = e_c/m − (d_c/2m)², each ratio truncating-
+    // divided separately (non-negative) so div/// agree, subtracted after.
+    q("q167_signal_modularity", (s, d) => ext.Dedup.simhashModularity(s, d),
+      s"""WITH $bandsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |         GROUP BY doc_a, doc_b),
+         |$simhashCte,
+         |parts AS (SELECT doc_id, CAST(simhash16 // 256 AS BIGINT) AS bucket FROM simh),
+         |ends AS (SELECT doc_a AS doc_id FROM cand UNION ALL SELECT doc_b FROM cand),
+         |deg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM ends GROUP BY doc_id),
+         |degc AS (SELECT bucket, CAST(SUM(deg) AS BIGINT) AS d_c,
+         |           CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |         FROM deg JOIN parts USING (doc_id) GROUP BY bucket),
+         |ein AS (SELECT pa.bucket AS bucket, CAST(COUNT(*) AS BIGINT) AS e_in
+         |        FROM cand c JOIN parts pa ON c.doc_a = pa.doc_id
+         |                    JOIN parts pb ON c.doc_b = pb.doc_id
+         |        WHERE pa.bucket = pb.bucket GROUP BY pa.bucket),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM cand),
+         |sel AS (SELECT d.bucket, d.n_nodes, d.d_c, COALESCE(e.e_in, 0) AS e_in,
+         |          CAST(CAST(COALESCE(e.e_in, 0) AS HUGEINT) * 1000000 // m AS BIGINT) AS e_ppm,
+         |          CAST(CAST(d.d_c AS HUGEINT) * d.d_c * 1000000
+         |            // (4 * CAST(m AS HUGEINT) * m) AS BIGINT) AS dsq_ppm
+         |        FROM degc d LEFT JOIN ein e USING (bucket) CROSS JOIN mm)
+         |SELECT bucket, n_nodes, d_c, e_in, e_ppm, dsq_ppm,
+         |  e_ppm - dsq_ppm AS q_contrib_ppm
+         |FROM sel ORDER BY bucket""".stripMargin),
+
+    // Adjusted Rand index between the MinHash CC clustering and the SimHash
+    // top-byte bucketing: chance-corrected pair-counting agreement, exact
+    // integers, |num|-division with the sign re-attached (div vs // on
+    // negatives differ).
+    q("q168_signal_agreement", (s, d) => ext.Dedup.clusteringAgreement(s, d),
+      s"""WITH RECURSIVE $bandsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |         GROUP BY doc_a, doc_b),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |          UNION SELECT doc_b, doc_a FROM cand),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+         |labels AS (SELECT id AS doc_id, min(r) AS label_a FROM reach GROUP BY id),
+         |$simhashCte,
+         |parts AS (SELECT doc_id, simhash16 // 256 AS label_b FROM simh),
+         |cells AS (SELECT label_a, label_b, CAST(COUNT(*) AS BIGINT) AS nij
+         |          FROM labels JOIN parts USING (doc_id) GROUP BY 1, 2),
+         |s1 AS (SELECT CAST(SUM(nij) AS BIGINT) AS n,
+         |         CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS sum_ij FROM cells),
+         |sa AS (SELECT CAST(SUM(ai * (ai - 1) // 2) AS BIGINT) AS sum_a
+         |       FROM (SELECT SUM(nij) AS ai FROM cells GROUP BY label_a)),
+         |sb AS (SELECT CAST(SUM(bj * (bj - 1) // 2) AS BIGINT) AS sum_b
+         |       FROM (SELECT SUM(nij) AS bj FROM cells GROUP BY label_b)),
+         |t AS (SELECT n, sum_ij, sum_a, sum_b,
+         |        CAST(n AS HUGEINT) * (n - 1) // 2 AS c2n
+         |      FROM s1 CROSS JOIN sa CROSS JOIN sb),
+         |t2 AS (SELECT n, sum_ij, sum_a, sum_b,
+         |         2 * (c2n * sum_ij - CAST(sum_a AS HUGEINT) * sum_b) AS num2,
+         |         c2n * (sum_a + sum_b) - 2 * CAST(sum_a AS HUGEINT) * sum_b AS den2
+         |       FROM t)
+         |SELECT n, sum_ij, sum_a, sum_b,
+         |  CASE WHEN den2 = 0 THEN 1000000
+         |       WHEN num2 >= 0 THEN CAST(num2 * 1000000 // den2 AS BIGINT)
+         |       ELSE -CAST((-num2) * 1000000 // den2 AS BIGINT) END AS ari_ppm
+         |FROM t2""".stripMargin),
 
     // Per-source vocabulary divergence: exact-integer L1 distance between a
     // source's token distribution and the corpus's, in ppm of the max (2).

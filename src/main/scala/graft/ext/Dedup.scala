@@ -863,6 +863,108 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Modularity core shared by [[simhashModularity]] (q167) and its spec:
+    * given the undirected edge list `pairs` (doc_a < doc_b, distinct) and a
+    * node partition `parts` (doc_id, bucket), the per-bucket modularity
+    * decomposition Q_c = e_c/m − (d_c/2m)² in exact integer ppm. The two
+    * ratio terms are truncating-divided SEPARATELY (each non-negative, so
+    * Spark `div` and DuckDB `//` agree) and subtracted AFTER — a signed
+    * single division would floor on one engine and truncate on the other.
+    *
+    * Scale shape: degree and per-bucket sums are map-side-combinable hash
+    * aggregates; the partition joins the edge list on each endpoint (two
+    * equi-joins on doc id — broadcast when the partition table is small,
+    * SMJ otherwise); m is a broadcast scalar. Never an all-pairs stage. */
+  def modularityOf(pairs: DataFrame, parts: DataFrame): DataFrame = {
+    val edges = pairs.unionAll(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("doc_id", "dst")
+    val deg = edges.groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+    val degC = deg.join(parts, Seq("doc_id"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("deg")).as("d_c"), count(lit(1)).as("n_nodes"))
+    val eIn = pairs
+      .join(parts.select(col("doc_id").as("doc_a"), col("bucket").as("bucket_a")), Seq("doc_a"))
+      .join(parts.select(col("doc_id").as("doc_b"), col("bucket").as("bucket_b")), Seq("doc_b"))
+      .filter(col("bucket_a") === col("bucket_b"))
+      .groupBy(col("bucket_a").as("bucket")).agg(count(lit(1)).as("e_in"))
+    val m = pairs.agg(count(lit(1)).as("m"))
+    degC.join(eIn, Seq("bucket"), "left")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .select(col("bucket"), col("n_nodes"), col("d_c"), col("e_in"),
+        expr("CAST(CAST(e_in AS DECIMAL(38,0)) * 1000000 div m AS BIGINT)")
+          .as("e_ppm"),
+        expr("CAST(CAST(d_c AS DECIMAL(38,0)) * d_c * 1000000 div " +
+          "(4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)").as("dsq_ppm"))
+      .withColumn("q_contrib_ppm", col("e_ppm") - col("dsq_ppm"))
+      .orderBy("bucket")
+  }
+
+  /** Cheap-signal partition quality (q167): the modularity of the SimHash
+    * top-byte partition measured on the MinHash candidate graph. The two
+    * near-dup signals are computed from DIFFERENT features (shingle minima
+    * vs token-bit votes), so high modularity means the cheap per-doc
+    * signature concentrates the expensive graph's edges inside its buckets —
+    * the audit that justifies (or rejects) routing/sharding by SimHash
+    * prefix before any pairwise stage runs at 100 TB. */
+  def simhashModularity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = spark.read.parquet(candidatePairsPath(spark, dir))
+      .select(col("doc_a"), col("doc_b"))
+    val parts = simhash(spark, dir)
+      .select(col("doc_id"), expr("CAST(simhash16 div 256 AS BIGINT)").as("bucket"))
+    modularityOf(pairs, parts)
+  }
+
+  /** Adjusted-Rand-index core shared by [[clusteringAgreement]] (q168) and
+    * its spec: pair-counting agreement between two labelings of the same
+    * nodes, chance-corrected, in exact integer arithmetic. All C(x,2) terms
+    * are integers; the ARI ratio is scaled through DECIMAL(38,0) and the
+    * final division is applied to |num| with the sign re-attached, because a
+    * signed truncating `div` (Spark) and a signed flooring `//` (DuckDB)
+    * disagree on negatives.
+    *
+    * Scale shape: one equi-join on doc id, then the contingency table —
+    * bounded by |labels_a| × |labels_b|, not by corpus size — and its two
+    * margins, all map-side-combinable hash aggregates. */
+  def adjustedRandOf(a: DataFrame, b: DataFrame): DataFrame = {
+    val cells = a.join(b, Seq("doc_id"))
+      .groupBy(col("label_a"), col("label_b")).agg(count(lit(1)).as("nij"))
+    val sumIj = cells.agg(
+      sum(col("nij")).as("n"),
+      sum(expr("nij * (nij - 1) div 2")).as("sum_ij"))
+    val sumA = cells.groupBy(col("label_a")).agg(sum(col("nij")).as("ai"))
+      .agg(sum(expr("ai * (ai - 1) div 2")).as("sum_a"))
+    val sumB = cells.groupBy(col("label_b")).agg(sum(col("nij")).as("bj"))
+      .agg(sum(expr("bj * (bj - 1) div 2")).as("sum_b"))
+    sumIj.crossJoin(sumA).crossJoin(sumB)
+      .withColumn("c2n", expr("CAST(n AS DECIMAL(38,0)) * (n - 1) div 2"))
+      .withColumn("num2", expr(
+        "2 * (CAST(c2n AS DECIMAL(38,0)) * sum_ij - CAST(sum_a AS DECIMAL(38,0)) * sum_b)"))
+      .withColumn("den2", expr(
+        "CAST(c2n AS DECIMAL(38,0)) * (sum_a + sum_b) - 2 * CAST(sum_a AS DECIMAL(38,0)) * sum_b"))
+      .select(col("n"), col("sum_ij"), col("sum_a"), col("sum_b"),
+        when(col("den2") === 0, lit(1000000L))
+          .when(col("num2") >= 0,
+            expr("CAST(num2 * 1000000 div den2 AS BIGINT)"))
+          .otherwise(expr("-CAST((-num2) * 1000000 div den2 AS BIGINT)"))
+          .as("ari_ppm"))
+  }
+
+  /** Near-dup signal agreement (q168): adjusted Rand index between the
+    * MinHash connected-component clustering and the SimHash top-byte
+    * bucketing, over the docs the candidate graph touches. ARI ≈ 1 means
+    * the cheap signature recovers the expensive clustering (so sampling-
+    * based audits can run on SimHash alone); ARI ≈ 0 means chance-level
+    * agreement. Chance correction matters exactly here: both labelings are
+    * mostly singletons, so raw Rand would read ≈ 1 regardless. */
+  def clusteringAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = spark.read.parquet(clustersPath(spark, dir))
+      .select(col("doc_id"), col("cluster_id").as("label_a"))
+    val buckets = simhash(spark, dir)
+      .select(col("doc_id"), expr("CAST(simhash16 div 256 AS BIGINT)").as("label_b"))
+    adjustedRandOf(clusters, buckets)
+  }
+
   /** The clusters table materialized once per (dir, iters, cap) per JVM —
     * the dedup stack's second at-rest index (the first is
     * [[candidatePairsPath]]): in production the cluster assignment is

@@ -603,4 +603,60 @@ class ExtSpec extends SparkSuite {
       assert(cs >= 0 && cs <= 255L * n, "code sums stay in the SQ8 range")
     }
   }
+
+  test("modularity: two triangles joined by a bridge, cut on the bridge (hand-computed)") {
+    val s = spark; import s.implicits._
+    // edges: triangle {1,2,3}, triangle {4,5,6}, bridge (3,4) → m = 7
+    // partition A={1,2,3}, B={4,5,6}: d_A = d_B = 7, e_A = e_B = 3
+    // e_ppm = 3e6 div 7 = 428571; dsq_ppm = 49e6 div (4·49) = 250000
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val parts = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L), (6L, 1L))
+      .toDF("doc_id", "bucket")
+    val rows = Dedup.modularityOf(pairs, parts).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") == 3 && r.getAs[Long]("d_c") == 7)
+      assert(r.getAs[Long]("e_in") == 3)
+      assert(r.getAs[Long]("e_ppm") == 428571 && r.getAs[Long]("dsq_ppm") == 250000)
+      assert(r.getAs[Long]("q_contrib_ppm") == 178571)
+    }
+  }
+
+  test("modularity: a bucket with zero internal edges gets a negative contribution") {
+    val s = spark; import s.implicits._
+    // edges {(1,2),(1,3),(2,3),(3,4)}, partition X={1,2,3}, Y={4} → m = 4
+    // X: e=3, d=7 → 750000 − 765625 = −15625;  Y: e=0, d=1 → 0 − 15625
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val parts = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L)).toDF("doc_id", "bucket")
+    val byBucket = Dedup.modularityOf(pairs, parts).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("q_contrib_ppm")).toMap
+    assert(byBucket(0L) == -15625 && byBucket(1L) == -15625)
+  }
+
+  test("adjusted rand: textbook contingency (ARI = 24/99 on paper)") {
+    val s = spark; import s.implicits._
+    // a = AAABBB, b = XXYYZZ → cells {(A,X):2,(A,Y):1,(B,Y):1,(B,Z):2}
+    // sum_ij = 2, sum_a = 6, sum_b = 3, C(6,2) = 15
+    // num2 = 2(15·2 − 18) = 24; den2 = 15·9 − 36 = 99 → 242424 ppm
+    val a = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L), (6L, 1L))
+      .toDF("doc_id", "label_a")
+    val b = Seq((1L, 10L), (2L, 10L), (3L, 11L), (4L, 11L), (5L, 12L), (6L, 12L))
+      .toDF("doc_id", "label_b")
+    val r = Dedup.adjustedRandOf(a, b).collect()(0)
+    assert(r.getAs[Long]("n") == 6 && r.getAs[Long]("sum_ij") == 2)
+    assert(r.getAs[Long]("sum_a") == 6 && r.getAs[Long]("sum_b") == 3)
+    assert(r.getAs[Long]("ari_ppm") == 242424)
+  }
+
+  test("adjusted rand: identical labelings score exactly 1e6; anti-correlated go negative") {
+    val s = spark; import s.implicits._
+    val a = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("doc_id", "label_a")
+    val same = Seq((1L, 7L), (2L, 7L), (3L, 9L), (4L, 9L)).toDF("doc_id", "label_b")
+    assert(Dedup.adjustedRandOf(a, same).collect()(0).getAs[Long]("ari_ppm") == 1000000)
+    // a = ABAB vs b = AABB: sum_ij = 0 → num2 = −8, den2 = 16 → −500000
+    val alt = Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 1L)).toDF("doc_id", "label_a")
+    val blocks = Seq((1L, 7L), (2L, 7L), (3L, 9L), (4L, 9L)).toDF("doc_id", "label_b")
+    assert(Dedup.adjustedRandOf(alt, blocks).collect()(0).getAs[Long]("ari_ppm") == -500000)
+  }
 }
