@@ -168,4 +168,171 @@ object Eval {
           .as("corpus_ppm"))
       .orderBy("source", "decile")
   }
+
+  /** Exact two-sample Kolmogorov-Smirnov statistic (q169), each source vs the
+    * REST of the corpus, over the document-length distribution: D =
+    * sup_v |F_src(v) − F_rest(v)|, reported in ppm. The per-source drift
+    * alarm a curation stack runs after every ingest — "did this crawl's
+    * length profile move away from everything else?" — with an exact
+    * threshold-free statistic instead of eyeballed histograms.
+    *
+    * Exactness: the sup over the merged value domain is attained at a jump
+    * point of EITHER ECDF, so both ECDFs are evaluated on the full
+    * (source × distinct-value) grid; |F_src − F_rest| is compared via the
+    * cross-multiplied integer |cum_src·n_rest − cum_rest·n_src| in
+    * DECIMAL(38,0) — no float ECDFs, one truncating division at the very end.
+    *
+    * Scale shape: the corpus-sized work is two hash aggregates (per
+    * (source, v) and per v, both map-side combinable). The grid and its
+    * windows live on |sources| × |distinct lengths| rows — value-domain-
+    * bounded, independent of corpus row count — and the corpus cumulative
+    * histogram joins in by broadcast. */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.documents(spark, dir).select(col("source"), col("n_chars").as("v"))
+    val h = v.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+    val srcTot = v.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val distinctV = v.select(col("v")).distinct()
+    val total = v.agg(count(lit(1)).as("n"))
+    val grid = srcTot.crossJoin(distinctV)
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumSrc = grid.join(h, Seq("source", "v"), "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+      .withColumn("cum_src", sum(col("c0")).over(wSrc))
+    val wAll = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val corpusCum = v.groupBy(col("v")).agg(count(lit(1)).as("cc"))
+      .withColumn("ccum", sum(col("cc")).over(wAll))
+      .select(col("v"), col("ccum"))
+    cumSrc.join(broadcast(corpusCum), Seq("v"))
+      .crossJoin(broadcast(total))
+      .withColumn("n_rest", col("n") - col("n_src"))
+      .withColumn("diff", expr(
+        "abs(CAST(cum_src AS DECIMAL(38,0)) * n_rest - CAST(ccum - cum_src AS DECIMAL(38,0)) * n_src)"))
+      .groupBy(col("source"), col("n_src"), col("n_rest"))
+      .agg(max(col("diff")).as("d_num"))
+      .select(col("source"), col("n_src"), col("n_rest"),
+        when(col("n_rest") > 0,
+          expr("CAST(d_num * 1000000 div (CAST(n_src AS DECIMAL(38,0)) * n_rest) AS BIGINT)"))
+          .otherwise(0L).as("d_ppm"))
+      .orderBy("source")
+  }
+
+  /** Pearson chi-square test of independence (q170) between `lang` and
+    * `source`, with Cramér's V² — "is language mix independent of where the
+    * data came from", the first question about any multi-source corpus.
+    * χ² = Σ_cells (O−E)²/E with E = R·C/n, computed per cell as the exact
+    * integer ((n·O − R·C)² · 10⁶) div (n·R·C): each cell's contribution is a
+    * truncating division of non-negative integers (identical in both
+    * engines), and the SUM of integers is order-independent — so the
+    * statistic hash-matches without any float summation-order pinning.
+    * Exact in DECIMAL(38,0) up to n ≈ 5·10⁷ rows ((n·O−R·C)²·10⁶ ≤ n⁴·10⁶);
+    * beyond that, the same formula runs on per-cell ppm shares instead of raw
+    * counts at a bounded precision cost.
+    *
+    * Scale shape: ONE corpus-sized hash aggregate (the contingency cells);
+    * margins and the full R×C grid (absent cells count as O=0 — they still
+    * contribute E) are |langs|·|sources|-bounded at any corpus size. */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+    val rows0 = cells.groupBy(col("lang")).agg(sum(col("o")).as("rn"))
+    val cols0 = cells.groupBy(col("source")).agg(sum(col("o")).as("cn"))
+    val grid = rows0.crossJoin(cols0)
+      .join(cells, Seq("lang", "source"), "left")
+      .withColumn("o0", coalesce(col("o"), lit(0L)))
+    val total = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("lang")).as("r"), countDistinct(col("source")).as("c"))
+    grid.crossJoin(broadcast(total))
+      .withColumn("contrib", expr(
+        """CAST((CAST(n AS DECIMAL(38,0)) * o0 - CAST(rn AS DECIMAL(38,0)) * cn)
+          |  * (CAST(n AS DECIMAL(38,0)) * o0 - CAST(rn AS DECIMAL(38,0)) * cn)
+          |  * 1000000 div (CAST(n AS DECIMAL(38,0)) * rn * cn) AS BIGINT)""".stripMargin))
+      .groupBy(col("n"), col("r"), col("c"))
+      .agg(sum(col("contrib")).as("chi2_x1e6"))
+      .select(col("n"), ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        col("chi2_x1e6"),
+        expr("CAST(chi2_x1e6 div (n * least(r - 1, c - 1)) AS BIGINT)")
+          .as("cramer_v2_ppm"))
+  }
+
+  /** Gini coefficient (q171) of the corpus token-frequency distribution —
+    * the single-number inequality summary of vocabulary usage (0 = every
+    * term equally frequent, →1 = a few terms dominate). Tracks tokenizer
+    * health across ingests: a jump means boilerplate/templating is flooding
+    * the corpus.
+    *
+    * Exact integer form on ascending frequency ranks: G = (2·Σ i·xᵢ −
+    * (n+1)·Σxᵢ) / (n·Σxᵢ), ties broken by term — Σ i·xᵢ is permutation-
+    * invariant within a tie group (equal xᵢ), so the tie-break affects
+    * nothing but determinism of the intermediate. One corpus-sized hash
+    * aggregate (term counts, map-side combinable); the rank window runs on
+    * the vocabulary frame, the same accepted bounded-frame shape as
+    * q63/q67. */
+  def giniTokens(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("x"), col("term"))
+    freq.withColumn("i", row_number().over(w))
+      .agg(count(lit(1)).as("n_terms"), sum(col("x")).as("total_tokens"),
+        sum(expr("CAST(i AS DECIMAL(38,0)) * x")).as("s"))
+      .select(col("n_terms"), col("total_tokens"),
+        expr("""CAST((2 * s - (CAST(n_terms AS DECIMAL(38,0)) + 1) * total_tokens)
+          | * 1000000 div (CAST(n_terms AS DECIMAL(38,0)) * total_tokens) AS BIGINT)"""
+          .stripMargin).as("gini_ppm"))
+  }
+
+  /** Population stability index (q172) of the document-length distribution
+    * between the two doc_id-parity halves of the corpus — the industry-
+    * standard drift score, reported PER BIN so the reader sees WHERE the
+    * distribution moved, not just that it did. Bins are the deciles of half
+    * A (exact counting order statistics, the q152/q163 histogram shape);
+    * each row carries both halves' bin shares (exact integer ppm) and the
+    * PSI term (p−q)·ln(p/q).
+    *
+    * Float boundary: the PSI term needs a logarithm, so exact-integer ppm
+    * arithmetic stops at the shares; each term is computed from those exact
+    * ppm integers and rounded to 6 decimals PER BIN — never summed across
+    * bins inside the engines — so cross-engine float determinism needs no
+    * summation-order pinning at all (the q139 lesson, made structural).
+    *
+    * Scale shape: decile bounds live on the distinct-length frame; the
+    * 9-value bounds array broadcasts to a corpus-sized projection (bin =
+    * 1 + |{b < v}| via a HOF filter over the literal-sized array); both
+    * halves aggregate in ONE conditional-sum pass (the q148 shape). */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.documents(spark, dir)
+      .select((col("doc_id") % 2 === 0).as("is_a"), col("n_chars").as("v"))
+    val wAll = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumA = v.filter(col("is_a")).groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wAll))
+      .withColumn("n_a", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val bounds = cumA
+      .withColumn("decile", explode(expr("sequence(1, 9)")))
+      .groupBy(col("decile"))
+      .agg(min(when(col("cum") >= expr("(decile * n_a + 9) div 10"), col("v")))
+        .as("b"))
+      .agg(sort_array(collect_list(col("b"))).as("bounds"))
+    val binned = v.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr("1 + size(filter(bounds, b -> v > b))").cast("long"))
+    val counts = binned.groupBy(col("bin"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cnt_b"))
+    val totals = v.agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bin"), col("cnt_a"), col("cnt_b"),
+        expr("CAST(cnt_a * 1000000 div n_a AS BIGINT)").as("p_ppm"),
+        expr("CAST(cnt_b * 1000000 div n_b AS BIGINT)").as("q_ppm"))
+      .withColumn("psi_term",
+        when(col("p_ppm") > 0 && col("q_ppm") > 0,
+          round((col("p_ppm") - col("q_ppm")).cast("double") / lit(1000000.0) *
+            log(col("p_ppm").cast("double") / col("q_ppm").cast("double")), 6))
+          .otherwise(lit(0.0)))
+      .orderBy("bin")
+  }
 }
