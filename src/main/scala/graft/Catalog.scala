@@ -2506,6 +2506,104 @@ object Catalog {
         |  CAST((l1_present + (total_corpus - corpus_mass_present) * total_src) * 1000000
         |       // (2 * total_src * total_corpus) AS BIGINT) AS divergence_ppm
         |FROM pres ORDER BY source""".stripMargin),
+
+    // Exact two-sample KS statistic per source vs the rest of the corpus over
+    // the length distribution: sup over the merged value grid of the cross-
+    // multiplied integer |F_src − F_rest|, one truncating division at the end.
+    q("q169_ks_test", ext.Eval.ksTest,
+      """WITH vals AS (SELECT source, n_chars AS v FROM documents),
+        |h AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY source, v),
+        |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM vals GROUP BY source),
+        |dv AS (SELECT DISTINCT v FROM vals),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+        |grid AS (SELECT st.source, st.n_src, dv.v FROM st CROSS JOIN dv),
+        |cs AS (SELECT g.source, g.n_src, g.v,
+        |    SUM(COALESCE(h.c, 0)) OVER (PARTITION BY g.source ORDER BY g.v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_src
+        |  FROM grid g LEFT JOIN h ON h.source = g.source AND h.v = g.v),
+        |ch AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cc FROM vals GROUP BY v),
+        |cc2 AS (SELECT v, SUM(cc) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccum FROM ch),
+        |d AS (SELECT cs.source, cs.n_src, tot.n - cs.n_src AS n_rest,
+        |    abs(CAST(cs.cum_src AS HUGEINT) * (tot.n - cs.n_src)
+        |        - CAST(cc2.ccum - cs.cum_src AS HUGEINT) * cs.n_src) AS diff
+        |  FROM cs JOIN cc2 USING (v) CROSS JOIN tot)
+        |SELECT source, n_src, n_rest,
+        |  CASE WHEN n_rest > 0
+        |    THEN CAST(MAX(diff) * 1000000 // (CAST(n_src AS HUGEINT) * n_rest) AS BIGINT)
+        |    ELSE 0 END AS d_ppm
+        |FROM d GROUP BY source, n_src, n_rest ORDER BY source""".stripMargin),
+
+    // Pearson chi-square of lang × source independence + Cramér's V², every
+    // cell contribution an exact truncating division of non-negative
+    // integers so the sum is order-independent across engines.
+    q("q170_chi_square", ext.Eval.chiSquare,
+      """WITH cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY lang, source),
+        |rr AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rn FROM cells GROUP BY lang),
+        |cc AS (SELECT source, CAST(SUM(o) AS BIGINT) AS cn FROM cells GROUP BY source),
+        |grid AS (SELECT rr.lang, cc.source, rr.rn, cc.cn, COALESCE(cells.o, 0) AS o0
+        |  FROM rr CROSS JOIN cc
+        |  LEFT JOIN cells ON cells.lang = rr.lang AND cells.source = cc.source),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS c FROM cells),
+        |con AS (SELECT tot.n, tot.r, tot.c,
+        |    CAST((CAST(tot.n AS HUGEINT) * o0 - CAST(rn AS HUGEINT) * cn)
+        |       * (CAST(tot.n AS HUGEINT) * o0 - CAST(rn AS HUGEINT) * cn)
+        |       * 1000000 // (CAST(tot.n AS HUGEINT) * rn * cn) AS BIGINT) AS contrib
+        |  FROM grid CROSS JOIN tot)
+        |SELECT n, (r - 1) * (c - 1) AS dof, CAST(SUM(contrib) AS BIGINT) AS chi2_x1e6,
+        |  CASE WHEN least(r - 1, c - 1) > 0
+        |    THEN CAST(SUM(contrib) // (n * least(r - 1, c - 1)) AS BIGINT)
+        |    ELSE 0 END AS cramer_v2_ppm
+        |FROM con GROUP BY n, r, c""".stripMargin),
+
+    // Gini coefficient of the token-frequency distribution: exact integer
+    // form on ascending frequency ranks (ties broken by term — permutation-
+    // invariant within a tie group), rank window on the vocabulary frame.
+    q("q171_gini_tokens", ext.Eval.giniTokens,
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |f AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS x FROM toks GROUP BY term),
+        |rk AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, term) AS i FROM f)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(x) AS BIGINT) AS total_tokens,
+        |  CAST((2 * SUM(CAST(i AS HUGEINT) * x)
+        |        - (CAST(COUNT(*) AS HUGEINT) + 1) * SUM(x)) * 1000000
+        |       // (CAST(COUNT(*) AS HUGEINT) * SUM(x)) AS BIGINT) AS gini_ppm
+        |FROM rk""".stripMargin),
+
+    // PSI of the length distribution between the doc_id-parity halves, per
+    // bin (deduped decile bounds of half A); exact ppm shares, per-bin
+    // rounded float term with a 1-ppm floor on zero shares.
+    q("q172_psi_drift", ext.Eval.psiDrift,
+      """WITH vals AS (SELECT (doc_id % 2 = 0) AS is_a, n_chars AS vv FROM documents),
+        |ha AS (SELECT vv, CAST(COUNT(*) AS BIGINT) AS c FROM vals WHERE is_a GROUP BY vv),
+        |cu AS (SELECT vv, SUM(c) OVER (ORDER BY vv
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER () AS n_a FROM ha),
+        |dec AS (SELECT decile,
+        |    MIN(CASE WHEN cum >= (decile * n_a + 9) // 10 THEN vv END) AS b
+        |  FROM cu CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS decile) ds
+        |  GROUP BY decile),
+        |bnd AS (SELECT list_sort(list_distinct(list(b))) AS bounds FROM dec),
+        |binned AS (SELECT is_a,
+        |    CAST(1 + len(list_filter(bounds, x -> vv > x)) AS BIGINT) AS bin
+        |  FROM vals CROSS JOIN bnd),
+        |counts AS (SELECT bin,
+        |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+        |  FROM binned GROUP BY bin),
+        |tot AS (SELECT CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b FROM vals),
+        |shares AS (SELECT bin, cnt_a, cnt_b,
+        |    CAST(cnt_a * 1000000 // n_a AS BIGINT) AS p_ppm,
+        |    CAST(cnt_b * 1000000 // n_b AS BIGINT) AS q_ppm
+        |  FROM counts CROSS JOIN tot)
+        |SELECT bin, cnt_a, cnt_b, p_ppm, q_ppm,
+        |  round((greatest(p_ppm, 1) - greatest(q_ppm, 1)) / 1000000.0
+        |    * ln(CAST(greatest(p_ppm, 1) AS DOUBLE) / greatest(q_ppm, 1)), 6) AS psi_term
+        |FROM shares ORDER BY bin""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

@@ -252,8 +252,12 @@ object Eval {
       .agg(sum(col("contrib")).as("chi2_x1e6"))
       .select(col("n"), ((col("r") - 1) * (col("c") - 1)).as("dof"),
         col("chi2_x1e6"),
-        expr("CAST(chi2_x1e6 div (n * least(r - 1, c - 1)) AS BIGINT)")
-          .as("cramer_v2_ppm"))
+        // guard: a degenerate corpus (single lang or single source) makes
+        // least(r-1, c-1) = 0 — DIVIDE_BY_ZERO under ANSI without this,
+        // mirroring the n_rest guard in ksTest and n_pos/n_neg in rocAuc
+        when(least(col("r") - 1, col("c") - 1) > 0,
+          expr("CAST(chi2_x1e6 div (n * least(r - 1, c - 1)) AS BIGINT)"))
+          .otherwise(0L).as("cramer_v2_ppm"))
   }
 
   /** Gini coefficient (q171) of the corpus token-frequency distribution —
@@ -296,6 +300,11 @@ object Eval {
     * ppm integers and rounded to 6 decimals PER BIN — never summed across
     * bins inside the engines — so cross-engine float determinism needs no
     * summation-order pinning at all (the q139 lesson, made structural).
+    * Zero shares take the textbook epsilon treatment — a 1-ppm floor on BOTH
+    * shares inside the term (shares in the output stay exact) — so one-sided
+    * bins, exactly where drift is most extreme, dominate the score instead of
+    * silently contributing 0. Tied decile bounds are deduplicated, so bin ids
+    * are stable 1..k with no skipped/collapsed ids.
     *
     * Scale shape: decile bounds live on the distinct-length frame; the
     * 9-value bounds array broadcasts to a corpus-sized projection (bin =
@@ -315,7 +324,7 @@ object Eval {
       .groupBy(col("decile"))
       .agg(min(when(col("cum") >= expr("(decile * n_a + 9) div 10"), col("v")))
         .as("b"))
-      .agg(sort_array(collect_list(col("b"))).as("bounds"))
+      .agg(array_distinct(sort_array(collect_list(col("b")))).as("bounds"))
     val binned = v.crossJoin(broadcast(bounds))
       .withColumn("bin", expr("1 + size(filter(bounds, b -> v > b))").cast("long"))
     val counts = binned.groupBy(col("bin"))
@@ -328,11 +337,12 @@ object Eval {
       .select(col("bin"), col("cnt_a"), col("cnt_b"),
         expr("CAST(cnt_a * 1000000 div n_a AS BIGINT)").as("p_ppm"),
         expr("CAST(cnt_b * 1000000 div n_b AS BIGINT)").as("q_ppm"))
+      .withColumn("p_adj", greatest(col("p_ppm"), lit(1L)))
+      .withColumn("q_adj", greatest(col("q_ppm"), lit(1L)))
       .withColumn("psi_term",
-        when(col("p_ppm") > 0 && col("q_ppm") > 0,
-          round((col("p_ppm") - col("q_ppm")).cast("double") / lit(1000000.0) *
-            log(col("p_ppm").cast("double") / col("q_ppm").cast("double")), 6))
-          .otherwise(lit(0.0)))
+        round((col("p_adj") - col("q_adj")).cast("double") / lit(1000000.0) *
+          log(col("p_adj").cast("double") / col("q_adj").cast("double")), 6))
+      .drop("p_adj", "q_adj")
       .orderBy("bin")
   }
 }

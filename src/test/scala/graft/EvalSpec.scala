@@ -99,4 +99,101 @@ class EvalSpec extends SparkSuite {
     assert(out(("sB", 5L)) == ((15L, 750000L)))
     assert(out(("sB", 9L)) == ((19L, 950000L)))
   }
+
+  test("ks test: two-source fixture, D = 1/2 on paper") {
+    // sA lengths {1,2}, sB lengths {2,3}; merged grid {1,2,3}.
+    // For sA (n_src=2, n_rest=2): cum_src = 1,2,2; cum_rest = 0,1,2
+    // diff·(n_src·n_rest) = |1·2−0·2|, |2·2−1·2|, |2·2−2·2| = 2,2,0 → max 2
+    // D = 2 / (2·2) = 1/2 → 500000 ppm (and sB is symmetric)
+    val dir = writeDocs("/tmp/graft_eval_ks", Seq(
+      (0L, "t", "en", "sA", 1L), (1L, "t", "en", "sA", 2L),
+      (2L, "t", "en", "sB", 2L), (3L, "t", "en", "sB", 3L)))
+    val out = Eval.ksTest(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_src"), r.getAs[Long]("n_rest"), r.getAs[Long]("d_ppm")))).toMap
+    assert(out("sA") == ((2L, 2L, 500000L)))
+    assert(out("sB") == ((2L, 2L, 500000L)))
+  }
+
+  test("ks test: single source hits the n_rest=0 guard") {
+    val dir = writeDocs("/tmp/graft_eval_ks0", Seq(
+      (0L, "t", "en", "sA", 1L), (1L, "t", "en", "sA", 5L)))
+    val r = Eval.ksTest(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_rest") == 0 && r.getAs[Long]("d_ppm") == 0)
+  }
+
+  test("chi square: 2x2 fixture, chi2 = 2 and V2 = 1/4 on paper") {
+    // cells (en,s1)=3 (en,s2)=1 (es,s1)=1 (es,s2)=3; n=8, all margins 4,
+    // E=2 per cell → χ² = 4·(1)²/2 = 2; per-cell integer contribution
+    // (8·O − 16)²·10⁶ div (8·4·4) = 64·10⁶ div 128 = 500000 ×4 = 2000000
+    // V² = χ²/(n·min(r−1,c−1)) = 2/8 → 250000 ppm
+    val rows = Seq.fill(3)(("en", "s1")) ++ Seq(("en", "s2")) ++
+      Seq(("es", "s1")) ++ Seq.fill(3)(("es", "s2"))
+    val dir = writeDocs("/tmp/graft_eval_chi2", rows.zipWithIndex.map {
+      case ((l, s), i) => (i.toLong, "t", l, s, 5L) })
+    val r = Eval.chiSquare(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n") == 8 && r.getAs[Long]("dof") == 1)
+    assert(r.getAs[Long]("chi2_x1e6") == 2000000)
+    assert(r.getAs[Long]("cramer_v2_ppm") == 250000)
+  }
+
+  test("chi square: single-source corpus hits the least(r-1,c-1)=0 guard") {
+    val dir = writeDocs("/tmp/graft_eval_chi0", Seq(
+      (0L, "t", "en", "s1", 5L), (1L, "t", "en", "s1", 5L), (2L, "t", "es", "s1", 5L)))
+    val r = Eval.chiSquare(spark, dir).collect()(0)
+    // one column: every cell O equals its expected value → χ² = 0; the V²
+    // divisor n·least(r−1,0) is 0 — guarded to 0 instead of DIVIDE_BY_ZERO
+    assert(r.getAs[Long]("dof") == 0 && r.getAs[Long]("chi2_x1e6") == 0)
+    assert(r.getAs[Long]("cramer_v2_ppm") == 0)
+  }
+
+  test("gini tokens: frequencies {1,3} give G = 1/4; uniform gives 0") {
+    // counts a=3, b=1 → ascending ranks b:1, a:2; S = 1·1 + 2·3 = 7
+    // G = (2·7 − 3·4)/(2·4) = 2/8 = 1/4 → 250000 ppm
+    val dir = writeDocs("/tmp/graft_eval_gini", Seq((0L, "a a a b", "en", "s", 7L)))
+    val r = Eval.giniTokens(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_terms") == 2 && r.getAs[Long]("total_tokens") == 4)
+    assert(r.getAs[Long]("gini_ppm") == 250000)
+    val dir2 = writeDocs("/tmp/graft_eval_gini0", Seq((0L, "a b a b", "en", "s", 7L)))
+    assert(Eval.giniTokens(spark, dir2).collect()(0).getAs[Long]("gini_ppm") == 0)
+  }
+
+  test("psi drift: tied decile bounds dedupe to stable bins, terms on paper") {
+    // half A (even ids): nine 1s + one 2 → all nine decile bounds are 1,
+    // deduped to [1] → bin 1 = {v ≤ 1}, bin 2 = {v = 2}
+    // half B (odd ids): five 1s + five 2s
+    // bin1: p=900000 q=500000 → 0.4·ln(1.8); bin2: p=100000 q=500000 →
+    // (−0.4)·ln(0.2) — both positive, rounded to 6 per bin
+    val a = (0 until 10).map(i => ((2 * i).toLong, "t", "en", "s",
+      if (i < 9) 1L else 2L))
+    val b = (0 until 10).map(i => ((2 * i + 1).toLong, "t", "en", "s",
+      if (i < 5) 1L else 2L))
+    val dir = writeDocs("/tmp/graft_eval_psi", a ++ b)
+    val out = Eval.psiDrift(spark, dir).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("p_ppm"), r.getAs[Long]("q_ppm"), r.getAs[Double]("psi_term")))).toMap
+    assert(out.size == 2)
+    assert(out(1L)._1 == 900000L && out(1L)._2 == 500000L)
+    assert(out(1L)._3 == BigDecimal(0.4 * math.log(1.8))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(2L)._3 == BigDecimal(-0.4 * math.log(0.2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("psi drift: one-sided bin gets the 1-ppm floor, not a silent 0") {
+    // A: five 1s → bounds [1]; B: four 1s + one 2 → bin 2 exists only in B
+    // p_ppm = 0 floored to 1 inside the term: (1−200000)/10⁶ · ln(1/200000)
+    // ≈ 2.441202 — the drift-dominating bin now dominates the score
+    val a = (0 until 5).map(i => ((2 * i).toLong, "t", "en", "s", 1L))
+    val b = (0 until 5).map(i => ((2 * i + 1).toLong, "t", "en", "s",
+      if (i < 4) 1L else 2L))
+    val dir = writeDocs("/tmp/graft_eval_psi0", a ++ b)
+    val out = Eval.psiDrift(spark, dir).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("p_ppm"), r.getAs[Long]("q_ppm"), r.getAs[Double]("psi_term")))).toMap
+    assert(out(2L)._1 == 0L && out(2L)._2 == 200000L)
+    val expected = BigDecimal((1.0 - 200000.0) / 1e6 * math.log(1.0 / 200000.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2L)._3 == expected && out(2L)._3 > 2.4)
+  }
 }
