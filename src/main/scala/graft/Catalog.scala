@@ -457,6 +457,13 @@ object Catalog {
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
 
+  /** DuckDB per-plane projection (mirrors Similarity.lshProjections — the
+    * signed sum BEFORE the sign is taken, which multi-probe needs). */
+  private def lshProjSql(p: Int): String =
+    s"list_sum(list_transform(range(1, len(v) + 1), d -> v[d] * " +
+      s"(CASE WHEN CAST(('0x' || substr(md5('$p' || ',' || CAST(d AS VARCHAR)), 32, 1)) AS BIGINT) % 2 = 1 " +
+      s"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)))"
+
   /** Oracle-side stopword set, generated from the SAME list the engine uses
     * ([[ext.TextStats.stopWords]]) so the gate/capstone thresholds cannot
     * drift between engines. */
@@ -2604,6 +2611,110 @@ object Catalog {
         |  round((greatest(p_ppm, 1) - greatest(q_ppm, 1)) / 1000000.0
         |    * ln(CAST(greatest(p_ppm, 1) AS DOUBLE) / greatest(q_ppm, 1)), 6) AS psi_term
         |FROM shares ORDER BY bin""".stripMargin),
+
+    // PPJoin-style EXACT Jaccard-threshold self-join: rarest-first prefix
+    // filter + length filter, composite-key verification, integer ppm.
+    q("q173_prefix_filter_join", (s, d) => ext.Dedup.prefixFilterJoin(s, d),
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+        |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY tok),
+        |o AS (SELECT t.doc_id, t.tok,
+        |    ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.tok) AS pos,
+        |    CAST(COUNT(*) OVER (PARTITION BY t.doc_id) AS BIGINT) AS n
+        |  FROM toks t JOIN f USING (tok)),
+        |pre AS (SELECT * FROM o WHERE pos <= n - ((900000 * n + 999999) // 1000000) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b
+        |  FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  WHERE least(a.n, b.n) * 1000000 >= 900000 * greatest(a.n, b.n)),
+        |common AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM cand c JOIN toks ta ON ta.doc_id = c.doc_a
+        |              JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+        |  GROUP BY c.doc_a, c.doc_b),
+        |j AS (SELECT c.doc_a, c.doc_b, c.n_a, c.n_b,
+        |    COALESCE(cm.n_common, 0) AS n_common,
+        |    CAST(COALESCE(cm.n_common, 0) * 1000000
+        |      // (c.n_a + c.n_b - COALESCE(cm.n_common, 0)) AS BIGINT) AS jaccard_ppm
+        |  FROM cand c LEFT JOIN common cm USING (doc_a, doc_b))
+        |SELECT doc_a, doc_b, n_a, n_b, n_common, jaccard_ppm
+        |FROM j WHERE jaccard_ppm >= 900000 ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Reliability diagram: en-marker score deciles (deduped bounds) vs
+    // observed positive rate — the calibration half beside q160's AUC.
+    q("q174_reliability_bins", ext.Eval.reliabilityBins,
+      """WITH t AS (SELECT CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the','a','of','and','is','to','in'))) AS BIGINT) AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos FROM documents),
+        |h AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(is_pos) AS BIGINT) AS p
+        |  FROM t GROUP BY score),
+        |cu AS (SELECT score, c, p,
+        |    SUM(c) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER () AS n_tot FROM h),
+        |dec AS (SELECT decile,
+        |    MIN(CASE WHEN cum >= (decile * n_tot + 9) // 10 THEN score END) AS b
+        |  FROM cu CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS decile) ds
+        |  GROUP BY decile),
+        |bnd AS (SELECT list_sort(list_distinct(list(b))) AS bounds FROM dec),
+        |bh AS (SELECT CAST(1 + len(list_filter(bounds, x -> score > x)) AS BIGINT) AS bin,
+        |    score, c, p FROM h CROSS JOIN bnd)
+        |SELECT bin, CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS n_pos,
+        |  CAST(SUM(p) * 1000000 // SUM(c) AS BIGINT) AS pos_rate_ppm,
+        |  CAST(SUM(score * c) * 1000 // SUM(c) AS BIGINT) AS mean_score_milli
+        |FROM bh GROUP BY bin ORDER BY bin""".stripMargin),
+
+    // Leave-one-source-out ablation: every rest-metric by complement against
+    // broadcast totals — one corpus aggregate, never |sources| passes.
+    q("q175_source_ablation", ext.Eval.sourceAblation,
+      """WITH base AS (SELECT source, n_chars,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en FROM documents),
+        |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src,
+        |    CAST(SUM(n_chars) AS BIGINT) AS len_src,
+        |    CAST(SUM(is_en) AS BIGINT) AS en_src FROM base GROUP BY source),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS len_tot,
+        |    CAST(SUM(is_en) AS BIGINT) AS en_tot FROM base)
+        |SELECT source, n_src AS n_removed,
+        |  CAST(CAST(len_tot AS HUGEINT) * 1000 // n AS BIGINT) AS mean_chars_milli_full,
+        |  CASE WHEN n > n_src
+        |    THEN CAST(CAST(len_tot - len_src AS HUGEINT) * 1000 // (n - n_src) AS BIGINT)
+        |    ELSE 0 END AS mean_chars_milli_rest,
+        |  CASE WHEN n > n_src
+        |    THEN CAST(CAST(en_tot - en_src AS HUGEINT) * 1000000 // (n - n_src) AS BIGINT)
+        |    ELSE 0 END AS en_share_rest_ppm
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin),
+
+    // Exact heavy hitters via mergeable Misra-Gries candidates + exact
+    // re-count (the oracle computes the same answer the direct way).
+    q("q176_heavy_hitters", (s, d) => ext.TextStats.heavyHitters(s, d),
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY term),
+        |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+        |SELECT term, cnt, CAST(cnt * 1000000 // n AS BIGINT) AS freq_ppm
+        |FROM c CROSS JOIN n WHERE cnt * 1000000 >= 20000 * n
+        |ORDER BY term""".stripMargin),
+
+    // Multi-probe LSH ANN: query bucket + the two lowest-|margin| bit flips;
+    // 3-table recall at 1-table index cost.
+    q("q177_multiprobe_ann", (s, d) => ext.Similarity.multiprobeTopK(s, d),
+      s"""WITH $vecsCte,
+         |pr AS (SELECT vec_id, v, nrm, [${(0 until 8).map(lshProjSql).mkString(", ")}] AS prj FROM n),
+         |bk AS (SELECT vec_id, v, nrm, prj,
+         |  CAST(${(0 until 8).map(p => s"(CASE WHEN prj[${p + 1}] > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")} AS INT) AS bucket FROM pr),
+         |ab AS (SELECT vec_id, v, nrm, bucket, list_transform(prj, x -> abs(x)) AS absl FROM bk),
+         |a1 AS (SELECT *, CAST(list_position(absl, list_min(absl)) - 1 AS INT) AS i1 FROM ab),
+         |a2 AS (SELECT *, list_transform(range(0, 8),
+         |    i -> CASE WHEN i = i1 THEN CAST('inf' AS DOUBLE) ELSE absl[CAST(i + 1 AS INT)] END) AS absl2 FROM a1),
+         |a3 AS (SELECT *, CAST(list_position(absl2, list_min(absl2)) - 1 AS INT) AS i2 FROM a2),
+         |qp AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+         |    unnest([bucket, xor(bucket, 1 << i1), xor(bucket, 1 << i2)]) AS bucket
+         |  FROM a3 WHERE vec_id < 20),
+         |cp AS (SELECT vec_id AS neighbor_id, v AS nv, nrm AS nn, bucket FROM bk),
+         |p2 AS (SELECT query_id, cp.neighbor_id,
+         |    list_sum(list_transform(list_zip(qv, cp.nv), z -> z[1] * z[2])) / (qn * cp.nn) AS cos
+         |  FROM qp JOIN cp USING (bucket) WHERE cp.neighbor_id <> query_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+         |  FROM p2)
+         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos_sim
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

@@ -210,6 +210,65 @@ object Dedup {
       .orderBy("doc_a")
   }
 
+  /** PPJoin-style EXACT Jaccard-threshold self-join over token sets (q173) —
+    * the deterministic complement to the MinHash path: where LSH banding is
+    * probabilistic (tunable false-negative rate), prefix filtering guarantees
+    * EVERY pair with token-set Jaccard ≥ t is found, still without an
+    * all-pairs join. Reference semantics: exact near-dup joins à la
+    * Xiao et al., "Efficient Similarity Joins for Near Duplicate Detection"
+    * (WWW 2008) — built here from composed Spark relational ops only.
+    *
+    * The two classic filters, in exact integer arithmetic (t in ppm):
+    *  - prefix filter: order each doc's tokens by ascending global document
+    *    frequency (rarest first, ties by token); if J(a,b) ≥ t, the first
+    *    |s| − ceil(t·|s|) + 1 tokens of BOTH docs must intersect, so only
+    *    prefix tokens are joined. Rare-first ordering makes prefix postings
+    *    lists short — the hot boilerplate token is never a join key.
+    *  - length filter: J(a,b) ≥ t ⟹ t·max(|a|,|b|) ≤ min(|a|,|b|), applied
+    *    as least·10⁶ ≥ t_ppm·greatest before verification.
+    *
+    * Verification joins candidate pairs to token sets on the COMPOSITE
+    * (doc_b, tok) key — the q61 lesson: a shared token cannot k²-blow-up
+    * because the doc id is part of the hash key. The final predicate keeps
+    * floor(o·10⁶/u) ≥ t_ppm, which for integer t_ppm is exactly o/u ≥ t.
+    *
+    * Scale shape: corpus-sized stages are the df aggregate (map-side
+    * combinable), one window per doc_id (the per-doc frame), and the prefix
+    * equi-join whose keys are by construction the RAREST tokens. */
+  def prefixFilterJoin(spark: SparkSession, dir: String,
+      thresholdPpm: Long = 900000L): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val ordered = toks.join(freq, Seq("tok"))
+      .withColumn("pos", row_number().over(wDoc.orderBy(col("df"), col("tok"))))
+      .withColumn("n", count(lit(1)).over(wDoc))
+    val prefix = ordered.filter(
+      col("pos") <= col("n") - expr(s"($thresholdPpm * n + 999999) div 1000000") + 1)
+    val cand = prefix.select(col("tok"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+      .join(prefix.select(col("tok"), col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("tok"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("n_a"), col("n_b")) * 1000000L >=
+          lit(thresholdPpm) * greatest(col("n_a"), col("n_b")))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b")).distinct()
+    val common = toks.select(col("doc_id").as("doc_a"), col("tok"))
+      .join(cand.select(col("doc_a"), col("doc_b")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("b_id"), col("tok").as("tok_b")),
+        col("b_id") === col("doc_b") && col("tok_b") === col("tok"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    cand.join(common, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("jaccard_ppm", expr(
+        "CAST(n_common * 1000000 div (n_a + n_b - n_common) AS BIGINT)"))
+      .filter(col("jaccard_ppm") >= thresholdPpm)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The LSH candidate-pair table materialized ONCE per (source dir, bucket
     * cap) per JVM — the near-dup stack's at-rest index, the same
     * once-per-data-drop cost model as [[graft.engine.Layout]]'s cached

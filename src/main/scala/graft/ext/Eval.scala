@@ -169,6 +169,84 @@ object Eval {
       .orderBy("source", "decile")
   }
 
+  /** Reliability diagram (q174) for the en-marker score against the
+    * ground-truth label `lang = 'en'` — the CALIBRATION half of classifier
+    * eval, beside [[rocAuc]]'s discrimination half: equal-mass score deciles,
+    * each reporting observed positive rate vs mean score. A well-calibrated
+    * filter shows pos_rate rising monotonically with the bin's mean score;
+    * q160 can be high while this table is badly mis-calibrated, which is why
+    * production stacks track both.
+    *
+    * Everything is computed ON the score histogram (score-domain-bounded at
+    * any corpus size): deciles by counting (q152 shape, tied bounds deduped
+    * as in [[psiDrift]]), then bins aggregate the HISTOGRAM rows weighted by
+    * their counts — the corpus is scanned exactly once (the histogram
+    * aggregate); no second pass rebins raw rows. Exact integer output:
+    * pos_rate in ppm, mean score in thousandths. */
+  def reliabilityBins(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextStats.withLangMarkers(
+      Tables.documents(spark, dir).select(col("lang"), col("text")))
+      .select(col("en_markers").as("score"),
+        (col("lang") === "en").cast("long").as("is_pos"))
+    val hist = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("c"), sum(col("is_pos")).as("p"))
+    val wAll = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wAll))
+      .withColumn("n_tot", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val bounds = cum
+      .withColumn("decile", explode(expr("sequence(1, 9)")))
+      .groupBy(col("decile"))
+      .agg(min(when(col("cum") >= expr("(decile * n_tot + 9) div 10"), col("score")))
+        .as("b"))
+      .agg(array_distinct(sort_array(collect_list(col("b")))).as("bounds"))
+    hist.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr("1 + size(filter(bounds, x -> score > x))").cast("long"))
+      .groupBy(col("bin"))
+      .agg(sum(col("c")).as("n"), sum(col("p")).as("n_pos"),
+        sum(col("score") * col("c")).as("sum_score"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("CAST(n_pos * 1000000 div n AS BIGINT)").as("pos_rate_ppm"),
+        expr("CAST(sum_score * 1000 div n AS BIGINT)").as("mean_score_milli"))
+      .orderBy("bin")
+  }
+
+  /** Leave-one-source-out ablation table (q175) — for each source, what the
+    * corpus profile looks like WITHOUT it, the first-order data-valuation
+    * question ("which source is dragging mean document length down / skewing
+    * the language mix") answered for ALL sources at once. The naive form is
+    * |sources| full passes; this is ONE corpus aggregate + a complement
+    * projection against broadcast totals — every rest-metric is
+    * total-minus-source on decomposable sums, the same complement trick as
+    * q145's absent-term mass. Only decomposable metrics qualify (counts,
+    * sums); distinct-counts deliberately excluded.
+    *
+    * Guards: a single-source corpus leaves an empty rest → 0 rows of rest
+    * metrics would divide by zero; guarded to 0 like [[ksTest]]'s n_rest. */
+  def sourceAblation(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"),
+        (col("lang") === "en").cast("long").as("is_en"))
+    val per = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"), sum(col("n_chars")).as("len_src"),
+        sum(col("is_en")).as("en_src"))
+    val tot = base.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("len_tot"),
+      sum(col("is_en")).as("en_tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_src").as("n_removed"),
+        expr("CAST(CAST(len_tot AS DECIMAL(38,0)) * 1000 div n AS BIGINT)")
+          .as("mean_chars_milli_full"),
+        when(col("n") > col("n_src"),
+          expr("CAST(CAST(len_tot - len_src AS DECIMAL(38,0)) * 1000 div (n - n_src) AS BIGINT)"))
+          .otherwise(0L).as("mean_chars_milli_rest"),
+        when(col("n") > col("n_src"),
+          expr("CAST(CAST(en_tot - en_src AS DECIMAL(38,0)) * 1000000 div (n - n_src) AS BIGINT)"))
+          .otherwise(0L).as("en_share_rest_ppm"))
+      .orderBy("source")
+  }
+
   /** Exact two-sample Kolmogorov-Smirnov statistic (q169), each source vs the
     * REST of the corpus, over the document-length distribution: D =
     * sup_v |F_src(v) − F_rest(v)|, reported in ppm. The per-source drift

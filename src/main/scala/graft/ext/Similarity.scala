@@ -157,6 +157,70 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** [[lshBuckets]] plus the raw per-plane projection array — the margin
+    * information multi-probe needs. Same guard, same plane literals; the
+    * bucket is derived FROM the projections so the two can never disagree. */
+  private def lshProjections(spark: SparkSession, dir: String, nPlanes: Int = 8,
+      dim: Int = DefaultDim): DataFrame = {
+    val base = vecs(spark, dir)
+    val prjArr = (0 until nPlanes).map { p =>
+      s"aggregate(zip_with(v, ${planeLiteral(p, dim)}, (x, s) -> x * s), " +
+        "CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    }.mkString("array(", ", ", ")")
+    val guarded = s"CASE WHEN size(v) <> $dim THEN " +
+      s"CAST(raise_error(concat('lshProjections: embedding dim ', " +
+      s"CAST(size(v) AS STRING), ' != configured $dim')) AS ARRAY<DOUBLE>) " +
+      s"ELSE $prjArr END"
+    val bucket = (0 until nPlanes).map { p =>
+      s"(CASE WHEN element_at(prj, ${p + 1}) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("CAST((", " + ", ") AS INT)")
+    base.select(col("vec_id"), col("v"), col("nrm"), expr(guarded).as("prj"))
+      .withColumn("bucket", expr(bucket))
+  }
+
+  /** Multi-probe LSH ANN top-k (q177): each query searches its own bucket
+    * PLUS the two buckets obtained by flipping the hyperplane bits with the
+    * smallest projection margin — the planes the vector most nearly
+    * straddles, exactly where its near neighbors land when they fall on the
+    * other side (Lv et al., "Multi-Probe LSH", VLDB 2007). Recall approaches
+    * what 3 independent hash tables would give, at the index footprint and
+    * build cost of ONE table — the memory/recall trade a 100 TB vector store
+    * actually wants.
+    *
+    * Probe derivation is pure integer/array projection: i1 = argmin |prj|,
+    * i2 = argmin over the remainder (first-match tie-break, identical in
+    * both engines on identical doubles); probes = bucket ⊕ 2^i1, ⊕ 2^i2.
+    * The three probe buckets are distinct by construction, so a corpus
+    * vector (one bucket) matches at most one probe — no dedup stage needed.
+    * The probe explode multiplies only the BROADCAST query side by 3; the
+    * corpus side still makes one pass, hashed on bucket. */
+  def multiprobeTopK(spark: SparkSession, dir: String, k: Int = 3,
+      nQueries: Int = 20): DataFrame = {
+    val all = lshProjections(spark, dir)
+    val q = all.filter(col("vec_id") < nQueries)
+      .withColumn("absl", expr("transform(prj, x -> abs(x))"))
+      .withColumn("i1", expr("CAST(array_position(absl, array_min(absl)) - 1 AS INT)"))
+      .withColumn("absl2", expr(
+        "transform(sequence(0, size(absl) - 1), " +
+          "i -> IF(i = i1, CAST('Infinity' AS DOUBLE), element_at(absl, i + 1)))"))
+      .withColumn("i2", expr("CAST(array_position(absl2, array_min(absl2)) - 1 AS INT)"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(expr(
+          "array(bucket, bucket ^ shiftleft(1, i1), bucket ^ shiftleft(1, i2))"))
+          .as("bucket"))
+    val corpus = all.select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+      col("nrm").as("nn"), col("bucket"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(q).join(corpus, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", expr(dotExpr) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Bucket histogram — the observability query for LSH balance (skew here is
     * what would motivate salting at scale). */
   def lshBucketStats(spark: SparkSession, dir: String): DataFrame =

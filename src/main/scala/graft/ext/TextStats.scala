@@ -1222,4 +1222,42 @@ object TextStats {
       .select(col("source"), col("total_src"), col("divergence_ppm"))
       .orderBy("source")
   }
+
+  /** Exact heavy hitters (q176) — every token with corpus frequency ≥
+    * `thresholdPpm`, found via the scale-safe two-pass pattern instead of a
+    * full-vocabulary groupBy:
+    *
+    *  1. ONE pass with the mergeable [[graft.functions.MisraGriesAggregator]]
+    *     (capacity k): the shuffle carries ≤ k slots per partition, the
+    *     driver receives ≤ k candidate terms plus the exact total count n.
+    *     The MG guarantee (every term with freq > n/k survives) makes the
+    *     candidate set a SUPERSET of the answer whenever
+    *     k > 10⁶/thresholdPpm — enforced below, so the approximation can
+    *     never silently drop a true heavy hitter.
+    *  2. A second pass re-counts ONLY candidate rows (broadcast isin filter
+    *     pushed to the scan) — the groupBy shuffles ≤ k distinct keys.
+    *
+    * Output is therefore EXACT and independent of partition order / merge
+    * shape, even though pass 1's internal counts are noisy: candidates are
+    * filtered by their re-counted frequency, so false candidates drop out and
+    * true hitters (guaranteed present) carry exact counts. A full-vocabulary
+    * groupBy computes the same answer with a vocabulary-sized shuffle — at
+    * 100 TB that's the difference between k·partitions rows and billions. */
+  def heavyHitters(spark: SparkSession, dir: String,
+      thresholdPpm: Long = 20000L, k: Int = 128): DataFrame = {
+    require(k.toLong * thresholdPpm > 1000000L,
+      s"capacity k=$k cannot guarantee the superset at threshold $thresholdPpm ppm")
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val (candidates, n) = toks.as[String]
+      .select(new graft.functions.MisraGriesAggregator(k).toColumn)
+      .head()
+    toks.filter(col("term").isin(candidates: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 1000000L >= lit(thresholdPpm) * lit(n))
+      .select(col("term"), col("cnt"),
+        expr(s"CAST(cnt * 1000000 div ${n}L AS BIGINT)").as("freq_ppm"))
+      .orderBy("term")
+  }
 }

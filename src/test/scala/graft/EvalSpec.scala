@@ -196,4 +196,40 @@ class EvalSpec extends SparkSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out(2L)._3 == expected && out(2L)._3 > 2.4)
   }
+
+  test("reliability bins: two-score fixture, rates and deduped bounds on paper") {
+    // five docs score 1 (1 positive), five docs score 3 (4 positive):
+    // cum at score 1 is 5 → deciles 1..5 bound at 1, 6..9 at 3 → bounds [1,3]
+    // bin1 = {score ≤ 1}: rate 1/5, mean 1.000; bin2 = {score 3}: 4/5, 3.000
+    val rows = (0 until 5).map(i => (i.toLong, "the x", if (i == 0) "en" else "de", "s", 5L)) ++
+      (5 until 10).map(i => (i.toLong, "the a of", if (i == 5) "de" else "en", "s", 8L))
+    val dir = writeDocs("/tmp/graft_eval_rel", rows)
+    val out = Eval.reliabilityBins(spark, dir).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_pos"), r.getAs[Long]("pos_rate_ppm"),
+          r.getAs[Long]("mean_score_milli")))).toMap
+    assert(out.size == 2)
+    assert(out(1L) == ((5L, 1L, 200000L, 1000L)))
+    assert(out(2L) == ((5L, 4L, 800000L, 3000L)))
+  }
+
+  test("source ablation: complement arithmetic on paper; single-source guard") {
+    // sA: lengths {10, 20}, langs {en, de}; sB: length {30}, en
+    // corpus: n=3, len 60, en 2 → full mean 20.000
+    // without sA: mean 30000 milli, en 1000000 ppm (1/1)
+    // without sB: mean (60−30)/2 = 15000, en (2−1)/2 = 500000
+    val dir = writeDocs("/tmp/graft_eval_abl", Seq(
+      (0L, "t", "en", "sA", 10L), (1L, "t", "de", "sA", 20L),
+      (2L, "t", "en", "sB", 30L)))
+    val out = Eval.sourceAblation(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[Long]("mean_chars_milli_full"),
+          r.getAs[Long]("mean_chars_milli_rest"), r.getAs[Long]("en_share_rest_ppm")))).toMap
+    assert(out("sA") == ((2L, 20000L, 30000L, 1000000L)))
+    assert(out("sB") == ((1L, 20000L, 15000L, 500000L)))
+    val dir2 = writeDocs("/tmp/graft_eval_abl1", Seq((0L, "t", "en", "sA", 10L)))
+    val r = Eval.sourceAblation(spark, dir2).collect()(0)
+    assert(r.getAs[Long]("mean_chars_milli_rest") == 0 &&
+      r.getAs[Long]("en_share_rest_ppm") == 0)
+  }
 }

@@ -659,4 +659,70 @@ class ExtSpec extends SparkSuite {
     val blocks = Seq((1L, 7L), (2L, 7L), (3L, 9L), (4L, 9L)).toDF("doc_id", "label_b")
     assert(Dedup.adjustedRandOf(alt, blocks).collect()(0).getAs[Long]("ari_ppm") == -500000)
   }
+
+  test("prefix filter join: equals all-pairs brute force; hot token never joined") {
+    val s = spark; import s.implicits._
+    // 10 groups of 3 near-identical docs (one token swapped per variant) +
+    // a boilerplate token shared by ALL docs; prefix filtering must still
+    // find exactly the within-group pairs, and the hot 'common' token is
+    // never a prefix token (df=30 is the maximum — rarest-first ordering)
+    val docs = (0 until 30).map { i =>
+      val base = (1 to 20).map(j => s"t${(i / 3) * 100 + j}").toVector
+      val toks = if (i % 3 == 0) base else base.updated(i % 20, s"x$i")
+      (i.toLong, "common " + toks.mkString(" "))
+    }
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_ppjoin/documents.parquet")
+    val out = Dedup.prefixFilterJoin(spark, "/tmp/graft_ppjoin", thresholdPpm = 800000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = docs.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    val ids = docs.map(_._1)
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      o = sets(a).intersect(sets(b)).size.toLong
+      u = sets(a).size + sets(b).size - o
+      if o * 1000000L / u >= 800000L
+    } yield (a, b)).toSet
+    assert(expected.size == 30, "fixture: 3 within-group pairs per group")
+    assert(out == expected)
+  }
+
+  test("heavy hitters: MG candidates + exact re-count equal brute force on skewed data") {
+    val s = spark; import s.implicits._
+    // 500x 'hot' + 100x 'warm' + 400 singletons = 1000 tokens; k=32 slots
+    // against 402 distinct terms forces constant MG evictions, yet the
+    // >n/k guarantee keeps both true hitters in the candidate set
+    val docs = (0 until 100).map { i =>
+      val singles = (1 to 4).map(j => s"u${i}_$j")
+      val warm = if (i < 100) Seq("warm") else Nil
+      (i.toLong, (Seq.fill(5)("hot") ++ warm.take(1) ++ singles).mkString(" "))
+    }
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_hh/documents.parquet")
+    val out = TextStats.heavyHitters(spark, "/tmp/graft_hh",
+      thresholdPpm = 50000L, k = 32).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("hot", "warm"))
+    val byTerm = out.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byTerm("hot") == ((500L, 500000L)) && byTerm("warm") == ((100L, 100000L)))
+  }
+
+  test("heavy hitters: capacity below the guarantee bound is rejected") {
+    intercept[IllegalArgumentException] {
+      TextStats.heavyHitters(spark, dir, thresholdPpm = 1000L, k = 10)
+    }
+  }
+
+  test("multiprobe ann: recall never below single-probe, same exact ranking rules") {
+    val exact = Similarity.cosineTopK(spark, dir, 3, 20)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Similarity.annTopK(spark, dir, 3, 20)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.multiprobeTopK(spark, dir, 3, 20)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.intersect(multi).size >= exact.intersect(single).size,
+      "3 probe buckets recover at least what the single bucket did")
+  }
 }
