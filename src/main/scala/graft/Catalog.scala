@@ -2527,7 +2527,8 @@ object Catalog {
         |cs AS (SELECT g.source, g.n_src, g.v,
         |    SUM(COALESCE(h.c, 0)) OVER (PARTITION BY g.source ORDER BY g.v
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_src
-        |  FROM grid g LEFT JOIN h ON h.source = g.source AND h.v = g.v),
+        |  FROM grid g LEFT JOIN h ON h.source IS NOT DISTINCT FROM g.source
+        |                         AND h.v IS NOT DISTINCT FROM g.v),
         |ch AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cc FROM vals GROUP BY v),
         |cc2 AS (SELECT v, SUM(cc) OVER (ORDER BY v
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccum FROM ch),
@@ -2551,7 +2552,8 @@ object Catalog {
         |cc AS (SELECT source, CAST(SUM(o) AS BIGINT) AS cn FROM cells GROUP BY source),
         |grid AS (SELECT rr.lang, cc.source, rr.rn, cc.cn, COALESCE(cells.o, 0) AS o0
         |  FROM rr CROSS JOIN cc
-        |  LEFT JOIN cells ON cells.lang = rr.lang AND cells.source = cc.source),
+        |  LEFT JOIN cells ON cells.lang IS NOT DISTINCT FROM rr.lang
+        |                 AND cells.source IS NOT DISTINCT FROM cc.source),
         |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
         |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
         |    CAST(COUNT(DISTINCT source) AS BIGINT) AS c FROM cells),

@@ -186,13 +186,18 @@ object Eval {
   def reliabilityBins(spark: SparkSession, dir: String): DataFrame = {
     val scored = TextStats.withLangMarkers(
       Tables.documents(spark, dir).select(col("lang"), col("text")))
+      // when/otherwise (not a bare ===.cast): a null lang must count 0 like
+      // the oracle's CASE, and a never-null p is what makes the p >= 0
+      // pruning guard below a true no-op
       .select(col("en_markers").as("score"),
-        (col("lang") === "en").cast("long").as("is_pos"))
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_pos"))
     val hist = scored.groupBy(col("score"))
       .agg(count(lit(1)).as("c"), sum(col("is_pos")).as("p"))
     val wAll = Window.orderBy(col("score"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist
+    // p >= 0 is always true — it keeps p in the bounds branch's pruned
+    // schema so both consumers share ONE histogram exchange (see ksTest)
+    val cum = hist.filter(col("p") >= 0)
       .withColumn("cum", sum(col("c")).over(wAll))
       .withColumn("n_tot", sum(col("c")).over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
@@ -232,8 +237,10 @@ object Eval {
     val per = base.groupBy(col("source"))
       .agg(count(lit(1)).as("n_src"), sum(col("n_chars")).as("len_src"),
         sum(col("is_en")).as("en_src"))
-    val tot = base.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("len_tot"),
-      sum(col("is_en")).as("en_tot"))
+    // totals re-aggregate the per-source frame (|sources| rows), not the
+    // corpus — the shared exchange is reused and the corpus is scanned once
+    val tot = per.agg(sum(col("n_src")).as("n"), sum(col("len_src")).as("len_tot"),
+      sum(col("en_src")).as("en_tot"))
     per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_src").as("n_removed"),
         expr("CAST(CAST(len_tot AS DECIMAL(38,0)) * 1000 div n AS BIGINT)")
@@ -260,26 +267,38 @@ object Eval {
     * cross-multiplied integer |cum_src·n_rest − cum_rest·n_src| in
     * DECIMAL(38,0) — no float ECDFs, one truncating division at the very end.
     *
-    * Scale shape: the corpus-sized work is two hash aggregates (per
-    * (source, v) and per v, both map-side combinable). The grid and its
-    * windows live on |sources| × |distinct lengths| rows — value-domain-
-    * bounded, independent of corpus row count — and the corpus cumulative
-    * histogram joins in by broadcast. */
+    * Scale shape: the corpus touches ONE hash aggregate — the (source, v)
+    * histogram — and every other frame (per-source totals, the distinct
+    * value grid, the corpus cumulative histogram, the grand total) is
+    * DERIVED from it, with pruning-stable schemas so the planner's
+    * ReuseExchange collapses all five lineage paths onto a single scan
+    * (PlanSpec pins it). The grid and its windows live on |sources| ×
+    * |distinct lengths| rows — value-domain-bounded, independent of corpus
+    * row count — and the corpus cumulative histogram joins in by broadcast. */
   def ksTest(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.documents(spark, dir).select(col("source"), col("n_chars").as("v"))
     val h = v.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
-    val srcTot = v.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
-    val distinctV = v.select(col("v")).distinct()
-    val total = v.agg(count(lit(1)).as("n"))
+    val srcTot = h.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+    // the always-true c > 0 keeps the count column in this branch's pruned
+    // schema — otherwise column pruning rewrites the aggregate without it
+    // and the exchange no longer canonicalizes equal (no reuse, extra scan)
+    val distinctV = h.filter(col("c") > 0).select(col("v")).distinct()
+    val total = h.agg(sum(col("c")).as("n"))
     val grid = srcTot.crossJoin(distinctV)
     val wSrc = Window.partitionBy(col("source")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cumSrc = grid.join(h, Seq("source", "v"), "left")
+    // null-safe keys: a plain equi left join pushes IsNotNull(key) into the
+    // right side, making its subtree unequal to the other h consumers (no
+    // exchange reuse → a second corpus scan) — and <=> also matches a NULL
+    // group to its own grid row, consistent with GROUP BY null semantics
+    val hR = h.select(col("source").as("h_source"), col("v").as("h_v"), col("c"))
+    val cumSrc = grid.join(hR,
+        col("source") <=> col("h_source") && col("v") <=> col("h_v"), "left")
       .withColumn("c0", coalesce(col("c"), lit(0L)))
       .withColumn("cum_src", sum(col("c0")).over(wSrc))
     val wAll = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val corpusCum = v.groupBy(col("v")).agg(count(lit(1)).as("cc"))
+    val corpusCum = h.groupBy(col("v")).agg(sum(col("c")).as("cc"))
       .withColumn("ccum", sum(col("cc")).over(wAll))
       .select(col("v"), col("ccum"))
     cumSrc.join(broadcast(corpusCum), Seq("v"))
@@ -316,11 +335,22 @@ object Eval {
       .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
     val rows0 = cells.groupBy(col("lang")).agg(sum(col("o")).as("rn"))
     val cols0 = cells.groupBy(col("source")).agg(sum(col("o")).as("cn"))
+    // null-safe keys for the same exchange-reuse reason as ksTest (plain
+    // equi keys push IsNotNull into the cells subtree), and a NULL lang or
+    // source then matches its own grid cell — GROUP BY-consistent
+    val cellsR = cells.select(col("lang").as("c_lang"),
+      col("source").as("c_source"), col("o"))
     val grid = rows0.crossJoin(cols0)
-      .join(cells, Seq("lang", "source"), "left")
+      .join(cellsR,
+        col("lang") <=> col("c_lang") && col("source") <=> col("c_source"), "left")
       .withColumn("o0", coalesce(col("o"), lit(0L)))
-    val total = cells.agg(sum(col("o")).as("n"),
-      countDistinct(col("lang")).as("r"), countDistinct(col("source")).as("c"))
+    // n/r/c derived from the margin frames (not countDistinct on cells —
+    // that branch's distinct-Expand rewrote the shared aggregate and cost a
+    // second corpus scan; rows0/cols0 are already in the plan, so these two
+    // tiny aggregates reuse their exchanges and the corpus is scanned once).
+    // The always-true cn > 0 keeps cn in the count branch's pruned schema.
+    val total = rows0.agg(sum(col("rn")).as("n"), count(lit(1)).as("r"))
+      .crossJoin(cols0.filter(col("cn") > 0).agg(count(lit(1)).as("c")))
     grid.crossJoin(broadcast(total))
       .withColumn("contrib", expr(
         """CAST((CAST(n AS DECIMAL(38,0)) * o0 - CAST(rn AS DECIMAL(38,0)) * cn)
@@ -391,11 +421,23 @@ object Eval {
   def psiDrift(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.documents(spark, dir)
       .select((col("doc_id") % 2 === 0).as("is_a"), col("n_chars").as("v"))
+    // ONE corpus aggregate — the per-value (cnt_a, cnt_b) histogram — feeds
+    // the bounds, the per-bin counts (weighted by histogram rows, not a
+    // rebinned second scan), and the totals; pruning-stable schemas let
+    // ReuseExchange collapse the three paths onto a single scan
+    val h = v.groupBy(col("v")).agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("cnt_b"))
     val wAll = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cumA = v.filter(col("is_a")).groupBy(col("v")).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(wAll))
-      .withColumn("n_a", sum(col("c")).over(
+    // the cumulative-A frame now carries B-only values too (cnt_a = 0 rows);
+    // they add nothing to cum and can never become a bound (min picks the
+    // smaller A-value that first reached the threshold), so bounds are
+    // unchanged. The always-true cnt_b >= 0 keeps cnt_b in this branch's
+    // pruned schema (see ksTest).
+    val cumA = h.filter(col("cnt_b") >= 0)
+      .withColumn("cum", sum(col("cnt_a")).over(wAll))
+      .withColumn("n_a", sum(col("cnt_a")).over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val bounds = cumA
       .withColumn("decile", explode(expr("sequence(1, 9)")))
@@ -403,14 +445,11 @@ object Eval {
       .agg(min(when(col("cum") >= expr("(decile * n_a + 9) div 10"), col("v")))
         .as("b"))
       .agg(array_distinct(sort_array(collect_list(col("b")))).as("bounds"))
-    val binned = v.crossJoin(broadcast(bounds))
+    val counts = h.crossJoin(broadcast(bounds))
       .withColumn("bin", expr("1 + size(filter(bounds, b -> v > b))").cast("long"))
-    val counts = binned.groupBy(col("bin"))
-      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"),
-        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cnt_b"))
-    val totals = v.agg(
-      sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
-      sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
+      .groupBy(col("bin"))
+      .agg(sum(col("cnt_a")).as("cnt_a"), sum(col("cnt_b")).as("cnt_b"))
+    val totals = h.agg(sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"))
     counts.crossJoin(broadcast(totals))
       .select(col("bin"), col("cnt_a"), col("cnt_b"),
         expr("CAST(cnt_a * 1000000 div n_a AS BIGINT)").as("p_ppm"),

@@ -422,4 +422,78 @@ class PlanSpec extends SparkSuite {
         s"the confusion-matrix exchange must be shared by both class rollups:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  /** The q169-q175 eval family all claim "ONE corpus scan, every derived
+    * frame reuses the base aggregate's exchange" — pinned per query because
+    * a single broken pruning guard (or a plain equi outer join pushing
+    * IsNotNull into one branch) silently doubles the corpus passes. */
+  private def assertSingleScan(name: String): Unit = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(name)
+      val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"$name must scan the corpus once, found $scans:\n$p")
+      assert(p.contains("ReusedExchange"),
+        s"$name: derived frames must reuse the base aggregate's exchange:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("q169 ks test: one corpus scan across all five derived frames") {
+    assertSingleScan("q169_ks_test")
+  }
+
+  test("q170 chi square: one corpus scan across cells, margins, and totals") {
+    assertSingleScan("q170_chi_square")
+  }
+
+  test("q171 gini: one scan, rank window on the vocabulary frame, no joins") {
+    val p = plan("q171_gini_tokens")
+    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1 && !p.contains("Join"),
+      s"gini is a histogram + one bounded window, nothing else:\n$p")
+  }
+
+  test("q172 psi drift: one corpus scan; bins aggregate histogram rows") {
+    assertSingleScan("q172_psi_drift")
+  }
+
+  test("q174 reliability bins: one corpus scan; bounds share the histogram exchange") {
+    assertSingleScan("q174_reliability_bins")
+  }
+
+  test("q175 source ablation: one corpus scan; totals re-aggregate the per-source frame") {
+    assertSingleScan("q175_source_ablation")
+  }
+
+  test("q173 prefix filter join: verification keys on (doc, token), never token alone") {
+    val p = plan("q173_prefix_filter_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix filtering must bound the pair space via equi-joins:\n$p")
+    // the verify-stage intersection join must carry the doc id in its key —
+    // a raw-token key reintroduces the hot-boilerplate k² blowup
+    val composite = p.linesIterator.filter(l =>
+      l.contains("keys [2]") && (l.contains("tok") || l.contains("b_id"))).toSeq
+    assert(composite.nonEmpty,
+      s"no composite (doc, tok) verification join found:\n$p")
+  }
+
+  test("q176 heavy hitters: candidate INSET filter runs below the partial aggregate") {
+    val p = plan("q176_heavy_hitters")
+    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"the re-count pass must be one scan, found $scans:\n$p")
+    assert(p.contains("INSET") || p.contains(" IN ("),
+      s"candidate filter must prune rows before the aggregate:\n$p")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("text") && !readSchema.contains("lang"),
+      s"re-count must read only the text column: $readSchema")
+  }
+
+  test("q177 multiprobe ann: probe join broadcasts the query side, corpus scans once per side") {
+    val p = plan("q177_multiprobe_ann")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the exploded probe side must broadcast into the corpus pass:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"probing must stay an equi-join on bucket:\n$p")
+  }
 }
