@@ -2717,6 +2717,50 @@ object Catalog {
          |  FROM p2)
          |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos_sim
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
+    // Pre-join cardinality: exact |A ⋈ B| from the two degree histograms
+    // (Σ c_A·c_B), top contributing keys with share — never the join itself.
+    q("q178_join_cardinality", (s, d) => engine.Skew.joinCardinality(s, d),
+      """WITH a AS (SELECT o_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS rows_a
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS rows_b
+        |  FROM lineitem GROUP BY 1),
+        |pk AS (SELECT key, rows_a, rows_b,
+        |    CAST(CAST(rows_a AS HUGEINT) * rows_b AS BIGINT) AS join_rows
+        |  FROM a JOIN b USING (key)),
+        |t AS (SELECT CAST(SUM(join_rows) AS BIGINT) AS predicted_rows FROM pk)
+        |SELECT key, rows_a, rows_b, join_rows,
+        |  CAST(CAST(join_rows AS HUGEINT) * 1000000 // predicted_rows AS BIGINT) AS share_ppm,
+        |  predicted_rows
+        |FROM pk CROSS JOIN t ORDER BY join_rows DESC, key LIMIT 10""".stripMargin),
+
+    // Benford first-digit audit: digit histogram of integerized order totals
+    // vs the literal log10(1+1/d) ppm table (no float logs in either engine).
+    q("q179_benford_audit", engine.Quality.benfordAudit,
+      s"""WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders
+         |  WHERE floor(o_totalprice) > 0),
+         |d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM v),
+         |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM c)
+         |SELECT digit, n,
+         |  CAST(n * 1000000 // n_tot AS BIGINT) AS observed_ppm,
+         |  CAST(([${engine.Quality.BenfordPpm.mkString(", ")}])[CAST(digit AS INT)] AS BIGINT) AS expected_ppm,
+         |  CAST(abs(n * 1000000 // n_tot
+         |    - ([${engine.Quality.BenfordPpm.mkString(", ")}])[CAST(digit AS INT)]) AS BIGINT) AS abs_delta_ppm
+         |FROM c CROSS JOIN t ORDER BY digit""".stripMargin),
+
+    // Sequential Poisson sampling: exactly-k weighted-by-token-mass sample,
+    // k smallest content-addressed u/w priorities (TakeOrderedAndProject).
+    q("q180_weighted_sample", (s, d) => ext.Sampling.weightedPrioritySample(s, d),
+      """WITH d AS (SELECT doc_id,
+        |    greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+        |      * 1000000 // n_tokens AS BIGINT) AS priority
+        |  FROM d)
+        |SELECT doc_id, n_tokens, priority FROM p
+        |ORDER BY priority, doc_id LIMIT 100""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

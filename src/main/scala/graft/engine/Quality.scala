@@ -154,6 +154,39 @@ object Quality {
       .withColumn("risky_ppm", expr("risky_customers * 1000000L div n_customers"))
       .orderBy("c_nationkey")
 
+  /** Rounded-ppm first-digit Benford expectation, digits 1..9 (log10(1+1/d),
+    * summing to exactly 10⁶) — embedded as literals in BOTH engines so the
+    * audit needs no float logarithms at all. */
+  val BenfordPpm: Seq[Long] =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** Benford first-digit audit (q179) over order totals — the classic
+    * fabricated/synthetic-amounts screen, extended here as a data-quality
+    * audit beside the reference's null/key gates: natural multi-scale
+    * amounts follow log10(1+1/d) closely; a flat or spiky digit histogram
+    * flags generated or truncated data (as it does for this synthetic
+    * corpus). One scan → 9-row digit histogram; the first digit comes from
+    * the INTEGER part's decimal string (floor on both engines — no float
+    * log10 whose boundary rounding could disagree). Exact ppm observed
+    * shares against the literal expected table. */
+  def benfordAudit(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val expectedArr = BenfordPpm.mkString("array(", "L,", "L)")
+    val counts = Tables.orders(spark, dir)
+      .select(expr("CAST(floor(o_totalprice) AS BIGINT)").as("v"))
+      .filter(col("v") > 0)
+      .select(expr("CAST(substring(CAST(v AS STRING), 1, 1) AS BIGINT)").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("n_tot"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("observed_ppm", expr("CAST(n * 1000000 div n_tot AS BIGINT)"))
+      .withColumn("expected_ppm",
+        expr(s"element_at($expectedArr, CAST(digit AS INT))"))
+      .withColumn("abs_delta_ppm", abs(col("observed_ppm") - col("expected_ppm")))
+      .select(col("digit"), col("n"), col("observed_ppm"), col("expected_ppm"),
+        col("abs_delta_ppm"))
+      .orderBy("digit")
+  }
+
   /** Run all reference gates; throws like the DAG's ValueError on failure
     * (`E-commerce_dag.py:69-77`). */
   def gate(silver: Map[String, DataFrame]): Seq[CheckResult] = {

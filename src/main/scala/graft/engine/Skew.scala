@@ -76,6 +76,37 @@ object Skew {
       .withColumn("pct_of_total", round(col("share_ppm") / 10000.0, 2))
       .drop("share_ppm")
 
+  /** Pre-join cardinality audit (q178): the EXACT row count a key equi-join
+    * will produce, computed from the two degree histograms — Σ_k c_A(k)·c_B(k)
+    * — without materializing the join. This is the planner-observability
+    * primitive behind every "why did my join explode" incident: the histogram
+    * join runs on |distinct keys| rows (both sides map-side-combined first),
+    * so predicting a 100 TB join costs two aggregates and a key-cardinality
+    * join instead of the join itself. Output: the top-N contributing keys
+    * with their exact match counts and share of the predicted total (the
+    * skew diagnosis — a single hot key owning half the output is the salting
+    * trigger, see [[saltedJoin]]).
+    *
+    * Demonstrated on orders ⋈ lineitem over the order key; DECIMAL(38,0)
+    * cross-products so a billion-row hot key cannot wrap. */
+  def joinCardinality(spark: SparkSession, dir: String, topN: Int = 10): DataFrame = {
+    val a = Tables.orders(spark, dir)
+      .groupBy(col("o_orderkey").as("key")).agg(count(lit(1)).as("rows_a"))
+    val b = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("key")).agg(count(lit(1)).as("rows_b"))
+    val perKey = a.join(b, Seq("key"))
+      .withColumn("join_rows",
+        expr("CAST(CAST(rows_a AS DECIMAL(38,0)) * rows_b AS BIGINT)"))
+    val total = perKey.agg(sum(col("join_rows")).as("predicted_rows"))
+    perKey.crossJoin(broadcast(total))
+      .select(col("key"), col("rows_a"), col("rows_b"), col("join_rows"),
+        expr("CAST(CAST(join_rows AS DECIMAL(38,0)) * 1000000 div predicted_rows AS BIGINT)")
+          .as("share_ppm"),
+        col("predicted_rows"))
+      .orderBy(col("join_rows").desc, col("key"))
+      .limit(topN)
+  }
+
   /** Null-key skew guard (q131): a LEFT join through a nullable FK must not
     * ship its null keys through the exchange — every NULL hashes to the SAME
     * reducer, so a column that is one-third null sends one-third of a 100 TB

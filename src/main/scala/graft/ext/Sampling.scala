@@ -62,6 +62,28 @@ object Sampling {
       .orderBy(col("sample_key"), col("doc_id"))
       .limit(k)
 
+  /** Fixed-size WEIGHTED sample (q180) via sequential Poisson sampling
+    * (Ohlsson 1998): each document draws priority u/w — the content-addressed
+    * 28-bit uniform divided by its token count — and the k SMALLEST
+    * priorities win, so inclusion probability is approximately proportional
+    * to w at exactly-k output size. This is the fixed-size counterpart of
+    * [[lengthBiasedSample]] (whose Bernoulli draw has random output size):
+    * dataset curation usually wants "exactly k docs, weighted by token mass",
+    * and this is the standard order-sampling scheme for it.
+    *
+    * Exact integer priorities (u·10⁶ div w, w floored at 1) with a doc_id
+    * tie-break; plans as TakeOrderedAndProject — each partition forwards at
+    * most k rows, never a global sort (the q122 scale shape, weighted). */
+  def weightedPrioritySample(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        greatest(size(split(col("text"), " ")).cast("long"), lit(1L)).as("n_tokens"))
+      .withColumn("u", u28("doc_id"))
+      .withColumn("priority", expr("CAST(u * 1000000 div n_tokens AS BIGINT)"))
+      .select(col("doc_id"), col("n_tokens"), col("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+
   /** Temperature-weighted mixture (q127): per-source sampling weights
     * proportional to n_docs^0.5 — the standard temperature reweighting
     * (alpha = 1/2) that keeps large sources from drowning small ones in a

@@ -244,6 +244,29 @@ object Streams {
     graft.ext.Dedup.bandsProjection(
       spark.readStream.schema(documentSchema).parquet(srcDir))
 
+  /** Streaming heavy-hitter CANDIDATE maintenance — the incremental form of
+    * the q176 two-pass pattern: the mergeable
+    * [[graft.functions.MisraGriesAggregator]] runs as a streaming typed
+    * aggregation, so every new document wave updates a state of AT MOST k
+    * (term, count) slots plus the exact running token total. The single
+    * state key is the sketch itself, not a scale bottleneck: each micro-batch
+    * still pre-aggregates map-side (partial MG buffers merge), and only
+    * k-slot buffers reach the state store. The MG guarantee holds across
+    * restarts and merge order: every term with lifetime frequency > n/k is in
+    * the current candidate string; the periodic exact re-count (q176's pass
+    * 2) runs as a cheap batch job over the at-rest corpus when needed.
+    * Output (update mode): one row — space-joined sorted candidates + exact
+    * total n — re-emitted per batch. */
+  def heavyHitterCandidatesStream(spark: SparkSession, srcDir: String,
+      k: Int = 64): Dataset[(String, Long)] = {
+    import spark.implicits._
+    val terms = spark.readStream.schema(documentSchema).parquet(srcDir)
+      .select(explode(split(col("text"), " ")).as("term")).as[String]
+    terms.groupByKey(_ => true)
+      .agg(new graft.functions.MisraGriesAggregator(k).toColumn)
+      .map { case (_, (cands, n)) => (cands.mkString(" "), n) }
+  }
+
   /** Drain [[bandIndexStream]] into the parquet index at `indexPath`
     * (Trigger.AvailableNow; re-invoking with the same checkpoint processes
     * only newly-landed files). */

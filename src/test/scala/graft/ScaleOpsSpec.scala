@@ -926,4 +926,54 @@ class ScaleOpsSpec extends SparkSuite {
     // non-vacuous: the null band exists and is materialized under the sentinel
     assert(split.collect().exists(_.getAs[String]("segment") == "NO_PROGRAM"))
   }
+
+  test("q178 join cardinality: the histogram prediction equals the materialized join size") {
+    val out = Skew.joinCardinality(spark, dir).collect()
+    assert(out.length == 10)
+    val predicted = out.head.getAs[Long]("predicted_rows")
+    assert(out.forall(_.getAs[Long]("predicted_rows") == predicted))
+    val actual = Tables.orders(spark, dir).select(col("o_orderkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .count()
+    assert(predicted == actual, "degree-sum must be the EXACT join size")
+    // per-row identity and top-ordering
+    assert(out.forall(r => r.getAs[Long]("join_rows") ==
+      r.getAs[Long]("rows_a") * r.getAs[Long]("rows_b")))
+    assert(out.map(_.getAs[Long]("join_rows")).toSeq ==
+      out.map(_.getAs[Long]("join_rows")).sortBy(-_).toSeq)
+  }
+
+  test("q179 benford: expected table sums to exactly 1e6; counts reconcile") {
+    assert(engine.Quality.BenfordPpm.sum == 1000000L)
+    val out = engine.Quality.benfordAudit(spark, dir).collect()
+    val digits = out.map(_.getAs[Long]("digit")).toSet
+    assert(digits.subsetOf((1L to 9L).toSet) && digits.nonEmpty)
+    val nOrders = Tables.orders(spark, dir)
+      .filter(expr("floor(o_totalprice)") > 0).count()
+    assert(out.map(_.getAs[Long]("n")).sum == nOrders,
+      "digit histogram must partition the qualifying orders")
+    out.foreach { r =>
+      val d = r.getAs[Long]("digit").toInt
+      assert(r.getAs[Long]("expected_ppm") == engine.Quality.BenfordPpm(d - 1))
+      assert(r.getAs[Long]("abs_delta_ppm") ==
+        math.abs(r.getAs[Long]("observed_ppm") - r.getAs[Long]("expected_ppm")))
+    }
+  }
+
+  test("q180 weighted sample: exactly k, priority-ordered, biased toward long docs") {
+    val out = ext.Sampling.weightedPrioritySample(spark, dir, k = 100).collect()
+    assert(out.length == 100)
+    val prios = out.map(_.getAs[Long]("priority")).toSeq
+    assert(prios == prios.sorted, "rows are the k smallest priorities in order")
+    // weighting bias: the weighted draw's mean token count must exceed the
+    // corpus mean (deterministic on this fixture — u/w priorities favor
+    // token-heavy docs)
+    val sampleMean = out.map(_.getAs[Long]("n_tokens")).sum.toDouble / out.length
+    val corpus = Tables.documents(spark, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("t"))
+      .agg(avg(col("t"))).head().getDouble(0)
+    assert(sampleMean > corpus,
+      s"weighted sample mean $sampleMean must exceed corpus mean $corpus")
+  }
 }

@@ -240,4 +240,27 @@ class StreamsSpec extends SparkSuite {
     assert(streamed == batch,
       "incremental transition counts must equal the batch matrix on replay")
   }
+
+  test("streaming heavy-hitter candidates: MG state keeps the hot term, exact running n") {
+    val s = spark; import s.implicits._
+    val src = "/tmp/graft_stream_hh_src"
+    rmTree(src)
+    // 100 docs × (5 'hot' + 2 unique singletons) = 700 tokens, 201 distinct
+    // terms against k=16 slots — constant evictions, yet 'hot' (freq 5/7 >
+    // n/k) must survive in the candidate state
+    def wave(ids: Range) = ids.map(i =>
+      (i.toLong, "hot hot hot hot hot " + s"u${i}_a u${i}_b", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    wave(0 until 50).write.mode("append").parquet(src)
+    wave(50 until 100).write.mode("append").parquet(src)
+    Streams.runToMemory(
+      Streams.heavyHitterCandidatesStream(spark, src, k = 16).toDF("candidates", "n"),
+      "hh_out", org.apache.spark.sql.streaming.OutputMode.Update())
+    val rows = spark.table("hh_out").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val (cands, n) = rows.maxBy(_._2) // the latest state has the largest n
+    assert(n == 700L, "running total is exact regardless of evictions")
+    assert(cands.split(" ").contains("hot"), "the >n/k term survives in state")
+    assert(cands.split(" ").length <= 16, "state is bounded by k slots")
+  }
 }
