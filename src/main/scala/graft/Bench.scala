@@ -23,6 +23,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+    // Optional args (local iteration only; the driver passes none): a
+    // comma-separated list of query-name substrings to time — same contract
+    // as Verify's third arg.
+    val only: Option[Seq[String]] = args.headOption.map(_.split(',').toSeq)
+    def selected(name: String): Boolean = only.forall(_.exists(name.contains))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -60,7 +65,7 @@ object Bench {
       val w = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
       if (new java.io.File(w).isDirectory) w else sfDir
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.filter(kv => selected(kv._1)).sortBy(_._1).foreach { case (name, fn) =>
       try { fn(spark, warmDir).count() } catch {
         case t: Throwable =>
           System.err.println(s"[bench] warm-up $name failed: ${t.getMessage}")
@@ -72,7 +77,7 @@ object Bench {
     // most one of a query's passes — back-to-back passes would both absorb
     // the same burst and the min would not filter it. Any throw marks the
     // query errored (-1 + "errors" entry), never a silent partial timing.
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = SparkEntry.queries.toSeq.filter(kv => selected(kv._1)).sortBy(_._1)
     val best = scala.collection.mutable.Map[String, Double]()
     val errs = scala.collection.mutable.Map[String, String]()
     for (_ <- 1 to passes; (name, fn) <- names if !errs.contains(name)) {

@@ -2614,30 +2614,33 @@ object Catalog {
         |    * ln(CAST(greatest(p_ppm, 1) AS DOUBLE) / greatest(q_ppm, 1)), 6) AS psi_term
         |FROM shares ORDER BY bin""".stripMargin),
 
-    // PPJoin-style EXACT Jaccard-threshold self-join: rarest-first prefix
-    // filter + length filter, composite-key verification, integer ppm.
+    // PPJoin-style EXACT Jaccard-threshold self-join over 3-gram shingle
+    // sets: rarest-first prefix filter + length filter, per-pair
+    // list-intersect verification, integer ppm.
     q("q173_prefix_filter_join", (s, d) => ext.Dedup.prefixFilterJoin(s, d),
-      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+      """WITH dw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |dt AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS toks FROM dw),
+        |toks AS (SELECT doc_id, unnest(toks) AS tok FROM dt),
         |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY tok),
         |o AS (SELECT t.doc_id, t.tok,
         |    ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.tok) AS pos,
         |    CAST(COUNT(*) OVER (PARTITION BY t.doc_id) AS BIGINT) AS n
         |  FROM toks t JOIN f USING (tok)),
-        |pre AS (SELECT * FROM o WHERE pos <= n - ((900000 * n + 999999) // 1000000) + 1),
+        |pre AS (SELECT * FROM o WHERE pos <= n - ((800000 * n + 999999) // 1000000) + 1),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b
         |  FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
-        |  WHERE least(a.n, b.n) * 1000000 >= 900000 * greatest(a.n, b.n)),
-        |common AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
-        |  FROM cand c JOIN toks ta ON ta.doc_id = c.doc_a
-        |              JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
-        |  GROUP BY c.doc_a, c.doc_b),
+        |  WHERE least(a.n, b.n) * 1000000 >= 800000 * greatest(a.n, b.n)),
         |j AS (SELECT c.doc_a, c.doc_b, c.n_a, c.n_b,
-        |    COALESCE(cm.n_common, 0) AS n_common,
-        |    CAST(COALESCE(cm.n_common, 0) * 1000000
-        |      // (c.n_a + c.n_b - COALESCE(cm.n_common, 0)) AS BIGINT) AS jaccard_ppm
-        |  FROM cand c LEFT JOIN common cm USING (doc_a, doc_b))
+        |    CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS n_common
+        |  FROM cand c JOIN dt ta ON ta.doc_id = c.doc_a
+        |              JOIN dt tb ON tb.doc_id = c.doc_b),
+        |jj AS (SELECT doc_a, doc_b, n_a, n_b, n_common,
+        |    CAST(n_common * 1000000 // (n_a + n_b - n_common) AS BIGINT) AS jaccard_ppm
+        |  FROM j)
         |SELECT doc_a, doc_b, n_a, n_b, n_common, jaccard_ppm
-        |FROM j WHERE jaccard_ppm >= 900000 ORDER BY doc_a, doc_b""".stripMargin),
+        |FROM jj WHERE jaccard_ppm >= 800000 ORDER BY doc_a, doc_b""".stripMargin),
 
     // Reliability diagram: en-marker score deciles (deduped bounds) vs
     // observed positive rate — the calibration half beside q160's AUC.

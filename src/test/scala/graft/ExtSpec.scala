@@ -660,30 +660,33 @@ class ExtSpec extends SparkSuite {
     assert(Dedup.adjustedRandOf(alt, blocks).collect()(0).getAs[Long]("ari_ppm") == -500000)
   }
 
-  test("prefix filter join: equals all-pairs brute force; hot token never joined") {
+  test("prefix filter join: equals all-pairs brute force over shingle sets") {
     val s = spark; import s.implicits._
-    // 10 groups of 3 near-identical docs (one token swapped per variant) +
-    // a boilerplate token shared by ALL docs; prefix filtering must still
-    // find exactly the within-group pairs, and the hot 'common' token is
-    // never a prefix token (df=30 is the maximum — rarest-first ordering)
+    // 10 groups of 3 near-identical docs (one token swapped per variant,
+    // swaps close together so shingle overlap stays above the threshold) +
+    // a boilerplate token shared by ALL docs
     val docs = (0 until 30).map { i =>
-      val base = (1 to 20).map(j => s"t${(i / 3) * 100 + j}").toVector
-      val toks = if (i % 3 == 0) base else base.updated(i % 20, s"x$i")
+      val base = (1 to 30).map(j => s"t${(i / 3) * 100 + j}").toVector
+      val toks = if (i % 3 == 0) base else base.updated(10 + i % 3, s"x$i")
       (i.toLong, "common " + toks.mkString(" "))
     }
     docs.toDF("doc_id", "text")
       .write.mode("overwrite").parquet("/tmp/graft_ppjoin/documents.parquet")
-    val out = Dedup.prefixFilterJoin(spark, "/tmp/graft_ppjoin", thresholdPpm = 800000L)
+    val out = Dedup.prefixFilterJoin(spark, "/tmp/graft_ppjoin", thresholdPpm = 700000L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sets = docs.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    // brute force over the SAME element domain: distinct 3-gram shingles
+    val sets = docs.map { case (id, t) =>
+      val w = t.split(" ")
+      id -> w.sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
     val ids = docs.map(_._1)
     val expected = (for {
       a <- ids; b <- ids if a < b
       o = sets(a).intersect(sets(b)).size.toLong
       u = sets(a).size + sets(b).size - o
-      if o * 1000000L / u >= 800000L
+      if o * 1000000L / u >= 700000L
     } yield (a, b)).toSet
-    assert(expected.size == 30, "fixture: 3 within-group pairs per group")
+    assert(expected.nonEmpty, "fixture must plant pairs above the threshold")
     assert(out == expected)
   }
 

@@ -466,16 +466,15 @@ class PlanSpec extends SparkSuite {
     assertSingleScan("q175_source_ablation")
   }
 
-  test("q173 prefix filter join: verification keys on (doc, token), never token alone") {
+  test("q173 prefix filter join: array-intersect verification, joins keyed on doc ids") {
     val p = plan("q173_prefix_filter_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"prefix filtering must bound the pair space via equi-joins:\n$p")
-    // the verify-stage intersection join must carry the doc id in its key —
-    // a raw-token key reintroduces the hot-boilerplate k² blowup
-    val composite = p.linesIterator.filter(l =>
-      l.contains("keys [2]") && (l.contains("tok") || l.contains("b_id"))).toSeq
-    assert(composite.nonEmpty,
-      s"no composite (doc, tok) verification join found:\n$p")
+    // verification must count overlap via per-pair array_intersect — the
+    // exploded (pair x token) equi-join streams |pairs|*|tokens| rows and
+    // was measured 4x slower on a template-heavy corpus
+    assert(p.contains("array_intersect"),
+      s"verify stage lost its array-intersect form:\n$p")
   }
 
   test("q176 heavy hitters: candidate INSET filter runs below the partial aggregate") {
