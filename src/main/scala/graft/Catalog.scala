@@ -2764,6 +2764,52 @@ object Catalog {
         |  FROM d)
         |SELECT doc_id, n_tokens, priority FROM p
         |ORDER BY priority, doc_id LIMIT 100""".stripMargin),
+
+    // Iterated damped PageRank (3 rounds, exact integer ppm) over the
+    // near-dup candidate graph; oracle unrolls the rounds as chained CTEs.
+    q("q181_pagerank_rounds", (s, d) => ext.Dedup.pagerankConverged(s, d),
+      s"""WITH $bandsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |         GROUP BY doc_a, doc_b),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |          UNION ALL SELECT doc_b, doc_a FROM cand),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src),
+         |r0 AS (SELECT src AS doc_id, degree, CAST(1000000 AS BIGINT) AS rank_ppm FROM deg),
+         |i1 AS (SELECT e.dst, CAST(SUM(r.rank_ppm // r.degree) AS BIGINT) AS inflow
+         |       FROM edges e JOIN r0 r ON r.doc_id = e.src GROUP BY e.dst),
+         |r1 AS (SELECT d.src AS doc_id, d.degree,
+         |        CAST(150000 + CAST(850000 AS HUGEINT) * COALESCE(i.inflow, 0) // 1000000 AS BIGINT) AS rank_ppm
+         |       FROM deg d LEFT JOIN i1 i ON i.dst = d.src),
+         |i2 AS (SELECT e.dst, CAST(SUM(r.rank_ppm // r.degree) AS BIGINT) AS inflow
+         |       FROM edges e JOIN r1 r ON r.doc_id = e.src GROUP BY e.dst),
+         |r2 AS (SELECT d.src AS doc_id, d.degree,
+         |        CAST(150000 + CAST(850000 AS HUGEINT) * COALESCE(i.inflow, 0) // 1000000 AS BIGINT) AS rank_ppm
+         |       FROM deg d LEFT JOIN i2 i ON i.dst = d.src),
+         |i3 AS (SELECT e.dst, CAST(SUM(r.rank_ppm // r.degree) AS BIGINT) AS inflow
+         |       FROM edges e JOIN r2 r ON r.doc_id = e.src GROUP BY e.dst),
+         |r3 AS (SELECT d.src AS doc_id, d.degree,
+         |        CAST(150000 + CAST(850000 AS HUGEINT) * COALESCE(i.inflow, 0) // 1000000 AS BIGINT) AS rank_ppm
+         |       FROM deg d LEFT JOIN i3 i ON i.dst = d.src)
+         |SELECT doc_id, degree, rank_ppm FROM r3 ORDER BY doc_id""".stripMargin),
+
+    // Rendezvous sharding audit: before/after shard from ONE max-over-struct
+    // aggregate; adding a shard only steals docs (movers all go to shard N).
+    q("q182_rendezvous_shards", (s, d) => engine.Layout.rendezvousShards(s, d),
+      """WITH w AS (SELECT doc_id, unnest(range(0, 9)) AS s FROM documents),
+        |h AS (SELECT doc_id, CAST(s AS BIGINT) AS s,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 7)) AS BIGINT) AS h
+        |  FROM w),
+        |a AS (SELECT doc_id,
+        |    max(CASE WHEN s < 8 THEN {'h': h, 's': s} END) AS before,
+        |    max({'h': h, 's': s}) AS after
+        |  FROM h GROUP BY doc_id)
+        |SELECT before.s AS shard_before, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN after.s <> before.s THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+        |  CAST(SUM(CASE WHEN after.s <> before.s THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS moved_ppm
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

@@ -207,4 +207,42 @@ object Layout {
         expr("files_hit * 1000000 div n_files").as("read_ppm"))
       .orderBy("layout")
   }
+
+  /** Rendezvous (highest-random-weight) sharding audit (q182): where each
+    * document lands under N shards vs N+1, and how much data MOVES when a
+    * shard is added — the data-placement scheme whose invariant makes
+    * resharding a 100 TB corpus cheap: a document's shard is
+    * argmax_s md5(doc_id:s), so adding shard N can only STEAL documents
+    * (every mover goes TO the new shard; nothing reshuffles between old
+    * shards, expected movement 1/(N+1) vs (N)/(N+1) for mod-N hashing).
+    *
+    * One scan: the per-(doc, shard) weights explode (N+1 rows per doc, a
+    * constant), and BOTH assignments come from one aggregate — max over
+    * weight structs (lexicographic struct comparison, identical in both
+    * engines on identical md5-derived integers), the before-assignment via
+    * a conditional max over s < N. Output: per before-shard movement
+    * counts in exact ppm. */
+  def rendezvousShards(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
+    rendezvousAssignments(spark, dir, n).groupBy(col("shard_before"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard_after") =!= col("shard_before"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .withColumn("moved_ppm", expr("n_moved * 1000000 div n_docs"))
+      .orderBy("shard_before")
+
+  /** [[rendezvousShards]]'s per-document stage — (doc_id, shard under N,
+    * shard under N+1); the LayoutSpec surface for the steal-only invariant
+    * (shard_before ≠ shard_after ⟹ shard_after = N). */
+  def rendezvousAssignments(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"))
+      // s as BIGINT end-to-end so the output shard ids match the oracle dtype
+      .select(col("doc_id"), explode(expr(s"sequence(0, ${n}L)")).as("s"))
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(s AS STRING))), 1, 7), 16, 10) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("s") < n, struct(col("h"), col("s")))).as("before"),
+        max(struct(col("h"), col("s"))).as("after"))
+      .select(col("doc_id"),
+        col("before.s").as("shard_before"), col("after.s").as("shard_after"))
 }

@@ -574,6 +574,57 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Iterated damped PageRank (q181) — [[pagerankIteration]] run to
+    * `iters` rounds, the centrality signal actually used for canonical
+    * selection (one round separates hubs from periphery poorly on chains;
+    * three rounds is where template-cluster ranks stabilize). Exact integer
+    * ppm throughout: per-edge contribution r div deg (truncating, identical
+    * in both engines), damped combine 150000 + 850000·inflow div 10⁶ with
+    * the cross-product in DECIMAL(38,0).
+    *
+    * The iteration discipline is [[duplicateClusters]]'s: every round's rank
+    * frame is MATERIALIZED to scratch parquet before the next round reads
+    * it. Load-bearing at any scale — the rank frame feeds both the
+    * contribution join and the next round, so unmaterialized lineage doubles
+    * per round and round k re-runs the whole candidate pipeline O(2^k)
+    * times; with the round-trip each round is two scans + one shuffle. The
+    * oracle unrolls the same three rounds as chained CTEs. */
+  def pagerankConverged(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    pagerankRounds(spark,
+      spark.read.parquet(candidatePairsPath(spark, dir))
+        .select(col("doc_a"), col("doc_b")),
+      iters)
+
+  /** [[pagerankConverged]]'s mechanism over any undirected (doc_a, doc_b)
+    * pair frame — also the hand-fixture test surface (ExtSpec computes a
+    * 3-round path graph on paper). */
+  def pagerankRounds(spark: SparkSession, pairs: DataFrame, iters: Int): DataFrame = {
+    val tmp = Scratch.dir("graft_pr")
+    pairs.unionAll(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .write.mode("overwrite").parquet(s"$tmp/edges")
+    val e = spark.read.parquet(s"$tmp/edges")
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    deg.select(col("src").as("doc_id"), col("degree"), lit(1000000L).as("rank_ppm"))
+      .write.mode("overwrite").parquet(s"$tmp/r0")
+    for (k <- 1 to iters) {
+      val prev = spark.read.parquet(s"$tmp/r${k - 1}")
+      val inflow = e
+        .join(prev.select(col("doc_id").as("src"), col("degree"), col("rank_ppm")),
+          Seq("src"))
+        .select(col("dst"), expr("rank_ppm div degree").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      prev.select(col("doc_id"), col("degree"))
+        .join(inflow.select(col("dst").as("doc_id"), col("inflow")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("degree"),
+          expr("CAST(150000 + CAST(850000 AS DECIMAL(38,0)) * coalesce(inflow, 0) div 1000000 AS BIGINT)")
+            .as("rank_ppm"))
+        .write.mode("overwrite").parquet(s"$tmp/r$k")
+    }
+    spark.read.parquet(s"$tmp/r$iters").orderBy("doc_id")
+  }
+
   /** Duplicate CLUSTERS from the LSH candidate graph: connected components via
     * iterative min-label propagation WITH POINTER JUMPING — the final step of
     * a dedup pipeline (pairs → clusters → keep one canonical doc per cluster).

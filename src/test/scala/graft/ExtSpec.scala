@@ -715,6 +715,21 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("pagerank rounds: 3 damped rounds on a path graph, every rank on paper") {
+    val s = spark; import s.implicits._
+    // path A(1)-B(2)-C(3): degrees 1, 2, 1; r0 = 1e6 each
+    // r1: A = 150000 + 0.85·(r0(B) div 2)        = 575000, B = 1850000, C = 575000
+    // r2: A = 150000 + 0.85·(r1(B) div 2)        = 936250, B = 1127500, C = 936250
+    // r3: A = 150000 + 0.85·(r2(B) div 2)        = 629187, B = 1741625, C = 629187
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.pagerankRounds(spark, pairs, iters = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("rank_ppm")))).toMap
+    assert(out(1L) == ((1L, 629187L)))
+    assert(out(2L) == ((2L, 1741625L)))
+    assert(out(3L) == ((1L, 629187L)))
+  }
+
   test("multiprobe ann: recall never below single-probe, same exact ranking rules") {
     val exact = Similarity.cosineTopK(spark, dir, 3, 20)
       .select("query_id", "neighbor_id").collect()

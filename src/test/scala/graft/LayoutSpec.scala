@@ -92,4 +92,29 @@ class LayoutSpec extends SparkSuite {
     assert(spark.read.parquet(out).count() ==
       graft.engine.Tables.orders(spark, dir).count())
   }
+
+  test("rendezvous shards: steal-only invariant — every mover lands on the new shard") {
+    val dir = "/root/testdata/sf0.001"
+    val a = Layout.rendezvousAssignments(spark, dir, n = 8)
+    val rows = a.collect()
+    assert(rows.nonEmpty)
+    // adding shard 8 can only STEAL: a changed assignment is always -> 8
+    rows.foreach { r =>
+      val (b, aft) = (r.getAs[Long]("shard_before"), r.getAs[Long]("shard_after"))
+      assert(b >= 0 && b < 8 && aft >= 0 && aft <= 8)
+      if (b != aft) assert(aft == 8L, s"mover went $b -> $aft, not to the new shard")
+    }
+    // movement is ~1/9 of docs, nothing like mod-N's 8/9 reshuffle
+    val moved = rows.count(r =>
+      r.getAs[Long]("shard_before") != r.getAs[Long]("shard_after"))
+    assert(moved > 0 && moved < rows.length / 4,
+      s"expected ~1/9 movement, got $moved of ${rows.length}")
+    // the audit rollup agrees with the per-doc assignments
+    val audit = Layout.rendezvousShards(spark, dir).collect()
+      .map(r => r.getAs[Long]("shard_before") -> r.getAs[Long]("n_moved")).toMap
+    val byShard = rows.groupBy(_.getAs[Long]("shard_before"))
+      .map { case (k, v) => k -> v.count(r =>
+        r.getAs[Long]("shard_after") != k).toLong }
+    assert(audit == byShard)
+  }
 }
