@@ -2810,6 +2810,63 @@ object Catalog {
         |  CAST(SUM(CASE WHEN after.s <> before.s THEN 1 ELSE 0 END) * 1000000
         |    // COUNT(*) AS BIGINT) AS moved_ppm
         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Copy-on-write vs deletion-vector write amplification for a simulated
+    // delete batch against the date-clustered layout (q166's files).
+    q("q183_delete_amplification", (s, d) => engine.Layout.deleteAmplification(s, d),
+      """WITH pf AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) // 30 AS file_id,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END AS del
+        |  FROM orders),
+        |f AS (SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(del) AS BIGINT) AS n_del FROM pf GROUP BY file_id),
+        |t AS (SELECT
+        |    CAST(SUM(CASE WHEN n_del > 0 THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+        |    CAST(SUM(CASE WHEN n_del > 0 THEN n_rows ELSE 0 END) AS BIGINT) AS cow_rows,
+        |    CAST(SUM(n_del) AS BIGINT) AS dv_rows FROM f)
+        |SELECT 'copy_on_write' AS strategy, files_touched, cow_rows AS rows_written,
+        |  dv_rows AS rows_deleted,
+        |  CASE WHEN dv_rows > 0 THEN CAST(cow_rows * 1000000 // dv_rows AS BIGINT)
+        |       ELSE 0 END AS write_amp_ppm
+        |FROM t
+        |UNION ALL
+        |SELECT 'deletion_vector', files_touched, dv_rows, dv_rows,
+        |  CASE WHEN dv_rows > 0 THEN CAST(dv_rows * 1000000 // dv_rows AS BIGINT)
+        |       ELSE 0 END
+        |FROM t ORDER BY strategy""".stripMargin),
+
+    // Watermark lag audit: lateness vs the running arrival-order max
+    // (parallel prefix in the engine, naive global window in the oracle),
+    // late-event percentiles by counting selection, ceiling seconds.
+    q("q184_watermark_lag", streaming.Events.watermarkLag,
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+        |a AS (SELECT event_id, us,
+        |    us + (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7)) AS BIGINT) % 7200) * 1000000 AS arrival_us
+        |  FROM e),
+        |r AS (SELECT event_id, us,
+        |    MAX(us) OVER (ORDER BY arrival_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+        |  FROM a),
+        |l AS (SELECT CASE WHEN run_max > us THEN (run_max - us + 999999) // 1000000
+        |             ELSE 0 END AS late_s FROM r),
+        |h AS (SELECT late_s, CAST(COUNT(*) AS BIGINT) AS c FROM l GROUP BY late_s),
+        |lh AS (SELECT late_s, c,
+        |    SUM(c) OVER (ORDER BY late_s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER () AS n_late
+        |  FROM h WHERE late_s > 0),
+        |p AS (SELECT CAST(MAX(n_late) AS BIGINT) AS n_late,
+        |    MIN(CASE WHEN cum >= (n_late + 1) // 2 THEN late_s END) AS p50_late_s,
+        |    MIN(CASE WHEN cum >= (9 * n_late + 9) // 10 THEN late_s END) AS p90_late_s,
+        |    MIN(CASE WHEN cum >= (99 * n_late + 99) // 100 THEN late_s END) AS p99_late_s,
+        |    MAX(late_s) AS max_late_s FROM lh),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n_events FROM h)
+        |SELECT n_events, COALESCE(n_late, 0) AS n_late,
+        |  CAST(COALESCE(n_late, 0) * 1000000 // n_events AS BIGINT) AS late_ppm,
+        |  COALESCE(p50_late_s, 0) AS p50_late_s,
+        |  COALESCE(p90_late_s, 0) AS p90_late_s,
+        |  COALESCE(p99_late_s, 0) AS p99_late_s,
+        |  COALESCE(max_late_s, 0) AS max_late_s
+        |FROM t CROSS JOIN p""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

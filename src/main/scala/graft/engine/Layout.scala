@@ -230,6 +230,46 @@ object Layout {
       .withColumn("moved_ppm", expr("n_moved * 1000000 div n_docs"))
       .orderBy("shard_before")
 
+  /** Delete-strategy write-amplification audit (q183): the copy-on-write vs
+    * merge-on-read (deletion vector) trade every lakehouse table format
+    * makes, computed exactly for a simulated delete batch (every 13th order)
+    * against the date-clustered file layout of [[zoneMapAudit]]. Copy-on-
+    * write rewrites every file containing ≥1 deleted row (rows_written =
+    * all surviving+deleted rows of touched files); deletion vectors write
+    * one marker per deleted row. write_amp_ppm = rows_written·10⁶ div
+    * rows_deleted — the number that decides the strategy for a given
+    * delete-rate/clustering combination (scattered deletes at 100 TB make
+    * CoW rewrite nearly the whole table; clustered deletes make the two
+    * converge).
+    *
+    * One scan → per-file (rows, deletes) aggregate (file-count-sized) → a
+    * 2-row strategy rollup via map-explode (the q166 shape). */
+  def deleteAmplification(spark: SparkSession, dir: String): DataFrame = {
+    val perFile = Tables.orders(spark, dir)
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) div 30")
+          .as("file_id"),
+        when(col("o_orderkey") % 13 === 0, 1L).otherwise(0L).as("del"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("del")).as("n_del"))
+    perFile
+      .agg(
+        sum(when(col("n_del") > 0, 1L).otherwise(0L)).as("files_touched"),
+        sum(when(col("n_del") > 0, col("n_rows")).otherwise(0L)).as("cow_rows"),
+        sum(col("n_del")).as("dv_rows"))
+      .select(explode(map(
+        lit("copy_on_write"), struct(col("files_touched"), col("cow_rows").as("rows_written")),
+        lit("deletion_vector"), struct(col("files_touched"), col("dv_rows").as("rows_written"))))
+        .as(Seq("strategy", "v")),
+        col("dv_rows").as("rows_deleted"))
+      .select(col("strategy"), col("v.files_touched").as("files_touched"),
+        col("v.rows_written").as("rows_written"), col("rows_deleted"),
+        when(col("rows_deleted") > 0,
+          expr("CAST(v.rows_written * 1000000 div rows_deleted AS BIGINT)"))
+          .otherwise(0L).as("write_amp_ppm"))
+      .orderBy("strategy")
+  }
+
   /** [[rendezvousShards]]'s per-document stage — (doc_id, shard under N,
     * shard under N+1); the LayoutSpec surface for the steal-only invariant
     * (shard_before ≠ shard_after ⟹ shard_after = N). */

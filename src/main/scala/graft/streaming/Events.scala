@@ -384,4 +384,76 @@ object Events {
       .withColumn("n_suppressed", col("n_events") - 1)
       .orderBy("user_id", "event_type", "burst_idx")
   }
+
+  /** Watermark lag audit (q184) — the measurement that PICKS a watermark:
+    * per event, its event-time lateness relative to the maximum event time
+    * among all EARLIER ARRIVALS, rolled up to the late-event percentiles a
+    * pipeline reads off to set `withWatermark` (p99 lateness ⇒ the delay
+    * that admits 99% of late data).
+    *
+    * Arrival order: the synthetic log is generated in perfect event-time
+    * order (zero natural lateness at every SF), so arrival is simulated as
+    * event time plus a CONTENT-ADDRESSED transport delay (md5 of the event
+    * id, 0-7199 s) — deterministic, engine-reproducible, and exactly the
+    * interleaved multi-source delivery a real collector sees. The audit
+    * then measures the jitter spread a watermark must cover.
+    *
+    * The running arrival-prefix max is computed as a PARALLEL PREFIX, not a
+    * single-partition window: arrivals bucket into 1-minute chunks, the
+    * running max within each chunk is a bounded window, and the cross-chunk
+    * carry-in is the prefix max over per-chunk maxima — a chunk-count-sized
+    * frame (recurse the same trick at petabyte logs). Exactly equal to the
+    * naive global window the oracle runs. Lateness percentiles use q152's
+    * counting selection on the CEILING-seconds lateness histogram (a
+    * sub-second straggler needs a 1 s watermark, not 0). */
+  def watermarkLag(spark: SparkSession, dir: String): DataFrame = {
+    val chunked = Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("arrival_us", expr(
+        "us + (CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 7200) * 1000000"))
+      .withColumn("chunk", expr("arrival_us div 60000000"))
+    val wIn = Window.partitionBy(col("chunk"))
+      .orderBy(col("arrival_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inChunk = chunked.withColumn("max_in", max(col("us")).over(wIn))
+    val wCarry = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = chunked.groupBy(col("chunk")).agg(max(col("us")).as("chunk_max"))
+      .withColumn("carry_in", max(col("chunk_max")).over(wCarry))
+      .select(col("chunk"), col("carry_in"))
+    val late = inChunk.join(broadcast(carry), Seq("chunk"))
+      .withColumn("run_max", greatest(
+        coalesce(col("max_in"), lit(Long.MinValue)),
+        coalesce(col("carry_in"), lit(Long.MinValue))))
+      .withColumn("late_s",
+        when(col("run_max") > col("us"),
+          expr("(run_max - us + 999999) div 1000000"))
+          .otherwise(0L))
+    val hist = late.groupBy(col("late_s")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("late_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // counting selection over LATE events only (late_s > 0): the histogram
+    // frame is lateness-domain-bounded at any log size
+    val lateHist = hist.filter(col("late_s") > 0)
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n_late", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // GLOBAL aggregate (not groupBy) so an all-on-time log still yields one
+    // row — matching the oracle's empty-input aggregate semantics
+    val pct = lateHist.agg(
+      max(col("n_late")).as("n_late"),
+      min(when(col("cum") >= expr("(n_late + 1) div 2"), col("late_s"))).as("p50_late_s"),
+      min(when(col("cum") >= expr("(9 * n_late + 9) div 10"), col("late_s"))).as("p90_late_s"),
+      min(when(col("cum") >= expr("(99 * n_late + 99) div 100"), col("late_s"))).as("p99_late_s"),
+      max(col("late_s")).as("max_late_s"))
+    val totals = hist.agg(sum(col("c")).as("n_events"))
+    totals.crossJoin(broadcast(pct))
+      .select(col("n_events"),
+        coalesce(col("n_late"), lit(0L)).as("n_late"),
+        expr("CAST(coalesce(n_late, 0) * 1000000 div n_events AS BIGINT)").as("late_ppm"),
+        coalesce(col("p50_late_s"), lit(0L)).as("p50_late_s"),
+        coalesce(col("p90_late_s"), lit(0L)).as("p90_late_s"),
+        coalesce(col("p99_late_s"), lit(0L)).as("p99_late_s"),
+        coalesce(col("max_late_s"), lit(0L)).as("max_late_s"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.streaming.Events
+import org.apache.spark.sql.functions._
 
 /** Event-analytics operators (funnel, retention, tolerance as-of) on the real
   * sf0.001 events plus invariants a correct implementation must satisfy. */
@@ -83,5 +84,30 @@ class EventsSpec extends SparkSuite {
           s"flag disagrees with exact integer recompute for $r")
       }
     }
+  }
+
+  test("q184 watermark lag: chunked parallel prefix equals the naive global running max") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Events.watermarkLag(spark, dir).collect()(0)
+    // independent recompute: single global window (fine at test scale)
+    val e = graft.engine.Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("arrival_us", expr(
+        "us + (CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 7200) * 1000000"))
+    val w = Window.orderBy(col("arrival_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lates = e.withColumn("run_max", max(col("us")).over(w))
+      .withColumn("late_s",
+        when(col("run_max") > col("us"), expr("(run_max - us + 999999) div 1000000"))
+          .otherwise(0L))
+      .collect().map(_.getAs[Long]("late_s")).filter(_ > 0).sorted
+    assert(out.getAs[Long]("n_events") == e.count())
+    assert(out.getAs[Long]("n_late") == lates.length.toLong)
+    assert(lates.nonEmpty, "jittered arrivals must produce late events (non-vacuous)")
+    def pct(k: Int, of: Int) = lates(((k.toLong * lates.length + of - 1) / of - 1).toInt)
+    assert(out.getAs[Long]("p50_late_s") == pct(1, 2))
+    assert(out.getAs[Long]("p90_late_s") == pct(9, 10))
+    assert(out.getAs[Long]("p99_late_s") == pct(99, 100))
+    assert(out.getAs[Long]("max_late_s") == lates.last)
   }
 }

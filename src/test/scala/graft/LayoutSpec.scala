@@ -117,4 +117,27 @@ class LayoutSpec extends SparkSuite {
         r.getAs[Long]("shard_after") != k).toLong }
     assert(audit == byShard)
   }
+
+  test("q183 delete amplification: both strategies reconcile with a direct recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Layout.deleteAmplification(spark, dir).collect()
+      .map(r => r.getAs[String]("strategy") -> r).toMap
+    val orders = graft.engine.Tables.orders(spark, dir)
+    val nDel = orders.filter(col("o_orderkey") % 13 === 0).count()
+    val dv = out("deletion_vector")
+    val cow = out("copy_on_write")
+    assert(dv.getAs[Long]("rows_written") == nDel &&
+      dv.getAs[Long]("rows_deleted") == nDel)
+    assert(dv.getAs[Long]("write_amp_ppm") == 1000000L,
+      "deletion vectors write exactly the deleted rows")
+    assert(cow.getAs[Long]("files_touched") == dv.getAs[Long]("files_touched"))
+    assert(cow.getAs[Long]("write_amp_ppm") >= 1000000L)
+    // cow rows_written == all rows of files containing >= 1 delete
+    val cowRows = orders.select(
+      expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) div 30").as("f"),
+      (col("o_orderkey") % 13 === 0).cast("long").as("d"))
+      .groupBy(col("f")).agg(count(lit(1)).as("n"), sum(col("d")).as("nd"))
+      .filter(col("nd") > 0).agg(sum(col("n"))).head().getLong(0)
+    assert(cow.getAs[Long]("rows_written") == cowRows)
+  }
 }
