@@ -255,17 +255,31 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), shingles.as("toks"))
-    val toks = docToks.select(col("doc_id"), explode(col("toks")).as("tok"))
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val ordered = toks.join(freq, Seq("tok"))
-      .withColumn("pos", row_number().over(wDoc.orderBy(col("df"), col("tok"))))
-      .withColumn("n", count(lit(1)).over(wDoc))
-    val prefix = ordered.filter(
-      col("pos") <= col("n") - expr(s"($thresholdPpm * n + 999999) div 1000000") + 1)
-    val cand = prefix.select(col("tok"), col("doc_id").as("doc_a"), col("n").as("n_a"))
-      .join(prefix.select(col("tok"), col("doc_id").as("doc_b"), col("n").as("n_b")),
-        Seq("tok"))
+    // the entire filter machinery runs on xxhash64 of the shingle, not the
+    // string: the df aggregate, the ordering, and the prefix self-join all
+    // shuffle/compare 8-byte longs instead of ~25-byte strings. A collision
+    // merges two shingles' df (nudging the internal order — any CONSISTENT
+    // total order satisfies the prefix lemma) and can only ADD candidates
+    // (same join key), which exact verification removes; it can never lose
+    // a true pair, because docs sharing a shingle share its hash.
+    val toks = docToks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+        explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("n"), xxhash64(col("tok")).as("tok_h"))
+    val freq = toks.groupBy(col("tok_h")).agg(count(lit(1)).as("df"))
+    // per-doc rarest-first order via an array sort (38-element in-row sorts),
+    // not a row_number window (which range-sorts every exploded row)
+    val prefix = toks.join(freq, Seq("tok_h"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok_h")))).as("ord"))
+      .withColumn("plen",
+        col("n") - expr(s"($thresholdPpm * n + 999999) div 1000000") + 1)
+      .select(col("doc_id"), col("n"),
+        explode(expr("slice(ord, 1, CAST(plen AS INT))")).as("p"))
+      .select(col("doc_id"), col("n"), col("p.tok_h").as("tok_h"))
+    val cand = prefix.select(col("tok_h"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+      .join(prefix.select(col("tok_h"), col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("tok_h"))
       .filter(col("doc_a") < col("doc_b") &&
         least(col("n_a"), col("n_b")) * 1000000L >=
           lit(thresholdPpm) * greatest(col("n_a"), col("n_b")))
