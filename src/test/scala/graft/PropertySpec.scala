@@ -252,4 +252,64 @@ class PropertySpec extends SparkSuite {
       }
     })
   }
+
+  test("property: prefix-filter join equals all-pairs brute force on random corpora") {
+    val s = spark; import s.implicits._
+    // tiny vocab + short docs → dense cross-doc shingle sharing, collisions
+    // of every kind the filters must survive; threshold low enough that
+    // matches are common
+    val docGen = Gen.listOfN(12,
+      Gen.choose(3, 9).flatMap(len => Gen.listOfN(len, Gen.choose(0, 5))))
+    val fewCases = SCTest.Parameters.default.withMinSuccessfulTests(4)
+    val r = SCTest.check(fewCases, Prop.forAll(docGen) { wordLists =>
+      wordLists.nonEmpty ==> {
+        val docs = wordLists.zipWithIndex.map { case (ws, i) =>
+          (i.toLong, ws.map(w => s"w$w").mkString(" "))
+        }
+        docs.toDF("doc_id", "text")
+          .write.mode("overwrite").parquet("/tmp/graft_prop_ppj/documents.parquet")
+        val out = ext.Dedup
+          .prefixFilterJoin(spark, "/tmp/graft_prop_ppj", thresholdPpm = 500000L)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_common"))).toSet
+        // every generated doc has >= 3 words, so all shingle windows are full
+        val sets = docs.map { case (id, t) =>
+          id -> t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+        }.toMap
+        val ids = sets.keys.toSeq
+        val expected = (for {
+          a <- ids; b <- ids if a < b
+          o = sets(a).intersect(sets(b)).size.toLong
+          u = sets(a).size + sets(b).size - o
+          if o * 1000000L / u >= 500000L
+        } yield (a, b, o)).toSet
+        out == expected
+      }
+    })
+    assert(r.passed, r.status.toString)
+  }
+
+  test("property: Misra-Gries guarantee survives arbitrary merge trees") {
+    import graft.functions.MisraGriesAggregator
+    // pure JVM property (no Spark): random streams, random capacity, random
+    // partition split + pairwise merge order — candidates must contain every
+    // item with freq > n/k, and the total count must be exact
+    val gen = for {
+      k <- Gen.choose(2, 12)
+      items <- Gen.listOfN(300, Gen.choose(0, 30).map(i => s"t$i"))
+      nParts <- Gen.choose(1, 6)
+    } yield (k, items, nParts)
+    check(Prop.forAll(gen) { case (k, items, nParts) =>
+      val agg = new MisraGriesAggregator(k)
+      val parts = items.grouped(math.max(1, items.size / nParts)).toList
+      val buffers = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val merged = buffers.reduceLeft(agg.merge)
+      val (cands, n) = agg.finish(merged)
+      val exact = items.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val mustSurvive = exact.collect { case (t, c) if c * k > items.size => t }.toSet
+      n == items.size.toLong &&
+        mustSurvive.subsetOf(cands.toSet) &&
+        cands.size <= k
+    })
+  }
 }
