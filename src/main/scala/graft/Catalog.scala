@@ -2554,9 +2554,9 @@ object Catalog {
         |  FROM rr CROSS JOIN cc
         |  LEFT JOIN cells ON cells.lang IS NOT DISTINCT FROM rr.lang
         |                 AND cells.source IS NOT DISTINCT FROM cc.source),
-        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
-        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
-        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS c FROM cells),
+        |tot AS (SELECT (SELECT CAST(SUM(rn) AS BIGINT) FROM rr) AS n,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM rr) AS r,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cc) AS c),
         |con AS (SELECT tot.n, tot.r, tot.c,
         |    CAST((CAST(tot.n AS HUGEINT) * o0 - CAST(rn AS HUGEINT) * cn)
         |       * (CAST(tot.n AS HUGEINT) * o0 - CAST(rn AS HUGEINT) * cn)

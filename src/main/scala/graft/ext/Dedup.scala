@@ -251,17 +251,29 @@ object Dedup {
     * equi-join whose keys are by construction the RAREST tokens. */
   def prefixFilterJoin(spark: SparkSession, dir: String,
       thresholdPpm: Long = 800000L): DataFrame = {
-    val docToks = Tables.documents(spark, dir)
+    // the shingle projection (split + 3-gram transform + array_distinct) is
+    // the most expensive row-wise work in the query and is consumed on
+    // THREE lineage paths (prefix machinery + both verification sides) —
+    // materialize it once per call (the candidateShinglesPath cost model;
+    // scratch here because the table is parameter-free and call-local)
+    val tmp = Scratch.dir("graft_ppj")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), shingles.as("toks"))
+      .write.mode("overwrite").parquet(s"$tmp/doctoks")
+    val docToks = spark.read.parquet(s"$tmp/doctoks")
     // the entire filter machinery runs on xxhash64 of the shingle, not the
     // string: the df aggregate, the ordering, and the prefix self-join all
-    // shuffle/compare 8-byte longs instead of ~25-byte strings. A collision
-    // merges two shingles' df (nudging the internal order — any CONSISTENT
-    // total order satisfies the prefix lemma) and can only ADD candidates
-    // (same join key), which exact verification removes; it can never lose
-    // a true pair, because docs sharing a shingle share its hash.
+    // shuffle/compare 8-byte longs instead of ~25-byte strings. Collision
+    // soundness: work on the hash-CLASS domain — each doc's hash multiset is
+    // deduplicated before prefixing, and the prefix length derives from the
+    // CLASS-set size m (J_class ≥ J_element ≥ t, since merging classes can
+    // only grow the intersection and shrink the union, so the lemma on class
+    // sets covers every true pair). A cross-doc collision can only ADD
+    // candidates (same join key), which exact string-level verification
+    // removes; a within-doc collision shrinks m and lengthens nothing it
+    // shouldn't — the prefix is computed on exactly the deduped class set.
     val toks = docToks
       .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
         explode(col("toks")).as("tok"))
@@ -272,10 +284,12 @@ object Dedup {
     val prefix = toks.join(freq, Seq("tok_h"))
       .groupBy(col("doc_id"), col("n"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok_h")))).as("ord"))
+      .withColumn("ordd", array_distinct(col("ord")))
+      .withColumn("m", size(col("ordd")).cast("long"))
       .withColumn("plen",
-        col("n") - expr(s"($thresholdPpm * n + 999999) div 1000000") + 1)
+        col("m") - expr(s"($thresholdPpm * m + 999999) div 1000000") + 1)
       .select(col("doc_id"), col("n"),
-        explode(expr("slice(ord, 1, CAST(plen AS INT))")).as("p"))
+        explode(expr("slice(ordd, 1, CAST(plen AS INT))")).as("p"))
       .select(col("doc_id"), col("n"), col("p.tok_h").as("tok_h"))
     val cand = prefix.select(col("tok_h"), col("doc_id").as("doc_a"), col("n").as("n_a"))
       .join(prefix.select(col("tok_h"), col("doc_id").as("doc_b"), col("n").as("n_b")),

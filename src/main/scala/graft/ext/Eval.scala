@@ -22,6 +22,28 @@ import graft.engine.Tables
   */
 object Eval {
 
+  /** Deduplicated equal-mass decile bounds of a (value, count) histogram —
+    * the shared counting-selection machinery of [[psiDrift]] and
+    * [[reliabilityBins]]: cumulative window over the (pre-filtered,
+    * pruning-stable) histogram, bound_d = min value whose cumulative count
+    * reaches ceil(d·n/10), tied bounds deduped so downstream bin ids stay a
+    * stable 1..k. Returns a one-row frame holding the sorted `bounds` array
+    * (broadcast by callers). */
+  private def dedupedDecileBounds(hist: DataFrame, valueCol: String,
+      countCol: String): DataFrame = {
+    val wAll = Window.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col(countCol)).over(wAll))
+      .withColumn("n_tot", sum(col(countCol)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("decile", explode(expr("sequence(1, 9)")))
+      .groupBy(col("decile"))
+      .agg(min(when(col("cum") >= expr("(decile * n_tot + 9) div 10"),
+        col(valueCol))).as("b"))
+      .agg(array_distinct(sort_array(collect_list(col("b")))).as("bounds"))
+  }
+
   /** Exact ROC-AUC (q160) of the English-marker count as a ranking score for
     * the ground-truth label `lang = 'en'` — the standard threshold-free
     * quality check for a retrieval/filter heuristic. Computed via the
@@ -193,20 +215,9 @@ object Eval {
         when(col("lang") === "en", 1L).otherwise(0L).as("is_pos"))
     val hist = scored.groupBy(col("score"))
       .agg(count(lit(1)).as("c"), sum(col("is_pos")).as("p"))
-    val wAll = Window.orderBy(col("score"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // p >= 0 is always true — it keeps p in the bounds branch's pruned
     // schema so both consumers share ONE histogram exchange (see ksTest)
-    val cum = hist.filter(col("p") >= 0)
-      .withColumn("cum", sum(col("c")).over(wAll))
-      .withColumn("n_tot", sum(col("c")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    val bounds = cum
-      .withColumn("decile", explode(expr("sequence(1, 9)")))
-      .groupBy(col("decile"))
-      .agg(min(when(col("cum") >= expr("(decile * n_tot + 9) div 10"), col("score")))
-        .as("b"))
-      .agg(array_distinct(sort_array(collect_list(col("b")))).as("bounds"))
+    val bounds = dedupedDecileBounds(hist.filter(col("p") >= 0), "score", "c")
     hist.crossJoin(broadcast(bounds))
       .withColumn("bin", expr("1 + size(filter(bounds, x -> score > x))").cast("long"))
       .groupBy(col("bin"))
@@ -233,7 +244,9 @@ object Eval {
   def sourceAblation(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
       .select(col("source"), col("n_chars"),
-        (col("lang") === "en").cast("long").as("is_en"))
+        // when/otherwise, not ===.cast: a NULL lang must count 0 like the
+        // oracle's CASE (an all-NULL source would otherwise emit NULL sums)
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_en"))
     val per = base.groupBy(col("source"))
       .agg(count(lit(1)).as("n_src"), sum(col("n_chars")).as("len_src"),
         sum(col("is_en")).as("en_src"))
@@ -428,23 +441,12 @@ object Eval {
     val h = v.groupBy(col("v")).agg(
       sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"),
       sum(when(!col("is_a"), 1L).otherwise(0L)).as("cnt_b"))
-    val wAll = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // the cumulative-A frame now carries B-only values too (cnt_a = 0 rows);
+    // the cumulative-A frame carries B-only values too (cnt_a = 0 rows);
     // they add nothing to cum and can never become a bound (min picks the
     // smaller A-value that first reached the threshold), so bounds are
     // unchanged. The always-true cnt_b >= 0 keeps cnt_b in this branch's
     // pruned schema (see ksTest).
-    val cumA = h.filter(col("cnt_b") >= 0)
-      .withColumn("cum", sum(col("cnt_a")).over(wAll))
-      .withColumn("n_a", sum(col("cnt_a")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    val bounds = cumA
-      .withColumn("decile", explode(expr("sequence(1, 9)")))
-      .groupBy(col("decile"))
-      .agg(min(when(col("cum") >= expr("(decile * n_a + 9) div 10"), col("v")))
-        .as("b"))
-      .agg(array_distinct(sort_array(collect_list(col("b")))).as("bounds"))
+    val bounds = dedupedDecileBounds(h.filter(col("cnt_b") >= 0), "v", "cnt_a")
     val counts = h.crossJoin(broadcast(bounds))
       .withColumn("bin", expr("1 + size(filter(bounds, b -> v > b))").cast("long"))
       .groupBy(col("bin"))

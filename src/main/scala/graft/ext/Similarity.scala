@@ -83,18 +83,12 @@ object Similarity {
     * plane literal would zip to NULL projections and silently collapse every
     * vector into bucket 0 (degrading ANN to an all-pairs join). */
   def lshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 8,
-      dim: Int = DefaultDim): DataFrame = {
-    val base = vecs(spark, dir)
-    val bucket = (0 until nPlanes).map { p =>
-      s"(CASE WHEN aggregate(zip_with(v, ${planeLiteral(p, dim)}, (x, s) -> x * s), " +
-        s"CAST(0 AS DOUBLE), (a, x) -> a + x) > 0 THEN ${1 << p} ELSE 0 END)"
-    }.mkString(" + ")
-    // the guard lives INSIDE the bucket column so column pruning can't drop it
-    val guarded = s"CASE WHEN size(v) <> $dim THEN " +
-      s"CAST(raise_error(concat('lshBuckets: embedding dim ', CAST(size(v) AS STRING), ' != configured $dim')) AS INT) " +
-      s"ELSE CAST(($bucket) AS INT) END"
-    base.select(col("vec_id"), col("v"), col("nrm"), expr(guarded).as("bucket"))
-  }
+      dim: Int = DefaultDim): DataFrame =
+    // single source of truth: the bucket is DERIVED from the projection
+    // array in [[lshProjections]] (which also owns the dim guard), so the
+    // q33/q34/q53 bucketing and q177's multi-probe margins can never
+    // disagree on plane signs or guard behavior
+    lshProjections(spark, dir, nPlanes, dim).drop("prj")
 
   /** ANN top-k: exact cosine ranking restricted to the query's LSH bucket.
     * The bucket table appears on both join sides; we deliberately do NOT
