@@ -137,6 +137,32 @@ class EvalSpec extends SparkSuite {
     assert(r.getAs[Long]("cramer_v2_ppm") == 250000)
   }
 
+  test("chi square: a NULL lang is its own category (GROUP BY-consistent r and dof)") {
+    val s = spark; import s.implicits._
+    // langs {en, NULL} x sources {s1, s2}: r must count the NULL group -> 2
+    Seq((0L, "t", Option("en"), "s1", 5L), (1L, "t", Option("en"), "s2", 5L),
+      (2L, "t", Option.empty[String], "s1", 5L), (3L, "t", Option.empty[String], "s2", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_eval_chinull/documents.parquet")
+    val r = Eval.chiSquare(spark, "/tmp/graft_eval_chinull").collect()(0)
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("dof") == 1,
+      "r = 2 including the NULL-lang category, c = 2")
+    assert(r.getAs[Long]("chi2_x1e6") == 0, "perfectly balanced table")
+  }
+
+  test("source ablation: an all-NULL-lang source counts 0 en docs, never NULL") {
+    val s = spark; import s.implicits._
+    Seq((0L, "t", Option.empty[String], "sA", 10L),
+      (1L, "t", Option("en"), "sB", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_eval_ablnull/documents.parquet")
+    val out = Eval.sourceAblation(spark, "/tmp/graft_eval_ablnull").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("en_share_rest_ppm")).toMap
+    // removing sA leaves only the en doc -> 1000000; removing sB leaves the
+    // NULL-lang doc, which counts as 0 en (not NULL) -> 0
+    assert(out("sA") == 1000000L && out("sB") == 0L)
+  }
+
   test("chi square: single-source corpus hits the least(r-1,c-1)=0 guard") {
     val dir = writeDocs("/tmp/graft_eval_chi0", Seq(
       (0L, "t", "en", "s1", 5L), (1L, "t", "en", "s1", 5L), (2L, "t", "es", "s1", 5L)))
