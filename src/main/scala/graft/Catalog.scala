@@ -2867,6 +2867,37 @@ object Catalog {
         |  COALESCE(p99_late_s, 0) AS p99_late_s,
         |  COALESCE(max_late_s, 0) AS max_late_s
         |FROM t CROSS JOIN p""".stripMargin),
+
+    // Closed-form two-feature OLS per language: normal equations by Cramer
+    // on exact integer centered moments, sign-aware truncating division.
+    q("q185_ols2", engine.Analytics.ols2,
+      """WITH b AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS z,
+        |    n_chars AS y FROM documents),
+        |m AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(z) AS HUGEINT) AS sz,
+        |    CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(x * x) AS HUGEINT) AS sxx0, CAST(SUM(x * z) AS HUGEINT) AS sxz0,
+        |    CAST(SUM(z * z) AS HUGEINT) AS szz0, CAST(SUM(x * y) AS HUGEINT) AS sxy0,
+        |    CAST(SUM(z * y) AS HUGEINT) AS szy0
+        |  FROM b GROUP BY lang),
+        |c AS (SELECT lang, n,
+        |    n * sxx0 - sx * sx AS sxx, n * sxz0 - sx * sz AS sxz,
+        |    n * szz0 - sz * sz AS szz, n * sxy0 - sx * sy AS sxy,
+        |    n * szy0 - sz * sy AS szy FROM m),
+        |d AS (SELECT lang, n, sxx * szz - sxz * sxz AS det,
+        |    sxy * szz - szy * sxz AS b1num, szy * sxx - sxy * sxz AS b2num FROM c)
+        |SELECT lang, n,
+        |  CASE WHEN det > 0 THEN
+        |    (CASE WHEN b1num >= 0 THEN CAST(b1num * 1000000 // det AS BIGINT)
+        |          ELSE -CAST((-b1num) * 1000000 // det AS BIGINT) END)
+        |  END AS beta_tokens_ppm,
+        |  CASE WHEN det > 0 THEN
+        |    (CASE WHEN b2num >= 0 THEN CAST(b2num * 1000000 // det AS BIGINT)
+        |          ELSE -CAST((-b2num) * 1000000 // det AS BIGINT) END)
+        |  END AS beta_distinct_ppm
+        |FROM d ORDER BY lang""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

@@ -114,6 +114,57 @@ object Analytics {
         col("corr_e6"), col("slope_e6"))
       .orderBy("l_returnflag")
 
+  /** Closed-form TWO-feature OLS per language (q185): document length
+    * (n_chars) regressed on token count and distinct-token count via the
+    * normal equations, solved by Cramer's rule on exact integer centered
+    * moments — the one-pass distributed multiple regression (the iterative
+    * gradient alternative is many passes; the closed form is ONE map-side-
+    * combinable aggregate per group plus driver-free 2×2 algebra in the
+    * projection).
+    *
+    * Exactness: centered moments in cross-multiplied integer form
+    * (n·Σxz − Σx·Σz), Cramer numerators/determinant in DECIMAL(38,0), and
+    * SIGN-AWARE truncating division (|num| div det with the sign reattached
+    * — Spark `div` truncates toward zero where DuckDB `//` floors, so they
+    * agree only on non-negative operands; the q168 pattern). Exact up to
+    * ~10⁸ rows per group with these magnitudes; beyond that the same
+    * formulas run on mean-scaled moments at bounded precision cost (the
+    * q170 caveat). Collinear features (det = 0, e.g. a group where distinct
+    * count is an exact multiple of token count) yield NULL coefficients
+    * rather than a divide-by-zero. */
+  def ols2(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("lang"),
+      size(split(col("text"), " ")).cast("long").as("x"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("z"),
+      col("n_chars").as("y"))
+    base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("z")).as("sz"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx0"),
+        sum(col("x") * col("z")).as("sxz0"),
+        sum(col("z") * col("z")).as("szz0"),
+        sum(col("x") * col("y")).as("sxy0"),
+        sum(col("z") * col("y")).as("szy0"))
+      .withColumn("sxx", expr("CAST(n AS DECIMAL(38,0)) * sxx0 - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("sxz", expr("CAST(n AS DECIMAL(38,0)) * sxz0 - CAST(sx AS DECIMAL(38,0)) * sz"))
+      .withColumn("szz", expr("CAST(n AS DECIMAL(38,0)) * szz0 - CAST(sz AS DECIMAL(38,0)) * sz"))
+      .withColumn("sxy", expr("CAST(n AS DECIMAL(38,0)) * sxy0 - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("szy", expr("CAST(n AS DECIMAL(38,0)) * szy0 - CAST(sz AS DECIMAL(38,0)) * sy"))
+      .withColumn("det", expr("sxx * szz - sxz * sxz"))
+      .withColumn("b1num", expr("sxy * szz - szy * sxz"))
+      .withColumn("b2num", expr("szy * sxx - sxy * sxz"))
+      .select(col("lang"), col("n"),
+        when(col("det") > 0,
+          when(col("b1num") >= 0, expr("CAST(b1num * 1000000 div det AS BIGINT)"))
+            .otherwise(expr("-CAST((-b1num) * 1000000 div det AS BIGINT)")))
+          .as("beta_tokens_ppm"),
+        when(col("det") > 0,
+          when(col("b2num") >= 0, expr("CAST(b2num * 1000000 div det AS BIGINT)"))
+            .otherwise(expr("-CAST((-b2num) * 1000000 div det AS BIGINT)")))
+          .as("beta_distinct_ppm"))
+      .orderBy("lang")
+  }
+
   /** Delivery-performance KPIs from fact_orders (Dashboard 3,
     * `Readme.md:189-196`): average approval / delivery days, late share. */
   def deliveryKpis(factOrders: DataFrame): DataFrame =

@@ -55,4 +55,26 @@ class AnalyticsSpec extends SparkSuite {
       .collect().map(r => r.getAs[String]("Category") -> r.getAs[Double]("Pct_Of_Total")).toMap
     assert(out("CatA") == 60.0 && out("CatB") == 40.0)
   }
+
+  test("q185 ols2: an exact plane recovers beta=(2,3) exactly; collinear features yield NULL") {
+    val s = spark; import s.implicits._
+    // y = 2x + 3z exactly, (x, z) non-collinear: (4,2) (6,3) (8,3)
+    val fit = Seq(
+      (0L, "a a b b", "en", "s", 14L),          // x=4 z=2 -> y=14
+      (1L, "a a b b c c", "en", "s", 21L),      // x=6 z=3 -> y=21
+      (2L, "a a a b b b c c", "en", "s", 25L),  // x=8 z=3 -> y=25
+      // degenerate group: two points cannot determine two coefficients
+      // (the centered Gram matrix has rank <= 1) -> det = 0
+      (3L, "a a b b", "de", "s", 10L),
+      (4L, "a a a a b b c c", "de", "s", 99L))
+    fit.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_ols2/documents.parquet")
+    val out = Analytics.ols2(spark, "/tmp/graft_ols2").collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((Option(r.getAs[java.lang.Long]("beta_tokens_ppm")),
+          Option(r.getAs[java.lang.Long]("beta_distinct_ppm"))))).toMap
+    assert(out("en") == ((Some(2000000L), Some(3000000L))),
+      "an exact integer plane must be recovered exactly")
+    assert(out("de") == ((None, None)), "collinear features guard to NULL")
+  }
 }
