@@ -254,15 +254,18 @@ object Dedup {
     // the shingle projection (split + 3-gram transform + array_distinct) is
     // the most expensive row-wise work in the query and is consumed on
     // THREE lineage paths (prefix machinery + both verification sides) —
-    // materialize it once per call (the candidateShinglesPath cost model;
-    // scratch here because the table is parameter-free and call-local)
-    val tmp = Scratch.dir("graft_ppj")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("words"))
-      .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), shingles.as("toks"))
-      .write.mode("overwrite").parquet(s"$tmp/doctoks")
-    val docToks = spark.read.parquet(s"$tmp/doctoks")
+    // materialized ONCE per (source dir) per JVM, the candidateShinglesPath
+    // at-rest cost model (threshold-independent, so all thresholds share it)
+    val toksPath = graft.engine.Fs.buildOnce(
+      s"graft_ppjtoks_${graft.engine.Fs.dirTag(dir)}",
+      spark.sessionState.newHadoopConf()) { p =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .filter(size(col("words")) >= 3)
+        .select(col("doc_id"), shingles.as("toks"))
+        .write.mode("overwrite").parquet(p)
+    }
+    val docToks = spark.read.parquet(toksPath)
     // the entire filter machinery runs on xxhash64 of the shingle, not the
     // string: the df aggregate, the ordering, and the prefix self-join all
     // shuffle/compare 8-byte longs instead of ~25-byte strings. Collision

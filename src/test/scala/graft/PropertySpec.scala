@@ -261,15 +261,21 @@ class PropertySpec extends SparkSuite {
     val docGen = Gen.listOfN(12,
       Gen.choose(3, 9).flatMap(len => Gen.listOfN(len, Gen.choose(0, 5))))
     val fewCases = SCTest.Parameters.default.withMinSuccessfulTests(4)
+    val caseId = new java.util.concurrent.atomic.AtomicInteger()
     val r = SCTest.check(fewCases, Prop.forAll(docGen) { wordLists =>
       wordLists.nonEmpty ==> {
         val docs = wordLists.zipWithIndex.map { case (ws, i) =>
           (i.toLong, ws.map(w => s"w$w").mkString(" "))
         }
+        // fresh dir per case: prefixFilterJoin's shingle table is an at-rest
+        // build-once index keyed on the (immutable) source dir — rewriting
+        // one dir across cases would serve a stale build, which is the
+        // documented mutable-source caveat, not a bug under test here
+        val dir = s"/tmp/graft_prop_ppj_${caseId.incrementAndGet()}"
         docs.toDF("doc_id", "text")
-          .write.mode("overwrite").parquet("/tmp/graft_prop_ppj/documents.parquet")
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
         val out = ext.Dedup
-          .prefixFilterJoin(spark, "/tmp/graft_prop_ppj", thresholdPpm = 500000L)
+          .prefixFilterJoin(spark, dir, thresholdPpm = 500000L)
           .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_common"))).toSet
         // every generated doc has >= 3 words, so all shingle windows are full
