@@ -2756,7 +2756,7 @@ object Catalog {
     // k smallest content-addressed u/w priorities (TakeOrderedAndProject).
     q("q180_weighted_sample", (s, d) => ext.Sampling.weightedPrioritySample(s, d),
       """WITH d AS (SELECT doc_id,
-        |    greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS n_tokens
+        |    greatest(CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT), 1) AS n_tokens
         |  FROM documents),
         |p AS (SELECT doc_id, n_tokens,
         |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)

@@ -131,12 +131,26 @@ object Analytics {
     * formulas run on mean-scaled moments at bounded precision cost (the
     * q170 caveat). Collinear features (det = 0, e.g. a group where distinct
     * count is an exact multiple of token count) yield NULL coefficients
-    * rather than a divide-by-zero. */
-  def ols2(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir).select(col("lang"),
+    * rather than a divide-by-zero.
+    *
+    * Overflow is FAIL-LOUD, not silent: past 38 digits Spark's non-ANSI
+    * decimal multiply returns NULL, which would make an overflowed group
+    * indistinguishable from the documented collinear det=0 NULL (DuckDB's
+    * HUGEINT raises instead — a silent cross-engine divergence). The guard
+    * raises once any centered moment exceeds 10¹⁵ in magnitude: products of
+    * two guarded moments stay ≤ 2·10³⁰, and ×10⁶ in the coefficient scaling
+    * stays ≤ 2·10³⁶ < 10³⁸, so every arithmetic step below the guard is
+    * exact. */
+  def ols2(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    ols2From(Tables.documents(spark, dir).select(col("lang"),
       size(split(col("text"), " ")).cast("long").as("x"),
       size(array_distinct(split(col("text"), " "))).cast("long").as("z"),
-      col("n_chars").as("y"))
+      col("n_chars").as("y")))
+
+  /** [[ols2]]'s solver over any (lang, x, z, y) frame — also the
+    * overflow-guard test surface (AnalyticsSpec plants ~10⁷-magnitude
+    * features and asserts the loud failure). */
+  def ols2From(base: DataFrame): DataFrame = {
     base.groupBy(col("lang"))
       .agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("z")).as("sz"), sum(col("y")).as("sy"),
@@ -150,7 +164,14 @@ object Analytics {
       .withColumn("szz", expr("CAST(n AS DECIMAL(38,0)) * szz0 - CAST(sz AS DECIMAL(38,0)) * sz"))
       .withColumn("sxy", expr("CAST(n AS DECIMAL(38,0)) * sxy0 - CAST(sx AS DECIMAL(38,0)) * sy"))
       .withColumn("szy", expr("CAST(n AS DECIMAL(38,0)) * szy0 - CAST(sz AS DECIMAL(38,0)) * sy"))
-      .withColumn("det", expr("sxx * szz - sxz * sxz"))
+      .withColumn("det", expr(
+        """CASE WHEN greatest(abs(sxx), abs(sxz), abs(szz), abs(sxy), abs(szy))
+          |       > CAST(1000000000000000 AS DECIMAL(38,0))
+          |  THEN CAST(raise_error(concat('ols2: centered moment magnitude for group ',
+          |    CAST(lang AS STRING),
+          |    ' exceeds the exact-arithmetic bound 1e15; rerun on mean-scaled moments'))
+          |    AS DECIMAL(38,0))
+          |  ELSE sxx * szz - sxz * sxz END""".stripMargin))
       .withColumn("b1num", expr("sxy * szz - szy * sxz"))
       .withColumn("b2num", expr("szy * sxx - sxy * sxz"))
       .select(col("lang"), col("n"),

@@ -630,28 +630,34 @@ object Dedup {
     * pair frame — also the hand-fixture test surface (ExtSpec computes a
     * 3-round path graph on paper). */
   def pagerankRounds(spark: SparkSession, pairs: DataFrame, iters: Int): DataFrame = {
-    val tmp = Scratch.dir("graft_pr")
-    pairs.unionAll(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-      .write.mode("overwrite").parquet(s"$tmp/edges")
-    val e = spark.read.parquet(s"$tmp/edges")
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
-    deg.select(col("src").as("doc_id"), col("degree"), lit(1000000L).as("rank_ppm"))
-      .write.mode("overwrite").parquet(s"$tmp/r0")
-    for (k <- 1 to iters) {
-      val prev = spark.read.parquet(s"$tmp/r${k - 1}")
-      val inflow = e
-        .join(prev.select(col("doc_id").as("src"), col("degree"), col("rank_ppm")),
-          Seq("src"))
-        .select(col("dst"), expr("rank_ppm div degree").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
-      prev.select(col("doc_id"), col("degree"))
-        .join(inflow.select(col("dst").as("doc_id"), col("inflow")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"), col("degree"),
-          expr("CAST(150000 + CAST(850000 AS DECIMAL(38,0)) * coalesce(inflow, 0) div 1000000 AS BIGINT)")
-            .as("rank_ppm"))
-        .write.mode("overwrite").parquet(s"$tmp/r$k")
+    // versioned-overwrite scratch (NOT a fresh dir per call): N bench passes
+    // hold one copy of edges + rank frames, not N; a frame returned by a
+    // PREVIOUS invocation fails loudly on the deleted version rather than
+    // silently reading torn data — graft.engine.Fs.overwriteVersioned's
+    // contract, the same lifecycle the other iterative operators use
+    val tmp = graft.engine.Fs.overwriteVersioned("graft_pr") { p =>
+      pairs.unionAll(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+        .write.mode("overwrite").parquet(s"$p/edges")
+      val e = spark.read.parquet(s"$p/edges")
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      deg.select(col("src").as("doc_id"), col("degree"), lit(1000000L).as("rank_ppm"))
+        .write.mode("overwrite").parquet(s"$p/r0")
+      for (k <- 1 to iters) {
+        val prev = spark.read.parquet(s"$p/r${k - 1}")
+        val inflow = e
+          .join(prev.select(col("doc_id").as("src"), col("degree"), col("rank_ppm")),
+            Seq("src"))
+          .select(col("dst"), expr("rank_ppm div degree").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        prev.select(col("doc_id"), col("degree"))
+          .join(inflow.select(col("dst").as("doc_id"), col("inflow")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("degree"),
+            expr("CAST(150000 + CAST(850000 AS DECIMAL(38,0)) * coalesce(inflow, 0) div 1000000 AS BIGINT)")
+              .as("rank_ppm"))
+          .write.mode("overwrite").parquet(s"$p/r$k")
+      }
     }
     spark.read.parquet(s"$tmp/r$iters").orderBy("doc_id")
   }

@@ -76,8 +76,12 @@ object Sampling {
     * most k rows, never a global sort (the q122 scale shape, weighted). */
   def weightedPrioritySample(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
     Tables.documents(spark, dir)
+      // coalesce BEFORE split: on NULL text Spark's size(split(NULL)) is -1
+      // (clamped to 1) while DuckDB's len(string_split(NULL)) is NULL — the
+      // row's priority would diverge on any corpus with nullable text; the
+      // coalesce makes the engines agree by construction (1 token either way)
       .select(col("doc_id"),
-        greatest(size(split(col("text"), " ")).cast("long"), lit(1L)).as("n_tokens"))
+        greatest(size(split(coalesce(col("text"), lit("")), " ")).cast("long"), lit(1L)).as("n_tokens"))
       .withColumn("u", u28("doc_id"))
       .withColumn("priority", expr("CAST(u * 1000000 div n_tokens AS BIGINT)"))
       .select(col("doc_id"), col("n_tokens"), col("priority"))

@@ -91,11 +91,10 @@ object Similarity {
     lshProjections(spark, dir, nPlanes, dim).drop("prj")
 
   /** ANN top-k: exact cosine ranking restricted to the query's LSH bucket.
-    * The bucket table appears on both join sides; we deliberately do NOT
-    * persist it here — a persist on a lazily-returned DataFrame leaks cache
-    * for the session's lifetime (no safe point to unpersist before the
-    * caller's action). Recomputing the projection pass is one codegen'd scan;
-    * a caller looping over many actions can persist/unpersist around them. */
+    * The bucket table appears on both join sides and is served from the
+    * at-rest index ([[lshProjectionsPath]]) — built once per (dir, planes,
+    * dim) per JVM, so the two sides are two cheap parquet reads, not two
+    * re-runs of the projection pass. */
   def annTopK(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 20): DataFrame = {
     val all = lshBuckets(spark, dir)
     val q = all.filter(col("vec_id") < nQueries)
@@ -115,13 +114,41 @@ object Similarity {
     * buckets (never all-pairs), pairs above `threshold` mark the higher vec_id
     * as a duplicate of the lower, and survivors are the non-dominated ids.
     * Output: one row per duplicate pair found (may legitimately be empty on
-    * corpora with no near-dups — the oracle computes the same set). */
+    * corpora with no near-dups — the oracle computes the same set).
+    *
+    * @param maxBucketSize if > 0, buckets holding more vectors are DROPPED
+    *   before the within-bucket pair join — the same degenerate-bucket guard
+    *   as [[graft.ext.Dedup.minhashCandidatePairs]]. The within-bucket join is
+    *   (n_b²)/2 per bucket; on a skewed embedding distribution (every near-dup
+    *   corpus is skewed — that is why dedup runs at all) one hot bucket
+    *   otherwise produces a pair blowup AQE can split but not shrink. A
+    *   dropped bucket's vectors are that similar to EACH OTHER that the
+    *   hyperplanes cannot separate them — at 100 TB the operational response
+    *   is re-bucketing that slice with more planes, not enumerating its
+    *   pairs. 0 (default) keeps every bucket, matching the exhaustive
+    *   oracle. */
   def embeddingNearDupPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.95): DataFrame = {
-    val all = lshBuckets(spark, dir) // un-persisted on purpose — see annTopK
+      threshold: Double = 0.95, maxBucketSize: Long = 0L): DataFrame =
+    nearDupPairsFromBuckets(lshBuckets(spark, dir), threshold, maxBucketSize)
 
-    val a = all.select(col("vec_id").as("vec_a"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
-    val b = all.select(col("vec_id").as("vec_b"), col("v").as("nv"), col("nrm").as("nn"), col("bucket"))
+  /** [[embeddingNearDupPairs]]'s pair machinery over any pre-bucketed frame
+    * with (vec_id, v, nrm, bucket) — also the planted-degenerate-bucket test
+    * surface (ExtSpec feeds a frame whose vectors all share one bucket and
+    * asserts the cap bounds the candidate pair count). */
+  def nearDupPairsFromBuckets(all: DataFrame, threshold: Double,
+      maxBucketSize: Long = 0L): DataFrame = {
+    // the bucket-size frame is ≤ 2^nPlanes rows — broadcast by construction;
+    // with the at-rest index the sizing pass is one extra small parquet scan
+    val kept =
+      if (maxBucketSize <= 0) all
+      else all.join(
+        broadcast(all.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= maxBucketSize)
+          .select(col("bucket"))),
+        Seq("bucket"), "left_semi")
+    val a = kept.select(col("vec_id").as("vec_a"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val b = kept.select(col("vec_id").as("vec_b"), col("v").as("nv"), col("nrm").as("nn"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", expr(dotExpr) / (col("qn") * col("nn")))
@@ -151,11 +178,36 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** The LSH projection/bucket table materialized ONCE per (source dir,
+    * nPlanes, dim) per JVM — the vector family's at-rest index, the same
+    * build-once cost model as [[graft.ext.Dedup.candidatePairsPath]]'s band
+    * index: q33/q34/q53/q90/q144/q177 all read this table instead of each
+    * re-running the projection pass (8 × 64-element dot products per vector
+    * per consumer). At 100 TB this is exactly how a vector store deploys —
+    * buckets are computed at ingest and kept beside the embeddings; keyed on
+    * the immutable fixture dir (a mutable deployment keys on a
+    * snapshot/commit id instead). */
+  def lshProjectionsPath(spark: SparkSession, dir: String, nPlanes: Int = 8,
+      dim: Int = DefaultDim): String =
+    graft.engine.Fs.buildOnce(
+      s"graft_lshprj_${graft.engine.Fs.dirTag(dir)}_p${nPlanes}_d$dim",
+      spark.sessionState.newHadoopConf()) { p =>
+      lshProjectionsCompute(spark, dir, nPlanes, dim)
+        .write.mode("overwrite").parquet(p)
+    }
+
   /** [[lshBuckets]] plus the raw per-plane projection array — the margin
-    * information multi-probe needs. Same guard, same plane literals; the
-    * bucket is derived FROM the projections so the two can never disagree. */
+    * information multi-probe needs. Served from the at-rest index
+    * ([[lshProjectionsPath]]); same guard, same plane literals; the bucket is
+    * derived FROM the projections so the two can never disagree. */
   private def lshProjections(spark: SparkSession, dir: String, nPlanes: Int = 8,
-      dim: Int = DefaultDim): DataFrame = {
+      dim: Int = DefaultDim): DataFrame =
+    spark.read.parquet(lshProjectionsPath(spark, dir, nPlanes, dim))
+
+  /** The projection pass itself (the index BUILD — one corpus scan, pure
+    * codegen'd projection, no shuffle). */
+  private def lshProjectionsCompute(spark: SparkSession, dir: String,
+      nPlanes: Int, dim: Int): DataFrame = {
     val base = vecs(spark, dir)
     val prjArr = (0 until nPlanes).map { p =>
       s"aggregate(zip_with(v, ${planeLiteral(p, dim)}, (x, s) -> x * s), " +

@@ -3,8 +3,6 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-import scala.collection.mutable
-
 /** Misra-Gries heavy-hitter sketch as a typed, MERGEABLE aggregator — the
   * scale-safe first pass of exact heavy-hitter detection. The buffer holds at
   * most k (term, count) slots plus the exact total item count; the classic
@@ -20,41 +18,48 @@ import scala.collection.mutable
   * k·numPartitions slots (k is hundreds), not the full term cardinality; the
   * driver receives ≤ k candidates. The second pass shuffles only rows
   * matching the broadcast candidate set.
+  *
+  * The buffer is a plain product of (Map[String, Long], Long) encoded with
+  * the PRODUCT encoder, not Kryo: in
+  * [[graft.streaming.Streams.heavyHitterCandidatesStream]] this buffer
+  * becomes persistent state-store checkpoint format, and a Kryo blob of a
+  * mutable collection is not a stable schema across Scala/Spark upgrades —
+  * the product encoding (MapType(String, Long) + LongType) is.
   */
-final case class MgBuffer(counts: mutable.HashMap[String, Long], var n: Long)
+final case class MgBuffer(counts: Map[String, Long], n: Long)
 
 class MisraGriesAggregator(k: Int)
     extends Aggregator[String, MgBuffer, (Seq[String], Long)] {
 
-  override def zero: MgBuffer = MgBuffer(mutable.HashMap.empty, 0L)
+  override def zero: MgBuffer = MgBuffer(Map.empty, 0L)
 
   override def reduce(b: MgBuffer, t: String): MgBuffer = {
-    b.n += 1
-    b.counts.get(t) match {
-      case Some(c) => b.counts.update(t, c + 1)
-      case None if b.counts.size < k => b.counts.update(t, 1L)
+    val c = b.counts
+    c.get(t) match {
+      case Some(v) => MgBuffer(c.updated(t, v + 1), b.n + 1)
+      case None if c.size < k => MgBuffer(c.updated(t, 1L), b.n + 1)
       case None =>
         // decrement-all: every slot loses 1, emptied slots are freed; the
-        // unseen item is "cancelled" against k existing singletons
-        val dead = b.counts.iterator.filter(_._2 == 1L).map(_._1).toList
-        dead.foreach(b.counts.remove)
-        b.counts.mapValuesInPlace((_, c) => c - 1)
+        // unseen item is "cancelled" against k existing singletons. O(k),
+        // but only on the full-buffer-miss path (the classic MG amortization)
+        MgBuffer(
+          c.iterator.collect { case (t2, v) if v > 1L => t2 -> (v - 1L) }.toMap,
+          b.n + 1)
     }
-    b
   }
 
   override def merge(a: MgBuffer, b: MgBuffer): MgBuffer = {
-    b.counts.foreach { case (t, c) => a.counts.update(t, a.counts.getOrElse(t, 0L) + c) }
-    a.n += b.n
-    if (a.counts.size > k) {
-      // subtract the (k+1)-th largest count from every slot, drop <= 0 —
-      // the mergeable-summaries trim that preserves the > n/k guarantee
-      val cut = a.counts.values.toArray.sorted(Ordering[Long].reverse).apply(k)
-      val dead = a.counts.iterator.filter(_._2 <= cut).map(_._1).toList
-      dead.foreach(a.counts.remove)
-      a.counts.mapValuesInPlace((_, c) => c - cut)
-    }
-    a
+    var m = a.counts
+    b.counts.foreach { case (t, c) => m = m.updated(t, m.getOrElse(t, 0L) + c) }
+    val trimmed =
+      if (m.size <= k) m
+      else {
+        // subtract the (k+1)-th largest count from every slot, drop <= 0 —
+        // the mergeable-summaries trim that preserves the > n/k guarantee
+        val cut = m.valuesIterator.toArray.sorted(Ordering[Long].reverse).apply(k)
+        m.iterator.collect { case (t, c) if c > cut => t -> (c - cut) }.toMap
+      }
+    MgBuffer(trimmed, a.n + b.n)
   }
 
   /** Candidate terms (sorted for determinism of the driver-side array) and
@@ -62,7 +67,7 @@ class MisraGriesAggregator(k: Int)
   override def finish(b: MgBuffer): (Seq[String], Long) =
     (b.counts.keys.toSeq.sorted, b.n)
 
-  override def bufferEncoder: Encoder[MgBuffer] = Encoders.kryo[MgBuffer]
+  override def bufferEncoder: Encoder[MgBuffer] = Encoders.product[MgBuffer]
   override def outputEncoder: Encoder[(Seq[String], Long)] =
-    Encoders.kryo[(Seq[String], Long)]
+    Encoders.product[(Seq[String], Long)]
 }

@@ -77,4 +77,30 @@ class AnalyticsSpec extends SparkSuite {
       "an exact integer plane must be recovered exactly")
     assert(out("de") == ((None, None)), "collinear features guard to NULL")
   }
+
+  test("q185 ols2: moment overflow raises loudly instead of NULLing like collinearity") {
+    val s = spark; import s.implicits._
+    // ~1e7-magnitude features: centered moments n·Σx² − (Σx)² reach ~1e16,
+    // past the 1e15 exact-arithmetic guard — without it, decimal products
+    // silently NULL (indistinguishable from a collinear det=0 group) while
+    // the DuckDB oracle's HUGEINT raises
+    // centered moment n·Σx² − (Σx)² = 3·1.4e17 − 3.6e17 = 6e16 > 1e15
+    val big = Seq(
+      ("en", 100000000L, 3L, 5L),
+      ("en", 200000000L, 7L, 9L),
+      ("en", 300000000L, 11L, 13L))
+      .toDF("lang", "x", "z", "y")
+    val e = intercept[Exception] {
+      graft.engine.Analytics.ols2From(big).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("exact-arithmetic bound")),
+      s"expected the ols2 overflow guard to fire, got: $e")
+    // and a within-bound group is untouched by the guard
+    val ok = Seq(("en", 4L, 2L, 14L), ("en", 6L, 3L, 21L), ("en", 8L, 3L, 25L))
+      .toDF("lang", "x", "z", "y")
+    val row = graft.engine.Analytics.ols2From(ok).collect().head
+    assert(row.getAs[Long]("beta_tokens_ppm") == 2000000L)
+  }
 }

@@ -55,6 +55,24 @@ class ExtSpec extends SparkSuite {
     assert(!capped.exists(p => p._1 >= 10L), "the 30-doc degenerate bucket is dropped")
   }
 
+  test("embedding-LSH degenerate-bucket cap: hot bucket dropped, small-bucket pair kept") {
+    val s = spark; import s.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    // 30 identical vectors planted in one degenerate bucket (the skew shape
+    // every near-dup corpus has) + one genuine near-dup pair in a small bucket
+    val hot = (10L to 39L).map(i => (i, Array(1.0, 0.0, 0.0), 1.0, 0))
+    val pairA = (0L, Array(0.0, 1.0, 0.0), 1.0, 7)
+    val pairB = (1L, Array(0.0, 0.999, 0.01), math.sqrt(0.999 * 0.999 + 0.0001), 7)
+    val bucketed = (hot :+ pairA :+ pairB).toDF("vec_id", "v", "nrm", "bucket")
+    val uncapped = Similarity.nearDupPairsFromBuckets(bucketed, 0.95).collect()
+    assert(uncapped.length == 30 * 29 / 2 + 1,
+      "uncapped: the hot bucket explodes into all (n choose 2) pairs")
+    val capped = Similarity.nearDupPairsFromBuckets(bucketed, 0.95, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq == Seq((0L, 1L)),
+      "capped: the degenerate bucket is dropped, the real pair survives")
+  }
+
   test("simhash: near-identical docs get close signatures (small hamming distance)") {
     val s = spark; import s.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
