@@ -2898,6 +2898,27 @@ object Catalog {
         |          ELSE -CAST((-b2num) * 1000000 // det AS BIGINT) END)
         |  END AS beta_distinct_ppm
         |FROM d ORDER BY lang""".stripMargin),
+
+    // REAL image decode: deterministic tiny PNGs encoded AND decoded with the
+    // JDK-native javax.imageio codec in mapPartitions; the oracle recomputes
+    // the decoded dimensions + exact pixel sum from the closed-form pixel law.
+    q("q186_image_decode", ext.Multimodal.imageDecode,
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 8 + 1 AS INT) AS width,
+        |    CAST(doc_id % 5 + 1 AS INT) AS height FROM documents),
+        |g AS (SELECT doc_id, width, height, unnest(range(0, width)) AS x FROM d),
+        |gy AS (SELECT doc_id, width, height, x, unnest(range(0, height)) AS y FROM g)
+        |SELECT doc_id, width, height,
+        |  CAST(SUM((doc_id * 31 + 7 * x + 13 * y) % 256) AS BIGINT) AS px_sum
+        |FROM gy GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin),
+
+    // LIVE JDBC roundtrip against embedded Derby: nation written through the
+    // batched/retrying overwrite sink, read back over JDBC, rolled up per
+    // region; the oracle aggregates the parquet source directly.
+    q("q187_jdbc_roundtrip", engine.Bronze.jdbcRoundtripNation,
+      """SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
+        |  MIN(n_name) AS first_nation,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

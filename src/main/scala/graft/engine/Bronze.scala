@@ -93,6 +93,44 @@ object Bronze {
       .orderBy("event_type")
   }
 
+  /** LIVE JDBC sink+source roundtrip (q187) against an embedded Apache Derby
+    * database (on Spark's own classpath — no new dependency, no network):
+    * the nation dim written through [[writeJdbc]] (S2/S4: overwrite mode,
+    * batched inserts, retry loop), read back via `spark.read.jdbc`, and
+    * rolled up per region. The reference's whole at-rest layer is Postgres
+    * JDBC (`spark_jobs/ingestion.py:15-22`, `reporting.py:411-431`); this
+    * exercises the identical Spark JDBC write/read code path (dialect +
+    * batching + overwrite DDL) against a real SQL engine, so S2/S4 are
+    * execution-tested, not just retry-loop-tested. The oracle aggregates the
+    * parquet source directly — any loss/mangling in the DDL type mapping
+    * (strings ride as CLOB under the Derby dialect), batch flush, or
+    * read-back would hash-mismatch.
+    *
+    * Scale note (unchanged from SURVEY): JDBC is reference PARITY, not the
+    * 100 TB path — a batchsize-N row sink is the pipeline's scale ceiling;
+    * parquet is canonical at rest. Embedded Derby is single-JVM by design,
+    * which local[*] satisfies.
+    *
+    * The DB dir is a stable per-(dir) scratch location: each invocation
+    * overwrites the TABLE inside the database (transactional in Derby), so
+    * bench loops hold one DB copy, not N. */
+  def jdbcRoundtripNation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, min, sum}
+    val dbDir = Fs.stableScratchDir(s"graft_derby_${Fs.dirTag(dir)}")
+    System.setProperty("derby.stream.error.file", s"$dbDir/derby.log")
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    writeJdbc(Tables.nation(spark, dir), url, "nation", "app", "app", batchSize = 7)
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "nation")
+      .option("user", "app").option("password", "app")
+      .load()
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"),
+        min(col("n_name")).as("first_nation"),
+        sum(col("n_nationkey")).as("key_sum"))
+      .orderBy("n_regionkey")
+  }
+
   /** JDBC sink kept for reference parity (S2/S4 semantics: overwrite, batched,
     * retry loop with linear backoff — `reporting.py:411-431`).
     *

@@ -61,9 +61,81 @@ object Multimodal {
         length(col("col")).as("frame_len"))
       .orderBy("doc_id", "frame_idx")
 
-  /** Decode stub: where a real codec would run. Deterministic fake decode —
-    * "dimensions" derived from the content hash — keeping the mapPartitions
-    * batch shape honest (binary in, fixed-width features out).
+  /** Deterministic tiny grayscale PNG per document — the REAL-media fixture
+    * for [[decodePngs]]: width = doc_id % 8 + 1, height = doc_id % 5 + 1,
+    * pixel(x, y) = (doc_id·31 + 7x + 13y) mod 256, encoded with the
+    * JDK-native `javax.imageio` PNG writer inside `mapPartitions` (one
+    * encoder context per partition, the codec batch shape). The closed-form
+    * pixel law is what lets the DuckDB oracle check the DECODED output
+    * arithmetically without itself owning a PNG codec. */
+  def pngTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no tmp-file spill per image
+        it.map { id =>
+          val w = (id % 8 + 1).toInt
+          val h = (id % 5 + 1).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, ((id * 31 + 7 * x + 13 * y) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** REAL image decode (q186) over any (doc_id, payload: binary) frame —
+    * `javax.imageio.ImageIO.read` in `mapPartitions`, binary in, fixed-width
+    * features out: decoded dimensions plus the exact grayscale pixel sum.
+    * This is the production shape [[stubDecode]] stands in for on media the
+    * container lacks codecs for; PNG decode is JDK-native, so this path runs
+    * the actual codec — a corrupted/truncated payload fails loudly rather
+    * than fabricating features. Scale shape: pure partition-parallel
+    * projection, no shuffle, one decoder context per partition. */
+  def decodePngs(spark: SparkSession, pngs: DataFrame): DataFrame = {
+    import spark.implicits._
+    pngs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"doc $id: payload is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          (id, w, h, sum)
+        }
+      }.toDF("doc_id", "width", "height", "px_sum")
+  }
+
+  /** q186: encode → decode roundtrip over the synthetic PNG table. The
+    * oracle recomputes width/height/px_sum from the pixel law — a decoder
+    * that mis-sized, re-quantized, or reordered pixels hash-mismatches. */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame =
+    decodePngs(spark, pngTable(spark, dir)).orderBy("doc_id")
+
+  /** Decode stub: where a non-JDK codec would run (audio/video — the
+    * container has no such codecs; for images see [[decodePngs]], which runs
+    * the real JDK PNG codec). Deterministic fake decode — "dimensions"
+    * derived from the content hash — keeping the mapPartitions batch shape
+    * honest (binary in, fixed-width features out).
     * STUB: replace `fakeDims` with the codec call in production. */
   def stubDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

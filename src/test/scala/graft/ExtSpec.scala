@@ -73,6 +73,30 @@ class ExtSpec extends SparkSuite {
       "capped: the degenerate bucket is dropped, the real pair survives")
   }
 
+  test("png decode: real ImageIO roundtrip recovers planted dimensions and exact pixel sums") {
+    val s = spark; import s.implicits._
+    Seq((0L, "a"), (9L, "b"), (13L, "c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_png/documents.parquet")
+    val out = graft.ext.Multimodal.imageDecode(spark, "/tmp/graft_test_png")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    def expected(id: Long): (Long, Int, Int, Long) = {
+      val w = (id % 8 + 1).toInt; val h = (id % 5 + 1).toInt
+      val sum = (for (x <- 0 until w; y <- 0 until h) yield (id * 31 + 7 * x + 13 * y) % 256).sum
+      (id, w, h, sum)
+    }
+    assert(out == Seq(0L, 9L, 13L).map(expected),
+      "decoded width/height/pixel-sum must match the pixel law exactly")
+  }
+
+  test("png decode: a corrupted payload fails loudly instead of fabricating features") {
+    val s = spark; import s.implicits._
+    val bad = Seq((1L, "this is not a png".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val e = intercept[Exception] { graft.ext.Multimodal.decodePngs(spark, bad).collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("not a decodable image")), s"got: $e")
+  }
+
   test("simhash: near-identical docs get close signatures (small hamming distance)") {
     val s = spark; import s.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")

@@ -25,6 +25,23 @@ class SinksSpec extends SparkSuite {
     assert(orcBack.orderBy("o_orderkey").collect().map(_.toString).toSeq == expected)
   }
 
+  test("live JDBC roundtrip: nation survives embedded-Derby write/read byte-for-byte; overwrite is repeatable") {
+    val dir = "/root/testdata/sf0.001"
+    val direct = graft.engine.Tables.nation(spark, dir)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"),
+        min(col("n_name")).as("first_nation"),
+        sum(col("n_nationkey")).as("key_sum"))
+      .orderBy("n_regionkey").collect().map(_.toString).toSeq
+    val viaJdbc = graft.engine.Bronze.jdbcRoundtripNation(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(viaJdbc == direct, "the JDBC write+read path must be lossless vs the parquet source")
+    // S2 is OVERWRITE semantics: a second full write must drop+recreate, not append
+    val again = graft.engine.Bronze.jdbcRoundtripNation(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(again == direct, "a repeated overwrite must not duplicate rows")
+  }
+
   test("corrupt CSV rows: PERMISSIVE captures them, DROPMALFORMED drops them") {
     val dir = new java.io.File("/tmp/graft_sink/bad_csv")
     rmTree(dir.toString); dir.mkdirs()
