@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.execution.{ExplainMode, FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 
 /** Physical-plan regression tests: the 100 TB properties that make these
   * queries scale are asserted on the PLAN, not just the output, so a future
@@ -486,6 +488,53 @@ class PlanSpec extends SparkSuite {
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(readSchema.contains("text") && !readSchema.contains("lang"),
       s"re-count must read only the text column: $readSchema")
+  }
+
+  // ------------------------------------------------------------------
+  // AQE-ON executed-plan pins. The static pins above prove planner INTENT
+  // with AQE disabled (pre-execution explain under AQE hides reuse); Bench
+  // and production run AQE on, so these drive each query to completion and
+  // assert the same properties on the FINAL adaptive plan — if AQE's
+  // runtime re-planning ever broke exchange reuse, the bench would pay
+  // double corpus scans with no test noticing. That gap is closed here.
+  // ------------------------------------------------------------------
+
+  /** Walk the final (post-execution) adaptive plan, stepping through stage
+    * wrappers. A reused branch terminates at its ReusedExchangeExec leaf, so
+    * a scan behind a reused stage is counted exactly once — which is the
+    * point: scans counted here are scans the cluster actually paid for. */
+  private def finalNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case other                    => other.children
+    }
+    p +: kids.flatMap(finalNodes)
+  }
+
+  private def assertSingleScanAqeOn(name: String): Unit = {
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == "true",
+      "these pins must run with AQE enabled, exactly as Bench does")
+    val df = Catalog.queries(name)(spark, dir)
+    df.collect() // drive to completion so the adaptive plan is final
+    val nodes  = finalNodes(df.queryExecution.executedPlan)
+    val scans  = nodes.count { case _: FileSourceScanExec => true; case _ => false }
+    val reused = nodes.exists { case _: ReusedExchangeExec => true; case _ => false }
+    assert(scans == 1,
+      s"$name under AQE paid $scans corpus scans at runtime (want 1):\n${df.queryExecution.executedPlan}")
+    assert(reused,
+      s"$name under AQE lost exchange reuse at runtime:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("AQE-on executed plans: q169-q175 eval family keeps one scan + exchange reuse") {
+    for (n <- Seq("q169_ks_test", "q170_chi_square", "q172_psi_drift",
+                  "q174_reliability_bins", "q175_source_ablation"))
+      assertSingleScanAqeOn(n)
+  }
+
+  test("AQE-on executed plans: q153/q159/q161 keep scan-sharing and reuse") {
+    for (n <- Seq("q153_equi_depth_buckets", "q159_langid_eval", "q161_truncation_kappa"))
+      assertSingleScanAqeOn(n)
   }
 
   test("q177 multiprobe ann: probe join broadcasts the query side, corpus scans once per side") {
