@@ -457,6 +457,34 @@ object Catalog {
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
 
+  /** DuckDB k-means CTE chain (mirrors Similarity.kmeansStatePath, 2 Lloyd
+    * rounds unrolled): quantize to exact integers (floor of a power-of-two
+    * multiply — bit-identical across IEEE engines), seed on vec_id % 61,
+    * assign by integer squared distance with (dist, cid) tie-break, update by
+    * floor(sum/count) of exact-in-double integer sums. */
+  private def kmAssign(prev: String, out: String): String =
+    s"""$out AS (SELECT vec_id, q, cid FROM (
+       |        SELECT n.vec_id, n.q, c.cid,
+       |          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |            list_sum(list_transform(list_zip(n.q, c.cq), z -> (z[1]-z[2])*(z[1]-z[2]))), c.cid) AS rn
+       |        FROM kn n CROSS JOIN $prev c) WHERE rn = 1)""".stripMargin
+
+  private def kmUpdate(prev: String, out: String): String =
+    s"""$out AS (SELECT cid, CAST(t.d AS INT) AS dim, COUNT(*) AS n_vecs,
+       |         CAST(floor(CAST(SUM(q[CAST(t.d AS INT)]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS comp
+       |       FROM $prev, LATERAL (SELECT unnest(range(1, len(q) + 1)) AS d) t
+       |       GROUP BY cid, dim)""".stripMargin
+
+  private val kmCte: String =
+    s"""kn AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+       |       FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, q AS cq FROM kn WHERE vec_id % 61 = 0),
+       |${kmAssign("c0", "a1")},
+       |${kmUpdate("a1", "u1")},
+       |c1 AS (SELECT cid, list(comp ORDER BY dim) AS cq FROM u1 GROUP BY cid),
+       |${kmAssign("c1", "a2")},
+       |${kmUpdate("a2", "u2")}""".stripMargin
+
   /** DuckDB per-plane projection (mirrors Similarity.lshProjections — the
     * signed sum BEFORE the sign is taken, which multi-probe needs). */
   private def lshProjSql(p: Int): String =
@@ -2919,6 +2947,58 @@ object Catalog {
         |  MIN(n_name) AS first_nation,
         |  CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
+    // Iterated Lloyd k-means (2 materialized rounds) on floor(v*1024)
+    // quantized embeddings — exact integer distances, floor(sum/count)
+    // centroid means, (dist, cid) tie-break. Output: final per-(cell, dim)
+    // sizes + centroid components.
+    q("q188_kmeans_rounds", (s, d) => ext.Similarity.kmeansCentroidStats(s, d),
+      s"""WITH $kmCte
+         |SELECT cid AS cell, dim, n_vecs, comp FROM u2 ORDER BY cell, dim""".stripMargin),
+
+    // SemDeDup: within-k-means-cell cosine near-dup pairs (tau = 2/5) on the
+    // quantized vectors — exact integer cosine test (den²·dab² > num²·daa·dbb
+    // with dab > 0), DECIMAL(38,0) in the engine, HUGEINT here; both exact.
+    q("q189_semdedup", (s, d) => ext.Similarity.semDedupPairs(s, d),
+      s"""WITH $kmCte,
+         |nn AS (SELECT vec_id, cid, q,
+         |         CAST(list_sum(list_transform(q, x -> x * x)) AS HUGEINT) AS dqq FROM a2),
+         |p AS (SELECT a.cid AS cell, a.vec_id AS va, b.vec_id AS vb, a.dqq AS daa, b.dqq AS dbb,
+         |        CAST(list_sum(list_transform(list_zip(a.q, b.q), z -> z[1] * z[2])) AS HUGEINT) AS dab
+         |      FROM nn a JOIN nn b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |SELECT cell, va AS keep_id, vb AS drop_id FROM p
+         |WHERE dab > 0 AND dab * dab * 25 > daa * dbb * 4
+         |ORDER BY keep_id, drop_id""".stripMargin),
+
+    // Hard-negative mining: per query, top-5 most-similar corpus vectors with
+    // a DIFFERENT label (contrastive-training negatives).
+    q("q190_hard_negatives", (s, d) => ext.Similarity.hardNegatives(s, d),
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |nl AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |qs AS (SELECT vec_id AS query_id, label AS query_label, v AS qv, nrm AS qn FROM nl WHERE vec_id < 20),
+        |p AS (SELECT query_id, query_label, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+        |        list_sum(list_transform(list_zip(qv, c.v), z -> z[1] * z[2])) / (qn * c.nrm) AS cos
+        |      FROM qs CROSS JOIN nl c
+        |      WHERE c.vec_id <> query_id AND c.label <> query_label),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        |      FROM p)
+        |SELECT query_id, query_label, rank, neighbor_id, neighbor_label, round(cos, 4) AS cos_sim
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+
+    // C4-style rewrite: drop every 10-token segment that occurs verbatim in
+    // >= 2 documents, reassemble each doc's surviving segments in order.
+    q("q191_dedup_rewrite", (s, d) => ext.Dedup.segmentDedupRewrite(s, d),
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 10),
+        |segs AS (SELECT doc_id, CAST(t.i AS INT) AS idx,
+        |    array_to_string(words[(t.i*10+1):(t.i*10+10)], ' ') AS seg
+        |  FROM d, LATERAL (SELECT unnest(range(0, len(words) // 10)) AS i) t),
+        |freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY seg)
+        |SELECT doc_id, COUNT(*) AS n_segments,
+        |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  COALESCE(string_agg(CASE WHEN nd < 2 THEN seg END, ' ' ORDER BY idx), '') AS clean_text
+        |FROM segs JOIN freq USING (seg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

@@ -849,6 +849,44 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q191: [[segmentDedup]]'s REWRITE form — the deliverable a real pipeline
+    * ships: each document's text reassembled from only the segments that are
+    * NOT corpus-wide duplicates (the C4 recipe: drop any span that occurs
+    * verbatim in ≥ 2 documents, keep the rest in original order). Where
+    * [[segmentDedup]] reports per-doc dup statistics, this emits the cleaned
+    * text itself, so the output is the next pipeline stage's input.
+    *
+    * Scale shape: segments explode once, the corpus-frequency aggregate is
+    * map-side combinable on the segment string, and reassembly is a per-doc
+    * collect_list whose ORDER is restored by array_sort on the in-doc segment
+    * index (collect_list order is partition-dependent; the sort makes the
+    * rebuilt text deterministic under any shuffle layout). Docs whose every
+    * segment is boilerplate come out with empty text, not dropped — the
+    * downstream length filter decides their fate, same as C4. */
+  def segmentDedupRewrite(spark: SparkSession, dir: String,
+      segTokens: Int = 10): DataFrame = {
+    val segs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= segTokens)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(words) div $segTokens - 1),
+           |  i -> concat_ws(' ', slice(words, i * $segTokens + 1, $segTokens)))""".stripMargin))
+        .as(Seq("idx", "seg")))
+    val freq = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_with_seg"))
+    segs.join(freq, Seq("seg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("n_docs_with_seg") >= 2, 1L).otherwise(0L)).as("n_dropped"),
+        expr("""concat_ws(' ',
+               |  transform(
+               |    array_sort(collect_list(
+               |      IF(n_docs_with_seg < 2, struct(idx, seg), NULL))),
+               |    e -> e.seg))""".stripMargin).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-language shingle-overlap matrix: for each (lang_a < lang_b) pair,
     * the number of DISTINCT 3-word shingles both language slices contain —
     * the cross-lingual contamination / code-switching diagnostic a corpus

@@ -510,4 +510,192 @@ object Similarity {
       .select(col("label"), col("n_a"), col("n_b"), col("drift_ppm"))
       .orderBy("label")
   }
+
+  // ------------------------------------------------------------------
+  // Iterated Lloyd k-means + SemDeDup-style semantic dedup
+  // ------------------------------------------------------------------
+
+  /** Quantization scale for the integer k-means domain. 1024 = 2^10: the
+    * multiply is an exponent shift on an exact float32-derived double, so
+    * `floor(v * 1024)` is bit-identical in every IEEE-754 engine — the whole
+    * iterated pipeline below runs on exact integers and never accumulates a
+    * float rounding difference across rounds (sums of doubles are
+    * order-DEPENDENT; sums of longs are not). */
+  val KmScale = 1024L
+
+  /** Iterated Lloyd k-means state, materialized ONCE per (dir, iters,
+    * seedMod) per JVM — the IVF-training analog of
+    * [[graft.ext.Dedup.candidatePairsPath]]'s at-rest cost model. Layout:
+    * `q/` quantized vectors, `c0..cN/` per-round centroids, `assign/` the
+    * FINAL (vec_id, cell) assignment, `stats/` the final per-(cell, dim)
+    * aggregate. q188 reads `stats`; [[semDedupPairs]] (q189) reads
+    * `assign` + `q` — one training run serves both.
+    *
+    * Scale shape (the Spark-MLlib KMeans pattern): each round collects the k
+    * centroid rows to the driver — bounded by k·dim, INDEPENDENT of corpus
+    * size — and embeds them as an array literal, so assignment is one pure
+    * projection over the corpus (argmin via a fold over the centroid array:
+    * no n×k join materialization, no window) and the centroid update is the
+    * round's ONE shuffle (posexplode → map-side-combinable sum/count per
+    * (cell, dim)). Rounds materialize to parquet, so round k's lineage never
+    * re-evaluates rounds 1..k-1.
+    *
+    * Exactness: components are bounded by |v|·2^10 (≤ 2^11 for any |v| ≤ 2),
+    * so squared distances fit a BIGINT up to dim 2^40 and the per-(cell,dim)
+    * sums to 2^42 rows per cell. The centroid mean floor(sum/count) divides
+    * exact-in-double integers (< 2^53): IEEE division + floor is identical
+    * across engines even at representability edges. Ties in the argmin break
+    * to the LOWEST cid on equal distance in both engines (strict `<` fold
+    * over ascending cids here; `ORDER BY dist, cid` in the oracle). */
+  def kmeansStatePath(spark: SparkSession, dir: String, iters: Int = 2,
+      seedMod: Int = 61): String =
+    graft.engine.Fs.buildOnce(
+      s"graft_km_${graft.engine.Fs.dirTag(dir)}_i${iters}_s$seedMod",
+      spark.sessionState.newHadoopConf()) { p =>
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), expr(
+          s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${KmScale}D) AS BIGINT))")
+          .as("q"))
+        .write.mode("overwrite").parquet(s"$p/q")
+      val qv = spark.read.parquet(s"$p/q")
+      qv.filter(col("vec_id") % seedMod === 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"))
+        .write.mode("overwrite").parquet(s"$p/c0")
+      for (k <- 1 to iters) {
+        // k centroid rows to the driver (bounded by k·dim, never corpus-sized)
+        val cents = spark.read.parquet(s"$p/c${k - 1}")
+          .orderBy("cid").collect()
+        val centArr = cents.map { r =>
+          val cq = r.getSeq[Long](1).map(_.toString + "L").mkString(",")
+          s"named_struct('cid', ${r.getLong(0)}L, 'cq', array($cq))"
+        }.mkString("array(", ", ", ")")
+        val cellExpr =
+          s"""aggregate(
+             |  transform($centArr, ce -> named_struct(
+             |    'd', aggregate(zip_with(q, ce.cq, (x, y) -> (x - y) * (x - y)),
+             |           0L, (a, x) -> a + x),
+             |    'c', ce.cid)),
+             |  named_struct('d', 9223372036854775807L, 'c', -1L),
+             |  (acc, x) -> IF(x.d < acc.d, x, acc)).c""".stripMargin
+        val assigned = qv.withColumn("cell", expr(cellExpr))
+        if (k == iters)
+          assigned.select(col("vec_id"), col("cell"))
+            .write.mode("overwrite").parquet(s"$p/assign")
+        val upd = assigned
+          .select(col("cell"), posexplode(col("q")).as(Seq("pos", "comp")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(col("comp")).as("s"), count(lit(1)).as("n"))
+          .withColumn("comp",
+            floor(col("s").cast("double") / col("n").cast("double")).cast("long"))
+        if (k == iters)
+          upd.select(col("cell"), (col("pos") + 1).cast("int").as("dim"),
+              col("n").as("n_vecs"), col("comp"))
+            .write.mode("overwrite").parquet(s"$p/stats")
+        upd.groupBy(col("cell"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, comp))), e -> e.comp)")
+            .as("cq"))
+          .select(col("cell").as("cid"), col("cq"))
+          .write.mode("overwrite").parquet(s"$p/c$k")
+      }
+      // multi-table state: commit the top-level marker buildOnce guards on
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), true).close()
+    }
+
+  /** q188: the final k-means round's per-(cell, dim) aggregate — cluster
+    * sizes and exact integer centroid components after `iters` Lloyd rounds.
+    * Empty cells (a seed that lost every member) drop out of the group-by in
+    * both engines. */
+  def kmeansCentroidStats(spark: SparkSession, dir: String, iters: Int = 2,
+      seedMod: Int = 61): DataFrame =
+    spark.read.parquet(s"${kmeansStatePath(spark, dir, iters, seedMod)}/stats")
+      .select(col("cell"), col("dim"), col("n_vecs"), col("comp"))
+      .orderBy("cell", "dim")
+
+  /** q189: SemDeDup (Abbas et al., arXiv:2303.09540) — semantic near-dup
+    * pruning where the BLOCKING key is the learned k-means cell rather than a
+    * random LSH bucket: within each cell, pairs whose cosine exceeds
+    * tauNum/tauDen mark the higher vec_id as a duplicate of the lower.
+    * Candidates are only ever generated within a cell (never all-pairs), the
+    * cluster structure comes from [[kmeansStatePath]]'s at-rest state, and
+    * the cosine test is EXACT integer arithmetic on the quantized vectors:
+    * cos > t  ⟺  dab > 0 ∧ den²·dab² > num²·daa·dbb — DECIMAL(38,0) products
+    * here (≤ 23 digits for dim ≤ 4096, |v| ≤ 2), HUGEINT in the oracle; both
+    * exact, so the engines agree on every boundary. */
+  def semDedupPairs(spark: SparkSession, dir: String, iters: Int = 2,
+      seedMod: Int = 61, tauNum: Long = 2, tauDen: Long = 5,
+      maxCellSize: Long = 0L): DataFrame = {
+    val p = kmeansStatePath(spark, dir, iters, seedMod)
+    val members = spark.read.parquet(s"$p/q")
+      .join(spark.read.parquet(s"$p/assign"), Seq("vec_id"))
+    semDedupPairsFrom(members, tauNum, tauDen, maxCellSize)
+  }
+
+  /** [[semDedupPairs]]'s pair machinery over any (vec_id, q, cell) frame —
+    * also the planted-degenerate-cell test surface. `maxCellSize` is the
+    * same guard as [[nearDupPairsFromBuckets]]: a cell the clustering could
+    * not split is DROPPED from pair enumeration rather than joined n², and
+    * the operational response at scale is re-clustering that slice with more
+    * seeds. 0 keeps every cell, matching the exhaustive oracle. */
+  def semDedupPairsFrom(members: DataFrame, tauNum: Long, tauDen: Long,
+      maxCellSize: Long = 0L): DataFrame = {
+    val kept =
+      if (maxCellSize <= 0) members
+      else members.join(
+        broadcast(members.groupBy(col("cell"))
+          .agg(count(lit(1)).as("cell_n"))
+          .filter(col("cell_n") <= maxCellSize)
+          .select(col("cell"))),
+        Seq("cell"), "left_semi")
+    // self-norms once per VECTOR (n·dim work), not once per pair (n²·dim)
+    val normed = kept.withColumn("dqq",
+      expr("aggregate(transform(q, x -> x * x), 0L, (a, x) -> a + x)"))
+    val a = normed.select(col("cell"), col("vec_id").as("vec_a"),
+      col("q").as("qa"), col("dqq").as("daa"))
+    val b = normed.select(col("cell"), col("vec_id").as("vec_b"),
+      col("q").as("qb"), col("dqq").as("dbb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("dab",
+        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .filter(col("dab") > 0 &&
+        expr(s"CAST(dab AS DECIMAL(38,0)) * dab * ${tauDen * tauDen}") >
+        expr(s"CAST(daa AS DECIMAL(38,0)) * dbb * ${tauNum * tauNum}"))
+      .select(col("cell"), col("vec_a").as("keep_id"), col("vec_b").as("drop_id"))
+      .orderBy("keep_id", "drop_id")
+  }
+
+  /** q190: hard-negative mining for contrastive training — per query vector,
+    * the top-k most cosine-similar corpus vectors with a DIFFERENT label
+    * (similar-but-wrong is exactly what a contrastive loss needs to see).
+    * Same scale shape as [[cosineTopK]]: the tiny query set broadcasts
+    * against one linear corpus pass; only candidate rows shuffle for the
+    * per-query rank. A production variant swaps the exact pass for the
+    * at-rest LSH index ([[lshProjectionsPath]]) exactly as q34 does. */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 20): DataFrame = {
+    VectorExpressions.register(spark)
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val corpus = all.select(col("vec_id").as("neighbor_id"),
+      col("label").as("neighbor_label"), col("v").as("nv"), col("nrm").as("nn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(q).crossJoin(corpus)
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("neighbor_label") =!= col("query_label"))
+      .withColumn("cos", expr(dotExpr) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("rank"),
+        col("neighbor_id"), col("neighbor_label"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
 }

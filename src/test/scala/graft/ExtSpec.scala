@@ -785,4 +785,89 @@ class ExtSpec extends SparkSuite {
     assert(exact.intersect(multi).size >= exact.intersect(single).size,
       "3 probe buckets recover at least what the single bucket did")
   }
+
+  test("kmeans rounds: two hand clusters, floor means and cell sizes on paper") {
+    val s = spark; import s.implicits._
+    // all components exact binary fractions → floor(v·1024) quantizes with no
+    // rounding surprises: (1024,0),(512,256),(768,0) | (0,1024),(256,512),(0,768)
+    Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.5f, 0.25f)), (2L, Array(0.75f, 0.0f)),
+      (61L, Array(0.0f, 1.0f)), (62L, Array(0.25f, 0.5f)), (63L, Array(0.0f, 0.75f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet("/tmp/graft_test_km/embeddings.parquet")
+    val rows = Similarity.kmeansCentroidStats(spark, "/tmp/graft_test_km").collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Int]("dim")) ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("comp")))).toMap
+    // seeds = ids 0 and 61; round-1 members split 3/3 on squared distance;
+    // round-1 means: cell 0 → (floor(2304/3), floor(256/3)) = (768, 85),
+    // cell 61 → (85, 768); round 2 keeps the same memberships → same stats
+    assert(rows == Map(
+      (0L, 1) -> ((3L, 768L)), (0L, 2) -> ((3L, 85L)),
+      (61L, 1) -> ((3L, 85L)), (61L, 2) -> ((3L, 768L))))
+  }
+
+  test("semdedup: within-cell integer cosine pairs on paper; cross-cell never compared") {
+    // reuses /tmp/graft_test_km's at-rest k-means state (built above).
+    // cell 0 pairs: (1024,0)·(512,256)=524288 → 25·dab² ≈ 6.87e12 vs
+    // 4·daa·dbb ≈ 1.37e12 → dup; (1024,0)·(768,0) and (512,256)·(768,0)
+    // likewise; cell 61 symmetric → 6 pairs total
+    val pairs = Similarity.semDedupPairs(spark, "/tmp/graft_test_km").collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("drop_id"))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L),
+      (61L, 62L), (61L, 63L), (62L, 63L)))
+    // (1)=(512,256) vs (62)=(256,512): cos = 0.8 > τ — but different cells,
+    // so SemDeDup by design never enumerates the pair (the blocking IS the
+    // clustering; an LSH-style guarantee needs q53's hyperplane path instead)
+    assert(!pairs.contains((1L, 62L)))
+  }
+
+  test("semdedup: degenerate-cell cap bounds the pair count") {
+    val s = spark; import s.implicits._
+    val members = (0L until 40L).map(i => (i, Array.fill(4)(1024L), 7L))
+      .toDF("vec_id", "q", "cell")
+    assert(Similarity.semDedupPairsFrom(members, 2, 5).count() == 40L * 39 / 2,
+      "uncapped: one hot cell enumerates all pairs")
+    assert(Similarity.semDedupPairsFrom(members, 2, 5, maxCellSize = 10).count() == 0,
+      "capped: the degenerate cell is dropped, not joined n²")
+  }
+
+  test("hard negatives: top similar different-label neighbors, same-label excluded") {
+    val s = spark; import s.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.8f, 0.6f), 0),
+      (2L, Array(0.6f, 0.8f), 1), (3L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet("/tmp/graft_test_hardneg/embeddings.parquet")
+    val rows = Similarity.hardNegatives(spark, "/tmp/graft_test_hardneg").collect()
+    assert(rows.forall(r =>
+      r.getAs[Int]("query_label") != r.getAs[Int]("neighbor_label")),
+      "every mined negative carries a different label")
+    assert(rows.count(_.getAs[Int]("rank") == 1) == 4, "each query mines negatives")
+    val rank1 = rows.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    // unit-circle cosines on paper: q0→(0.6,0.8) cos .6; q1→(0.6,0.8) cos .96;
+    // q2→(0.8,0.6) cos .96; q3→(0.8,0.6) cos .6
+    assert(rank1 == Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("dedup rewrite: corpus-shared segment dropped, survivors reassembled in order") {
+    val s = spark; import s.implicits._
+    def seg(p: String) = (1 to 10).map(i => s"$p$i").mkString(" ")
+    val (a, b, c, d, e, f) = (seg("a"), seg("b"), seg("c"), seg("d"), seg("e"), seg("f"))
+    Seq(
+      (0L, s"$a $b", "en", "s", 1L),      // b shared with doc 1 → clean = a
+      (1L, s"$b $c", "en", "s", 1L),      // → clean = c
+      (2L, s"$d", "en", "s", 1L),         // unique single segment → unchanged
+      (3L, s"$e $b $f", "en", "s", 1L))   // kept segments stay IN ORDER
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_rewrite/documents.parquet")
+    val rows = Dedup.segmentDedupRewrite(spark, "/tmp/graft_test_rewrite").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segments"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(rows(0L) == ((2L, 1L, a)))
+    assert(rows(1L) == ((2L, 1L, c)))
+    assert(rows(2L) == ((1L, 0L, d)))
+    assert(rows(3L) == ((3L, 1L, s"$e $f")))
+  }
 }

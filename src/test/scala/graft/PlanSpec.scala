@@ -490,6 +490,30 @@ class PlanSpec extends SparkSuite {
       s"re-count must read only the text column: $readSchema")
   }
 
+  test("q189 semdedup: pair enumeration keyed on the k-means cell (never all-pairs)") {
+    val p = plan("q189_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup must stay an equi-join on the cluster cell:\n$p")
+  }
+
+  test("q190 hard negatives: query side broadcasts; rank window trims to k") {
+    val p = plan("q190_hard_negatives")
+    // the deliberate brute-force baseline: tiny query set broadcast against
+    // one corpus pass — never a shuffled or unbroadcast cartesian
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"query set must broadcast into the corpus pass:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must push the per-query trim below the full sort:\n$p")
+  }
+
+  test("q191 dedup rewrite: order restored by in-row array_sort, never a window") {
+    val p = plan("q191_dedup_rewrite")
+    assert(!p.contains("Window"),
+      s"segment order must come from the per-doc array sort, not a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the frequency join must stay keyed on the segment:\n$p")
+  }
+
   // ------------------------------------------------------------------
   // AQE-ON executed-plan pins. The static pins above prove planner INTENT
   // with AQE disabled (pre-execution explain under AQE hides reuse); Bench
