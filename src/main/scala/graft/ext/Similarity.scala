@@ -534,7 +534,7 @@ object Similarity {
     * Scale shape (the Spark-MLlib KMeans pattern): each round collects the k
     * centroid rows to the driver — bounded by k·dim, INDEPENDENT of corpus
     * size — and embeds them as an array literal, so assignment is one pure
-    * projection over the corpus (argmin via a fold over the centroid array:
+    * projection over the corpus (argmin over k codegen'd integer dots:
     * no n×k join materialization, no window) and the centroid update is the
     * round's ONE shuffle (posexplode → map-side-combinable sum/count per
     * (cell, dim)). Rounds materialize to parquet, so round k's lineage never
@@ -561,23 +561,28 @@ object Similarity {
       qv.filter(col("vec_id") % seedMod === 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"))
         .write.mode("overwrite").parquet(s"$p/c0")
+      VectorExpressions.register(spark)
       for (k <- 1 to iters) {
         // k centroid rows to the driver (bounded by k·dim, never corpus-sized)
         val cents = spark.read.parquet(s"$p/c${k - 1}")
           .orderBy("cid").collect()
-        val centArr = cents.map { r =>
-          val cq = r.getSeq[Long](1).map(_.toString + "L").mkString(",")
-          s"named_struct('cid', ${r.getLong(0)}L, 'cq', array($cq))"
+        // dist(q, c) = dqq − 2·(q·c) + Σc²: dqq is computed once per row and
+        // Σc² folds to a driver-side constant per centroid, so the per-row
+        // work is k codegen'd integer dot products ([[LongDotProduct]]) — no
+        // interpreted HOF lambdas, no per-row zipped intermediates. argmin =
+        // lexicographic array_min over (dist, cid) structs: smallest
+        // distance, then smallest cid — the oracle's ORDER BY dist, cid.
+        val entries = cents.map { r =>
+          val cq = r.getSeq[Long](1)
+          val cc = cq.map(x => x * x).sum
+          val arr = cq.map(_.toString + "L").mkString(",")
+          s"named_struct('d', dqq - 2L * graft_dot_long(q, array($arr)) + ${cc}L, " +
+            s"'c', ${r.getLong(0)}L)"
         }.mkString("array(", ", ", ")")
-        val cellExpr =
-          s"""aggregate(
-             |  transform($centArr, ce -> named_struct(
-             |    'd', aggregate(zip_with(q, ce.cq, (x, y) -> (x - y) * (x - y)),
-             |           0L, (a, x) -> a + x),
-             |    'c', ce.cid)),
-             |  named_struct('d', 9223372036854775807L, 'c', -1L),
-             |  (acc, x) -> IF(x.d < acc.d, x, acc)).c""".stripMargin
-        val assigned = qv.withColumn("cell", expr(cellExpr))
+        val assigned = qv
+          .withColumn("dqq", expr("graft_dot_long(q, q)"))
+          .withColumn("cell", expr(s"array_min($entries).c"))
+          .drop("dqq")
         if (k == iters)
           assigned.select(col("vec_id"), col("cell"))
             .write.mode("overwrite").parquet(s"$p/assign")
@@ -648,17 +653,16 @@ object Similarity {
           .filter(col("cell_n") <= maxCellSize)
           .select(col("cell"))),
         Seq("cell"), "left_semi")
+    VectorExpressions.register(members.sparkSession)
     // self-norms once per VECTOR (n·dim work), not once per pair (n²·dim)
-    val normed = kept.withColumn("dqq",
-      expr("aggregate(transform(q, x -> x * x), 0L, (a, x) -> a + x)"))
+    val normed = kept.withColumn("dqq", expr("graft_dot_long(q, q)"))
     val a = normed.select(col("cell"), col("vec_id").as("vec_a"),
       col("q").as("qa"), col("dqq").as("daa"))
     val b = normed.select(col("cell"), col("vec_id").as("vec_b"),
       col("q").as("qb"), col("dqq").as("dbb"))
     a.join(b, Seq("cell"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("dab",
-        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("dab", expr("graft_dot_long(qa, qb)"))
       .filter(col("dab") > 0 &&
         expr(s"CAST(dab AS DECIMAL(38,0)) * dab * ${tauDen * tauDen}") >
         expr(s"CAST(daa AS DECIMAL(38,0)) * dbb * ${tauNum * tauNum}"))

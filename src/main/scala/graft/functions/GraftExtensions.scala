@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_dot_long"),
+      new ExpressionInfo(classOf[LongDotProduct].getName, "graft_dot_long"),
+      (exprs: Seq[Expression]) => LongDotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_bounded_lev"),
       new ExpressionInfo(classOf[BoundedLevenshtein].getName, "graft_bounded_lev"),
       (exprs: Seq[Expression]) => BoundedLevenshtein(exprs(0), exprs(1), exprs(2))))

@@ -22,6 +22,22 @@ class VectorSpec extends SparkSuite {
     out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("graft_dot_long equals the HOF formulation; null array yields null") {
+    val s = spark; import s.implicits._
+    VectorExpressions.register(spark)
+    val df = Seq(
+      (Array(1024L, -512L, 768L), Array(256L, 512L, -64L)),
+      (Array(0L, 0L, 0L), Array(7L, 8L, 9L)))
+      .toDF("a", "b")
+    val out = df.select(
+      expr("graft_dot_long(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)").as("hof"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    val nul = df.select(expr("graft_dot_long(CAST(NULL AS ARRAY<BIGINT>), b)")).collect()
+    assert(nul.forall(_.isNullAt(0)))
+  }
+
   test("graft_bounded_lev: SQL-callable; equals least(levenshtein, k+1) on real text") {
     VectorExpressions.register(spark)
     val heads = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
