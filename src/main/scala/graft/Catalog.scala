@@ -2985,6 +2985,36 @@ object Catalog {
         |SELECT query_id, query_label, rank, neighbor_id, neighbor_label, round(cos, 4) AS cos_sim
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
 
+    // Incremental embedding dedup: the arriving batch (vec_id % 10 = 7)
+    // checked against the at-rest corpus LSH index — candidate = same bucket,
+    // duplicate = cosine >= 0.4; the corpus is never re-paired with itself.
+    q("q192_incremental_embedding_dedup",
+      (s, d) => ext.Similarity.incrementalEmbeddingDedup(s, d),
+      s"""WITH $vecsCte,
+         |b AS (SELECT vec_id, v, nrm, CAST($lshBucketExpr AS INT) AS bucket FROM n),
+         |hits AS (SELECT bb.vec_id, COUNT(*) AS n_dup_candidates, MIN(cb.vec_id) AS dup_of
+         |         FROM (SELECT * FROM b WHERE vec_id % 10 = 7) bb
+         |         JOIN (SELECT * FROM b WHERE vec_id % 10 <> 7) cb ON bb.bucket = cb.bucket
+         |         WHERE list_sum(list_transform(list_zip(bb.v, cb.v), z -> z[1] * z[2])) / (bb.nrm * cb.nrm) >= 0.4
+         |         GROUP BY bb.vec_id)
+         |SELECT bb.vec_id, bb.bucket, COALESCE(h.n_dup_candidates, 0) AS n_dup_candidates,
+         |  h.dup_of, h.dup_of IS NULL AS is_new
+         |FROM (SELECT vec_id, bucket FROM b WHERE vec_id % 10 = 7) bb
+         |LEFT JOIN hits h USING (vec_id)
+         |ORDER BY vec_id""".stripMargin),
+
+    // REAL audio decode: per-doc mono PCM16 WAV clips containerized AND
+    // parsed with the JDK-native javax.sound.sampled codec; the oracle
+    // recomputes samples/energy/peak from the closed-form sample law.
+    q("q193_audio_decode", (s, d) => ext.Multimodal.audioDecode(s, d),
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 480 + 20 AS BIGINT) AS n_samples FROM documents),
+        |s AS (SELECT doc_id, n_samples, ((doc_id * 17 + 11 * t.i) % 2048) - 1024 AS smp
+        |      FROM d, LATERAL (SELECT unnest(range(0, n_samples)) AS i) t)
+        |SELECT doc_id, n_samples, 8000 AS sample_rate,
+        |  CAST(SUM(smp * smp) AS BIGINT) AS sq_sum,
+        |  CAST(MAX(abs(smp)) AS BIGINT) AS peak
+        |FROM s GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin),
+
     // C4-style rewrite: drop every 10-token segment that occurs verbatim in
     // >= 2 documents, reassemble each doc's surviving segments in order.
     q("q191_dedup_rewrite", (s, d) => ext.Dedup.segmentDedupRewrite(s, d),

@@ -131,6 +131,76 @@ object Multimodal {
   def imageDecode(spark: SparkSession, dir: String): DataFrame =
     decodePngs(spark, pngTable(spark, dir)).orderBy("doc_id")
 
+  /** Synthetic WAV table: one mono PCM16/8kHz clip per document, generated
+    * from the closed-form sample law n = doc_id % 480 + 20,
+    * sample(i) = ((doc_id·17 + 11i) mod 2048) − 1024, containerized with the
+    * JDK-native `javax.sound.sampled` WAVE writer in `mapPartitions` — the
+    * audio twin of [[pngTable]]: the law is what lets the oracle check the
+    * DECODED output arithmetically without owning an audio codec. */
+  def wavTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (id % 480 + 20).toInt
+          val bytes = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = (((id * 17 + 11L * i) % 2048) - 1024).toShort
+            bytes(2 * i) = (s & 0xff).toByte
+            bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** REAL audio decode over any (doc_id, payload: binary) frame of WAV
+    * clips — `AudioSystem.getAudioInputStream` parses the RIFF container and
+    * yields the PCM frames; features are the exact integer energy (Σ sample²,
+    * the RMS numerator), the peak amplitude, and the decoded length/rate.
+    * Same contract as [[decodePngs]]: a truncated or non-WAV payload fails
+    * loudly, and the whole pass is a partition-parallel projection with one
+    * decoder context per partition — no shuffle, no driver involvement. */
+  def decodeWavs(spark: SparkSession, wavs: DataFrame): DataFrame = {
+    import spark.implicits._
+    wavs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian, s"doc $id: unexpected decoded format $fmt")
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          var sq = 0L
+          var peak = 0L
+          var i = 0
+          while (i < n) {
+            val s = (((data(2 * i + 1) & 0xff) << 8) | (data(2 * i) & 0xff)).toShort.toLong
+            sq += s * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            i += 1
+          }
+          (id, n.toLong, fmt.getSampleRate.toInt, sq, peak)
+        }
+      }.toDF("doc_id", "n_samples", "sample_rate", "sq_sum", "peak")
+  }
+
+  /** q193: WAV encode → decode roundtrip. The oracle recomputes sample
+    * count, energy, and peak from the sample law — a decoder that dropped
+    * frames, mis-parsed the header, or flipped endianness hash-mismatches. */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame =
+    decodeWavs(spark, wavTable(spark, dir)).orderBy("doc_id")
+
   /** Decode stub: where a non-JDK codec would run (audio/video — the
     * container has no such codecs; for images see [[decodePngs]], which runs
     * the real JDK PNG codec). Deterministic fake decode — "dimensions"

@@ -511,6 +511,37 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** q192: incremental batch-vs-corpus EMBEDDING dedup — the vector twin of
+    * [[graft.ext.Dedup.incrementalDedup]] (q85), the shape a streaming ingest
+    * actually needs: a small arriving batch (vec_id % mod == rem stands in
+    * for it) checked against the big at-rest corpus WITHOUT re-pairing the
+    * corpus against itself. Both sides read the at-rest LSH index
+    * ([[lshProjectionsPath]]); candidates are an equi-join on the bucket with
+    * the BATCH side broadcast, so the corpus makes one hashed pass and is
+    * never re-projected per batch. Output: one row per batch vector —
+    * candidate count at `threshold`, the lowest duplicate corpus id, and the
+    * is_new verdict; batch vectors with an empty bucket neighborhood come
+    * back via the left join, not dropped. */
+  def incrementalEmbeddingDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, mod: Int = 10, rem: Int = 7): DataFrame = {
+    val all = lshBuckets(spark, dir)
+    val isBatch = col("vec_id") % mod === rem
+    val batch = all.filter(isBatch)
+      .select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val corpus = all.filter(!isBatch)
+      .select(col("bucket"), col("vec_id").as("c_id"), col("v").as("nv"), col("nrm").as("nn"))
+    val hits = broadcast(batch).join(corpus, Seq("bucket"))
+      .withColumn("cos", expr(dotExpr) / (col("qn") * col("nn")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dup_candidates"), min(col("c_id")).as("dup_of"))
+    batch.select(col("vec_id"), col("bucket"))
+      .join(hits, Seq("vec_id"), "left")
+      .withColumn("n_dup_candidates", coalesce(col("n_dup_candidates"), lit(0L)))
+      .withColumn("is_new", col("dup_of").isNull)
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------------------------
   // Iterated Lloyd k-means + SemDeDup-style semantic dedup
   // ------------------------------------------------------------------

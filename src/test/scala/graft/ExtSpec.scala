@@ -97,6 +97,54 @@ class ExtSpec extends SparkSuite {
     assert(messages(e).exists(_.contains("not a decodable image")), s"got: $e")
   }
 
+  test("wav decode: real AudioSystem roundtrip recovers the sample law exactly") {
+    val s = spark; import s.implicits._
+    Seq((0L, "a"), (9L, "b"), (501L, "c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_wav/documents.parquet")
+    val out = graft.ext.Multimodal.audioDecode(spark, "/tmp/graft_test_wav")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSeq
+    def expected(id: Long): (Long, Long, Int, Long, Long) = {
+      val n = (id % 480 + 20).toInt
+      val smp = (0 until n).map(i => ((id * 17 + 11L * i) % 2048) - 1024)
+      (id, n.toLong, 8000, smp.map(v => v * v).sum, smp.map(math.abs).max)
+    }
+    assert(out == Seq(0L, 9L, 501L).map(expected),
+      "decoded count/rate/energy/peak must match the sample law exactly")
+  }
+
+  test("wav decode: a non-WAV payload fails loudly instead of fabricating features") {
+    val s = spark; import s.implicits._
+    val bad = Seq((1L, "this is not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assertThrows[Exception] {
+      graft.ext.Multimodal.decodeWavs(spark, bad).collect()
+    }
+  }
+
+  test("incremental embedding dedup: planted exact and near copies found, unique vec is_new") {
+    val s = spark; import s.implicits._
+    def basis(i: Int, scale: Float = 1.0f): Array[Float] =
+      Array.tabulate(64)(d => if (d == i) scale else 0.0f)
+    val nearCopy = Array.tabulate(64)(d =>
+      if (d == 0) 0.9f else if (d == 1) 0.1f else 0.0f) // sign-dominated → same bucket as e0
+    Seq(
+      (1L, basis(0)), (2L, basis(2)),   // corpus
+      (7L, basis(0)),                   // batch: exact copy of 1 → dup
+      (17L, basis(5)),                  // batch: orthogonal to all → new
+      (27L, nearCopy))                  // batch: cos ≈ .994 with 1 → dup
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet("/tmp/graft_test_incemb/embeddings.parquet")
+    val out = Similarity.incrementalEmbeddingDedup(spark, "/tmp/graft_test_incemb")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_dup_candidates"), Option(r.getAs[Any]("dup_of")), r.getAs[Boolean]("is_new"))))
+      .toMap
+    assert(out.keySet == Set(7L, 17L, 27L), "one verdict per batch vector")
+    assert(out(7L) == ((1L, Some(1L), false)), "exact copy duplicates corpus vec 1")
+    assert(out(27L) == ((1L, Some(1L), false)), "near copy lands in vec 1's bucket and clears τ")
+    assert(out(17L) == ((0L, None, true)), "orthogonal batch vector is new")
+  }
+
   test("simhash: near-identical docs get close signatures (small hamming distance)") {
     val s = spark; import s.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")

@@ -514,6 +514,21 @@ class PlanSpec extends SparkSuite {
       s"the frequency join must stay keyed on the segment:\n$p")
   }
 
+  test("q192 incremental embedding dedup: batch broadcasts into one hashed corpus pass") {
+    val p = plan("q192_incremental_embedding_dedup")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the small batch side must broadcast on the bucket key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join on the bucket:\n$p")
+  }
+
+  test("q193 audio decode: partition-parallel projection — no join, one exchange (the sort)") {
+    val p = plan("q193_audio_decode")
+    assert(!p.contains("Join"), s"decode is per-row work, no join belongs here:\n$p")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"only the output sort may shuffle, got $exchanges:\n$p")
+  }
+
   // ------------------------------------------------------------------
   // AQE-ON executed-plan pins. The static pins above prove planner INTENT
   // with AQE disabled (pre-execution explain under AQE hides reuse); Bench
