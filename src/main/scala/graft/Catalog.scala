@@ -3015,6 +3015,26 @@ object Catalog {
         |  CAST(MAX(abs(smp)) AS BIGINT) AS peak
         |FROM s GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin),
 
+    // ANALYZE-style per-column stats (non-null count, exact NDV, min/max) in
+    // ONE pass over orders — multiple COUNT(DISTINCT) plan through Expand.
+    q("q194_column_stats", RelOps.columnStats,
+      """WITH s AS (SELECT COUNT(*) AS n_rows,
+        |  COUNT(o_orderstatus) AS nn1, COUNT(DISTINCT o_orderstatus) AS ndv1,
+        |  CAST(MIN(o_orderstatus) AS VARCHAR) AS mn1, CAST(MAX(o_orderstatus) AS VARCHAR) AS mx1,
+        |  COUNT(o_orderpriority) AS nn2, COUNT(DISTINCT o_orderpriority) AS ndv2,
+        |  CAST(MIN(o_orderpriority) AS VARCHAR) AS mn2, CAST(MAX(o_orderpriority) AS VARCHAR) AS mx2,
+        |  COUNT(o_custkey) AS nn3, COUNT(DISTINCT o_custkey) AS ndv3,
+        |  CAST(MIN(o_custkey) AS VARCHAR) AS mn3, CAST(MAX(o_custkey) AS VARCHAR) AS mx3,
+        |  COUNT(o_orderkey) AS nn4, COUNT(DISTINCT o_orderkey) AS ndv4,
+        |  CAST(MIN(o_orderkey) AS VARCHAR) AS mn4, CAST(MAX(o_orderkey) AS VARCHAR) AS mx4
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_orderstatus' AS column_name, n_rows, n_rows - nn1 AS n_nulls, ndv1 AS ndv, mn1 AS min_val, mx1 AS max_val FROM s
+        |  UNION ALL SELECT 'o_orderpriority', n_rows, n_rows - nn2, ndv2, mn2, mx2 FROM s
+        |  UNION ALL SELECT 'o_custkey', n_rows, n_rows - nn3, ndv3, mn3, mx3 FROM s
+        |  UNION ALL SELECT 'o_orderkey', n_rows, n_rows - nn4, ndv4, mn4, mx4 FROM s)
+        |ORDER BY column_name""".stripMargin),
+
     // C4-style rewrite: drop every 10-token segment that occurs verbatim in
     // >= 2 documents, reassemble each doc's surviving segments in order.
     q("q191_dedup_rewrite", (s, d) => ext.Dedup.segmentDedupRewrite(s, d),

@@ -784,4 +784,31 @@ object RelOps {
         min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("v"))).as("p90_v"))
       .select(col("g"), col("n").as("n_rows"), col("median_v"), col("p90_v"))
   }
+
+  /** q194: ANALYZE-style table statistics — per column: non-null count, exact
+    * NDV, and natural-ordered min/max (stringified at the boundary) — the
+    * stats a cost-based optimizer actually feeds on, computed in ONE pass
+    * over the table. Multiple COUNT(DISTINCT) in one aggregate plan through
+    * Spark's Expand (one scan, k-way row expansion, map-side partial
+    * aggregation) rather than k scans; at 100 TB that is the difference
+    * between one table read and one per column. The wide 1-row aggregate is
+    * unpivoted driver-side via stack — 4·k scalar columns, no data motion. */
+  def columnStats(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      countDistinct(col(c)).as(s"${c}__ndv"),
+      min(col(c)).cast("string").as(s"${c}__mn"),
+      max(col(c)).cast("string").as(s"${c}__mx")) }
+    val wide = Tables.orders(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map { c =>
+      s"'$c', ${c}__nn, ${c}__ndv, ${c}__mn, ${c}__mx"
+    }.mkString(s"stack(${cols.size}, ", ", ", ")")
+    wide.select(col("n_rows"),
+        expr(s"$stackExpr AS (column_name, nn, ndv, min_val, max_val)"))
+      .select(col("column_name"), col("n_rows"),
+        (col("n_rows") - col("nn")).as("n_nulls"),
+        col("ndv"), col("min_val"), col("max_val"))
+      .orderBy("column_name")
+  }
 }

@@ -529,6 +529,14 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 1, s"only the output sort may shuffle, got $exchanges:\n$p")
   }
 
+  test("q194 column stats: all four NDVs share ONE scan via Expand (never k scans)") {
+    val p = plan("q194_column_stats")
+    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"multi-column ANALYZE must read the table once, found $scans:\n$p")
+    assert(p.contains("Expand"),
+      s"multiple COUNT(DISTINCT) must plan through Expand on the single scan:\n$p")
+  }
+
   // ------------------------------------------------------------------
   // AQE-ON executed-plan pins. The static pins above prove planner INTENT
   // with AQE disabled (pre-execution explain under AQE hides reuse); Bench
