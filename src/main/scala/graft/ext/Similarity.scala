@@ -207,8 +207,20 @@ object Similarity {
   /** The projection pass itself (the index BUILD — one corpus scan, pure
     * codegen'd projection, no shuffle). */
   private def lshProjectionsCompute(spark: SparkSession, dir: String,
-      nPlanes: Int, dim: Int): DataFrame = {
-    val base = vecs(spark, dir)
+      nPlanes: Int, dim: Int): DataFrame =
+    bucketizeVectors(Tables.embeddings(spark, dir), nPlanes, dim)
+
+  /** Bucketize ANY (vec_id, embedding: array<float>) frame with the SHARED
+    * plane literals — the index-build projection exposed on its own, because
+    * a streaming ingest (StreamsSpec) must hash an arriving micro-batch with
+    * exactly the planes the at-rest index was built with, or its candidate
+    * join is garbage. Output: vec_id, v (double), nrm, prj, bucket. */
+  def bucketizeVectors(df: DataFrame, nPlanes: Int = 8,
+      dim: Int = DefaultDim): DataFrame = {
+    VectorExpressions.register(df.sparkSession)
+    val base = df
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
     val prjArr = (0 until nPlanes).map { p =>
       s"aggregate(zip_with(v, ${planeLiteral(p, dim)}, (x, s) -> x * s), " +
         "CAST(0 AS DOUBLE), (a, x) -> a + x)"
@@ -526,11 +538,21 @@ object Similarity {
       threshold: Double = 0.4, mod: Int = 10, rem: Int = 7): DataFrame = {
     val all = lshBuckets(spark, dir)
     val isBatch = col("vec_id") % mod === rem
-    val batch = all.filter(isBatch)
+    dedupVerdicts(all.filter(isBatch), all.filter(!isBatch), threshold)
+  }
+
+  /** [[incrementalEmbeddingDedup]]'s verdict join over any two bucketed
+    * frames with (vec_id, v, nrm, bucket) — also the per-micro-batch body of
+    * the STREAMING ingest form (StreamsSpec wires it inside foreachBatch
+    * against a growing at-rest index). Batch side broadcasts; one hashed
+    * corpus pass. */
+  def dedupVerdicts(arriving: DataFrame, corpus: DataFrame,
+      threshold: Double): DataFrame = {
+    val batch = arriving
       .select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
-    val corpus = all.filter(!isBatch)
+    val indexed = corpus
       .select(col("bucket"), col("vec_id").as("c_id"), col("v").as("nv"), col("nrm").as("nn"))
-    val hits = broadcast(batch).join(corpus, Seq("bucket"))
+    val hits = broadcast(batch).join(indexed, Seq("bucket"))
       .withColumn("cos", expr(dotExpr) / (col("qn") * col("nn")))
       .filter(col("cos") >= threshold)
       .groupBy(col("vec_id"))

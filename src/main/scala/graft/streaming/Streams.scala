@@ -281,6 +281,58 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Schema for a streaming vector source (vec_id, embedding). */
+  val vectorSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Streaming vector ingest — the online form of
+    * [[graft.ext.Similarity.incrementalEmbeddingDedup]] (q192). Each arriving
+    * micro-batch is (1) hashed with the SAME plane literals the at-rest index
+    * uses ([[graft.ext.Similarity.bucketizeVectors]] — mismatched planes make
+    * the candidate join garbage), (2) verdict-joined against the index as of
+    * the batch start (n_dup_candidates / dup_of / is_new), and (3) appended
+    * to the index itself, so later waves see earlier waves — dedup-on-ingest:
+    * first writer wins, the second wave is flagged.
+    *
+    * Exactly-once despite foreachBatch's at-least-once contract: both the
+    * index slice and the verdict slice land in a per-batchId subdir with
+    * OVERWRITE, so a replayed batch rewrites its own slice instead of
+    * doubling it (the same idempotence discipline as
+    * [[IncrementalPipeline.upsertUserProfilesAvailableNow]]). Readers union
+    * the slices via recursive lookup. AvailableNow + checkpoint: re-invoking
+    * drains only newly-landed files. */
+  def runVectorIngest(spark: SparkSession, srcDir: String, indexPath: String,
+      verdictPath: String, checkpoint: String, threshold: Double = 0.4): Unit = {
+    val q = spark.readStream.schema(vectorSchema).parquet(srcDir).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val bucketized = graft.ext.Similarity.bucketizeVectors(batch)
+        val root = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = root.getFileSystem(ss.sessionState.newHadoopConf())
+        // corpus = every committed slice EXCEPT this batch's own: a crashed-
+        // and-replayed batch may already have written b$batchId, and judging
+        // the batch against its own first attempt would flag every vector as
+        // a duplicate of itself
+        val slices =
+          if (fs.exists(root))
+            fs.listStatus(root).toSeq.map(_.getPath.toString)
+              .filterNot(_.endsWith(s"/b$batchId"))
+          else Seq.empty[String]
+        val corpus =
+          if (slices.nonEmpty) ss.read.parquet(slices: _*)
+          else bucketized.filter(lit(false))
+        graft.ext.Similarity.dedupVerdicts(bucketized, corpus, threshold)
+          .write.mode("overwrite").parquet(s"$verdictPath/b$batchId")
+        bucketized.write.mode("overwrite").parquet(s"$indexPath/b$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain a streaming DF into an in-memory table synchronously
     * (Trigger.AvailableNow) — the local test/dev harness for the queries above;
     * a production deployment swaps the sink for parquet/Kafka and a

@@ -67,6 +67,36 @@ class StreamsSpec extends SparkSuite {
     assert(spark.read.parquet(idxDir).count() == batch.size.toLong)
   }
 
+  test("streaming vector ingest: wave verdicts against the growing at-rest bucket index") {
+    val s = spark; import s.implicits._
+    val src = "/tmp/graft_stream_vec_src"; val idx = "/tmp/graft_stream_vec_idx"
+    val ver = "/tmp/graft_stream_vec_ver"; val ckpt = "/tmp/graft_stream_vec_ckpt"
+    Seq(src, idx, ver, ckpt).foreach(rmTree)
+    def basis(i: Int): Array[Float] = Array.tabulate(64)(d => if (d == i) 1.0f else 0.0f)
+    // wave 1: two orthogonal corpus vectors land in an empty index
+    Seq((1L, basis(0)), (2L, basis(2))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(src)
+    Streams.runVectorIngest(spark, src, idx, ver, ckpt)
+    // wave 2: an exact copy of vec 1 plus a brand-new direction
+    Seq((7L, basis(0)), (17L, basis(5))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(src)
+    Streams.runVectorIngest(spark, src, idx, ver, ckpt)
+    def verdicts() = spark.read.option("recursiveFileLookup", "true").parquet(ver)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_dup_candidates"), r.getAs[Boolean]("is_new")))).toMap
+    val out = verdicts()
+    assert(out(1L) == ((0L, true)) && out(2L) == ((0L, true)),
+      "wave 1 is all-new against the empty index")
+    assert(out(7L) == ((1L, false)), "the wave-2 copy is flagged against wave 1's index")
+    assert(out(17L) == ((0L, true)), "a new direction stays new")
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(idx).count() == 4,
+      "the index holds every ingested vector, bucketized")
+    // idempotent drain: no new files → no new verdicts, no index growth
+    Streams.runVectorIngest(spark, src, idx, ver, ckpt)
+    assert(verdicts().size == 4)
+    assert(spark.read.option("recursiveFileLookup", "true").parquet(idx).count() == 4)
+  }
+
   test("streaming debounce: rapid-fire (user, type) repeats collapse to one kept event") {
     import java.sql.Timestamp
     import spark.implicits._
