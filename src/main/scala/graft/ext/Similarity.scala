@@ -580,9 +580,10 @@ object Similarity {
     * seedMod) per JVM — the IVF-training analog of
     * [[graft.ext.Dedup.candidatePairsPath]]'s at-rest cost model. Layout:
     * `q/` quantized vectors, `c0..cN/` per-round centroids, `assign/` the
-    * FINAL (vec_id, cell) assignment, `stats/` the final per-(cell, dim)
+    * FINAL (vec_id, cell, q) assignment (q rides along so pair consumers
+    * never re-join the corpus), `stats/` the final per-(cell, dim)
     * aggregate. q188 reads `stats`; [[semDedupPairs]] (q189) reads
-    * `assign` + `q` — one training run serves both.
+    * `assign` — one training run serves both.
     *
     * Scale shape (the Spark-MLlib KMeans pattern): each round collects the k
     * centroid rows to the driver — bounded by k·dim, INDEPENDENT of corpus
@@ -637,7 +638,11 @@ object Similarity {
           .withColumn("cell", expr(s"array_min($entries).c"))
           .drop("dqq")
         if (k == iters)
-          assigned.select(col("vec_id"), col("cell"))
+          // q rides along so [[semDedupPairs]] reads (vec_id, cell, q)
+          // directly — duplicating the vectors at rest instead of paying a
+          // corpus-wide join back to q/ per consumer (the at-rest trade every
+          // index in this repo makes)
+          assigned.select(col("vec_id"), col("cell"), col("q"))
             .write.mode("overwrite").parquet(s"$p/assign")
         val upd = assigned
           .select(col("cell"), posexplode(col("q")).as(Seq("pos", "comp")))
@@ -685,9 +690,7 @@ object Similarity {
       seedMod: Int = 61, tauNum: Long = 2, tauDen: Long = 5,
       maxCellSize: Long = 0L): DataFrame = {
     val p = kmeansStatePath(spark, dir, iters, seedMod)
-    val members = spark.read.parquet(s"$p/q")
-      .join(spark.read.parquet(s"$p/assign"), Seq("vec_id"))
-    semDedupPairsFrom(members, tauNum, tauDen, maxCellSize)
+    semDedupPairsFrom(spark.read.parquet(s"$p/assign"), tauNum, tauDen, maxCellSize)
   }
 
   /** [[semDedupPairs]]'s pair machinery over any (vec_id, q, cell) frame —
