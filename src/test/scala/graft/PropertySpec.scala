@@ -318,4 +318,56 @@ class PropertySpec extends SparkSuite {
         cands.size <= k
     })
   }
+
+  test("property: semdedup pairs equal brute-force integer cosine within each cell") {
+    val s = spark; import s.implicits._
+    // random quantized vectors in random cells; the engine's within-cell
+    // DECIMAL test must agree with exact BigInt arithmetic on every pair
+    val vecGen = Gen.listOfN(4, Gen.choose(-1024L, 1024L))
+    val rowGen = Gen.zip(Gen.choose(0L, 2L), vecGen)
+    val gen = Gen.listOfN(12, rowGen)
+    check(Prop.forAll(gen) { rows =>
+      rows.nonEmpty ==> {
+        val members = rows.zipWithIndex
+          .map { case ((cell, q), i) => (i.toLong, q.toArray, cell) }
+        val df = members.toDF("vec_id", "q", "cell")
+        val got = graft.ext.Similarity.semDedupPairsFrom(df, 2, 5).collect()
+          .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("drop_id"))).toSet
+        val want = (for {
+          (a, b) <- members.combinations(2).map(l => (l(0), l(1))).toSeq
+            if a._3 == b._3
+          dab = a._2.zip(b._2).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+          daa = a._2.map(x => BigInt(x) * BigInt(x)).sum
+          dbb = b._2.map(x => BigInt(x) * BigInt(x)).sum
+          if dab > 0 && dab * dab * 25 > daa * dbb * 4
+        } yield (math.min(a._1, b._1), math.max(a._1, b._1))).toSet
+        got == want
+      }
+    })
+  }
+
+  test("property: dedup rewrite reassembles exactly the corpus-unique segments, in order") {
+    val s = spark; import s.implicits._
+    // tiny 2-word vocabulary forces heavy cross-doc segment collisions
+    val segGen = Gen.listOfN(10, Gen.oneOf("x", "y")).map(_.mkString(" "))
+    val docGen = Gen.choose(1, 3).flatMap(k => Gen.listOfN(k, segGen))
+    val gen = Gen.listOfN(5, docGen)
+    check(Prop.forAll(gen) { docs =>
+      docs.nonEmpty ==> {
+        val rows = docs.zipWithIndex.map { case (segs, i) =>
+          (i.toLong, segs.mkString(" "), "en", "s", 1L) }
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet("/tmp/graft_prop_rewrite/documents.parquet")
+        val out = graft.ext.Dedup.segmentDedupRewrite(spark, "/tmp/graft_prop_rewrite")
+          .collect().map(r => r.getAs[Long]("doc_id") ->
+            ((r.getAs[Long]("n_dropped"), r.getAs[String]("clean_text")))).toMap
+        val freq = docs.flatten.groupBy(identity).map { case (sg, xs) =>
+          sg -> docs.count(_.contains(sg)) } // distinct docs containing the segment
+        docs.zipWithIndex.forall { case (segs, i) =>
+          val kept = segs.filter(sg => freq(sg) < 2)
+          out(i.toLong) == ((segs.size.toLong - kept.size, kept.mkString(" ")))
+        }
+      }
+    })
+  }
 }
