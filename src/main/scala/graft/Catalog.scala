@@ -3035,6 +3035,25 @@ object Catalog {
         |  UNION ALL SELECT 'o_orderkey', n_rows, n_rows - nn4, ndv4, mn4, mx4 FROM s)
         |ORDER BY column_name""".stripMargin),
 
+    // Incremental cluster maintenance: wave pairs (touching doc_id % 10 = 7)
+    // folded into at-rest base labels with a bounded subgraph recompute. The
+    // oracle is deliberately q62's full-graph transitive closure — the whole
+    // point is that the incremental path returns the IDENTICAL answer.
+    q("q195_incremental_clusters", (s, d) => ext.Dedup.incrementalClusters(s, d),
+      s"""WITH RECURSIVE $bandsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |         GROUP BY doc_a, doc_b),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |          UNION SELECT doc_b, doc_a FROM cand),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+
     // C4-style rewrite: drop every 10-token segment that occurs verbatim in
     // >= 2 documents, reassemble each doc's surviving segments in order.
     q("q191_dedup_rewrite", (s, d) => ext.Dedup.segmentDedupRewrite(s, d),

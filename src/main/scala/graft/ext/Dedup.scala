@@ -696,10 +696,21 @@ object Dedup {
     *   degenerate-band cap. 0 (default) keeps every bucket, matching the
     *   exhaustive oracle. */
   def duplicateClusters(spark: SparkSession, dir: String, maxIters: Int = 10,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = 0): DataFrame =
+    clustersFromPairs(spark,
+      spark.read.parquet(candidatePairsPath(spark, dir, maxBucketSize))
+        .select(col("doc_a"), col("doc_b")),
+      maxIters)
+
+  /** [[duplicateClusters]]'s connected-components core over ANY (doc_a,
+    * doc_b) pair frame — factored out so the INCREMENTAL maintenance path
+    * ([[incrementalClusters]]) can run it on a bounded subgraph, and so
+    * fixtures can drive it directly. Same protocol: pointer-jumping
+    * min-label propagation, per-round parquet materialization, observed
+    * label-sum convergence confirmed on committed snapshots, fail-loud. */
+  def clustersFromPairs(spark: SparkSession, pairs: DataFrame,
+      maxIters: Int = 10): DataFrame = {
     val tmp = Scratch.dir("graft_cc")
-    val pairs = spark.read.parquet(candidatePairsPath(spark, dir, maxBucketSize))
-      .select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
@@ -785,6 +796,63 @@ object Dedup {
     Scratch.delete(s"$tmp/pairs")
     (0 until i).foreach(j => Scratch.delete(s"$tmp/labels$j"))
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** q195: INCREMENTAL cluster maintenance — a just-ingested wave's candidate
+    * pairs (those touching doc_id % mod == rem) folded into the EXISTING
+    * at-rest cluster labels with a BOUNDED recompute, never full-graph CC:
+    *
+    *  1. base labels = [[clustersFromPairs]] over corpus-only pairs (both
+    *     endpoints outside the wave) — the at-rest state, built once per key;
+    *  2. affected components = base labels of any corpus node a batch pair
+    *     touches (the affected-label set is batch-bounded → broadcast);
+    *  3. recompute subgraph = batch pairs + corpus pairs INSIDE affected
+    *     components. Base components are closed under corpus edges, so one
+    *     endpoint semi-join selects exactly the in-component edges;
+    *  4. CC on the subgraph; every untouched component's labels pass through
+    *     unchanged (anti-join).
+    *
+    * The output EQUALS full-graph CC (the oracle runs the same transitive
+    * closure as q62 over ALL pairs): a batch pair gluing two base components
+    * pulls both into the subgraph, pure-batch nodes enter via their pairs,
+    * and min-id labels of untouched components cannot change. At 100 TB this
+    * is the difference between re-clustering the corpus per ingest wave and
+    * recomputing only the components the wave touches. */
+  def incrementalClusters(spark: SparkSession, dir: String, mod: Int = 10,
+      rem: Int = 7, maxIters: Int = 10): DataFrame =
+    incrementalClustersFrom(spark,
+      spark.read.parquet(candidatePairsPath(spark, dir))
+        .select(col("doc_a"), col("doc_b")),
+      s"graft_ccbase_${graft.engine.Fs.dirTag(dir)}_m${mod}r$rem",
+      mod, rem, maxIters)
+
+  /** [[incrementalClusters]]'s machinery over any pair frame — also the
+    * hand-fixture surface. `cacheKey` keys the at-rest base labels
+    * (buildOnce); fixtures pass a unique key per planted graph. */
+  def incrementalClustersFrom(spark: SparkSession, all: DataFrame,
+      cacheKey: String, mod: Int, rem: Int, maxIters: Int): DataFrame = {
+    val isBatchPair = (col("doc_a") % mod === rem) || (col("doc_b") % mod === rem)
+    val corpusPairs = all.filter(!isBatchPair)
+    val batchPairs = all.filter(isBatchPair)
+    val basePath = graft.engine.Fs.buildOnce(
+      cacheKey, spark.sessionState.newHadoopConf()) { p =>
+      clustersFromPairs(spark, corpusPairs, maxIters)
+        .write.mode("overwrite").parquet(p)
+    }
+    val base = spark.read.parquet(basePath)
+    val touched = batchPairs.select(col("doc_a").as("doc_id"))
+      .union(batchPairs.select(col("doc_b").as("doc_id"))).distinct()
+    val affected = base.join(touched, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val affectedNodes = base.join(broadcast(affected), Seq("cluster_id"), "left_semi")
+      .select(col("doc_id"))
+    val subCorpus = corpusPairs.join(
+      affectedNodes.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+    val recomputed = clustersFromPairs(
+      spark, subCorpus.unionAll(batchPairs), maxIters)
+    base.join(affectedNodes, Seq("doc_id"), "left_anti")
+      .unionAll(recomputed.select(col("doc_id"), col("cluster_id")))
       .orderBy("doc_id")
   }
 

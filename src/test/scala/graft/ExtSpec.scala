@@ -834,6 +834,22 @@ class ExtSpec extends SparkSuite {
       "3 probe buckets recover at least what the single bucket did")
   }
 
+  test("incremental clusters: a wave gluing two components recomputes only them") {
+    val s = spark; import s.implicits._
+    // corpus components {1,2}, {3,4}, {5,6}; wave doc 7 glues the first two
+    val all = Seq((1L, 2L), (3L, 4L), (5L, 6L), (2L, 7L), (7L, 3L))
+      .toDF("doc_a", "doc_b")
+    val inc = Dedup.incrementalClustersFrom(spark, all,
+        s"graft_test_ccinc_${System.nanoTime()}", 10, 7, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 1L,
+      5L -> 5L, 6L -> 5L), "glued components take the global min label; {5,6} untouched")
+    // the core claim: incremental == full-graph CC on the same pair frame
+    val full = Dedup.clustersFromPairs(spark, all)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full)
+  }
+
   test("kmeans rounds: two hand clusters, floor means and cell sizes on paper") {
     val s = spark; import s.implicits._
     // all components exact binary fractions → floor(v·1024) quantizes with no
