@@ -485,6 +485,27 @@ object Catalog {
        |${kmAssign("c1", "a2")},
        |${kmUpdate("a2", "u2")}""".stripMargin
 
+  /** DuckDB BPE round (mirrors TextStats.bpeMerges): weighted adjacent-pair
+    * count over the spaced dictionary, argmax with (freq DESC, pair) order,
+    * dictionary rewrite by literal replace. */
+  private def bpeRound(prev: String, k: Int): String =
+    s"""p$k AS (SELECT t.pair, CAST(SUM(cnt) AS BIGINT) AS freq
+       |       FROM (SELECT string_split(sp, ' ') AS syms, cnt FROM $prev) s,
+       |            LATERAL (SELECT unnest(list_transform(range(1, len(syms)), i ->
+       |              syms[i] || ' ' || syms[i+1])) AS pair) t
+       |       GROUP BY t.pair),
+       |b$k AS (SELECT pair, freq FROM p$k ORDER BY freq DESC, pair LIMIT 1),
+       |w$k AS (SELECT replace(sp, b$k.pair, replace(b$k.pair, ' ', '')) AS sp, cnt
+       |        FROM $prev, b$k)""".stripMargin
+
+  private val bpeCte: String =
+    s"""v AS (SELECT w, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE len(w) > 0 GROUP BY w),
+       |w0 AS (SELECT array_to_string(string_split(w, ''), ' ') AS sp, cnt FROM v),
+       |${bpeRound("w0", 1)},
+       |${bpeRound("w1", 2)},
+       |${bpeRound("w2", 3)}""".stripMargin
+
   /** DuckDB per-plane projection (mirrors Similarity.lshProjections — the
     * signed sum BEFORE the sign is taken, which multi-probe needs). */
   private def lshProjSql(p: Int): String =
@@ -3053,6 +3074,17 @@ object Catalog {
          |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
          |SELECT id AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+
+    // Iterated BPE merge training: 3 rounds over the word-frequency
+    // dictionary — weighted pair counts, lexicographic-tie argmax, literal
+    // "x y" -> "xy" dictionary rewrite; merged symbols feed later rounds.
+    q("q196_bpe_merges", (s, d) => ext.TextStats.bpeMerges(s, d),
+      s"""WITH $bpeCte
+         |SELECT * FROM (
+         |  SELECT 1 AS merge_idx, pair, freq FROM b1
+         |  UNION ALL SELECT 2, pair, freq FROM b2
+         |  UNION ALL SELECT 3, pair, freq FROM b3)
+         |ORDER BY merge_idx""".stripMargin),
 
     // C4-style rewrite: drop every 10-token segment that occurs verbatim in
     // >= 2 documents, reassemble each doc's surviving segments in order.

@@ -1260,4 +1260,69 @@ object TextStats {
         expr(s"CAST(cnt * 1000000 div ${n}L AS BIGINT)").as("freq_ppm"))
       .orderBy("term")
   }
+
+  /** q196: ITERATED BPE merge training (Sennrich et al., ACL 2016) — the
+    * corpus-level tokenizer-training loop q126's single pair count only
+    * previews. Classic BPE over the word-frequency dictionary: each word
+    * type becomes its space-separated symbol sequence, every round counts
+    * adjacent symbol pairs weighted by word count, picks the most frequent
+    * (ties → lexicographically smallest pair, identical in both engines),
+    * and REWRITES the dictionary by the literal replace "x y" → "xy" —
+    * merged symbols then participate in later rounds' pairs, which is what
+    * makes BPE BPE. Output: one row per merge (merge_idx, pair, freq).
+    *
+    * Cross-engine exactness: symbols are plain strings, counts are integers,
+    * and literal left-to-right non-overlapping replace behaves identically
+    * in Spark and DuckDB — no floats anywhere. Scale shape: the dictionary
+    * is |word types| rows (corpus-size-independent after the one word-count
+    * aggregate); each round is one map-side-combinable pair count + a 1-row
+    * driver argmax seed (the A1 pattern) + one projection rewrite,
+    * materialized per round ([[graft.engine.Fs.overwriteVersioned]]) so
+    * round k never re-derives rounds 1..k−1. */
+  def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.Row
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    graft.engine.Fs.overwriteVersioned("graft_bpe") { p =>
+      Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .select(array_join(split(col("w"), ""), " ").as("sp"), col("cnt"))
+        .write.mode("overwrite").parquet(s"$p/w0")
+      var k = 1
+      var exhausted = false
+      while (k <= rounds && !exhausted) {
+        val dict = spark.read.parquet(s"$p/w${k - 1}")
+        val best: Array[Row] = dict
+          .select(col("cnt"), split(col("sp"), " ").as("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("cnt"), explode(expr(
+            // sequence() would DESCEND for 1-symbol rows; the filter above
+            // guarantees size-1 never reaches it
+            """transform(sequence(1, size(syms) - 1),
+              |  i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))""".stripMargin))
+            .as("pair"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("freq"))
+          .orderBy(col("freq").desc, col("pair").asc)
+          .limit(1).collect() // 1-row driver argmax seed per round
+        if (best.isEmpty) {
+          // every word is a single symbol: no pairs left — stop early, the
+          // oracle's empty b_k CTE contributes no row either
+          exhausted = true
+        } else {
+          val pair = best(0).getString(0)
+          merges += ((k, pair, best(0).getLong(1)))
+          dict.select(
+              replace(col("sp"), lit(pair), lit(pair.replace(" ", ""))).as("sp"),
+              col("cnt"))
+            .write.mode("overwrite").parquet(s"$p/w$k")
+        }
+        k += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_idx", "pair", "freq")
+      .select(col("merge_idx").cast("int").as("merge_idx"), col("pair"), col("freq"))
+      .orderBy("merge_idx")
+  }
 }

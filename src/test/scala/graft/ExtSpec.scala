@@ -850,6 +850,19 @@ class ExtSpec extends SparkSuite {
     assert(inc == full)
   }
 
+  test("bpe merges: merged symbol feeds later rounds; pair exhaustion stops early") {
+    val s = spark; import s.implicits._
+    // vocab: aab×2, ab×1, b×1 → round 1 pairs: "a a"=2, "a b"=3 → merge "a b";
+    // round 2: "a ab"=2 (the MERGED symbol forms the new pair) → merge it;
+    // round 3: no pairs remain → 2 rows out of rounds=3
+    Seq((0L, "aab aab ab b", "en", "s", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_bpe/documents.parquet")
+    val out = TextStats.bpeMerges(spark, "/tmp/graft_test_bpe").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, "a b", 3L), (2, "a ab", 2L)))
+  }
+
   test("kmeans rounds: two hand clusters, floor means and cell sizes on paper") {
     val s = spark; import s.implicits._
     // all components exact binary fractions → floor(v·1024) quantizes with no
