@@ -3086,6 +3086,27 @@ object Catalog {
          |  UNION ALL SELECT 3, pair, freq FROM b3)
          |ORDER BY merge_idx""".stripMargin),
 
+    // Preference-pair construction (DPO data prep): per source, the best-
+    // vs worst-scoring doc by deterministic stopword-density ppm, via one
+    // aggregate of lexicographic (score, doc_id) struct extrema — no window.
+    q("q197_preference_pairs", (s, d) => ext.TextStats.preferencePairs(s, d),
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+         |sc AS (SELECT doc_id, source,
+         |         CAST(len(list_filter(words, w -> w IN $stop9)) AS BIGINT) * 1000000
+         |           // CAST(len(words) AS BIGINT) AS score_ppm
+         |       FROM d WHERE len(words) > 0),
+         |ch AS (SELECT source, doc_id AS chosen_id, score_ppm AS chosen_score_ppm,
+         |         row_number() OVER (PARTITION BY source ORDER BY score_ppm DESC, doc_id) AS rn FROM sc),
+         |rj AS (SELECT source, doc_id AS rejected_id, score_ppm AS rejected_score_ppm,
+         |         row_number() OVER (PARTITION BY source ORDER BY score_ppm, doc_id) AS rn FROM sc),
+         |n AS (SELECT source, COUNT(*) AS n_docs FROM sc GROUP BY source)
+         |SELECT n.source, n_docs, chosen_id, chosen_score_ppm, rejected_id, rejected_score_ppm,
+         |  chosen_score_ppm - rejected_score_ppm AS margin_ppm
+         |FROM n
+         |JOIN (SELECT * FROM ch WHERE rn = 1) c ON c.source = n.source
+         |JOIN (SELECT * FROM rj WHERE rn = 1) r ON r.source = n.source
+         |ORDER BY n.source""".stripMargin),
+
     // C4-style rewrite: drop every 10-token segment that occurs verbatim in
     // >= 2 documents, reassemble each doc's surviving segments in order.
     q("q191_dedup_rewrite", (s, d) => ext.Dedup.segmentDedupRewrite(s, d),

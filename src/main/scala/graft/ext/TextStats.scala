@@ -1261,6 +1261,35 @@ object TextStats {
       .orderBy("term")
   }
 
+  /** q197: preference-PAIR construction (the DPO/RLHF data-prep shape): per
+    * source, the highest-scoring document as `chosen` against the
+    * lowest-scoring as `rejected`, with the score margin. The score here is
+    * the deterministic stopword-density ppm (a stand-in for any per-doc
+    * scalar scorer — swap the score column, keep the pairing machinery).
+    * Shape: ONE aggregate per group — chosen and rejected are lexicographic
+    * min/max over (score, doc_id) structs (ties → lowest doc_id on both
+    * sides), so there is no per-group window, no second scan, and the
+    * shuffle is map-side combinable. */
+  def preferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), col("source"),
+        size(col("words")).cast("long").as("n_tokens"),
+        size(expr(s"filter(words, w -> w IN $stopWordsSqlSet)")).cast("long").as("n_stop"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("score_ppm", expr("n_stop * 1000000 div n_tokens"))
+    scored.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(struct((-col("score_ppm")).as("ns"), col("doc_id").as("id"))).as("c"),
+        min(struct(col("score_ppm").as("s"), col("doc_id").as("id"))).as("r"))
+      .select(col("source"), col("n_docs"),
+        col("c.id").as("chosen_id"), (-col("c.ns")).as("chosen_score_ppm"),
+        col("r.id").as("rejected_id"), col("r.s").as("rejected_score_ppm"),
+        (-col("c.ns") - col("r.s")).as("margin_ppm"))
+      .orderBy("source")
+  }
+
   /** q196: ITERATED BPE merge training (Sennrich et al., ACL 2016) — the
     * corpus-level tokenizer-training loop q126's single pair count only
     * previews. Classic BPE over the word-frequency dictionary: each word

@@ -850,6 +850,25 @@ class ExtSpec extends SparkSuite {
     assert(inc == full)
   }
 
+  test("preference pairs: chosen/rejected extremes with lowest-id tie-break") {
+    val s = spark; import s.implicits._
+    // "the" is a stopword; scores: doc0 = 1/2, doc1 = 0/2, doc2 = 1/2 (tie
+    // with doc0 → chosen is the LOWER id), doc3 alone in source t
+    Seq(
+      (0L, "the cat", "en", "s", 7L), (1L, "big cat", "en", "s", 7L),
+      (2L, "the dog", "en", "s", 7L), (3L, "the owl", "en", "t", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_pref/documents.parquet")
+    val out = TextStats.preferencePairs(spark, "/tmp/graft_test_pref").collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"),
+          r.getAs[Long]("margin_ppm")))).toMap
+    assert(out("s") == ((3L, 0L, 1L, 500000L)),
+      "tied top scores pick the lower doc_id; margin = 500000 ppm")
+    assert(out("t") == ((1L, 3L, 3L, 0L)),
+      "a single-doc source pairs with itself at zero margin")
+  }
+
   test("bpe merges: merged symbol feeds later rounds; pair exhaustion stops early") {
     val s = spark; import s.implicits._
     // vocab: aab×2, ab×1, b×1 → round 1 pairs: "a a"=2, "a b"=3 → merge "a b";
