@@ -3107,6 +3107,22 @@ object Catalog {
          |JOIN (SELECT * FROM rj WHERE rn = 1) r ON r.source = n.source
          |ORDER BY n.source""".stripMargin),
 
+    // SimHash Hamming-ball pairs via pigeonhole banding: distance <= 3 over
+    // 4 bands means >= 1 band matches exactly — equi-join candidates, exact
+    // XOR-popcount verification, zero false negatives.
+    q("q198_simhash_hamming", (s, d) => ext.Dedup.simhashHammingPairs(s, d),
+      s"""WITH $simhashCte,
+         |bands AS (SELECT doc_id, simhash16, CAST(t.b AS INT) AS bidx,
+         |            (simhash16 >> (4 * CAST(t.b AS INT))) & 15 AS bval
+         |          FROM simh, LATERAL (SELECT unnest(range(0, 4)) AS b) t),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |           a.simhash16 AS sa, b.simhash16 AS sb
+         |         FROM bands a JOIN bands b
+         |           ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
     // C4-style rewrite: drop every 10-token segment that occurs verbatim in
     // >= 2 documents, reassemble each doc's surviving segments in order.
     q("q191_dedup_rewrite", (s, d) => ext.Dedup.segmentDedupRewrite(s, d),

@@ -179,6 +179,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q198: SimHash Hamming-ball pair search via PIGEONHOLE banding (Manku,
+    * Jarvelin & Sarma, WWW 2007): all pairs within Hamming distance ≤
+    * `maxDist` of each other's [[simhash]] signature. The 16-bit signature
+    * splits into 4 bands of 4 bits; distance ≤ 3 < 4 flips cannot touch
+    * every band, so two near signatures MUST agree exactly on ≥ 1 band —
+    * candidates are an equi-join on (band_idx, band_value), never all-pairs,
+    * with zero false negatives by the pigeonhole argument; the exact popcount
+    * of the XOR verifies each candidate.
+    *
+    * Scale note: the per-band value space here is 2^4 (the 16-bit fixture
+    * signature q30 defines); a production 64-bit SimHash uses 4 × 16-bit
+    * bands (2^16 values per band), which is what keeps band buckets small at
+    * corpus scale. `maxBandBucket` is the same degenerate-bucket guard as
+    * the MinHash/embedding paths: a band value the corpus piles onto is
+    * dropped from candidate generation rather than joined n² (0 = keep all,
+    * matching the exhaustive oracle). */
+  def simhashHammingPairs(spark: SparkSession, dir: String, maxDist: Int = 3,
+      maxBandBucket: Long = 0L): DataFrame = {
+    val bands = simhash(spark, dir)
+      .select(col("doc_id"), col("simhash16"),
+        explode(expr(
+          """transform(sequence(0, 3), b ->
+            |  named_struct('bidx', b, 'bval', shiftright(simhash16, b * 4) & 15))""".stripMargin))
+          .as("band"))
+      .select(col("doc_id"), col("simhash16"),
+        col("band.bidx").as("bidx"), col("band.bval").as("bval"))
+    val kept =
+      if (maxBandBucket <= 0) bands
+      else bands.join(
+        broadcast(bands.groupBy(col("bidx"), col("bval"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") <= maxBandBucket)
+          .select(col("bidx"), col("bval"))),
+        Seq("bidx", "bval"), "left_semi")
+    kept.select(col("bidx"), col("bval"),
+        col("doc_id").as("doc_a"), col("simhash16").as("sig_a"))
+      .join(kept.select(col("bidx"), col("bval"),
+          col("doc_id").as("doc_b"), col("simhash16").as("sig_b")),
+        Seq("bidx", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct() // a pair may agree on several bands
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** n-gram (3-word shingle) Jaccard similarity on a fixed consecutive-id pair
     * grid — a deterministic, oracle-checkable demo of the pairwise-Jaccard
     * primitive. The production composition (LSH candidates → Jaccard) is

@@ -850,6 +850,23 @@ class ExtSpec extends SparkSuite {
     assert(inc == full)
   }
 
+  test("simhash hamming pairs: banding equals brute-force popcount (zero false negatives)") {
+    val sigs = Dedup.simhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b
+      h = Integer.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    val banded = Dedup.simhashHammingPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute, "pigeonhole banding must find exactly the brute-force ball")
+    val capped = Dedup.simhashHammingPairs(spark, dir, maxBandBucket = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped.subsetOf(brute) && capped.size < brute.size,
+      "the degenerate-band cap only removes candidates, never invents them")
+  }
+
   test("preference pairs: chosen/rejected extremes with lowest-id tie-break") {
     val s = spark; import s.implicits._
     // "the" is a stopword; scores: doc0 = 1/2, doc1 = 0/2, doc2 = 1/2 (tie
