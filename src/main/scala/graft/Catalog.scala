@@ -3123,6 +3123,15 @@ object Catalog {
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // Schema-evolution roundtrip: two writer generations (one without the
+    // source column) in one dataset dir, read back under mergeSchema; gen-1
+    // rows surface a NULL source the rollup counts around.
+    q("q199_schema_evolution", engine.Bronze.schemaEvolutionRoundtrip,
+      """SELECT lang, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_source,
+        |  COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN source END) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
     // C4-style rewrite: drop every 10-token segment that occurs verbatim in
     // >= 2 documents, reassemble each doc's surviving segments in order.
     q("q191_dedup_rewrite", (s, d) => ext.Dedup.segmentDedupRewrite(s, d),

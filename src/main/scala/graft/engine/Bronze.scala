@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
 
 /** Bronze layer: ingestion. The reference reads each CSV with `inferSchema=true`
   * and overwrites a Postgres table per source, tearing the session down between
@@ -35,6 +36,40 @@ object Bronze {
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** q199: SCHEMA-EVOLUTION roundtrip — the daily 100 TB reality that a
+    * table's writers gain columns over time. Two generations of the
+    * documents table land in ONE dataset dir: generation 1 (even doc ids)
+    * without `source`, generation 2 (odd ids) with it; the read uses
+    * `mergeSchema` so the union schema resolves and gen-1 rows surface a
+    * NULL source. The rollup proves the merged read end-to-end: per lang,
+    * total rows vs rows that actually carry a source, and the distinct
+    * source count (NULL-excluded by COUNT semantics in both engines). The
+    * dataset builds once per source dir ([[graft.engine.Fs.buildOnce]]) —
+    * bench loops reread, never rewrite. */
+  def schemaEvolutionRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val p = Fs.buildOnce(
+      s"graft_schevo_${Fs.dirTag(dir)}",
+      spark.sessionState.newHadoopConf()) { root =>
+      val docs = Tables.documents(spark, dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("append").parquet(s"$root/data")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .write.mode("append").parquet(s"$root/data")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
+    }
+    spark.read.option("mergeSchema", "true").parquet(s"$p/data")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("source")).as("n_with_source"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
   }
 
   /** ORC sink + source roundtrip (q108): the customer dim written as ORC and
