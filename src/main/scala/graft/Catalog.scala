@@ -3132,6 +3132,40 @@ object Catalog {
         |  COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN source END) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
 
+    // Per-source release gate: quality pass rate + English share + duplicate-
+    // segment rate composed into one pass/fail datasheet row per source.
+    q("q200_release_gate", (s, d) => ext.TextStats.releaseGate(s, d),
+      s"""WITH d AS (SELECT doc_id, source, lang, text, string_split(text, ' ') AS words FROM documents),
+         |b AS (SELECT doc_id, source,
+         |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+         |        CASE WHEN length(text) >= 100 AND length(text) <= 20000
+         |              AND len(words) >= 20
+         |              AND len(list_filter(words, w -> w IN $stop9)) > 0 THEN 1 ELSE 0 END AS passes
+         |      FROM d),
+         |ps AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(is_en) AS BIGINT) AS n_en,
+         |         CAST(SUM(passes) AS BIGINT) AS n_pass FROM b GROUP BY source),
+         |dw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         |       WHERE len(string_split(text, ' ')) >= 10),
+         |segs AS (SELECT doc_id,
+         |    unnest(list_transform(range(0, len(words) // 10),
+         |      i -> array_to_string(words[(i*10+1):(i*10+10)], ' '))) AS seg
+         |  FROM dw),
+         |freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY seg),
+         |perdoc AS (SELECT doc_id, COUNT(*) AS n_segments,
+         |             CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |           FROM segs JOIN freq USING (seg) GROUP BY doc_id),
+         |ds AS (SELECT dd.source, CAST(SUM(p.n_segments) AS BIGINT) AS n_segments,
+         |         CAST(SUM(p.n_dup) AS BIGINT) AS n_dup
+         |       FROM perdoc p JOIN documents dd USING (doc_id) GROUP BY dd.source)
+         |SELECT ps.source, n_docs,
+         |  n_en * 1000000 // n_docs AS en_ppm,
+         |  n_pass * 1000000 // n_docs AS pass_ppm,
+         |  CAST(COALESCE(n_dup * 1000000 // n_segments, 0) AS BIGINT) AS dup_ppm,
+         |  (n_pass * 1000000 // n_docs) >= 500000
+         |    AND CAST(COALESCE(n_dup * 1000000 // n_segments, 0) AS BIGINT) <= 250000 AS release_ok
+         |FROM ps LEFT JOIN ds ON ds.source = ps.source
+         |ORDER BY ps.source""".stripMargin),
+
     // C4-style rewrite: drop every 10-token segment that occurs verbatim in
     // >= 2 documents, reassemble each doc's surviving segments in order.
     q("q191_dedup_rewrite", (s, d) => ext.Dedup.segmentDedupRewrite(s, d),

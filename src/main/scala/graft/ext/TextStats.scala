@@ -1261,6 +1261,48 @@ object TextStats {
       .orderBy("term")
   }
 
+  /** q200: per-source RELEASE GATE — the datasheet verdict a training-data
+    * pipeline ends with, composing three signals this engine already
+    * computes into one pass/fail row per source:
+    *   - quality pass rate (the q26 gates: length band, token floor,
+    *     stopword presence) — ONE scan, conditional aggregates;
+    *   - English share;
+    *   - cross-doc duplicate-segment rate ([[graft.ext.Dedup.segmentDedup]]'s
+    *     per-doc counts rolled up to the source).
+    * A source releases iff pass_ppm ≥ 500000 and dup_ppm ≤ 250000 —
+    * thresholds are arguments in spirit (fixed here for the oracle), the
+    * composition is the point. Integer ppm arithmetic end to end. */
+  def releaseGate(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        split(col("text"), " ").as("words"))
+      .select(col("doc_id"), col("source"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_en"),
+        when(length(col("text")) >= MinChars && length(col("text")) <= MaxChars &&
+          size(col("words")) >= MinTokens &&
+          size(expr(s"filter(words, w -> w IN $stopWordsSqlSet)")) > 0, 1L)
+          .otherwise(0L).as("passes"))
+    val perSource = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("is_en")).as("n_en"),
+      sum(col("passes")).as("n_pass"))
+    val dupBySource = graft.ext.Dedup.segmentDedup(spark, dir)
+      .select(col("doc_id"), col("n_segments"), col("n_dup_segments"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source")).agg(
+        sum(col("n_segments")).as("n_segments"),
+        sum(col("n_dup_segments")).as("n_dup"))
+    perSource.join(dupBySource, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        expr("n_en * 1000000 div n_docs").as("en_ppm"),
+        expr("n_pass * 1000000 div n_docs").as("pass_ppm"),
+        expr("CAST(coalesce(n_dup * 1000000 div n_segments, 0) AS BIGINT)").as("dup_ppm"))
+      .withColumn("release_ok",
+        col("pass_ppm") >= 500000L && col("dup_ppm") <= 250000L)
+      .orderBy("source")
+  }
+
   /** q197: preference-PAIR construction (the DPO/RLHF data-prep shape): per
     * source, the highest-scoring document as `chosen` against the
     * lowest-scoring as `rejected`, with the score margin. The score here is

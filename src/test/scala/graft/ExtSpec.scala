@@ -867,6 +867,25 @@ class ExtSpec extends SparkSuite {
       "the degenerate-band cap only removes candidates, never invents them")
   }
 
+  test("release gate: a boilerplate-heavy source fails on dup rate, a clean one releases") {
+    val s = spark; import s.implicits._
+    def doc(seed: String) = "the " + (1 to 24).map(i => s"${seed}word$i").mkString(" ")
+    val dup = doc("z")
+    Seq(
+      (0L, doc("a"), "en", "good", 1L), (1L, doc("b"), "en", "good", 1L),
+      (2L, dup, "en", "dupy", 1L), (3L, dup, "en", "dupy", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_gate/documents.parquet")
+    val out = TextStats.releaseGate(spark, "/tmp/graft_test_gate").collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("pass_ppm"), r.getAs[Long]("dup_ppm"), r.getAs[Boolean]("release_ok"))))
+      .toMap
+    assert(out("good") == ((1000000L, 0L, true)),
+      "clean source: every doc passes quality, zero dup segments")
+    assert(out("dupy") == ((1000000L, 1000000L, false)),
+      "identical docs pass quality but every segment is corpus-duplicated -> gate fails")
+  }
+
   test("preference pairs: chosen/rejected extremes with lowest-id tie-break") {
     val s = spark; import s.implicits._
     // "the" is a stopword; scores: doc0 = 1/2, doc1 = 0/2, doc2 = 1/2 (tie
@@ -917,6 +936,22 @@ class ExtSpec extends SparkSuite {
     assert(rows == Map(
       (0L, 1) -> ((3L, 768L)), (0L, 2) -> ((3L, 85L)),
       (61L, 1) -> ((3L, 85L)), (61L, 2) -> ((3L, 768L))))
+  }
+
+  test("kmeans rounds: a seed that loses every member (exact tie -> lower cid) drops out") {
+    val s = spark; import s.implicits._
+    // seeds 0 and 61 share an identical vector: every assignment ties and
+    // the lexicographic argmin sends ALL vectors (61 included) to cell 0 —
+    // cell 61 must vanish from the group-by in both engines, and the next
+    // round proceeds with one centroid
+    Seq((0L, Array(1.0f, 0.0f)), (5L, Array(0.5f, 0.0f)), (61L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet("/tmp/graft_test_km_empty/embeddings.parquet")
+    val rows = Similarity.kmeansCentroidStats(spark, "/tmp/graft_test_km_empty").collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Int]("dim")) ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("comp")))).toMap
+    // all three in cell 0 every round; mean = floor((1024+512+1024)/3) = 853
+    assert(rows == Map((0L, 1) -> ((3L, 853L)), (0L, 2) -> ((3L, 0L))))
   }
 
   test("semdedup: within-cell integer cosine pairs on paper; cross-cell never compared") {
