@@ -219,11 +219,13 @@ object Dedup {
           col("doc_id").as("doc_b"), col("simhash16").as("sig_b")),
         Seq("bidx", "bval"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
-      .distinct() // a pair may agree on several bands
+      // verify BEFORE deduplicating: the popcount is a codegen'd per-row op
+      // while distinct is a shuffle — filtering first shrinks the exchange
+      // from every banded candidate to only the pairs inside the ball
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("int"))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct() // a pair may agree on several bands
       .orderBy("doc_a", "doc_b")
   }
 
