@@ -319,6 +319,46 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("property: bpe merges equal a driver-side reference on random corpora") {
+    val s = spark; import s.implicits._
+    // words over a 2-letter alphabet maximize pair collisions and ties;
+    // the reference replicates the exact contract: overlapping adjacent
+    // pairs weighted by word count, (freq DESC, pair ASC) argmax,
+    // leftmost-non-overlapping global replace (Java String.replace — the
+    // same semantics Spark's and DuckDB's literal replace implement)
+    val wordGen = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b")).map(_.mkString))
+    val gen = Gen.listOfN(12, wordGen)
+    def reference(words: Seq[String], rounds: Int): Seq[(Int, String, Long)] = {
+      var dict = words.groupBy(identity).map { case (w, xs) =>
+        w.toCharArray.mkString(" ") -> xs.size.toLong }.toSeq
+      val out = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+      for (k <- 1 to rounds) {
+        val freq = scala.collection.mutable.Map[String, Long]()
+        for ((sp, cnt) <- dict) {
+          val syms = sp.split(" ")
+          for (i <- 0 until syms.length - 1)
+            freq(syms(i) + " " + syms(i + 1)) = freq.getOrElse(syms(i) + " " + syms(i + 1), 0L) + cnt
+        }
+        if (freq.nonEmpty && out.size == k - 1) {
+          val (pair, f) = freq.toSeq.minBy { case (p, c) => (-c, p) }
+          out += ((k, pair, f))
+          dict = dict.map { case (sp, cnt) => sp.replace(pair, pair.replace(" ", "")) -> cnt }
+        }
+      }
+      out.toSeq
+    }
+    check(Prop.forAll(gen) { words =>
+      words.nonEmpty ==> {
+        words.zipWithIndex.map { case (w, i) => (i.toLong, w, "en", "s", 1L) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet("/tmp/graft_prop_bpe/documents.parquet")
+        val got = graft.ext.TextStats.bpeMerges(spark, "/tmp/graft_prop_bpe").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+        got == reference(words, 3)
+      }
+    })
+  }
+
   test("property: semdedup pairs equal brute-force integer cosine within each cell") {
     val s = spark; import s.implicits._
     // random quantized vectors in random cells; the engine's within-cell
