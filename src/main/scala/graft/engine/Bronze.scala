@@ -52,18 +52,21 @@ object Bronze {
     val p = Fs.buildOnce(
       s"graft_schevo_${Fs.dirTag(dir)}",
       spark.sessionState.newHadoopConf()) { root =>
+      // one OVERWRITE per generation dir (not two appends into one dir): a
+      // build that crashed before the top-level marker re-runs, and append
+      // would duplicate the first attempt's rows — overwrite is idempotent
       val docs = Tables.documents(spark, dir)
       docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("lang"))
-        .write.mode("append").parquet(s"$root/data")
+        .write.mode("overwrite").parquet(s"$root/data/g1")
       docs.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id"), col("lang"), col("source"))
-        .write.mode("append").parquet(s"$root/data")
+        .write.mode("overwrite").parquet(s"$root/data/g2")
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(spark.sessionState.newHadoopConf())
       fs.create(new org.apache.hadoop.fs.Path(root, "_SUCCESS"), true).close()
     }
-    spark.read.option("mergeSchema", "true").parquet(s"$p/data")
+    spark.read.option("mergeSchema", "true").parquet(s"$p/data/g1", s"$p/data/g2")
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_rows"),

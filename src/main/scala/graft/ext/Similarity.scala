@@ -620,6 +620,11 @@ object Similarity {
         // k centroid rows to the driver (bounded by k·dim, never corpus-sized)
         val cents = spark.read.parquet(s"$p/c${k - 1}")
           .orderBy("cid").collect()
+        // fail loudly on a seedless corpus: an empty centroid literal would
+        // assign every vector a NULL cell while the oracle's empty-seed CTE
+        // chain yields zero rows — a silent cross-engine divergence
+        require(cents.nonEmpty,
+          s"kmeans: no seed vectors (vec_id % $seedMod == 0) in $dir")
         // dist(q, c) = dqq − 2·(q·c) + Σc²: dqq is computed once per row and
         // Σc² folds to a driver-side constant per centroid, so the per-row
         // work is k codegen'd integer dot products ([[LongDotProduct]]) — no
