@@ -600,7 +600,13 @@ object Similarity {
     * exact-in-double integers (< 2^53): IEEE division + floor is identical
     * across engines even at representability edges. Ties in the argmin break
     * to the LOWEST cid on equal distance in both engines (strict `<` fold
-    * over ascending cids here; `ORDER BY dist, cid` in the oracle). */
+    * over ascending cids here; `ORDER BY dist, cid` in the oracle).
+    *
+    * Practical k bound: the centroid matrix rides in the plan as a k·dim
+    * literal (codegen splits large expressions — fine through hundreds of
+    * centroids); for a thousands-of-cells regime use the IVF family
+    * (q72/q86), where centroids join as a broadcast TABLE instead of a
+    * literal — same math, different k/plan trade. */
   def kmeansStatePath(spark: SparkSession, dir: String, iters: Int = 2,
       seedMod: Int = 61): String =
     graft.engine.Fs.buildOnce(
