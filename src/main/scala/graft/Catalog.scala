@@ -3132,6 +3132,24 @@ object Catalog {
         |  COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN source END) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
 
+    // DSIR-style importance weights (linear integer-exact variant): per-doc
+    // sum of bigram (target-share − rest-share) ppm, top-100 selection.
+    q("q201_importance_weights", (s, d) => ext.TextStats.importanceWeights(s, d),
+      """WITH db AS (SELECT doc_id, lang,
+        |        unnest(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])) AS bg
+        |      FROM (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 2)),
+        |pb AS (SELECT bg,
+        |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+        |         CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_r
+        |       FROM db GROUP BY bg),
+        |m AS (SELECT greatest(SUM(c_t), 1) AS m_t, greatest(SUM(c_r), 1) AS m_r FROM pb),
+        |w AS (SELECT bg, (c_t * 1000000 // m.m_t) - (c_r * 1000000 // m.m_r) AS w_ppm FROM pb, m)
+        |SELECT doc_id, lang, COUNT(*) AS n_bigrams, CAST(SUM(w_ppm) AS BIGINT) AS importance_ppm
+        |FROM db JOIN w USING (bg)
+        |GROUP BY doc_id, lang
+        |ORDER BY importance_ppm DESC, doc_id LIMIT 100""".stripMargin),
+
     // Per-source release gate: quality pass rate + English share + duplicate-
     // segment rate composed into one pass/fail datasheet row per source.
     q("q200_release_gate", (s, d) => ext.TextStats.releaseGate(s, d),

@@ -1261,6 +1261,46 @@ object TextStats {
       .orderBy("term")
   }
 
+  /** q201: DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023 — the linear
+    * integer-exact variant): score each document by how much its bigram
+    * distribution leans toward a TARGET slice (here lang = 'en') versus the
+    * rest of the corpus. Each bigram carries weight
+    * ppm_target(bg) − ppm_rest(bg) (occurrence shares in each slice's
+    * bigram mass, integer ppm, absent → 0); a document's importance is the
+    * sum over its bigrams, and the top-k by weight are the docs DSIR-style
+    * selection would keep. Exact integers end to end — the log-ratio form
+    * the paper uses needs floats; the linear difference ranks by the same
+    * "looks like the target" signal and is bit-stable across engines.
+    *
+    * Scale shape: two map-side-combinable aggregates over the exploded
+    * bigrams (slice masses ride along as conditional sums in ONE pass),
+    * a broadcast of the two scalar masses, one shuffle to re-join bigram
+    * weights to documents, and a TakeOrdered top-k. */
+  def importanceWeights(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val docBigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """transform(sequence(1, size(words) - 1),
+          |  i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))""".stripMargin))
+        .as("bg"))
+    val perBigram = docBigrams.groupBy(col("bg")).agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"),
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("c_r"))
+    val masses = perBigram.agg(
+      sum(col("c_t")).as("m_t"), sum(col("c_r")).as("m_r")).head()
+    val (mt, mr) = (math.max(masses.getLong(0), 1L), math.max(masses.getLong(1), 1L))
+    val weighted = perBigram.select(col("bg"),
+      (expr(s"c_t * 1000000 div ${mt}L") - expr(s"c_r * 1000000 div ${mr}L"))
+        .as("w_ppm"))
+    docBigrams.join(weighted, Seq("bg"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w_ppm")).as("importance_ppm"))
+      .orderBy(col("importance_ppm").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** q200: per-source RELEASE GATE — the datasheet verdict a training-data
     * pipeline ends with, composing three signals this engine already
     * computes into one pass/fail row per source:

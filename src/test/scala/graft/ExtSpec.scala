@@ -867,6 +867,20 @@ class ExtSpec extends SparkSuite {
       "the degenerate-band cap only removes candidates, never invents them")
   }
 
+  test("importance weights: target-leaning bigrams score positive, rest negative, on paper") {
+    val s = spark; import s.implicits._
+    // en mass = 2 bigrams ("x y", "y x"), rest mass = 1 ("z w");
+    // weights: 1e6/2 = +500000 each en bigram, -1000000 for "z w"
+    Seq((0L, "x y x", "en", "s", 5L), (1L, "z w", "xx", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_dsir/documents.parquet")
+    val out = TextStats.importanceWeights(spark, "/tmp/graft_test_dsir").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("importance_ppm"))).toSeq
+    assert(out == Seq((0L, 2L, 1000000L), (1L, 1L, -1000000L)),
+      "doc affinity = sum of per-bigram (target share − rest share) ppm")
+  }
+
   test("release gate: a boilerplate-heavy source fails on dup rate, a clean one releases") {
     val s = spark; import s.implicits._
     def doc(seed: String) = "the " + (1 to 24).map(i => s"${seed}word$i").mkString(" ")
