@@ -584,6 +584,19 @@ class PlanSpec extends SparkSuite {
       assertSingleScanAqeOn(n)
   }
 
+  test("AQE-on executed plans: the other single-scan claims hold at runtime too") {
+    // these pin scan count only (their static forms never claimed reuse)
+    for (n <- Seq("q152_percentiles_by_counting", "q160_roc_auc",
+                  "q166_zonemap_audit", "q171_gini_tokens", "q176_heavy_hitters")) {
+      val df = Catalog.queries(n)(spark, dir)
+      df.collect()
+      val scans = finalNodes(df.queryExecution.executedPlan)
+        .count { case _: FileSourceScanExec => true; case _ => false }
+      assert(scans == 1,
+        s"$n under AQE paid $scans corpus scans at runtime (want 1):\n${df.queryExecution.executedPlan}")
+    }
+  }
+
   test("q177 multiprobe ann: probe join broadcasts the query side, corpus scans once per side") {
     val p = plan("q177_multiprobe_ann")
     assert(p.contains("BroadcastHashJoin"),
