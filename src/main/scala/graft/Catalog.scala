@@ -3132,6 +3132,23 @@ object Catalog {
         |  COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN source END) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
 
+    // REAL video pipeline: per-doc GVID frame containers (length-prefixed
+    // JDK-encoded PNG frames) parsed, every 2nd frame decoded, the rest
+    // skipped by the index; oracle recomputes from the frame law.
+    q("q202_video_frames", (s, d) => ext.Multimodal.videoDecode(s, d),
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 6 + 2 AS INT) AS n_frames FROM documents),
+        |f AS (SELECT doc_id, CAST(t.f AS INT) AS frame_idx,
+        |        CAST((doc_id + t.f) % 8 + 1 AS INT) AS width,
+        |        CAST((doc_id + t.f) % 5 + 1 AS INT) AS height
+        |      FROM d, LATERAL (SELECT unnest(range(0, n_frames)) AS f) t
+        |      WHERE t.f % 2 = 0),
+        |g AS (SELECT doc_id, frame_idx, width, height, unnest(range(0, width)) AS x FROM f),
+        |gy AS (SELECT doc_id, frame_idx, width, height, x, unnest(range(0, height)) AS y FROM g)
+        |SELECT doc_id, frame_idx, width, height,
+        |  CAST(SUM((doc_id * 31 + frame_idx * 17 + 7 * x + 13 * y) % 256) AS BIGINT) AS px_sum
+        |FROM gy GROUP BY doc_id, frame_idx, width, height
+        |ORDER BY doc_id, frame_idx""".stripMargin),
+
     // DSIR-style importance weights (linear integer-exact variant): per-doc
     // sum of bigram (target-share − rest-share) ppm, top-100 selection.
     q("q201_importance_weights", (s, d) => ext.TextStats.importanceWeights(s, d),

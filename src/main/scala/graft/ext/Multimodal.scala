@@ -201,12 +201,118 @@ object Multimodal {
   def audioDecode(spark: SparkSession, dir: String): DataFrame =
     decodeWavs(spark, wavTable(spark, dir)).orderBy("doc_id")
 
-  /** Decode stub: where a non-JDK codec would run (audio/video — the
-    * container has no such codecs; for images see [[decodePngs]], which runs
-    * the real JDK PNG codec). Deterministic fake decode — "dimensions"
-    * derived from the content hash — keeping the mapPartitions batch shape
-    * honest (binary in, fixed-width features out).
-    * STUB: replace `fakeDims` with the codec call in production. */
+  /** Synthetic VIDEO table: a length-prefixed frame container per document
+    * ("GVID" magic, int32 frame count, then int32-length-prefixed PNG
+    * frames), frames generated from the closed-form law
+    * n = doc_id % 6 + 2, frame f sized ((doc_id+f) % 8 + 1) ×
+    * ((doc_id+f) % 5 + 1), pixel = (doc_id·31 + f·17 + 7x + 13y) mod 256 —
+    * each frame a REAL PNG from the JDK codec. The container is this
+    * engine's own trivial format; parsing it + decoding its frames is the
+    * video access pattern ([[frameSample]]'s byte-window form upgraded to a
+    * real index + codec). */
+  def videoTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val n = (id % 6 + 2).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val out = new java.io.DataOutputStream(bos)
+          out.write("GVID".getBytes("US-ASCII"))
+          out.writeInt(n)
+          var f = 0
+          while (f < n) {
+            val w = ((id + f) % 8 + 1).toInt
+            val h = ((id + f) % 5 + 1).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0,
+                  ((id * 31 + f * 17 + 7 * x + 13 * y) % 256).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            val fb = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", fb)
+            val frame = fb.toByteArray
+            out.writeInt(frame.length)
+            out.write(frame)
+            f += 1
+          }
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** REAL video-frame sampling + decode over any (doc_id, payload) frame of
+    * GVID containers: parse the frame index, decode every `stride`-th frame
+    * with the JDK PNG codec, and SKIP the bytes of frames the sample does
+    * not want — the point of a frame index is that unsampled frames cost a
+    * seek, not a decode. Corrupt containers (bad magic, truncated frames)
+    * fail loudly. Partition-parallel projection; one codec context per
+    * partition; no shuffle. */
+  def decodeVideoFrames(spark: SparkSession, vids: DataFrame,
+      stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    vids.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+          val magic = new Array[Byte](4)
+          in.readFully(magic)
+          require(new String(magic, "US-ASCII") == "GVID",
+            s"doc $id: payload is not a GVID container")
+          val n = in.readInt()
+          (0 until n).flatMap { f =>
+            val len = in.readInt()
+            if (f % stride == 0) {
+              val buf = new Array[Byte](len)
+              in.readFully(buf)
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(buf))
+              require(img != null, s"doc $id frame $f: undecodable frame")
+              val (w, h) = (img.getWidth, img.getHeight)
+              val raster = img.getRaster
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+                y += 1
+              }
+              Some((id, f, w, h, sum))
+            } else {
+              // unsampled frame: advance the index, never touch the codec
+              var toSkip = len
+              while (toSkip > 0) toSkip -= in.skipBytes(toSkip)
+              None
+            }
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "width", "height", "px_sum")
+  }
+
+  /** q202: container encode → frame-sample → decode roundtrip. The oracle
+    * recomputes the sampled frames' dimensions and exact pixel sums from
+    * the frame law — a parser that mis-read the index, sampled the wrong
+    * frames, or decoded off-by-one frame boundaries hash-mismatches. */
+  def videoDecode(spark: SparkSession, dir: String): DataFrame =
+    decodeVideoFrames(spark, videoTable(spark, dir)).orderBy("doc_id", "frame_idx")
+
+  /** Decode stub: where a NON-JDK codec would run (H.264, JPEG-2000, MP3 —
+    * this environment ships none). The JDK-native formats all have REAL
+    * paths beside it: PNG [[decodePngs]] (q186), WAV/PCM [[decodeWavs]]
+    * (q193), and frame-container video [[decodeVideoFrames]] (q202).
+    * Deterministic fake decode — "dimensions" derived from the content
+    * hash — keeping the mapPartitions batch shape honest (binary in,
+    * fixed-width features out).
+    * STUB: replace `fakeDims` with the external codec call in production. */
   def stubDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val src = asBinaryTable(spark, dir)

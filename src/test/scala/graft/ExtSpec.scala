@@ -113,6 +113,32 @@ class ExtSpec extends SparkSuite {
       "decoded count/rate/energy/peak must match the sample law exactly")
   }
 
+  test("video decode: container roundtrip samples every 2nd frame, skips the rest") {
+    val s = spark; import s.implicits._
+    Seq((0L, "a"), (3L, "b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_vid/documents.parquet")
+    val out = graft.ext.Multimodal.videoDecode(spark, "/tmp/graft_test_vid")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).toSeq
+    def frame(id: Long, f: Int): (Long, Int, Int, Int, Long) = {
+      val w = ((id + f) % 8 + 1).toInt; val h = ((id + f) % 5 + 1).toInt
+      val sum = (for (x <- 0 until w; y <- 0 until h)
+        yield (id * 31 + f * 17 + 7 * x + 13 * y) % 256).sum
+      (id, f, w, h, sum)
+    }
+    // doc 0: 2 frames → sample {0}; doc 3: 5 frames → sample {0, 2, 4}
+    assert(out == Seq(frame(0, 0), frame(3, 0), frame(3, 2), frame(3, 4)),
+      "sampled frames decode to the law; skipped frames never appear")
+  }
+
+  test("video decode: a non-GVID payload fails loudly") {
+    val s = spark; import s.implicits._
+    val bad = Seq((1L, "not a container".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assertThrows[Exception] {
+      graft.ext.Multimodal.decodeVideoFrames(spark, bad).collect()
+    }
+  }
+
   test("wav decode: a non-WAV payload fails loudly instead of fabricating features") {
     val s = spark; import s.implicits._
     val bad = Seq((1L, "this is not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
