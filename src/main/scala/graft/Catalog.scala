@@ -489,19 +489,25 @@ object Catalog {
     * count over the spaced dictionary, argmax with (freq DESC, pair) order,
     * dictionary rewrite by literal replace. */
   private def bpeRound(prev: String, k: Int): String =
-    s"""p$k AS (SELECT t.pair, CAST(SUM(cnt) AS BIGINT) AS freq
-       |       FROM (SELECT string_split(sp, ' ') AS syms, cnt FROM $prev) s,
-       |            LATERAL (SELECT unnest(list_transform(range(1, len(syms)), i ->
-       |              syms[i] || ' ' || syms[i+1])) AS pair) t
-       |       GROUP BY t.pair),
-       |b$k AS (SELECT pair, freq FROM p$k ORDER BY freq DESC, pair LIMIT 1),
-       |w$k AS (SELECT replace(sp, b$k.pair, replace(b$k.pair, ' ', '')) AS sp, cnt
+    s"""p$k AS (SELECT t.a, t.b, CAST(SUM(cnt) AS BIGINT) AS freq
+       |       FROM (SELECT string_split(trim(sp), '  ') AS syms, cnt FROM $prev) s,
+       |            LATERAL (SELECT unnest(list_transform(range(1, len(syms)), i -> syms[i])) AS a,
+       |                            unnest(list_transform(range(1, len(syms)), i -> syms[i+1])) AS b) t
+       |       GROUP BY t.a, t.b),
+       |b$k AS (SELECT a, b, a || ' ' || b AS pair, freq FROM p$k
+       |        ORDER BY freq DESC, pair LIMIT 1),
+       |w$k AS (SELECT replace(sp, ' ' || b$k.a || '  ' || b$k.b || ' ',
+       |                       ' ' || b$k.a || b$k.b || ' ') AS sp, cnt
        |        FROM $prev, b$k)""".stripMargin
 
+  // symbol-boundary-safe spaced form (mirrors TextStats.bpeMerges): symbols
+  // joined by DOUBLE spaces with single-space end padding, so the merge
+  // pattern " a  b " only matches complete symbols and its replacement
+  // " ab " keeps the invariant for consecutive merges
   private val bpeCte: String =
     s"""v AS (SELECT w, COUNT(*) AS cnt FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE len(w) > 0 GROUP BY w),
-       |w0 AS (SELECT array_to_string(string_split(w, ''), ' ') AS sp, cnt FROM v),
+       |w0 AS (SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS sp, cnt FROM v),
        |${bpeRound("w0", 1)},
        |${bpeRound("w1", 2)},
        |${bpeRound("w2", 3)}""".stripMargin
@@ -3128,7 +3134,7 @@ object Catalog {
     // rows surface a NULL source the rollup counts around.
     q("q199_schema_evolution", engine.Bronze.schemaEvolutionRoundtrip,
       """SELECT lang, COUNT(*) AS n_rows,
-        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_source,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 AND source IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_source,
         |  COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN source END) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
 

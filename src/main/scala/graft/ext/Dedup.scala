@@ -197,6 +197,11 @@ object Dedup {
     * matching the exhaustive oracle). */
   def simhashHammingPairs(spark: SparkSession, dir: String, maxDist: Int = 3,
       maxBandBucket: Long = 0L): DataFrame = {
+    // the pigeonhole guarantee is bands > maxDist: with 4 bands, distance 4
+    // can flip one bit in every band and agree on none — silently missing
+    // pairs. Reject rather than under-deliver.
+    require(maxDist >= 0 && maxDist < 4,
+      s"simhashHammingPairs: 4 bands guarantee completeness only for maxDist <= 3, got $maxDist")
     val bands = simhash(spark, dir)
       .select(col("doc_id"), col("simhash16"),
         explode(expr(

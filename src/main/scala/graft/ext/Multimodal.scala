@@ -288,9 +288,17 @@ object Multimodal {
               }
               Some((id, f, w, h, sum))
             } else {
-              // unsampled frame: advance the index, never touch the codec
+              // unsampled frame: advance the index, never touch the codec.
+              // skipBytes returns 0 at EOF — a truncated container must
+              // throw, not spin
               var toSkip = len
-              while (toSkip > 0) toSkip -= in.skipBytes(toSkip)
+              while (toSkip > 0) {
+                val skipped = in.skipBytes(toSkip)
+                if (skipped <= 0)
+                  throw new java.io.EOFException(
+                    s"doc $id frame $f: container truncated ($toSkip bytes missing)")
+                toSkip -= skipped
+              }
               None
             }
           }

@@ -648,28 +648,32 @@ object Similarity {
           .withColumn("dqq", expr("graft_dot_long(q, q)"))
           .withColumn("cell", expr(s"array_min($entries).c"))
           .drop("dqq")
-        if (k == iters)
-          // q rides along so [[semDedupPairs]] reads (vec_id, cell, q)
-          // directly — duplicating the vectors at rest instead of paying a
-          // corpus-wide join back to q/ per consumer (the at-rest trade every
-          // index in this repo makes)
-          assigned.select(col("vec_id"), col("cell"), col("q"))
-            .write.mode("overwrite").parquet(s"$p/assign")
-        val upd = assigned
+        def updFrom(a: DataFrame): DataFrame = a
           .select(col("cell"), posexplode(col("q")).as(Seq("pos", "comp")))
           .groupBy(col("cell"), col("pos"))
           .agg(sum(col("comp")).as("s"), count(lit(1)).as("n"))
           .withColumn("comp",
             floor(col("s").cast("double") / col("n").cast("double")).cast("long"))
-        if (k == iters)
-          upd.select(col("cell"), (col("pos") + 1).cast("int").as("dim"),
+        if (k == iters) {
+          // final round: materialize the assignment FIRST (q rides along so
+          // [[semDedupPairs]] reads (vec_id, cell, q) directly — the at-rest
+          // trade every index in this repo makes), then derive the stats
+          // from the parquet — ONE corpus-wide argmin evaluation, not one
+          // per output table. No c$iters either: nothing reads centroids
+          // past c{iters-1}.
+          assigned.select(col("vec_id"), col("cell"), col("q"))
+            .write.mode("overwrite").parquet(s"$p/assign")
+          updFrom(spark.read.parquet(s"$p/assign"))
+            .select(col("cell"), (col("pos") + 1).cast("int").as("dim"),
               col("n").as("n_vecs"), col("comp"))
             .write.mode("overwrite").parquet(s"$p/stats")
-        upd.groupBy(col("cell"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, comp))), e -> e.comp)")
-            .as("cq"))
-          .select(col("cell").as("cid"), col("cq"))
-          .write.mode("overwrite").parquet(s"$p/c$k")
+        } else {
+          updFrom(assigned).groupBy(col("cell"))
+            .agg(expr("transform(array_sort(collect_list(struct(pos, comp))), e -> e.comp)")
+              .as("cq"))
+            .select(col("cell").as("cid"), col("cq"))
+            .write.mode("overwrite").parquet(s"$p/c$k")
+        }
       }
       // multi-table state: commit the top-level marker buildOnce guards on
       val fs = new org.apache.hadoop.fs.Path(p)

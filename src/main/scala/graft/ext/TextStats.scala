@@ -1278,19 +1278,29 @@ object TextStats {
     * a broadcast of the two scalar masses, one shuffle to re-join bigram
     * weights to documents, and a TakeOrdered top-k. */
   def importanceWeights(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
-    val docBigrams = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
-      .filter(size(col("words")) >= 2)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        """transform(sequence(1, size(words) - 1),
-          |  i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))""".stripMargin))
-        .as("bg"))
+    // the bigram explode feeds three lineage paths (per-bigram counts, the
+    // mass scalars, and the doc re-join) — materialized once per call, the
+    // same round-trip discipline as bpeMerges/clustersFromPairs
+    val bgPath = graft.engine.Fs.overwriteVersioned("graft_dsir") { p =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """transform(sequence(1, size(words) - 1),
+            |  i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))""".stripMargin))
+          .as("bg"))
+        .write.mode("overwrite").parquet(p)
+    }
+    val docBigrams = spark.read.parquet(bgPath)
     val perBigram = docBigrams.groupBy(col("bg")).agg(
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"),
       sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("c_r"))
     val masses = perBigram.agg(
       sum(col("c_t")).as("m_t"), sum(col("c_r")).as("m_r")).head()
-    val (mt, mr) = (math.max(masses.getLong(0), 1L), math.max(masses.getLong(1), 1L))
+    // a bigram-less corpus sums to NULL: the output below is empty either
+    // way, but getLong on the NULL would NPE where the oracle returns empty
+    def mass(i: Int) = if (masses.isNullAt(i)) 1L else math.max(masses.getLong(i), 1L)
+    val (mt, mr) = (mass(0), mass(1))
     val weighted = perBigram.select(col("bg"),
       (expr(s"c_t * 1000000 div ${mt}L") - expr(s"c_r * 1000000 div ${mr}L"))
         .as("w_ppm"))
@@ -1398,14 +1408,23 @@ object TextStats {
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-        .select(array_join(split(col("w"), ""), " ").as("sp"), col("cnt"))
+        // symbol-boundary-safe encoding: symbols joined by DOUBLE spaces,
+        // single-space padding at the ends. The merge pattern " a  b " can
+        // then only match where a and b are COMPLETE symbols (a plain
+        // single-space join lets the pattern match a symbol SUFFIX — e.g.
+        // after merging (c,a), replace("ca b", "a b", "ab") fuses the tail
+        // of 'ca' with 'b', a merge no pair count ever produced), and the
+        // replacement " ab " restores the invariant so consecutive merges
+        // in one word ("x y x y" → "xy", "xy") still all fire.
+        .select(concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")).as("sp"),
+          col("cnt"))
         .write.mode("overwrite").parquet(s"$p/w0")
       var k = 1
       var exhausted = false
       while (k <= rounds && !exhausted) {
         val dict = spark.read.parquet(s"$p/w${k - 1}")
         val best: Array[Row] = dict
-          .select(col("cnt"), split(col("sp"), " ").as("syms"))
+          .select(col("cnt"), split(trim(col("sp")), "  ").as("syms"))
           .filter(size(col("syms")) >= 2)
           .select(col("cnt"), explode(expr(
             // sequence() would DESCEND for 1-symbol rows; the filter above
@@ -1423,8 +1442,11 @@ object TextStats {
         } else {
           val pair = best(0).getString(0)
           merges += ((k, pair, best(0).getLong(1)))
+          // symbols never contain spaces, so the display pair splits back
+          // into its two components unambiguously
+          val Array(a, b) = pair.split(" ")
           dict.select(
-              replace(col("sp"), lit(pair), lit(pair.replace(" ", ""))).as("sp"),
+              replace(col("sp"), lit(s" $a  $b "), lit(s" $a$b ")).as("sp"),
               col("cnt"))
             .write.mode("overwrite").parquet(s"$p/w$k")
         }

@@ -945,6 +945,22 @@ class ExtSpec extends SparkSuite {
       "a single-doc source pairs with itself at zero margin")
   }
 
+  test("bpe merges: a merge pattern never fuses across symbol boundaries") {
+    val s = spark; import s.implicits._
+    // ca×5, cab×1, ab×4: round 1 merges (c,a) freq 6 → 'cab' becomes
+    // [ca, b]; round 2 merges (a,b) freq 4 — which must NOT touch 'cab'
+    // (its 'a' is the tail of symbol 'ca', not a symbol); round 3 then
+    // merges (ca,b) freq 1. A boundary-unsafe replace would fuse 'ca b'
+    // in round 2 and round 3 would find no (ca,b) pair at all.
+    val words = List.fill(5)("ca") ++ List("cab") ++ List.fill(4)("ab")
+    Seq((0L, words.mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_bpe_bound/documents.parquet")
+    val out = TextStats.bpeMerges(spark, "/tmp/graft_test_bpe_bound").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1, "c a", 6L), (2, "a b", 4L), (3, "ca b", 1L)))
+  }
+
   test("bpe merges: merged symbol feeds later rounds; pair exhaustion stops early") {
     val s = spark; import s.implicits._
     // vocab: aab×2, ab×1, b×1 → round 1 pairs: "a a"=2, "a b"=3 → merge "a b";

@@ -329,20 +329,30 @@ class PropertySpec extends SparkSuite {
     val wordGen = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b")).map(_.mkString))
     val gen = Gen.listOfN(12, wordGen)
     def reference(words: Seq[String], rounds: Int): Seq[(Int, String, Long)] = {
-      var dict = words.groupBy(identity).map { case (w, xs) =>
-        w.toCharArray.mkString(" ") -> xs.size.toLong }.toSeq
+      // symbol arrays, true-BPE merge: adjacent (a, b) occurrences fuse
+      // left-to-right without overlap — the ground truth the engine's
+      // boundary-safe string encoding must reproduce
+      var dict: Seq[(Array[String], Long)] = words.groupBy(identity).map { case (w, xs) =>
+        w.toCharArray.map(_.toString) -> xs.size.toLong }.toSeq
+      def applyMerge(syms: Array[String], a: String, b: String): Array[String] = {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.toArray
+      }
       val out = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
       for (k <- 1 to rounds) {
-        val freq = scala.collection.mutable.Map[String, Long]()
-        for ((sp, cnt) <- dict) {
-          val syms = sp.split(" ")
-          for (i <- 0 until syms.length - 1)
-            freq(syms(i) + " " + syms(i + 1)) = freq.getOrElse(syms(i) + " " + syms(i + 1), 0L) + cnt
-        }
+        val freq = scala.collection.mutable.Map[(String, String), Long]()
+        for ((syms, cnt) <- dict; i <- 0 until syms.length - 1)
+          freq((syms(i), syms(i + 1))) = freq.getOrElse((syms(i), syms(i + 1)), 0L) + cnt
         if (freq.nonEmpty && out.size == k - 1) {
-          val (pair, f) = freq.toSeq.minBy { case (p, c) => (-c, p) }
-          out += ((k, pair, f))
-          dict = dict.map { case (sp, cnt) => sp.replace(pair, pair.replace(" ", "")) -> cnt }
+          val ((a, b), f) = freq.toSeq.minBy { case ((x, y), c) => (-c, x + " " + y) }
+          out += ((k, a + " " + b, f))
+          dict = dict.map { case (syms, cnt) => applyMerge(syms, a, b) -> cnt }
         }
       }
       out.toSeq
