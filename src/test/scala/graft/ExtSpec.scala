@@ -860,6 +860,17 @@ class ExtSpec extends SparkSuite {
       "3 probe buckets recover at least what the single bucket did")
   }
 
+  test("incremental clusters: equals the full-graph labels on the real sf0.001 corpus") {
+    // beyond the hand fixture: the bounded-recompute path must reproduce
+    // duplicateClusters' labels on the actual MinHash candidate graph
+    val inc = Dedup.incrementalClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.duplicateClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, "bounded recompute must return the identical clustering")
+    assert(inc.nonEmpty, "the sf0.001 candidate graph is non-trivial")
+  }
+
   test("incremental clusters: a wave gluing two components recomputes only them") {
     val s = spark; import s.implicits._
     // corpus components {1,2}, {3,4}, {5,6}; wave doc 7 glues the first two
