@@ -121,15 +121,18 @@ object Bench {
     val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","passes":$passes,"errors":$errList,"calibration_before_sec":$calBefore,"calibration_after_sec":$calAfter}"""
+    // a FILTERED local run must not clobber the committed full-catalog map —
+    // partial results go to a sibling file the repo never tracks
+    val fullPath = if (only.isEmpty) "bench_full.json" else "bench_partial.json"
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
         (fullJson + "\n").getBytes("UTF-8"))
-    } catch { case t: Throwable => System.err.println(s"[bench] bench_full.json write failed: ${t.getMessage}") }
+    } catch { case t: Throwable => System.err.println(s"[bench] $fullPath write failed: ${t.getMessage}") }
 
     val slowestSeq = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
     val slowest = slowestSeq
       .map { case (k, v, _) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_reported":${slowestSeq.size},"sf":"$sfDir","passes":$passes,"errors":$errListCapped,"calibration_before_sec":${f3(calBefore)},"calibration_after_sec":${f3(calAfter)},"full":"bench_full.json"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_reported":${slowestSeq.size},"sf":"$sfDir","passes":$passes,"errors":$errListCapped,"calibration_before_sec":${f3(calBefore)},"calibration_after_sec":${f3(calAfter)},"full":"$fullPath"}"""
     println(line)
     spark.stop()
   }
