@@ -498,7 +498,10 @@ object Catalog {
        |        ORDER BY freq DESC, pair LIMIT 1),
        |w$k AS (SELECT replace(sp, ' ' || b$k.a || '  ' || b$k.b || ' ',
        |                       ' ' || b$k.a || b$k.b || ' ') AS sp, cnt
-       |        FROM $prev, b$k)""".stripMargin
+       |        FROM $prev, b$k
+       |        UNION ALL
+       |        SELECT sp, cnt FROM $prev
+       |        WHERE NOT EXISTS (SELECT 1 FROM b$k))""".stripMargin
 
   // symbol-boundary-safe spaced form (mirrors TextStats.bpeMerges): symbols
   // joined by DOUBLE spaces with single-space end padding, so the merge
@@ -3154,6 +3157,17 @@ object Catalog {
         |  CAST(SUM((doc_id * 31 + frame_idx * 17 + 7 * x + 13 * y) % 256) AS BIGINT) AS px_sum
         |FROM gy GROUP BY doc_id, frame_idx, width, height
         |ORDER BY doc_id, frame_idx""".stripMargin),
+
+    // Tokenizer compression-rate eval: corpus symbol count after the 3 BPE
+    // merges vs the character baseline, integer ppm — one row.
+    q("q203_bpe_compression", (s, d) => ext.TextStats.bpeCompression(s, d),
+      s"""WITH $bpeCte
+         |SELECT CAST((SELECT COUNT(*) FROM w0) AS BIGINT) AS n_word_types,
+         |  (SELECT CAST(SUM(cnt) AS BIGINT) FROM w0) AS n_words,
+         |  (SELECT CAST(SUM(cnt * len(string_split(trim(sp), '  '))) AS BIGINT) FROM w0) AS syms_before,
+         |  (SELECT CAST(SUM(cnt * len(string_split(trim(sp), '  '))) AS BIGINT) FROM w3) AS syms_after,
+         |  (SELECT CAST(SUM(cnt * len(string_split(trim(sp), '  '))) AS BIGINT) FROM w3) * 1000000
+         |    // (SELECT CAST(SUM(cnt * len(string_split(trim(sp), '  '))) AS BIGINT) FROM w0) AS compression_ppm""".stripMargin),
 
     // DSIR-style importance weights (linear integer-exact variant): per-doc
     // sum of bigram (target-share − rest-share) ppm, top-100 selection.

@@ -357,12 +357,18 @@ class PropertySpec extends SparkSuite {
       }
       out.toSeq
     }
+    // bpeStatePath caches at rest per SOURCE DIR (the immutable-fixture
+    // contract every buildOnce index documents) — each random case gets its
+    // own dir so no case reads a predecessor's cached training state
+    var case_i = 0
     check(Prop.forAll(gen) { words =>
       words.nonEmpty ==> {
+        case_i += 1
+        val d = s"/tmp/graft_prop_bpe/c$case_i"
         words.zipWithIndex.map { case (w, i) => (i.toLong, w, "en", "s", 1L) }
           .toDF("doc_id", "text", "lang", "source", "n_chars")
-          .write.mode("overwrite").parquet("/tmp/graft_prop_bpe/documents.parquet")
-        val got = graft.ext.TextStats.bpeMerges(spark, "/tmp/graft_prop_bpe").collect()
+          .write.mode("overwrite").parquet(s"$d/documents.parquet")
+        val got = graft.ext.TextStats.bpeMerges(spark, d).collect()
           .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
         got == reference(words, 3)
       }
