@@ -101,6 +101,44 @@ object Bench {
     }
     val calAfter = calibration()
 
+    // Cross-SF growth gate (opt-in via SPARK_GRAFT_GROWTH_BASE_DIR; the
+    // driver sets only SF_DIR, so per-round behavior is unchanged): time the
+    // same catalog at a smaller SF and flag any query whose large/base ratio
+    // exceeds SPARK_GRAFT_GROWTH_BOUND. ROUND5/ROUND6 measured worst honest
+    // growth ≈ 4.6× at 10× rows (decode-bound and documented fixture
+    // quadratics); a real superlinear regression lands at 50-100×, so the
+    // default bound 6.0 separates the two cleanly. Queries under
+    // SPARK_GRAFT_GROWTH_FLOOR_SEC (default 0.5 s) at the LARGE SF are
+    // exempt — ratios of millisecond timings measure scheduler noise, not
+    // plan growth. Flags fail loudly: stderr + "growth_flags" + exit 3.
+    val growthBase = sys.env.get("SPARK_GRAFT_GROWTH_BASE_DIR")
+    val growthBound = sys.env.getOrElse("SPARK_GRAFT_GROWTH_BOUND", "6.0").toDouble
+    val growthFloor = sys.env.getOrElse("SPARK_GRAFT_GROWTH_FLOOR_SEC", "0.5").toDouble
+    val growth: Option[(Map[String, Double], Seq[String])] = growthBase.map { bDir =>
+      val bBest = scala.collection.mutable.Map[String, Double]()
+      for (_ <- 1 to passes; (name, fn) <- names if !errs.contains(name)) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, bDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (dt < bBest.getOrElse(name, Double.MaxValue)) bBest(name) = dt
+        } catch { case t: Throwable =>
+          System.err.println(s"[bench] growth-base $name failed: ${t.getMessage}")
+        }
+      }
+      val ratios = results.collect {
+        case (name, large, None) if large >= growthFloor && bBest.getOrElse(name, 0.0) > 0 =>
+          name -> large / bBest(name)
+      }.toMap
+      val flags = ratios.collect {
+        case (name, r) if r > growthBound => name }.toSeq.sorted
+      flags.foreach { name =>
+        System.err.println(f"[bench] GROWTH FLAG $name: ${ratios(name)}%.1fx " +
+          f"($bDir -> $sfDir, bound $growthBound%.1fx)")
+      }
+      (ratios, flags)
+    }
+
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val allErrs = results.collect { case (k, _, Some(e)) => "\"" + k + ": " + e + "\"" }
     // full error list only in the file; the stdout line caps at 8 so a
@@ -120,7 +158,13 @@ object Bench {
     // complete map is in bench_full.json next to the repo root.
     val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","passes":$passes,"errors":$errList,"calibration_before_sec":$calBefore,"calibration_after_sec":$calAfter}"""
+    val growthJson = growth.map { case (ratios, flags) =>
+      val rs = ratios.toSeq.sortBy(-_._2)
+        .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+      val fl = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s""","growth":{"base_dir":"${growthBase.get}","bound":$growthBound,"floor_sec":$growthFloor,"ratios":$rs,"flags":$fl}"""
+    }.getOrElse("")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","passes":$passes,"errors":$errList,"calibration_before_sec":$calBefore,"calibration_after_sec":$calAfter$growthJson}"""
     // a FILTERED local run must not clobber the committed full-catalog map —
     // partial results go to a sibling file the repo never tracks
     val fullPath = if (only.isEmpty) "bench_full.json" else "bench_partial.json"
@@ -132,8 +176,14 @@ object Bench {
     val slowestSeq = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
     val slowest = slowestSeq
       .map { case (k, v, _) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_reported":${slowestSeq.size},"sf":"$sfDir","passes":$passes,"errors":$errListCapped,"calibration_before_sec":${f3(calBefore)},"calibration_after_sec":${f3(calAfter)},"full":"$fullPath"}"""
+    val flagsJson = growth.map { case (_, flags) =>
+      ""","growth_flags":""" + flags.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }.getOrElse("")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_reported":${slowestSeq.size},"sf":"$sfDir","passes":$passes,"errors":$errListCapped,"calibration_before_sec":${f3(calBefore)},"calibration_after_sec":${f3(calAfter)}$flagsJson,"full":"$fullPath"}"""
     println(line)
     spark.stop()
+    // the loud half of the gate: a superlinear regression fails the run
+    // (only reachable when the growth env var is set — never the driver)
+    if (growth.exists(_._2.nonEmpty)) sys.exit(3)
   }
 }

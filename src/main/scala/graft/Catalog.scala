@@ -3235,6 +3235,29 @@ object Catalog {
         |  COALESCE(string_agg(CASE WHEN nd < 2 THEN seg END, ' ' ORDER BY idx), '') AS clean_text
         |FROM segs JOIN freq USING (seg)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Incremental PPJoin: an ingest wave (doc_id % 10 = 7) exact-Jaccard-
+    // joined against the at-rest corpus shingle index — never a corpus
+    // self-join. The oracle is DELIBERATELY the brute-force batch × corpus
+    // cross join: the claim under test is that prefix filtering loses no
+    // pair, so the oracle must not share the engine's filter machinery.
+    q("q204_incremental_ppjoin", (s, d) => ext.Dedup.incrementalPrefixJoin(s, d),
+      """WITH dw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |dt AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS toks FROM dw),
+        |a AS (SELECT doc_id AS doc_a, toks AS toks_a, CAST(len(toks) AS BIGINT) AS n_a
+        |  FROM dt WHERE doc_id % 10 = 7),
+        |b AS (SELECT doc_id AS doc_b, toks AS toks_b, CAST(len(toks) AS BIGINT) AS n_b
+        |  FROM dt WHERE doc_id % 10 <> 7),
+        |j AS (SELECT doc_a, doc_b, n_a, n_b,
+        |    CAST(len(list_intersect(toks_a, toks_b)) AS BIGINT) AS n_common
+        |  FROM a CROSS JOIN b),
+        |jj AS (SELECT doc_a, doc_b, n_a, n_b, n_common,
+        |    CAST(n_common * 1000000 // (n_a + n_b - n_common) AS BIGINT) AS jaccard_ppm
+        |  FROM j)
+        |SELECT doc_a, doc_b, n_a, n_b, n_common, jaccard_ppm
+        |FROM jj WHERE jaccard_ppm >= 800000 ORDER BY doc_a, doc_b""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

@@ -306,21 +306,7 @@ object Dedup {
     * equi-join whose keys are by construction the RAREST tokens. */
   def prefixFilterJoin(spark: SparkSession, dir: String,
       thresholdPpm: Long = 800000L): DataFrame = {
-    // the shingle projection (split + 3-gram transform + array_distinct) is
-    // the most expensive row-wise work in the query and is consumed on
-    // THREE lineage paths (prefix machinery + both verification sides) —
-    // materialized ONCE per (source dir) per JVM, the candidateShinglesPath
-    // at-rest cost model (threshold-independent, so all thresholds share it)
-    val toksPath = graft.engine.Fs.buildOnce(
-      s"graft_ppjtoks_${graft.engine.Fs.dirTag(dir)}",
-      spark.sessionState.newHadoopConf()) { p =>
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("words"))
-        .filter(size(col("words")) >= 3)
-        .select(col("doc_id"), shingles.as("toks"))
-        .write.mode("overwrite").parquet(p)
-    }
-    val docToks = spark.read.parquet(toksPath)
+    val docToks = spark.read.parquet(shingleTokensPath(spark, dir))
     // the entire filter machinery runs on xxhash64 of the shingle, not the
     // string: the df aggregate, the ordering, and the prefix self-join all
     // shuffle/compare 8-byte longs instead of ~25-byte strings. Collision
@@ -355,6 +341,93 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b") &&
         least(col("n_a"), col("n_b")) * 1000000L >=
           lit(thresholdPpm) * greatest(col("n_a"), col("n_b")))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b")).distinct()
+    cand
+      .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
+        Seq("doc_a"))
+      .join(docToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
+        Seq("doc_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("jaccard_ppm", expr(
+        "CAST(n_common * 1000000 div (n_a + n_b - n_common) AS BIGINT)"))
+      .filter(col("jaccard_ppm") >= thresholdPpm)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-document 3-gram shingle ARRAYS at rest — (doc_id, toks), one row per
+    * doc — materialized ONCE per source dir per JVM. The shingle projection
+    * (split + 3-gram transform + array_distinct) is the most expensive
+    * row-wise work on the exact-join paths and is consumed on multiple
+    * lineage paths per query (prefix machinery + both verification sides in
+    * [[prefixFilterJoin]]; corpus index + verification in
+    * [[incrementalPrefixJoin]]) — the candidateShinglesPath at-rest cost
+    * model, threshold-independent so every threshold and every consumer
+    * shares one build. */
+  def shingleTokensPath(spark: SparkSession, dir: String): String =
+    graft.engine.Fs.buildOnce(
+      s"graft_ppjtoks_${graft.engine.Fs.dirTag(dir)}",
+      spark.sessionState.newHadoopConf()) { p =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .filter(size(col("words")) >= 3)
+        .select(col("doc_id"), shingles.as("toks"))
+        .write.mode("overwrite").parquet(p)
+    }
+
+  /** Incremental PPJoin (q204) — the EXACT-join counterpart of q85's
+    * incremental MinHash check: an arriving batch (doc_id % mod = rem, the
+    * repo-wide ingest-wave convention) prefix-joined against the AT-REST
+    * corpus shingle index only. The corpus is never self-joined and never
+    * re-shingled per wave — both sides read [[shingleTokensPath]], so at
+    * 100 TB the per-wave cost is (batch shingles × prefix posting lists),
+    * linear in the wave, not the corpus.
+    *
+    * Same two exact filters as [[prefixFilterJoin]] in the R-S form (Xiao et
+    * al., WWW 2008 §5): the prefix lemma holds for ANY shared global token
+    * order, so both sides order by corpus-wide document frequency (rarest
+    * first — df is the performance knob, not a correctness input) and take
+    * the |s| − ceil(t·|s|) + 1 head; the length filter prunes before
+    * verification. Verification is the same hash-class-domain argument as
+    * [[prefixFilterJoin]]: candidates on xxhash64 classes (collisions only
+    * ADD candidates), exact string-level `array_intersect` decides.
+    *
+    * Output: one row per (batch doc, corpus doc) pair with J ≥ t — the
+    * verdict stream an ingest pipeline turns into drop/keep decisions
+    * (q85's is_new column is this table's emptiness per doc). */
+  def incrementalPrefixJoin(spark: SparkSession, dir: String,
+      thresholdPpm: Long = 800000L, mod: Int = 10, rem: Int = 7): DataFrame = {
+    val isBatch = col("doc_id") % mod === rem
+    val docToks = spark.read.parquet(shingleTokensPath(spark, dir))
+    val toks = docToks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+        explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("n"), xxhash64(col("tok")).as("tok_h"))
+    // one global df over corpus ∪ batch: both sides MUST share the ordering
+    // (the lemma needs a common total order); in the deployed form df is a
+    // maintained corpus statistic the wave reuses, so waves stay corpus-free
+    val freq = toks.groupBy(col("tok_h")).agg(count(lit(1)).as("df"))
+    val prefix = toks.join(freq, Seq("tok_h"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok_h")))).as("ord"))
+      .withColumn("ordd", array_distinct(col("ord")))
+      .withColumn("m", size(col("ordd")).cast("long"))
+      .withColumn("plen",
+        col("m") - expr(s"($thresholdPpm * m + 999999) div 1000000") + 1)
+      .select(col("doc_id"), col("n"),
+        explode(expr("slice(ordd, 1, CAST(plen AS INT))")).as("p"))
+      .select(col("doc_id"), col("n"), col("p.tok_h").as("tok_h"))
+    // R-S prefix join: the small batch side builds the hash table; the corpus
+    // prefix stream probes it (broadcast-eligible at ingest-wave sizes)
+    val cand = prefix.filter(isBatch)
+      .select(col("tok_h"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+      .join(prefix.filter(!isBatch)
+          .select(col("tok_h"), col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("tok_h"))
+      .filter(least(col("n_a"), col("n_b")) * 1000000L >=
+        lit(thresholdPpm) * greatest(col("n_a"), col("n_b")))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b")).distinct()
     cand
       .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),

@@ -406,9 +406,22 @@ object Events {
     * naive global window the oracle runs. Lateness percentiles use q152's
     * counting selection on the CEILING-seconds lateness histogram (a
     * sub-second straggler needs a 1 s watermark, not 0). */
-  def watermarkLag(spark: SparkSession, dir: String): DataFrame = {
-    val chunked = Tables.events(spark, dir)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+  def watermarkLag(spark: SparkSession, dir: String): DataFrame =
+    latenessPercentiles(arrivalLateness(
+      Tables.events(spark, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))))
+
+  /** Per-event arrival lateness — the shared core of the batch audit
+    * ([[watermarkLag]]) and the streaming monitor
+    * ([[Streams.runWatermarkLagMonitor]]): input (event_id, us), output one
+    * row per event with its simulated arrival time and ceiling-seconds
+    * lateness vs the maximum event time among strictly-earlier arrivals
+    * (order: arrival_us, then event_id). `carryInUs` is the high-water mark
+    * carried in from everything that arrived BEFORE this frame (prior
+    * micro-batches); the batch form passes Long.MinValue (nothing before). */
+  def arrivalLateness(events: DataFrame,
+      carryInUs: Long = Long.MinValue): DataFrame = {
+    val chunked = events
       .withColumn("arrival_us", expr(
         "us + (CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 7200) * 1000000"))
       .withColumn("chunk", expr("arrival_us div 60000000"))
@@ -421,14 +434,22 @@ object Events {
     val carry = chunked.groupBy(col("chunk")).agg(max(col("us")).as("chunk_max"))
       .withColumn("carry_in", max(col("chunk_max")).over(wCarry))
       .select(col("chunk"), col("carry_in"))
-    val late = inChunk.join(broadcast(carry), Seq("chunk"))
+    inChunk.join(broadcast(carry), Seq("chunk"))
       .withColumn("run_max", greatest(
         coalesce(col("max_in"), lit(Long.MinValue)),
-        coalesce(col("carry_in"), lit(Long.MinValue))))
+        coalesce(col("carry_in"), lit(Long.MinValue)),
+        lit(carryInUs)))
       .withColumn("late_s",
         when(col("run_max") > col("us"),
           expr("(run_max - us + 999999) div 1000000"))
           .otherwise(0L))
+      .select(col("event_id"), col("us"), col("arrival_us"), col("late_s"))
+  }
+
+  /** Lateness-percentile rollup over [[arrivalLateness]] rows — one row:
+    * totals + p50/p90/p99/max of the LATE events (counting selection on the
+    * lateness-seconds histogram, same machinery as q152). */
+  def latenessPercentiles(late: DataFrame): DataFrame = {
     val hist = late.groupBy(col("late_s")).agg(count(lit(1)).as("c"))
     val wCum = Window.orderBy(col("late_s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -333,6 +333,85 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming watermark-lag MONITOR — the continuous form of the batch
+    * audit ([[Events.watermarkLag]], q184): each arriving micro-batch's
+    * per-event lateness is computed against the high-water mark carried
+    * across ALL prior batches, so the percentiles a pipeline reads off to
+    * set `withWatermark` are maintained as events land instead of recomputed
+    * over the log. Both forms share ONE lateness implementation
+    * ([[Events.arrivalLateness]]): when waves land in arrival order
+    * (arrival_us, event_id — the monitor's contract, same as
+    * [[transitionsStream]]'s id-order caveat), the cross-batch result is
+    * row-identical to the batch recompute.
+    *
+    * State is one scalar (the max event time seen) — kept as per-batch
+    * 1-row carry slices under `latePath/_carry` rather than in-memory, so
+    * the monitor resumes across restarts and stays exactly-once under
+    * foreachBatch's at-least-once contract: lateness AND carry slices land
+    * in per-batchId subdirs with OVERWRITE, and the carry read excludes the
+    * batch's own slice (a crashed-and-replayed batch must not see its first
+    * attempt's high-water mark — the [[runVectorIngest]] discipline).
+    * The underscore prefix keeps `_carry` invisible to parquet readers of
+    * `latePath`'s slices. */
+  def runWatermarkLagMonitor(spark: SparkSession, srcDir: String,
+      latePath: String, checkpoint: String, maxFilesPerTrigger: Int = 0): Unit = {
+    val reader = spark.readStream.schema(eventSchema)
+    val src = (if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader)
+      .parquet(srcDir)
+    val q = src
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val carryRoot = new org.apache.hadoop.fs.Path(s"$latePath/_carry")
+        val fs = carryRoot.getFileSystem(ss.sessionState.newHadoopConf())
+        val priors =
+          if (fs.exists(carryRoot))
+            fs.listStatus(carryRoot).toSeq.map(_.getPath.toString)
+              .filterNot(_.endsWith(s"/b$batchId"))
+          else Seq.empty[String]
+        // 1-row-per-prior-batch driver seed — bounded by batch count, never
+        // event volume (the A1 collect pattern)
+        val carryIn =
+          if (priors.isEmpty) Long.MinValue
+          else ss.read.parquet(priors: _*)
+            .agg(max(col("max_us"))).collect()(0).getLong(0)
+        val late = graft.streaming.Events.arrivalLateness(batch, carryIn)
+        late.write.mode("overwrite").parquet(s"$latePath/b$batchId")
+        // new high-water mark from the COMMITTED slice (not the lineage),
+        // max'd with the carry so an all-late batch never regresses it
+        val batchMax = ss.read.parquet(s"$latePath/b$batchId")
+          .agg(max(col("us"))).collect()(0)
+        val hwm =
+          if (batchMax.isNullAt(0)) carryIn
+          else math.max(carryIn, batchMax.getLong(0))
+        import ss.implicits._
+        Seq(hwm).toDF("max_us")
+          .write.mode("overwrite").parquet(s"$latePath/_carry/b$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The monitor's read side: lateness percentiles over every committed
+    * slice — same output row as batch q184 (equal to it when waves landed in
+    * arrival order). */
+  def watermarkLagSummary(spark: SparkSession, latePath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(latePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val slices =
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq.map(_.getPath.toString)
+          .filter(_.split('/').last.startsWith("b"))
+      else Seq.empty[String]
+    require(slices.nonEmpty, s"no committed lateness slices under $latePath")
+    graft.streaming.Events.latenessPercentiles(spark.read.parquet(slices: _*))
+  }
+
   /** Drain a streaming DF into an in-memory table synchronously
     * (Trigger.AvailableNow) — the local test/dev harness for the queries above;
     * a production deployment swaps the sink for parquet/Kafka and a

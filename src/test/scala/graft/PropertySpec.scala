@@ -295,6 +295,43 @@ class PropertySpec extends SparkSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("property: incremental ppjoin equals batch-x-corpus brute force on random corpora") {
+    val s = spark; import s.implicits._
+    // 24 docs → ids 7 and 17 form the ingest wave (doc_id % 10 = 7); same
+    // dense-collision vocabulary as the self-join property above
+    val docGen = Gen.listOfN(24,
+      Gen.choose(3, 9).flatMap(len => Gen.listOfN(len, Gen.choose(0, 5))))
+    val fewCases = SCTest.Parameters.default.withMinSuccessfulTests(4)
+    val caseId = new java.util.concurrent.atomic.AtomicInteger()
+    val r = SCTest.check(fewCases, Prop.forAll(docGen) { wordLists =>
+      wordLists.nonEmpty ==> {
+        val docs = wordLists.zipWithIndex.map { case (ws, i) =>
+          (i.toLong, ws.map(w => s"w$w").mkString(" "))
+        }
+        val dir = s"/tmp/graft_prop_ippj_${caseId.incrementAndGet()}"
+        docs.toDF("doc_id", "text")
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val out = ext.Dedup
+          .incrementalPrefixJoin(spark, dir, thresholdPpm = 500000L)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_common"))).toSet
+        val sets = docs.map { case (id, t) =>
+          id -> t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+        }.toMap
+        val ids = sets.keys.toSeq
+        val expected = (for {
+          a <- ids if a % 10 == 7
+          b <- ids if b % 10 != 7
+          o = sets(a).intersect(sets(b)).size.toLong
+          u = sets(a).size + sets(b).size - o
+          if o * 1000000L / u >= 500000L
+        } yield (a, b, o)).toSet
+        out == expected
+      }
+    })
+    assert(r.passed, r.status.toString)
+  }
+
   test("property: Misra-Gries guarantee survives arbitrary merge trees") {
     import graft.functions.MisraGriesAggregator
     // pure JVM property (no Spark): random streams, random capacity, random

@@ -271,6 +271,51 @@ class StreamsSpec extends SparkSuite {
       "incremental transition counts must equal the batch matrix on replay")
   }
 
+  test("streaming watermark-lag monitor == batch q184 on arrival-order replay") {
+    val dir = "/root/testdata/sf0.001"
+    val src = "/tmp/graft_stream_wml_src"
+    val late = "/tmp/graft_stream_wml_late"
+    val ckpt = "/tmp/graft_stream_wml_ckpt"
+    Seq(src, late, ckpt).foreach(rmTree)
+    // three waves split at arrival-order terciles: an event's lateness is
+    // defined against the max over strictly-EARLIER ARRIVALS, so parity with
+    // the batch audit requires waves to land in (arrival_us, event_id) order
+    // — the monitor's documented contract
+    val all = graft.engine.Tables.events(spark, dir)
+      .withColumn("arr", expr(
+        "unix_micros(ts) + (CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 7200) * 1000000"))
+      .withColumn("wave", ntile(3).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("arr"), col("event_id"))))
+    val waveFiles = (1 to 3).map { w =>
+      val before = Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
+        .map(_.getName).toSet
+      all.filter(col("wave") === w)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(src)
+      new java.io.File(src).listFiles().filter(_.getName.endsWith(".parquet"))
+        .filterNot(f => before.contains(f.getName))
+    }
+    // pin strictly-ascending mtimes so the file source's batch order is the
+    // wave order (same discipline as the transitions replay test)
+    val base = System.currentTimeMillis() - 60000
+    waveFiles.zipWithIndex.foreach { case (fs, i) =>
+      fs.foreach(f => assert(f.setLastModified(base + i * 10000L), s"mtime $f"))
+    }
+    Streams.runWatermarkLagMonitor(spark, src, late, ckpt, maxFilesPerTrigger = 1)
+    assert(new java.io.File(late).listFiles().count(_.getName.startsWith("b")) >= 3,
+      "per-file triggers must produce one committed slice per wave")
+    def row(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val streamed = row(Streams.watermarkLagSummary(spark, late))
+    val batch = row(Events.watermarkLag(spark, dir))
+    assert(streamed == batch,
+      "cross-batch lateness percentiles must equal the batch recompute")
+    // idempotent re-drain: same checkpoint, no new files → summary unchanged
+    Streams.runWatermarkLagMonitor(spark, src, late, ckpt, maxFilesPerTrigger = 1)
+    assert(row(Streams.watermarkLagSummary(spark, late)) == batch)
+  }
+
   test("streaming heavy-hitter candidates: MG state keeps the hot term, exact running n") {
     val s = spark; import s.implicits._
     val src = "/tmp/graft_stream_hh_src"
