@@ -3258,6 +3258,62 @@ object Catalog {
         |  FROM j)
         |SELECT doc_a, doc_b, n_a, n_b, n_common, jaccard_ppm
         |FROM jj WHERE jaccard_ppm >= 800000 ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Real decode + nearest-neighbor 2x downsample: the oracle recomputes the
+    // resized pixel sum from the pixel law sampled at (2x, 2y).
+    q("q205_image_resize", ext.Multimodal.imageResize,
+      """WITH d AS (SELECT doc_id, doc_id % 8 + 1 AS w, doc_id % 5 + 1 AS h FROM documents),
+        |e AS (SELECT doc_id, w, h, (w + 1) // 2 AS ow, (h + 1) // 2 AS oh FROM d)
+        |SELECT doc_id, CAST(w AS INT) AS in_w, CAST(h AS INT) AS in_h,
+        |  CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+        |  CAST(SUM((doc_id * 31 + 14 * tx.xx + 26 * ty.yy) % 256) AS BIGINT) AS px_sum
+        |FROM e, LATERAL (SELECT unnest(range(ow)) AS xx) tx,
+        |        LATERAL (SELECT unnest(range(oh)) AS yy) ty
+        |GROUP BY doc_id, w, h, ow, oh ORDER BY doc_id""".stripMargin),
+
+    // Real WAV decode + 128-sample analysis frames: per-frame exact integer
+    // energy, recomputed by the oracle from the sample law.
+    q("q206_audio_frames", (s, d) => ext.Multimodal.audioFrames(s, d),
+      """WITH d AS (SELECT doc_id, doc_id % 480 + 20 AS n FROM documents),
+        |s AS (SELECT doc_id, t.i // 128 AS f,
+        |    ((doc_id * 17 + 11 * t.i) % 2048) - 1024 AS smp
+        |  FROM d, LATERAL (SELECT unnest(range(n)) AS i) t)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(smp * smp) AS BIGINT) AS energy
+        |FROM s GROUP BY doc_id, f ORDER BY doc_id, f""".stripMargin),
+
+    // Order-preserving compaction plan over a simulated file inventory:
+    // sequential next-fit packing per partition, pure metadata arithmetic.
+    q("q207_compaction_plan", (s, d) => engine.Layout.compactionPlan(s, d),
+      """WITH f AS (SELECT source, doc_id // 20 AS file_id,
+        |    CAST(SUM(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY source, doc_id // 20),
+        |c AS (SELECT source, file_id, bytes,
+        |    CAST(COALESCE(SUM(bytes) OVER (PARTITION BY source ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prec
+        |  FROM f)
+        |SELECT source, CAST(prec // 8192 AS BIGINT) AS bin_id, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+        |  MIN(file_id) AS first_file, MAX(file_id) AS last_file,
+        |  SUM(bytes) > 8192 AS over_target
+        |FROM c GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin),
+
+    // Hierarchical anti-entropy: the engine narrows differing ranges via the
+    // top->mid->leaf Merkle drill-down; the oracle computes the leaf diff
+    // DIRECTLY (no hierarchy), so a drill-down that lost a range mismatches.
+    q("q208_merkle_ranges", engine.Quality.merkleRangeDiff,
+      """WITH h AS (SELECT doc_id // 64 AS leaf,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)) AS BIGINT) AS h_base,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+        |      CASE WHEN doc_id % 97 = 13 THEN text || ' replica-corruption' ELSE text END), 1, 15)) AS BIGINT) AS h_repl
+        |  FROM documents),
+        |l AS (SELECT leaf, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(bit_xor(h_base) AS BIGINT) AS fp_base,
+        |    CAST(bit_xor(h_repl) AS BIGINT) AS fp_repl
+        |  FROM h GROUP BY leaf)
+        |SELECT leaf, leaf * 64 AS id_lo, n_docs, fp_base, fp_repl
+        |FROM l WHERE fp_base <> fp_repl ORDER BY leaf""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

@@ -168,6 +168,44 @@ object Layout {
     n
   }
 
+  /** Compaction PLAN (q207) — the metadata half [[compact]] executes: given a
+    * partitioned table's file inventory, assign files to target-size output
+    * bins by ORDER-PRESERVING sequential packing (a file joins bin
+    * floor(preceding_bytes / target) within its partition). Order-preserving
+    * matters: files land in cluster order (ingest time, z-order ranges), and
+    * packing neighbors keeps the min/max zones tight — the round-robin
+    * shuffle in [[compact]] balances sizes but destroys clustering, so a
+    * maintenance engine plans bins this way and rewrites bin-by-bin.
+    *
+    * The inventory is simulated from the documents table (file = 20
+    * consecutive doc ids within a source, bytes = Σ n_chars) because the
+    * fixture has no thousand-file layout; the planner itself reads ONLY
+    * (partition, file_id, bytes) rows — at 100 TB that is the catalog's file
+    * listing (metadata-sized), never data. One cumulative window per
+    * partition; bins can overshoot target by at most one file (the classic
+    * next-fit guarantee), surfaced as `over_target`. */
+  def compactionPlan(spark: SparkSession, dir: String,
+      targetBytes: Long = 8192L): DataFrame = {
+    val files = Tables.documents(spark, dir)
+      .groupBy(col("source"), expr("doc_id div 20").as("file_id"))
+      .agg(sum(col("n_chars")).as("bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("file_id"))
+    files
+      .withColumn("preceding", coalesce(sum(col("bytes"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("bin_id", expr(s"preceding div $targetBytes"))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("bin_bytes"),
+        min(col("file_id")).as("first_file"),
+        max(col("file_id")).as("last_file"))
+      .withColumn("over_target", col("bin_bytes") > targetBytes)
+      .orderBy("source", "bin_id")
+  }
+
   /** Zone-map / data-skipping audit (q166): how many files a date-range
     * predicate must READ under two simulated layouts of the orders table —
     * date-clustered (one file per 30-day window, the layout a sort-on-write

@@ -95,6 +95,55 @@ object Quality {
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(fp)").as("fingerprint"))
       .orderBy("o_orderpriority")
 
+  /** Merkle RANGE diff (q208) — [[tableFingerprint]]'s flat checksum upgraded
+    * to the hierarchical anti-entropy protocol two 100 TB replicas actually
+    * run: doc-id ranges fingerprint at three granularities (leaf = 64 ids,
+    * mid = 8 leaves, top = 8 mids), replicas compare TOP summaries first and
+    * drill into a subtree only where it differs, so reconciliation moves
+    * O(diff · log n) fingerprints instead of re-hashing either corpus against
+    * the other. The "replica" is derived in-query with a deterministic
+    * planted corruption (docs with doc_id % 97 = 13 carry a mutated text);
+    * output is the narrowed-down DIFFERING LEAF ranges.
+    *
+    * One corpus scan builds the leaf table (xor of 60-bit md5-derived row
+    * hashes — commutative, so map-side combinable and order-independent,
+    * same domain as q129); every level above is leaf-count-sized arithmetic.
+    * The drill-down is exact up to xor cancellation between sibling diffs
+    * (two corrupted leaves under one mid whose 60-bit diffs xor to zero,
+    * P ≈ 2⁻⁶⁰ per pair — the standard Merkle-summary trade; the fixed
+    * fixture corpus is verified non-degenerate by the oracle, which computes
+    * the leaf diff DIRECTLY with no hierarchy). */
+  def merkleRangeDiff(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    def rowHash(text: Column): Column =
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"), text)),
+        1, 15), 16, 10).cast("long")
+    val mutated = when(col("doc_id") % 97 === 13,
+      concat(col("text"), lit(" replica-corruption"))).otherwise(col("text"))
+    val leaves = Tables.documents(spark, dir)
+      .select(expr("doc_id div 64").as("leaf"),
+        rowHash(col("text")).as("h_base"), rowHash(mutated).as("h_repl"))
+      .groupBy(col("leaf"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(h_base)").as("fp_base"), expr("bit_xor(h_repl)").as("fp_repl"))
+      .withColumn("mid", expr("leaf div 8"))
+      .withColumn("top", expr("mid div 8"))
+    // drill-down: tops that differ → their mids that differ → their leaves.
+    // Each summary table is leaf-count-sized; the semi-join chain is the
+    // log-depth narrowing a replica pair exchanges over the network.
+    val topDiff = leaves.groupBy(col("top"))
+      .agg(expr("bit_xor(fp_base)").as("t_base"), expr("bit_xor(fp_repl)").as("t_repl"))
+      .filter(col("t_base") =!= col("t_repl")).select(col("top"))
+    val midDiff = leaves.join(broadcast(topDiff), Seq("top"), "left_semi")
+      .groupBy(col("mid"))
+      .agg(expr("bit_xor(fp_base)").as("m_base"), expr("bit_xor(fp_repl)").as("m_repl"))
+      .filter(col("m_base") =!= col("m_repl")).select(col("mid"))
+    leaves.join(broadcast(midDiff), Seq("mid"), "left_semi")
+      .filter(col("fp_base") =!= col("fp_repl"))
+      .select(col("leaf"), (col("leaf") * 64).as("id_lo"),
+        col("n_docs"), col("fp_base"), col("fp_repl"))
+      .orderBy("leaf")
+  }
+
   /** Referential-integrity audit (q135): orphan counts for every FK edge of
     * the star schema — the cross-TABLE complement of the single-table
     * expectation suite (q128). Each edge is one LEFT join of the child key

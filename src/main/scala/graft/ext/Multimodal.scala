@@ -131,6 +131,44 @@ object Multimodal {
   def imageDecode(spark: SparkSession, dir: String): DataFrame =
     decodePngs(spark, pngTable(spark, dir)).orderBy("doc_id")
 
+  /** REAL decode + nearest-neighbor RESIZE (q205) — the "resize" verb of the
+    * multimodal contract, over the real PNG fixture: each image is decoded
+    * with the JDK codec, then downsampled 2× by nearest-neighbor — output
+    * pixel (x, y) samples source pixel (2x, 2y), out dims ceil(w/2)×ceil(h/2).
+    * The resample arithmetic is this engine's own (top-left-sample
+    * convention) rather than `Image.getScaledInstance`: AWT's scaler blends
+    * with unspecified filters, which no oracle can check; a fixed sampling
+    * law keeps the DECODE real and the RESIZE bit-exact — the oracle
+    * recomputes the resized pixel sum from the pixel law at (2x, 2y).
+    * Partition-parallel projection, one codec context per partition. */
+  def resizePngs(spark: SparkSession, pngs: DataFrame): DataFrame = {
+    import spark.implicits._
+    pngs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"doc $id: payload is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val (ow, oh) = ((w + 1) / 2, (h + 1) / 2)
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < oh) {
+            var x = 0
+            while (x < ow) { sum += raster.getSample(2 * x, 2 * y, 0); x += 1 }
+            y += 1
+          }
+          (id, w, h, ow, oh, sum)
+        }
+      }.toDF("doc_id", "in_w", "in_h", "out_w", "out_h", "px_sum")
+  }
+
+  /** q205: encode → decode → resize roundtrip over the synthetic PNG
+    * table. */
+  def imageResize(spark: SparkSession, dir: String): DataFrame =
+    resizePngs(spark, pngTable(spark, dir)).orderBy("doc_id")
+
   /** Synthetic WAV table: one mono PCM16/8kHz clip per document, generated
     * from the closed-form sample law n = doc_id % 480 + 20,
     * sample(i) = ((doc_id·17 + 11i) mod 2048) − 1024, containerized with the
@@ -200,6 +238,45 @@ object Multimodal {
     * frames, mis-parsed the header, or flipped endianness hash-mismatches. */
   def audioDecode(spark: SparkSession, dir: String): DataFrame =
     decodeWavs(spark, wavTable(spark, dir)).orderBy("doc_id")
+
+  /** REAL decode + windowed FRAME FEATURES (q206) — the audio
+    * "feature-extract" verb: each WAV clip is parsed with the JDK codec,
+    * its PCM stream split into fixed 128-sample analysis frames (last frame
+    * partial), and each frame reduced to its exact integer energy
+    * (Σ sample² — the RMS numerator, the front end of VAD / loudness
+    * normalization). One output row per (doc, frame); the oracle recomputes
+    * every frame energy from the closed-form sample law, so a decoder that
+    * dropped samples or mis-framed the stream hash-mismatches. */
+  def audioFrames(spark: SparkSession, dir: String,
+      frameSamples: Int = 128): DataFrame = {
+    import spark.implicits._
+    wavTable(spark, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian, s"doc $id: unexpected decoded format $fmt")
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          (0 until (n + frameSamples - 1) / frameSamples).map { f =>
+            val lo = f * frameSamples
+            val hi = math.min(lo + frameSamples, n)
+            var sq = 0L
+            var i = lo
+            while (i < hi) {
+              val s = (((data(2 * i + 1) & 0xff) << 8) | (data(2 * i) & 0xff)).toShort.toLong
+              sq += s * s
+              i += 1
+            }
+            (id, f, (hi - lo).toLong, sq)
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "n_samples", "energy")
+      .orderBy("doc_id", "frame_idx")
+  }
 
   /** Synthetic VIDEO table: a length-prefixed frame container per document
     * ("GVID" magic, int32 frame count, then int32-length-prefixed PNG

@@ -139,6 +139,83 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("image resize: nearest-neighbor 2x downsample samples (2x, 2y) exactly") {
+    val s = spark; import s.implicits._
+    // ids chosen so dims cover odd and even widths/heights
+    Seq((0L, "a"), (3L, "b"), (12L, "c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_rsz/documents.parquet")
+    val out = graft.ext.Multimodal.imageResize(spark, "/tmp/graft_test_rsz")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getLong(5))).toSeq
+    def expected(id: Long): (Long, Int, Int, Int, Int, Long) = {
+      val w = (id % 8 + 1).toInt; val h = (id % 5 + 1).toInt
+      val ow = (w + 1) / 2; val oh = (h + 1) / 2
+      val sum = (for (x <- 0 until ow; y <- 0 until oh)
+        yield (id * 31 + 7 * (2 * x) + 13 * (2 * y)) % 256).sum
+      (id, w, h, ow, oh, sum)
+    }
+    assert(out == Seq(0L, 3L, 12L).map(expected),
+      "resized dims and pixel sum must match the law sampled at (2x, 2y)")
+  }
+
+  test("audio frames: 128-sample framing covers every sample once, energies exact") {
+    val s = spark; import s.implicits._
+    // id 300 → n = 320 samples → frames of 128, 128, 64 (partial tail kept)
+    Seq((300L, "a")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_afr/documents.parquet")
+    val out = graft.ext.Multimodal.audioFrames(spark, "/tmp/graft_test_afr")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val id = 300L
+    val n = (id % 480 + 20).toInt
+    val smp = (0 until n).map(i => ((id * 17 + 11L * i) % 2048) - 1024)
+    val expected = smp.zipWithIndex.groupBy(_._2 / 128).toSeq.sortBy(_._1).map {
+      case (f, xs) => (id, f, xs.size.toLong, xs.map(x => x._1 * x._1).sum)
+    }
+    assert(out == expected, "frame boundaries and energies must match the law")
+    assert(out.map(_._3).sum == n.toLong, "no sample lost or double-counted")
+  }
+
+  test("compaction plan: order-preserving next-fit bins, overshoot bounded by one file") {
+    val s = spark; import s.implicits._
+    // one source, file bytes 5000/5000/5000/9000/100: bins by start offset
+    // with target 8192 → files 0,1 (starts 0,5000) in bin 0; file 2 (start
+    // 10000) in bin 1; file 3 (start 15000) in bin 1 (overshoots); file 4
+    // (start 24000) in bin 2
+    val docs = Seq(
+      (0L, 5000L), (20L, 5000L), (40L, 5000L), (60L, 9000L), (80L, 100L))
+      .flatMap { case (base, bytes) => Seq((base, "src", bytes)) }
+      .map { case (id, src, bytes) => (id, "t", src, bytes) }
+    docs.toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet("/tmp/graft_test_cmp/documents.parquet")
+    val out = graft.engine.Layout.compactionPlan(spark, "/tmp/graft_test_cmp")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6))).toSeq
+    assert(out == Seq(
+      (0L, 2L, 10000L, 0L, 1L, true),   // two 5000s: 10000 > 8192 by < 1 file
+      (1L, 2L, 14000L, 2L, 3L, true),   // 5000 + the 9000 crosser
+      (2L, 1L, 100L, 4L, 4L, false)),   // the tail file alone, under target
+      s"got $out")
+  }
+
+  test("merkle ranges: drill-down finds exactly the corrupted leaves, none elsewhere") {
+    val s = spark; import s.implicits._
+    // 600 docs → leaves 0..9 (64 ids each); corrupted ids (% 97 = 13):
+    // 13, 110, 207, 304, 401, 498, 595 → leaves 0, 1, 3, 4, 6, 7, 9
+    val docs = (0L until 600L).map(i => (i, s"text of $i"))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_mrk/documents.parquet")
+    val out = graft.engine.Quality.merkleRangeDiff(spark, "/tmp/graft_test_mrk")
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 3L, 4L, 6L, 7L, 9L),
+      "differing leaves are exactly those holding a % 97 = 13 doc id")
+    assert(out.forall(r => r.getLong(3) != r.getLong(4)),
+      "reported leaves carry differing fingerprints")
+    assert(out.forall(r => r.getLong(1) == r.getLong(0) * 64))
+  }
+
   test("wav decode: a non-WAV payload fails loudly instead of fabricating features") {
     val s = spark; import s.implicits._
     val bad = Seq((1L, "this is not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
