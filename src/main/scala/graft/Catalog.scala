@@ -475,6 +475,33 @@ object Catalog {
        |       FROM $prev, LATERAL (SELECT unnest(range(1, len(q) + 1)) AS d) t
        |       GROUP BY cid, dim)""".stripMargin
 
+  /** Shared SCD2-history CTE (q113/q211): full customer history after one
+    * update application — `kept` carries closed + unchanged rows, `newv` the
+    * new versions and inserts. */
+  private val scd2Cte: String =
+    """cur AS (SELECT c_custkey, c_mktsegment, DATE '2020-01-01' AS effective_date,
+      |                    CAST(NULL AS DATE) AS end_date, TRUE AS is_current FROM customer),
+      |upd AS (SELECT c_custkey AS u_key,
+      |          CASE WHEN c_custkey % 5 = 0 THEN 'SEG_CHANGED' ELSE c_mktsegment END AS u_seg
+      |        FROM customer WHERE c_custkey % 11 <> 0
+      |        UNION ALL
+      |        SELECT c_custkey + 1000000, c_mktsegment FROM customer WHERE c_custkey % 13 = 0),
+      |j AS (SELECT cur.c_custkey AS k, cur.c_mktsegment AS seg,
+      |             cur.effective_date, cur.end_date, upd.u_key, upd.u_seg
+      |      FROM cur FULL OUTER JOIN upd ON cur.c_custkey = upd.u_key),
+      |kept AS (
+      |  SELECT k AS c_custkey, seg AS c_mktsegment, effective_date,
+      |    CASE WHEN u_key IS NULL OR NOT (seg IS NOT DISTINCT FROM u_seg)
+      |         THEN DATE '2020-06-15' ELSE DATE '2099-12-31' END AS end_date,
+      |    NOT (u_key IS NULL OR NOT (seg IS NOT DISTINCT FROM u_seg)) AS is_current
+      |  FROM j WHERE k IS NOT NULL),
+      |newv AS (
+      |  SELECT u_key AS c_custkey, u_seg AS c_mktsegment,
+      |    DATE '2020-06-15' AS effective_date,
+      |    DATE '2099-12-31' AS end_date, TRUE AS is_current
+      |  FROM j
+      |  WHERE u_key IS NOT NULL AND (k IS NULL OR NOT (seg IS NOT DISTINCT FROM u_seg)))""".stripMargin
+
   private val kmCte: String =
     s"""kn AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
        |       FROM embeddings),
@@ -1569,30 +1596,9 @@ object Catalog {
     // SCD2 maintenance cycle: change/depart/re-enter paths in one full-outer
     // join + union (no windows over history); null-safe change detection.
     q("q113_scd2_history", engine.Scd2.customerScd2,
-      """WITH cur AS (SELECT c_custkey, c_mktsegment, DATE '2020-01-01' AS effective_date,
-        |                    CAST(NULL AS DATE) AS end_date, TRUE AS is_current FROM customer),
-        |upd AS (SELECT c_custkey AS u_key,
-        |          CASE WHEN c_custkey % 5 = 0 THEN 'SEG_CHANGED' ELSE c_mktsegment END AS u_seg
-        |        FROM customer WHERE c_custkey % 11 <> 0
-        |        UNION ALL
-        |        SELECT c_custkey + 1000000, c_mktsegment FROM customer WHERE c_custkey % 13 = 0),
-        |j AS (SELECT cur.c_custkey AS k, cur.c_mktsegment AS seg,
-        |             cur.effective_date, cur.end_date, upd.u_key, upd.u_seg
-        |      FROM cur FULL OUTER JOIN upd ON cur.c_custkey = upd.u_key),
-        |kept AS (
-        |  SELECT k AS c_custkey, seg AS c_mktsegment, effective_date,
-        |    CASE WHEN u_key IS NULL OR NOT (seg IS NOT DISTINCT FROM u_seg)
-        |         THEN DATE '2020-06-15' ELSE DATE '2099-12-31' END AS end_date,
-        |    NOT (u_key IS NULL OR NOT (seg IS NOT DISTINCT FROM u_seg)) AS is_current
-        |  FROM j WHERE k IS NOT NULL),
-        |newv AS (
-        |  SELECT u_key AS c_custkey, u_seg AS c_mktsegment,
-        |    DATE '2020-06-15' AS effective_date,
-        |    DATE '2099-12-31' AS end_date, TRUE AS is_current
-        |  FROM j
-        |  WHERE u_key IS NOT NULL AND (k IS NULL OR NOT (seg IS NOT DISTINCT FROM u_seg)))
-        |SELECT * FROM kept UNION ALL SELECT * FROM newv
-        |ORDER BY c_custkey, effective_date""".stripMargin),
+      s"""WITH $scd2Cte
+         |SELECT * FROM kept UNION ALL SELECT * FROM newv
+         |ORDER BY c_custkey, effective_date""".stripMargin),
 
     // CSV sink + explicit-schema source roundtrip (S1 surface, oracle-checked:
     // the rollup must match the parquet-direct computation).
@@ -3314,6 +3320,57 @@ object Catalog {
         |  FROM h GROUP BY leaf)
         |SELECT leaf, leaf * 64 AS id_lo, n_docs, fp_base, fp_repl
         |FROM l WHERE fp_base <> fp_repl ORDER BY leaf""".stripMargin),
+
+    // Johnson-Lindenstrauss sign projection: md5-derived +-1 planes over the
+    // quantized vectors (exact integers both engines), plus the norm-ratio
+    // audit that IS the JL distance-preservation guarantee.
+    q("q209_jl_projection", (s, d) => ext.Similarity.jlProjection(s, d),
+      """WITH kn AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q FROM embeddings),
+        |p AS (SELECT vec_id, q,
+        |    list_transform(range(16), k -> CAST(list_sum(list_transform(range(64), d ->
+        |      (CASE WHEN CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) AS INT) % 2 = 0
+        |        THEN 1 ELSE -1 END) * q[d + 1])) AS BIGINT)) AS pr
+        |  FROM kn),
+        |n AS (SELECT vec_id, pr,
+        |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS norm2_q,
+        |    CAST(list_sum(list_transform(pr, x -> x * x)) AS BIGINT) AS norm2_p
+        |  FROM p)
+        |SELECT vec_id, pr[1] AS proj0, pr[2] AS proj1, pr[3] AS proj2, pr[4] AS proj3,
+        |  norm2_q, norm2_p,
+        |  CAST(norm2_p * 1000000 // NULLIF(16 * norm2_q, 0) AS BIGINT) AS ratio_ppm
+        |FROM n ORDER BY vec_id""".stripMargin),
+
+    // Tokenizer fertility by language: the trained BPE dictionary's symbol
+    // counts joined to per-language word counts — symbols per word / per
+    // char, the fairness metric of a tokenizer across a language mix.
+    q("q210_bpe_fertility", (s, d) => ext.TextStats.bpeFertility(s, d),
+      s"""WITH $bpeCte,
+         |dict AS (SELECT replace(trim(sp), '  ', '') AS w,
+         |    CAST(len(string_split(trim(sp), '  ')) AS BIGINT) AS n_syms FROM w3),
+         |lw AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE len(w) > 0 GROUP BY lang, w)
+         |SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_words,
+         |  CAST(SUM(cnt * length(w)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(cnt * n_syms) AS BIGINT) AS n_syms,
+         |  CAST(SUM(cnt * n_syms) * 1000000 // SUM(cnt) AS BIGINT) AS fertility_ppm,
+         |  CAST(SUM(cnt * n_syms) * 1000000 // SUM(cnt * length(w)) AS BIGINT) AS syms_per_char_ppm
+         |FROM lw JOIN dict USING (w) GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // SCD2 time travel: the dimension AS OF a pre-update instant vs the
+    // current state, one conditional-aggregate pass over the history.
+    q("q211_scd2_asof", (s, d) => engine.Scd2.segmentAsOfDrift(s, d),
+      s"""WITH $scd2Cte,
+         |hist AS (SELECT * FROM kept UNION ALL SELECT * FROM newv)
+         |SELECT c_mktsegment,
+         |  CAST(SUM(CASE WHEN effective_date <= DATE '2020-03-01'
+         |      AND end_date > DATE '2020-03-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_asof,
+         |  CAST(SUM(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+         |  CAST(SUM(CASE WHEN is_current THEN 1 ELSE 0 END)
+         |    - SUM(CASE WHEN effective_date <= DATE '2020-03-01'
+         |        AND end_date > DATE '2020-03-01' THEN 1 ELSE 0 END) AS BIGINT) AS drift
+         |FROM hist GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

@@ -89,4 +89,26 @@ object Scd2 {
         coalesce(col("end_date"), lit(java.sql.Date.valueOf("2099-12-31"))))
       .orderBy("c_custkey", "effective_date")
   }
+
+  /** AS-OF reconstruction over SCD2 history (q211) — time travel for the
+    * dimension layer: a row is live at instant T iff
+    * effective_date ≤ T < end_date (half-open versioning intervals; the
+    * high-date sentinel keeps the predicate total). The query contrasts the
+    * dimension AS OF a pre-update date with the CURRENT state in ONE
+    * conditional-aggregate pass over the history — never two scans, never a
+    * self-join; at 100 TB the history is the big table and this is the only
+    * shape that reads it once. Output: per segment, member count as-of vs
+    * current, with the net drift. */
+  def segmentAsOfDrift(spark: org.apache.spark.sql.SparkSession, dir: String,
+      asOf: java.sql.Date = java.sql.Date.valueOf("2020-03-01")): DataFrame = {
+    val t = lit(asOf)
+    customerScd2(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(when(col("effective_date") <= t && col("end_date") > t, 1L)
+          .otherwise(0L)).as("n_asof"),
+        sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"))
+      .withColumn("drift", col("n_current") - col("n_asof"))
+      .orderBy("c_mktsegment")
+  }
 }

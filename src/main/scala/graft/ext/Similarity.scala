@@ -568,6 +568,59 @@ object Similarity {
   // Iterated Lloyd k-means + SemDeDup-style semantic dedup
   // ------------------------------------------------------------------
 
+  /** Johnson-Lindenstrauss SIGN projection (q209) — the dimensionality
+    * reduction a 100 TB vector corpus applies BEFORE the ANN stack: project
+    * each 64-dim embedding onto `nPlanes` ±1 sign vectors (Achlioptas 2003's
+    * database-friendly JL variant — signs, not Gaussians, so the projection
+    * is exact integer arithmetic on the [[KmScale]]-quantized vectors and
+    * every engine agrees bit-for-bit).
+    *
+    * The sign matrix is md5-derived per (plane, dim) — deterministic and
+    * SQL-reproducible — but computed ONCE driver-side and embedded as
+    * nPlanes literal arrays, so the per-row work is nPlanes codegen'd
+    * integer dots ([[LongDotProduct]]): zero per-row hashing, no HOF
+    * lambdas, no shuffle — a pure projection stage.
+    *
+    * Output carries the JL audit alongside the head of the projection:
+    * `ratio_ppm` = ‖proj‖²·10⁶ / (nPlanes·‖q‖²), whose concentration around
+    * 10⁶ (E[(s·x)²] = ‖x‖² per sign plane) is the distance-preservation
+    * guarantee downstream ANN relies on. */
+  def jlProjection(spark: SparkSession, dir: String,
+      nPlanes: Int = 16, dim: Int = 64): DataFrame = {
+    VectorExpressions.register(spark)
+    def sign(k: Int, d: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$k:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1L else -1L
+    }
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${KmScale}D) AS BIGINT))")
+        .as("q"))
+      // same fail-loud dim contract as [[lshBuckets]]: a mismatched vector
+      // would silently zero-pad the dot product
+      .withColumn("q", expr(
+        s"CASE WHEN size(q) = $dim THEN q ELSE raise_error('jlProjection: expected dim $dim, got ' || size(q)) END"))
+    val projected = (0 until nPlanes).foldLeft(q) { (df, k) =>
+      val arr = (0 until dim).map(d => s"${sign(k, d)}L").mkString(",")
+      df.withColumn(s"p$k", expr(s"graft_dot_long(q, array($arr))"))
+    }
+    val norm2p = (0 until nPlanes).map(k => col(s"p$k") * col(s"p$k"))
+      .reduce(_ + _)
+    projected
+      .withColumn("norm2_q", expr("graft_dot_long(q, q)"))
+      .withColumn("norm2_p", norm2p)
+      .select(col("vec_id"),
+        col("p0").as("proj0"), col("p1").as("proj1"),
+        col("p2").as("proj2"), col("p3").as("proj3"),
+        col("norm2_q"), col("norm2_p"),
+        when(col("norm2_q") === 0, lit(null).cast("long"))
+          .otherwise(expr(s"CAST(norm2_p * 1000000 div ($nPlanes * norm2_q) AS BIGINT)"))
+          .as("ratio_ppm"))
+      .orderBy("vec_id")
+  }
+
   /** Quantization scale for the integer k-means domain. 1024 = 2^10: the
     * multiply is an exponent shift on an exact float32-derived double, so
     * `floor(v * 1024)` is bit-identical in every IEEE-754 engine — the whole

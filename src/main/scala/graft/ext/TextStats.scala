@@ -1407,6 +1407,39 @@ object TextStats {
       .orderBy("merge_idx")
   }
 
+  /** Tokenizer FERTILITY by language (q210) — the metric that decides
+    * whether a trained tokenizer is fair to each language in the mix
+    * (fertility = symbols emitted per word; a tokenizer trained on an
+    * English-heavy corpus fragments other languages, inflating their
+    * training cost): the trained dictionary's per-word symbol counts
+    * ([[bpeStatePath]]'s last materialized round — word recovered by
+    * stripping the boundary encoding) joined to per-(lang, word) corpus
+    * counts. The dictionary side is word-TYPES (corpus-size-independent, the
+    * broadcast side at scale); the corpus side is one word-count aggregate.
+    * Integer ppm end to end. */
+  def bpeFertility(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val p = bpeStatePath(spark, dir, rounds)
+    val lastRound = spark.read.parquet(s"$p/merges")
+      .agg(coalesce(max(col("merge_idx")), lit(0)).cast("int")).head().getInt(0)
+    val dict = spark.read.parquet(s"$p/w$lastRound")
+      .select(regexp_replace(trim(col("sp")), "  ", "").as("w"),
+        size(split(trim(col("sp")), "  ")).cast("long").as("n_syms"))
+    val langWords = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+    langWords.join(broadcast(dict), Seq("w"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * length(col("w"))).as("n_chars"),
+        sum(col("cnt") * col("n_syms")).as("n_syms"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_syms"),
+        expr("n_syms * 1000000 div n_words").as("fertility_ppm"),
+        expr("n_syms * 1000000 div n_chars").as("syms_per_char_ppm"))
+      .orderBy("lang")
+  }
+
   /** The BPE training state at rest, built ONCE per (dir, rounds) per JVM
     * ([[graft.engine.Fs.buildOnce]] — bench passes reread instead of
     * retraining): `w0..wN/` per-round dictionaries, `merges/` the merge

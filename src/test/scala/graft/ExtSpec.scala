@@ -216,6 +216,37 @@ class ExtSpec extends SparkSuite {
     assert(out.forall(r => r.getLong(1) == r.getLong(0) * 64))
   }
 
+  test("jl projection: exact integers, norm ratios concentrate near 1e6") {
+    val out = graft.ext.Similarity.jlProjection(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val ratios = out.map(_.getAs[Long]("ratio_ppm"))
+    val mean = ratios.sum / ratios.length
+    // E[ratio] = 1e6 exactly (E[(s.x)^2] = |x|^2 per sign plane); 16 planes
+    // concentrate the corpus mean well within 2x
+    assert(mean > 500000L && mean < 2000000L, s"mean ratio_ppm $mean")
+    assert(out.map(_.getAs[Long]("proj0")).distinct.length > 1,
+      "projections must separate distinct vectors")
+  }
+
+  test("bpe fertility: per-language symbol counts respect word/char bounds") {
+    val out = graft.ext.TextStats.bpeFertility(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, c, s) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_syms"))
+      assert(s >= w, "a word is at least one symbol")
+      assert(s <= c, "a symbol is at least one char")
+      assert(r.getAs[Long]("fertility_ppm") >= 1000000L)
+      assert(r.getAs[Long]("syms_per_char_ppm") <= 1000000L)
+    }
+    // the trained merges actually fired somewhere: strictly fewer symbols
+    // than characters corpus-wide
+    assert(out.map(_.getAs[Long]("n_syms")).sum <
+      out.map(_.getAs[Long]("n_chars")).sum)
+  }
+
   test("wav decode: a non-WAV payload fails loudly instead of fabricating features") {
     val s = spark; import s.implicits._
     val bad = Seq((1L, "this is not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")

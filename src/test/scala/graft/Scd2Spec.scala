@@ -92,4 +92,23 @@ class Scd2Spec extends SparkSuite {
     assert(twice.count() == once.count())
     assert(twice.filter("is_current").count() == 1)
   }
+
+  test("scd2 as-of: a pre-update instant reconstructs the original dimension exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Scd2.segmentAsOfDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val orig = graft.engine.Tables.customer(spark, dir)
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // as of 2020-03-01 (before the 2020-06-15 update) every key holds its
+    // ORIGINAL segment — time travel must recover the raw customer rollup
+    assert(out.view.filterKeys(orig.contains).mapValues(_._1).toMap == orig,
+      "as-of counts must equal the original per-segment rollup")
+    assert(out.keySet == orig.keySet + "SEG_CHANGED",
+      "the synthetic changed-segment value exists only in the current state")
+    assert(out("SEG_CHANGED")._1 == 0L, "SEG_CHANGED is invisible as of the past date")
+    out.foreach { case (seg, (asof, current, drift)) =>
+      assert(drift == current - asof, s"drift must be the net change for $seg")
+    }
+  }
 }
