@@ -3371,6 +3371,54 @@ object Catalog {
          |    - SUM(CASE WHEN effective_date <= DATE '2020-03-01'
          |        AND end_date > DATE '2020-03-01' THEN 1 ELSE 0 END) AS BIGINT) AS drift
          |FROM hist GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // Span-level benchmark decontamination: segments verbatim in the
+    // benchmark slice are cut and the doc reassembled in order.
+    q("q212_decontaminate_rewrite", (s, d) => ext.Dedup.decontaminateRewrite(s, d),
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 10),
+        |segs AS (SELECT doc_id, CAST(t.i AS INT) AS idx,
+        |    array_to_string(words[(t.i*10+1):(t.i*10+10)], ' ') AS seg
+        |  FROM d, LATERAL (SELECT unnest(range(0, len(words) // 10)) AS i) t),
+        |bench AS (SELECT DISTINCT seg FROM segs WHERE doc_id % 50 = 0)
+        |SELECT s.doc_id, COUNT(*) AS n_segments,
+        |  CAST(SUM(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  COALESCE(string_agg(CASE WHEN b.seg IS NULL THEN s.seg END, ' ' ORDER BY idx), '') AS clean_text
+        |FROM segs s LEFT JOIN bench b ON s.seg = b.seg
+        |WHERE s.doc_id % 50 <> 0
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
+
+    // Window-level code-switching audit: 20-token windows classified with
+    // the q25 marker heuristic, adjacent-window disagreements counted — one
+    // in-row projection, no explode, no shuffle.
+    q("q213_code_switch", (s, d) => ext.TextStats.codeSwitchRate(s, d),
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 20),
+        |w AS (SELECT doc_id, list_transform(range(0, len(words) // 20),
+        |    i -> words[(i*20+1):(i*20+20)]) AS wins FROM d),
+        |l AS (SELECT doc_id, list_transform(wins, win -> CASE
+        |    WHEN len(list_filter(win, x -> x IN ('the','a','of','and','is','to','in')))
+        |           >= len(list_filter(win, x -> x IN ('el','la','de','y','que','los')))
+        |     AND len(list_filter(win, x -> x IN ('the','a','of','and','is','to','in')))
+        |           >= len(list_filter(win, x -> x IN ('le','la','de','et','les','des')))
+        |     AND len(list_filter(win, x -> x IN ('the','a','of','and','is','to','in'))) > 0
+        |    THEN 'en'
+        |    WHEN len(list_filter(win, x -> x IN ('el','la','de','y','que','los')))
+        |           >= len(list_filter(win, x -> x IN ('le','la','de','et','les','des')))
+        |     AND len(list_filter(win, x -> x IN ('el','la','de','y','que','los'))) > 0
+        |    THEN 'es'
+        |    WHEN len(list_filter(win, x -> x IN ('le','la','de','et','les','des'))) > 0
+        |    THEN 'fr'
+        |    ELSE 'unknown' END) AS langs FROM w)
+        |SELECT doc_id, CAST(len(langs) AS BIGINT) AS n_windows,
+        |  CAST(len(list_distinct(langs)) AS BIGINT) AS n_lang_kinds,
+        |  CAST(CASE WHEN len(langs) >= 2 THEN len(list_filter(range(1, len(langs)),
+        |      i -> langs[i] <> langs[i+1])) ELSE 0 END AS BIGINT) AS n_switches,
+        |  CAST(CASE WHEN len(langs) >= 2 THEN
+        |      (CASE WHEN len(langs) >= 2 THEN len(list_filter(range(1, len(langs)),
+        |         i -> langs[i] <> langs[i+1])) ELSE 0 END) * 1000000 // (len(langs) - 1)
+        |    ELSE 0 END AS BIGINT) AS switch_ppm
+        |FROM l ORDER BY doc_id""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

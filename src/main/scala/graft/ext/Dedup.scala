@@ -1083,6 +1083,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination REWRITE (q212) — the span-level removal the
+    * doc-level flag (q57) and bloom screen (q74) feed: every 10-token
+    * segment that appears VERBATIM among the benchmark docs' segments
+    * (doc_id % 50 = 0, the q57/q74 convention) is dropped from each corpus
+    * doc and the surviving text REASSEMBLED in original order — what
+    * contamination-sensitive pipelines actually ship (flagging a 10k-token
+    * doc for one leaked question wastes the doc; cutting the span keeps it).
+    * Same in-row order restoration as [[segmentDedupRewrite]] (array_sort on
+    * the segment index — collect_list order is partition-dependent; no
+    * window). The benchmark segment set is benchmark-sized → broadcast; the
+    * corpus side is one segment explode + one aggregate. */
+  def decontaminateRewrite(spark: SparkSession, dir: String,
+      segTokens: Int = 10): DataFrame = {
+    val segs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= segTokens)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(words) div $segTokens - 1),
+           |  i -> concat_ws(' ', slice(words, i * $segTokens + 1, $segTokens)))""".stripMargin))
+        .as(Seq("idx", "seg")))
+    val bench = segs.filter(col("doc_id") % 50 === 0)
+      .select(col("seg")).distinct().withColumn("hit", lit(1))
+    segs.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), Seq("seg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        expr("""concat_ws(' ',
+               |  transform(
+               |    array_sort(collect_list(
+               |      IF(hit IS NULL, struct(idx, seg), NULL))),
+               |    e -> e.seg))""".stripMargin).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-language shingle-overlap matrix: for each (lang_a < lang_b) pair,
     * the number of DISTINCT 3-word shingles both language slices contain —
     * the cross-lingual contamination / code-switching diagnostic a corpus

@@ -78,10 +78,17 @@ object TextStats {
     * shared by [[langId]] (q25) and [[langIdEval]] (q159) so the classifier
     * and its evaluation can never drift apart. Pure projection (no shuffle);
     * carries every input column through. */
+  /** The marker vocabularies of the lang-id heuristic — single source for
+    * [[withLangMarkers]] (q25/q159) and [[codeSwitchRate]] (q213) so the
+    * doc-level and window-level classifiers can never drift apart. */
+  private[ext] val enMarkers = Seq("the", "a", "of", "and", "is", "to", "in")
+  private[ext] val esMarkers = Seq("el", "la", "de", "y", "que", "los")
+  private[ext] val frMarkers = Seq("le", "la", "de", "et", "les", "des")
+
   private[ext] def withLangMarkers(df: DataFrame): DataFrame = {
-    val en = Seq("the", "a", "of", "and", "is", "to", "in")
-    val es = Seq("el", "la", "de", "y", "que", "los")
-    val fr = Seq("le", "la", "de", "et", "les", "des")
+    val en = enMarkers
+    val es = esMarkers
+    val fr = frMarkers
     def markerCount(langWords: Seq[String]): Column = {
       val set = langWords.map(w => s"'$w'").mkString("(", ", ", ")")
       size(expr(s"filter(words, w -> w IN $set)")).cast("long")
@@ -1405,6 +1412,54 @@ object TextStats {
     spark.read.parquet(s"${bpeStatePath(spark, dir, rounds)}/merges")
       .select(col("merge_idx").cast("int").as("merge_idx"), col("pair"), col("freq"))
       .orderBy("merge_idx")
+  }
+
+  /** Code-switching rate (q213) — the WINDOW-level language-mix audit the
+    * doc-level lang-id (q25) can't see: each doc's words split into 20-token
+    * windows, every window classified with the SAME marker heuristic
+    * ([[enMarkers]]/[[esMarkers]]/[[frMarkers]] — shared constants, the
+    * classifiers cannot drift), and the doc scored by how often adjacent
+    * windows disagree. High switch rates mark machine-concatenated or
+    * boilerplate-stitched pages — docs a mono-lingual filter mislabels
+    * whole. The entire computation is ONE in-row projection (windows, window
+    * langs, and adjacent-disagreement counts all as array HOFs — no explode,
+    * no shuffle, no window function): the ideal 100 TB shape, a pure scan.
+    * `sequence(1, n-1)` is guarded for n < 2 (Spark's sequence DESCENDS when
+    * hi < lo). */
+  def codeSwitchRate(spark: SparkSession, dir: String,
+      windowTokens: Int = 20): DataFrame = {
+    def cnt(set: Seq[String]): String = {
+      val s = set.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"size(filter(win, x -> x IN $s))"
+    }
+    val classify =
+      s"""CASE WHEN ${cnt(enMarkers)} >= ${cnt(esMarkers)}
+         |       AND ${cnt(enMarkers)} >= ${cnt(frMarkers)}
+         |       AND ${cnt(enMarkers)} > 0 THEN 'en'
+         |     WHEN ${cnt(esMarkers)} >= ${cnt(frMarkers)}
+         |       AND ${cnt(esMarkers)} > 0 THEN 'es'
+         |     WHEN ${cnt(frMarkers)} > 0 THEN 'fr'
+         |     ELSE 'unknown' END""".stripMargin
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= windowTokens)
+      .withColumn("langs", expr(
+        s"""transform(
+           |  transform(sequence(0, size(words) div $windowTokens - 1),
+           |    i -> slice(words, i * $windowTokens + 1, $windowTokens)),
+           |  win -> $classify)""".stripMargin))
+      .select(
+        col("doc_id"),
+        size(col("langs")).cast("long").as("n_windows"),
+        size(array_distinct(col("langs"))).cast("long").as("n_lang_kinds"),
+        expr("""CAST(IF(size(langs) >= 2,
+               |  size(filter(sequence(1, size(langs) - 1),
+               |    i -> element_at(langs, i) != element_at(langs, i + 1))),
+               |  0) AS BIGINT)""".stripMargin).as("n_switches"))
+      .withColumn("switch_ppm",
+        when(col("n_windows") >= 2,
+          expr("n_switches * 1000000 div (n_windows - 1)")).otherwise(0L))
+      .orderBy("doc_id")
   }
 
   /** Tokenizer FERTILITY by language (q210) — the metric that decides

@@ -216,6 +216,67 @@ class ExtSpec extends SparkSuite {
     assert(out.forall(r => r.getLong(1) == r.getLong(0) * 64))
   }
 
+  test("decontaminate rewrite: benchmark spans cut, doc reassembled in order") {
+    val s = spark; import s.implicits._
+    val leaked = (1 to 10).map(i => s"leak$i").mkString(" ")
+    val head = (1 to 10).map(i => s"head$i").mkString(" ")
+    val tail = (1 to 10).map(i => s"tail$i").mkString(" ")
+    Seq(
+      (0L, s"benchmark question $leaked answer choice here now ok yes no"),
+      (1L, s"$head $leaked $tail"),   // corpus: leaked span mid-doc
+      (2L, s"$tail $head"))           // corpus: clean
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_dcr/documents.parquet")
+    val out = graft.ext.Dedup.decontaminateRewrite(spark, "/tmp/graft_test_dcr")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 0's only aligned segment starts at "benchmark question", so the
+    // leaked run sits UNALIGNED in the benchmark — segment-grain semantics
+    // (q73/q191's) must NOT cut doc 1's aligned (leak1..leak10) segment
+    assert(out(1L) == ((3L, 0L, s"$head $leaked $tail")),
+      "an unaligned benchmark overlap is not a segment match")
+    assert(out(2L) == ((2L, 0L, s"$tail $head")), "clean doc passes through")
+    assert(out.keySet == Set(1L, 2L), "benchmark docs are not rewritten")
+  }
+
+  test("decontaminate rewrite: aligned benchmark segment is dropped from corpus docs") {
+    val s = spark; import s.implicits._
+    val leaked = (1 to 10).map(i => s"leak$i").mkString(" ")
+    val head = (1 to 10).map(i => s"head$i").mkString(" ")
+    val tail = (1 to 10).map(i => s"tail$i").mkString(" ")
+    Seq(
+      (0L, s"$leaked extra words beyond the aligned first segment boundary xx"),
+      (1L, s"$head $leaked $tail"),
+      (2L, s"$head $tail"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_dcr2/documents.parquet")
+    val out = graft.ext.Dedup.decontaminateRewrite(spark, "/tmp/graft_test_dcr2")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((3L, 1L, s"$head $tail")),
+      "the leaked middle segment is cut and head/tail rejoin in order")
+    assert(out(2L) == ((2L, 0L, s"$head $tail")))
+  }
+
+  test("code switch: window language transitions counted, monolingual doc scores zero") {
+    val s = spark; import s.implicits._
+    val en = (1 to 20).map(_ => "the").mkString(" ")
+    val fr = (1 to 20).map(_ => "les").mkString(" ")
+    Seq(
+      (1L, s"$en $fr $en"),  // en|fr|en → 2 switches, 2 kinds
+      (2L, s"$en $en"),      // en|en → 0 switches
+      (3L, en))              // single window → 0 switches by guard
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_csw/documents.parquet")
+    val out = graft.ext.TextStats.codeSwitchRate(spark, "/tmp/graft_test_csw")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, 2L, 1000000L),
+      (2L, 2L, 1L, 0L, 0L),
+      (3L, 1L, 1L, 0L, 0L)), s"got $out")
+  }
+
   test("jl projection: exact integers, norm ratios concentrate near 1e6") {
     val out = graft.ext.Similarity.jlProjection(spark, "/root/testdata/sf0.001")
       .collect()
