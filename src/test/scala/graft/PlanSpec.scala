@@ -604,4 +604,30 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"probing must stay an equi-join on bucket:\n$p")
   }
+
+  test("q209 jl projection: projection-only — zero exchanges before the output sort") {
+    val p = plan("q209_jl_projection")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"16 sign dots + norms must be a pure scan, got $exchanges exchanges:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      s"no aggregate or join may appear:\n$p")
+  }
+
+  test("q213 code switch: one in-row pass — no explode, no aggregate, no join") {
+    val p = plan("q213_code_switch")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"windowing + classification must stay in-row, got $exchanges exchanges:\n$p")
+    assert(!p.contains("Generate") && !p.contains("HashAggregate") && !p.contains("Join"),
+      s"no explode/aggregate/join may appear:\n$p")
+  }
+
+  test("q212 decontaminate rewrite: benchmark set broadcasts, order restored without a window") {
+    val p = plan("q212_decontaminate_rewrite")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark segment set must broadcast:\n$p")
+    assert(!p.contains("Window"),
+      s"order restoration must be the in-row array_sort, not a window:\n$p")
+  }
 }
