@@ -3419,6 +3419,38 @@ object Catalog {
         |         i -> langs[i] <> langs[i+1])) ELSE 0 END) * 1000000 // (len(langs) - 1)
         |    ELSE 0 END AS BIGINT) AS switch_ppm
         |FROM l ORDER BY doc_id""".stripMargin),
+
+    // Right-to-erasure cascade: request set -> customer/orders/lineitem
+    // purge audit (broadcast request keys, one membership pass per table).
+    q("q214_delete_propagation", (s, d) => engine.Quality.deletePropagation(s, d),
+      """WITH doomed_orders AS (SELECT o_orderkey FROM orders WHERE o_custkey % 59 = 3),
+        |c AS (SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_before,
+        |    CAST(SUM(CASE WHEN c_custkey % 59 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_purged
+        |  FROM customer),
+        |o AS (SELECT 'orders' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_before,
+        |    CAST(SUM(CASE WHEN o_custkey % 59 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_purged
+        |  FROM orders),
+        |l AS (SELECT 'lineitem' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_before,
+        |    CAST(SUM(CASE WHEN d.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purged
+        |  FROM lineitem li LEFT JOIN doomed_orders d ON li.l_orderkey = d.o_orderkey),
+        |u AS (SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l)
+        |SELECT table_name, n_before, n_purged, n_before - n_purged AS n_after
+        |FROM u ORDER BY table_name""".stripMargin),
+
+    // Backfill planner: missing month partitions coalesced into contiguous
+    // ranges via the islands trick over the (calendar-bounded) month domain.
+    q("q215_backfill_plan", (s, d) => engine.Layout.backfillPlan(s, d),
+      """WITH mo AS (SELECT DISTINCT (year(CAST(o_orderdate AS DATE)) * 12
+        |    + month(CAST(o_orderdate AS DATE)) - 1) AS m FROM orders),
+        |b AS (SELECT MIN(m) AS lo, MAX(m) AS hi FROM mo),
+        |spine AS (SELECT unnest(range(lo, hi + 1)) AS m FROM b),
+        |ex AS (SELECT m FROM mo WHERE m % 7 <> 3),
+        |miss AS (SELECT m FROM spine WHERE m NOT IN (SELECT m FROM ex)),
+        |r AS (SELECT m, m - ROW_NUMBER() OVER (ORDER BY m) AS grp FROM miss)
+        |SELECT printf('%04d-%02d', CAST(MIN(m) // 12 AS INT), CAST(MIN(m) % 12 + 1 AS INT)) AS start_month,
+        |  printf('%04d-%02d', CAST(MAX(m) // 12 AS INT), CAST(MAX(m) % 12 + 1 AS INT)) AS end_month,
+        |  CAST(COUNT(*) AS BIGINT) AS n_months
+        |FROM r GROUP BY grp ORDER BY start_month""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

@@ -206,6 +206,39 @@ object Layout {
       .orderBy("source", "bin_id")
   }
 
+  /** Backfill PLAN (q215) — the gap detector a scheduled pipeline runs
+    * before re-processing history: month partitions present in the source
+    * spine but missing from the output (simulated: months whose index
+    * m % 7 = 3 never landed) are coalesced into CONTIGUOUS backfill ranges
+    * with the classic islands trick (m − row_number over missing months —
+    * constant within a run, jumps across a gap). The only corpus-sized
+    * stage is the distinct-months aggregate (map-side combinable); spine,
+    * missing set, and the islands window all live on the month DOMAIN
+    * (bounded by calendar span, not data volume), so the global window is
+    * safe at any scale. Output: one row per contiguous missing range. */
+  def backfillPlan(spark: SparkSession, dir: String): DataFrame = {
+    val months = Tables.orders(spark, dir)
+      .select(expr(
+        "(year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) - 1)")
+        .as("m")).distinct()
+    val spine = months.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("m"))
+    val existing = months.filter(col("m") % 7 =!= 3)
+    val missing = spine.join(existing, Seq("m"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("m"))
+    // integer month index → 'YYYY-MM' ("/" on longs is double division; div)
+    def fmt(name: String): Column = expr(
+      s"format_string('%04d-%02d', CAST($name div 12 AS INT), CAST($name % 12 + 1 AS INT))")
+    missing
+      .withColumn("grp", col("m") - row_number().over(w))
+      .groupBy(col("grp"))
+      .agg(min(col("m")).as("m_lo"), max(col("m")).as("m_hi"),
+        count(lit(1)).as("n_months"))
+      .select(fmt("m_lo").as("start_month"), fmt("m_hi").as("end_month"),
+        col("n_months"))
+      .orderBy("start_month")
+  }
+
   /** Zone-map / data-skipping audit (q166): how many files a date-range
     * predicate must READ under two simulated layouts of the orders table —
     * date-clustered (one file per 30-day window, the layout a sort-on-write

@@ -144,6 +144,48 @@ object Quality {
       .orderBy("leaf")
   }
 
+  /** Right-to-erasure delete propagation (q214) — the compliance op every
+    * production store runs: a deterministic erasure-request set
+    * (c_custkey % 59 = 3) cascades through the FK graph
+    * customer → orders → lineitem, and the audit reports, per table, rows
+    * before / purged / after — the deletion datasheet an erasure run files
+    * (a cascade that forgot a level would leave dangling children, which
+    * [[referentialIntegrity]] then flags; the lineitem level here derives
+    * from purged ORDERS, so the chain cannot skip).
+    *
+    * Scale shape: the request set is tiny → broadcast; each table pays ONE
+    * semi-join membership pass (purged = semi, survivors = anti, both from
+    * the same conditional aggregate where possible). The lineitem level
+    * derives membership from the purged ORDER key set (itself
+    * request-bounded), never by joining lineitem to customer. */
+  def deletePropagation(spark: org.apache.spark.sql.SparkSession, dir: String,
+      mod: Int = 59, rem: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val cust = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val doomedOrders = orders.filter(col("o_custkey") % mod === rem)
+      .select(col("o_orderkey"))
+    def audit(name: String, df: DataFrame, purgedCond: Column): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_before"),
+        sum(when(purgedCond, 1L).otherwise(0L)).as("n_purged"))
+        .select(lit(name).as("table_name"), col("n_before"), col("n_purged"),
+          (col("n_before") - col("n_purged")).as("n_after"))
+    val liPurged = li.join(broadcast(doomedOrders),
+        li("l_orderkey") === doomedOrders("o_orderkey"), "left")
+      .withColumn("purged", col("o_orderkey").isNotNull)
+    audit("customer", cust, col("c_custkey") % mod === rem)
+      .unionByName(audit("orders", orders, col("o_custkey") % mod === rem))
+      .unionByName(
+        liPurged.agg(
+          count(lit(1)).as("n_before"),
+          sum(when(col("purged"), 1L).otherwise(0L)).as("n_purged"))
+          .select(lit("lineitem").as("table_name"), col("n_before"),
+            col("n_purged"), (col("n_before") - col("n_purged")).as("n_after")))
+      .orderBy("table_name")
+  }
+
   /** Referential-integrity audit (q135): orphan counts for every FK edge of
     * the star schema — the cross-TABLE complement of the single-table
     * expectation suite (q128). Each edge is one LEFT join of the child key

@@ -308,23 +308,88 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
         val bucketized = graft.ext.Similarity.bucketizeVectors(batch)
-        val root = new org.apache.hadoop.fs.Path(indexPath)
-        val fs = root.getFileSystem(ss.sessionState.newHadoopConf())
         // corpus = every committed slice EXCEPT this batch's own: a crashed-
         // and-replayed batch may already have written b$batchId, and judging
         // the batch against its own first attempt would flag every vector as
         // a duplicate of itself
-        val slices =
-          if (fs.exists(root))
-            fs.listStatus(root).toSeq.map(_.getPath.toString)
-              .filterNot(_.endsWith(s"/b$batchId"))
-          else Seq.empty[String]
+        val slices = batchSlices(ss, indexPath, batchId)
         val corpus =
           if (slices.nonEmpty) ss.read.parquet(slices: _*)
           else bucketized.filter(lit(false))
         graft.ext.Similarity.dedupVerdicts(bucketized, corpus, threshold)
           .write.mode("overwrite").parquet(s"$verdictPath/b$batchId")
         bucketized.write.mode("overwrite").parquet(s"$indexPath/b$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Committed per-batch slice paths under `root` (subdirs `b<id>`),
+    * excluding `excludeBatchId`'s own slice — the shared read side of the
+    * exactly-once ingest protocol ([[runVectorIngest]]/[[runTextIngest]]/
+    * [[runWatermarkLagMonitor]]): a crashed-and-replayed batch must never
+    * see its first attempt's output. */
+  private def batchSlices(ss: SparkSession, root: String,
+      excludeBatchId: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(ss.sessionState.newHadoopConf())
+    if (fs.exists(p))
+      fs.listStatus(p).toSeq.map(_.getPath.toString)
+        .filterNot(_.endsWith(s"/b$excludeBatchId"))
+    else Seq.empty
+  }
+
+  /** Streaming TEXT ingest — dedup-on-arrival for documents, the online form
+    * of q85's batch-vs-corpus check (and the text twin of
+    * [[runVectorIngest]]): each arriving micro-batch is (1) fingerprinted
+    * and MinHash-banded with the SAME projections the at-rest index uses
+    * ([[graft.ext.TextStats.fingerprint]] /
+    * [[graft.ext.Dedup.bandsProjection]] — the shuffle-free form), (2)
+    * verdict-joined against the index as of batch start (exact_dup_of via
+    * the fingerprint, n_near_candidates via shared bands, is_new iff
+    * neither), and (3) appended as the index's next fp/band slices — first
+    * writer wins, later waves are flagged. Exactly-once under foreachBatch's
+    * at-least-once contract: verdict and index slices land in per-batchId
+    * subdirs with OVERWRITE and the corpus read excludes the batch's own
+    * slice ([[batchSlices]]). The batch side is wave-sized → broadcast into
+    * the index passes; the index is only ever APPENDED, never recomputed. */
+  def runTextIngest(spark: SparkSession, srcDir: String, indexPath: String,
+      verdictPath: String, checkpoint: String): Unit = {
+    val q = spark.readStream.schema(documentSchema).parquet(srcDir).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val fps = batch.select(col("doc_id"),
+          graft.ext.TextStats.fingerprint(col("text")).as("fp"))
+        val bands = graft.ext.Dedup.bandsProjection(batch)
+        val fpSlices = batchSlices(ss, s"$indexPath/fp", batchId)
+        val bandSlices = batchSlices(ss, s"$indexPath/bands", batchId)
+        val corpusFp =
+          if (fpSlices.nonEmpty) ss.read.parquet(fpSlices: _*)
+          else fps.filter(lit(false))
+        val corpusBands =
+          if (bandSlices.nonEmpty) ss.read.parquet(bandSlices: _*)
+          else bands.filter(lit(false))
+        val exact = broadcast(fps)
+          .join(corpusFp.select(col("fp"), col("doc_id").as("c_id")), Seq("fp"), "left")
+          .groupBy(col("doc_id")).agg(min(col("c_id")).as("exact_dup_of"))
+        val near = broadcast(bands)
+          .join(corpusBands.select(col("band_idx"), col("band_hash"),
+            col("doc_id").as("cand_id")), Seq("band_idx", "band_hash"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("cand_id")).as("n_near_candidates"))
+        batch.select(col("doc_id"), col("source"))
+          .join(exact, Seq("doc_id"), "left")
+          .join(near, Seq("doc_id"), "left")
+          .withColumn("n_near_candidates",
+            coalesce(col("n_near_candidates"), lit(0L)))
+          .withColumn("is_new",
+            col("exact_dup_of").isNull && col("n_near_candidates") === 0)
+          .write.mode("overwrite").parquet(s"$verdictPath/b$batchId")
+        fps.write.mode("overwrite").parquet(s"$indexPath/fp/b$batchId")
+        bands.write.mode("overwrite").parquet(s"$indexPath/bands/b$batchId")
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -364,13 +429,7 @@ object Streams {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
-        val carryRoot = new org.apache.hadoop.fs.Path(s"$latePath/_carry")
-        val fs = carryRoot.getFileSystem(ss.sessionState.newHadoopConf())
-        val priors =
-          if (fs.exists(carryRoot))
-            fs.listStatus(carryRoot).toSeq.map(_.getPath.toString)
-              .filterNot(_.endsWith(s"/b$batchId"))
-          else Seq.empty[String]
+        val priors = batchSlices(ss, s"$latePath/_carry", batchId)
         // 1-row-per-prior-batch driver seed — bounded by batch count, never
         // event volume (the A1 collect pattern)
         val carryIn =

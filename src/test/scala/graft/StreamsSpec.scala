@@ -271,6 +271,43 @@ class StreamsSpec extends SparkSuite {
       "incremental transition counts must equal the batch matrix on replay")
   }
 
+  test("streaming text ingest: wave verdicts against the growing fp/band index") {
+    val s = spark; import s.implicits._
+    val src = "/tmp/graft_stream_txting_src"
+    val idx = "/tmp/graft_stream_txting_idx"
+    val ver = "/tmp/graft_stream_txting_ver"
+    val ckpt = "/tmp/graft_stream_txting_ckpt"
+    Seq(src, idx, ver, ckpt).foreach(rmTree)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    def doc(id: Long, text: String) = (id, text, "en", "s1", text.length.toLong)
+    // wave 1: two distinct docs land in an empty index
+    Seq(doc(1L, base), doc(2L, "completely different words make totally other content here now"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(src)
+    Streams.runTextIngest(spark, src, idx, ver, ckpt)
+    // wave 2: an exact copy of doc 1, a near copy (one word changed), a fresh doc
+    Seq(doc(11L, base),
+        doc(12L, base.replace("dog", "cat")),
+        doc(13L, "fresh unseen vocabulary nothing shared with anything prior whatsoever"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(src)
+    Streams.runTextIngest(spark, src, idx, ver, ckpt)
+    def verdicts() = spark.read.option("recursiveFileLookup", "true").parquet(ver)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getAs[java.lang.Long]("exact_dup_of")).map(_.toLong),
+          r.getAs[Long]("n_near_candidates"), r.getAs[Boolean]("is_new")))).toMap
+    val out = verdicts()
+    assert(out(1L)._3 && out(2L)._3, "wave 1 is all-new against the empty index")
+    assert(out(11L)._1 == Some(1L) && !out(11L)._3,
+      "the wave-2 exact copy is flagged against wave 1's fingerprint slice")
+    assert(out(12L)._1.isEmpty && out(12L)._2 >= 1L && !out(12L)._3,
+      "the near copy shares a MinHash band with doc 1 but no fingerprint")
+    assert(out(13L)._3, "the fresh doc is new")
+    // idempotent re-drain: same checkpoint, no new files -> verdicts unchanged
+    Streams.runTextIngest(spark, src, idx, ver, ckpt)
+    assert(verdicts() == out)
+  }
+
   test("streaming watermark-lag monitor == batch q184 on arrival-order replay") {
     val dir = "/root/testdata/sf0.001"
     val src = "/tmp/graft_stream_wml_src"
