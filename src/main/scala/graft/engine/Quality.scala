@@ -119,14 +119,23 @@ object Quality {
         1, 15), 16, 10).cast("long")
     val mutated = when(col("doc_id") % 97 === 13,
       concat(col("text"), lit(" replica-corruption"))).otherwise(col("text"))
-    val leaves = Tables.documents(spark, dir)
-      .select(expr("doc_id div 64").as("leaf"),
-        rowHash(col("text")).as("h_base"), rowHash(mutated).as("h_repl"))
-      .groupBy(col("leaf"))
-      .agg(count(lit(1)).as("n_docs"),
-        expr("bit_xor(h_base)").as("fp_base"), expr("bit_xor(h_repl)").as("fp_repl"))
-      .withColumn("mid", expr("leaf div 8"))
-      .withColumn("top", expr("mid div 8"))
+    // the leaf table feeds THREE consumers (top summary, mid summary, final
+    // leaf filter) — materialized once per call so the corpus scan+aggregate
+    // runs once, not per lineage path (the importanceWeights round-trip
+    // discipline); in the deployed protocol this table IS the at-rest
+    // per-replica fingerprint artifact
+    val leavesPath = graft.engine.Fs.overwriteVersioned("graft_merkle") { p =>
+      Tables.documents(spark, dir)
+        .select(expr("doc_id div 64").as("leaf"),
+          rowHash(col("text")).as("h_base"), rowHash(mutated).as("h_repl"))
+        .groupBy(col("leaf"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(h_base)").as("fp_base"), expr("bit_xor(h_repl)").as("fp_repl"))
+        .withColumn("mid", expr("leaf div 8"))
+        .withColumn("top", expr("mid div 8"))
+        .write.mode("overwrite").parquet(p)
+    }
+    val leaves = spark.read.parquet(leavesPath)
     // drill-down: tops that differ → their mids that differ → their leaves.
     // Each summary table is leaf-count-sized; the semi-join chain is the
     // log-depth narrowing a replica pair exchanges over the network.
