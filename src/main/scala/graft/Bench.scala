@@ -115,8 +115,13 @@ object Bench {
     val growthBound = sys.env.getOrElse("SPARK_GRAFT_GROWTH_BOUND", "6.0").toDouble
     val growthFloor = sys.env.getOrElse("SPARK_GRAFT_GROWTH_FLOOR_SEC", "0.5").toDouble
     val growth: Option[(Map[String, Double], Seq[String])] = growthBase.map { bDir =>
+      // only queries the gate can act on pay a base-SF run: sub-floor
+      // queries are exempt by contract (millisecond ratios are scheduler
+      // noise), so timing them at the base SF would be pure wasted wall-clock
+      val gated = names.filter { case (name, _) =>
+        !errs.contains(name) && best.getOrElse(name, -1.0) >= growthFloor }
       val bBest = scala.collection.mutable.Map[String, Double]()
-      for (_ <- 1 to passes; (name, fn) <- names if !errs.contains(name)) {
+      for (_ <- 1 to passes; (name, fn) <- gated) {
         val t0 = System.nanoTime()
         try {
           fn(spark, bDir).count()
@@ -130,10 +135,17 @@ object Bench {
         case (name, large, None) if large >= growthFloor && bBest.getOrElse(name, 0.0) > 0 =>
           name -> large / bBest(name)
       }.toMap
-      val flags = ratios.collect {
-        case (name, r) if r > growthBound => name }.toSeq.sorted
+      // a gated query whose base run never succeeded must FLAG, not slip
+      // through ratio-less — a missing fixture or base-side crash would
+      // otherwise turn the gate into a silent no-op for that query
+      val baseFailed = gated.collect {
+        case (name, _) if bBest.getOrElse(name, 0.0) <= 0 => s"$name (base failed)" }
+      val flags = (ratios.collect {
+        case (name, r) if r > growthBound => name }.toSeq ++ baseFailed).sorted
       flags.foreach { name =>
-        System.err.println(f"[bench] GROWTH FLAG $name: ${ratios(name)}%.1fx " +
+        val detail = ratios.get(name.takeWhile(_ != ' '))
+          .map(r => f"$r%.1fx").getOrElse("no base timing")
+        System.err.println(s"[bench] GROWTH FLAG $name: $detail " +
           f"($bDir -> $sfDir, bound $growthBound%.1fx)")
       }
       (ratios, flags)

@@ -169,7 +169,6 @@ object Quality {
     * request-bounded), never by joining lineitem to customer. */
   def deletePropagation(spark: org.apache.spark.sql.SparkSession, dir: String,
       mod: Int = 59, rem: Int = 3): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
     val cust = Tables.customer(spark, dir)
     val orders = Tables.orders(spark, dir)
     val li = Tables.lineitem(spark, dir)
@@ -186,12 +185,7 @@ object Quality {
       .withColumn("purged", col("o_orderkey").isNotNull)
     audit("customer", cust, col("c_custkey") % mod === rem)
       .unionByName(audit("orders", orders, col("o_custkey") % mod === rem))
-      .unionByName(
-        liPurged.agg(
-          count(lit(1)).as("n_before"),
-          sum(when(col("purged"), 1L).otherwise(0L)).as("n_purged"))
-          .select(lit("lineitem").as("table_name"), col("n_before"),
-            col("n_purged"), (col("n_before") - col("n_purged")).as("n_after")))
+      .unionByName(audit("lineitem", liPurged, col("purged")))
       .orderBy("table_name")
   }
 

@@ -73,11 +73,6 @@ object TextStats {
         col("fr_markers"), col("predicted_lang"))
       .orderBy("doc_id")
 
-  /** Appends the language-marker counts and `predicted_lang` to any frame
-    * with a `text` column — the single source of the lang-id heuristic,
-    * shared by [[langId]] (q25) and [[langIdEval]] (q159) so the classifier
-    * and its evaluation can never drift apart. Pure projection (no shuffle);
-    * carries every input column through. */
   /** The marker vocabularies of the lang-id heuristic — single source for
     * [[withLangMarkers]] (q25/q159) and [[codeSwitchRate]] (q213) so the
     * doc-level and window-level classifiers can never drift apart. */
@@ -85,19 +80,21 @@ object TextStats {
   private[ext] val esMarkers = Seq("el", "la", "de", "y", "que", "los")
   private[ext] val frMarkers = Seq("le", "la", "de", "et", "les", "des")
 
+  /** Appends the language-marker counts and `predicted_lang` to any frame
+    * with a `text` column — the single source of the lang-id heuristic,
+    * shared by [[langId]] (q25) and [[langIdEval]] (q159) so the classifier
+    * and its evaluation can never drift apart. Pure projection (no shuffle);
+    * carries every input column through. */
   private[ext] def withLangMarkers(df: DataFrame): DataFrame = {
-    val en = enMarkers
-    val es = esMarkers
-    val fr = frMarkers
     def markerCount(langWords: Seq[String]): Column = {
       val set = langWords.map(w => s"'$w'").mkString("(", ", ", ")")
       size(expr(s"filter(words, w -> w IN $set)")).cast("long")
     }
     df
       .withColumn("words", split(col("text"), " "))
-      .withColumn("en_markers", markerCount(en))
-      .withColumn("es_markers", markerCount(es))
-      .withColumn("fr_markers", markerCount(fr))
+      .withColumn("en_markers", markerCount(enMarkers))
+      .withColumn("es_markers", markerCount(esMarkers))
+      .withColumn("fr_markers", markerCount(frMarkers))
       .withColumn("predicted_lang",
         when(col("en_markers") >= col("es_markers") && col("en_markers") >= col("fr_markers") && col("en_markers") > 0, "en")
           .when(col("es_markers") >= col("fr_markers") && col("es_markers") > 0, "es")

@@ -372,8 +372,13 @@ object Streams {
         val corpusBands =
           if (bandSlices.nonEmpty) ss.read.parquet(bandSlices: _*)
           else bands.filter(lit(false))
+        // INNER join: a broadcast hint on the outer side of a LEFT join is
+        // unsatisfiable (BHJ cannot build the stream-preserved side) and
+        // would silently shuffle the whole at-rest index per wave; matchless
+        // batch docs get their null exact_dup_of from the left join-back
+        // below, so inner semantics lose nothing and BuildLeft stays legal
         val exact = broadcast(fps)
-          .join(corpusFp.select(col("fp"), col("doc_id").as("c_id")), Seq("fp"), "left")
+          .join(corpusFp.select(col("fp"), col("doc_id").as("c_id")), Seq("fp"))
           .groupBy(col("doc_id")).agg(min(col("c_id")).as("exact_dup_of"))
         val near = broadcast(bands)
           .join(corpusBands.select(col("band_idx"), col("band_hash"),
