@@ -127,6 +127,26 @@ object Streams {
       }
   }
 
+  /** STREAMING native session windows — the incremental form of the batch
+    * `session_window` aggregate ([[Events.sessionWindowNative]], q54) and
+    * the state-store-backed alternative to the hand-rolled
+    * [[sessionizeStream]]: Spark merges overlapping per-key session state
+    * itself and emits a session once the watermark passes its close
+    * (append mode). Same 30-min gap and output shape as the batch form, so
+    * replay parity is row-subset equality (append mode withholds sessions
+    * newer than the final watermark — the same contract the
+    * hourly-windows parity test pins). */
+  def sessionWindowStream(spark: SparkSession, srcDir: String,
+      gap: String = "30 minutes"): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(srcDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.engine.Dec.sum2(col("value")).as("session_value"))
+      .select(col("user_id"),
+        date_trunc("second", col("w.start")).as("session_start"),
+        col("n_events"), col("session_value"))
+
   /** Stream-stream inner join with watermarks + event-time range bounds:
     * each error joined to the same user's clicks from the preceding hour.
     * Watermarks + the range condition let Spark prune both join-state sides —

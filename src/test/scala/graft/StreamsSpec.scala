@@ -271,6 +271,22 @@ class StreamsSpec extends SparkSuite {
       "incremental transition counts must equal the batch matrix on replay")
   }
 
+  test("streaming native session windows == batch session_window on replay") {
+    materializeEvents()
+    Streams.runToMemory(Streams.sessionWindowStream(spark, srcDir), "swin_out")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))
+    val streamed = spark.table("swin_out").collect().map(key).toSet
+    val batch = Events.sessionWindowNative(spark, "/root/testdata/sf0.001")
+      .collect().map(key).toSet
+    // append mode withholds sessions newer than the final watermark; every
+    // emitted session must match the batch recompute exactly
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      "every emitted streaming session must equal its batch counterpart")
+    assert(streamed.size >= batch.size / 2, "most sessions must emit")
+  }
+
   test("streaming text ingest: wave verdicts against the growing fp/band index") {
     val s = spark; import s.implicits._
     val src = "/tmp/graft_stream_txting_src"
