@@ -3451,6 +3451,14 @@ object Catalog {
         |  printf('%04d-%02d', CAST(MAX(m) // 12 AS INT), CAST(MAX(m) % 12 + 1 AS INT)) AS end_month,
         |  CAST(COUNT(*) AS BIGINT) AS n_months
         |FROM r GROUP BY grp ORDER BY start_month""".stripMargin),
+
+    // Incremental materialized-view maintenance: at-rest monthly rollup +
+    // wave delta merged on month; oracle = the full GROUP BY recompute.
+    q("q216_incremental_rollup", (s, d) => engine.Analytics.incrementalRevenueRollup(s, d),
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY month ORDER BY month""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

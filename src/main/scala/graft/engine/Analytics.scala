@@ -195,4 +195,41 @@ object Analytics {
       sum(when(col("Customer_Delivery_Date") > col("Estimated_Delivery_Date"), 1)
         .otherwise(0)).cast("long").as("Late_Deliveries"),
       count(lit(1)).as("Total_Orders"))
+
+  /** Incremental AGGREGATE maintenance (q216) — the batch materialized-view
+    * update every warehouse schedules: a maintained monthly revenue rollup
+    * (at rest, built once per dir over the corpus MINUS the wave) folded
+    * with an arriving order wave's delta (o_orderkey % mod = rem, the
+    * ingest-wave convention) by a FULL OUTER merge on month. The oracle is
+    * DELIBERATELY the full GROUP BY recompute over all orders — the claim
+    * is that state + delta returns the identical rollup without re-scanning
+    * the corpus (per-wave cost = wave aggregate + month-domain-sized merge).
+    *
+    * Exactness discipline: partial sums live as DECIMAL in the state and the
+    * delta (decimal addition is associative/exact), and cast to DOUBLE only
+    * at the output boundary — merging double partials would re-add floats
+    * in a different order than the oracle's single SUM and drift. */
+  def incrementalRevenueRollup(spark: org.apache.spark.sql.SparkSession,
+      dir: String, mod: Int = 10, rem: Int = 7): DataFrame = {
+    val isWave = col("o_orderkey") % mod === rem
+    def rollup(df: DataFrame): DataFrame = df
+      .groupBy(expr("date_format(CAST(o_orderdate AS DATE), 'yyyy-MM')").as("month"))
+      .agg(count(lit(1)).as("n_orders"), sum(Dec.d2(col("o_totalprice"))).as("rev"))
+    val statePath = Fs.buildOnce(
+      s"graft_mvroll_${Fs.dirTag(dir)}_m${mod}r$rem",
+      spark.sessionState.newHadoopConf()) { p =>
+      rollup(Tables.orders(spark, dir).filter(!isWave))
+        .write.mode("overwrite").parquet(p)
+    }
+    val state = spark.read.parquet(statePath)
+      .select(col("month"), col("n_orders").as("n_s"), col("rev").as("r_s"))
+    val delta = rollup(Tables.orders(spark, dir).filter(isWave))
+      .select(col("month"), col("n_orders").as("n_d"), col("rev").as("r_d"))
+    state.join(delta, Seq("month"), "full_outer")
+      .select(col("month"),
+        (coalesce(col("n_s"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n_orders"),
+        (coalesce(col("r_s"), lit(0).cast(Dec.D18_2))
+          + coalesce(col("r_d"), lit(0).cast(Dec.D18_2))).cast("double").as("revenue"))
+      .orderBy("month")
+  }
 }

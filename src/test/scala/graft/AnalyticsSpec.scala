@@ -103,4 +103,24 @@ class AnalyticsSpec extends SparkSuite {
     val row = graft.engine.Analytics.ols2From(ok).collect().head
     assert(row.getAs[Long]("beta_tokens_ppm") == 2000000L)
   }
+
+  test("incremental rollup: wave-only and state-only months both survive the merge") {
+    val s = spark; import s.implicits._
+    val dir = "/tmp/graft_test_ivm"
+    def o(k: Long, d: String, p: Double) =
+      (k, java.sql.Date.valueOf(d), 1L, "O", p)
+    // months: 1995-01 state-only (keys 1,2), 1995-02 mixed (3 state + 7 wave),
+    // 1995-03 WAVE-only (key 17) — the full-outer edge a left join would drop
+    Seq(o(1, "1995-01-10", 10.0), o(2, "1995-01-20", 5.5),
+        o(3, "1995-02-10", 7.25), o(7, "1995-02-15", 2.75),
+        o(17, "1995-03-05", 99.0))
+      .toDF("o_orderkey", "o_orderdate", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.engine.Analytics.incrementalRevenueRollup(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(
+      ("1995-01", 2L, 15.5),
+      ("1995-02", 2L, 10.0),
+      ("1995-03", 1L, 99.0)), s"got $out")
+  }
 }

@@ -332,6 +332,67 @@ class PropertySpec extends SparkSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("property: backfill plan equals a driver-side islands recompute on random date sets") {
+    val s = spark; import s.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.choose(0, 120)) // month offsets from 1995-01
+    val fewCases = SCTest.Parameters.default.withMinSuccessfulTests(8)
+    val caseId = new java.util.concurrent.atomic.AtomicInteger()
+    val r = SCTest.check(fewCases, Prop.forAll(gen) { offsets =>
+      val dir = s"/tmp/graft_prop_bkf_${caseId.incrementAndGet()}"
+      val rows = offsets.zipWithIndex.map { case (off, i) =>
+        (i.toLong, java.sql.Date.valueOf(
+          java.time.LocalDate.of(1995 + off / 12, off % 12 + 1, 15)), 1L, "O", 1.0)
+      }
+      rows.toDF("o_orderkey", "o_orderdate", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val out = graft.engine.Layout.backfillPlan(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toList
+      // driver-side reference: spine lo..hi, existing = months with data and
+      // m % 7 != 3, missing runs coalesced
+      val ms = offsets.map(off => (1995 + off / 12) * 12 + (off % 12)).distinct.sorted
+      val (lo, hi) = (ms.min, ms.max)
+      val existing = ms.filter(_ % 7 != 3).toSet
+      val missing = (lo to hi).filterNot(existing)
+      def fmt(m: Int) = f"${m / 12}%04d-${m % 12 + 1}%02d"
+      val runs = missing.foldLeft(List.empty[(Int, Int)]) {
+        case ((a, b) :: t, m) if m == b + 1 => (a, m) :: t
+        case (acc, m) => (m, m) :: acc
+      }.reverse.map { case (a, b) => (fmt(a), fmt(b), (b - a + 1).toLong) }
+      out == runs
+    })
+    assert(r.passed, r.status.toString)
+  }
+
+  test("property: compaction plan equals a driver-side next-fit recompute on random inventories") {
+    val s = spark; import s.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.choose(1L, 15000L)) // file byte sizes
+    val fewCases = SCTest.Parameters.default.withMinSuccessfulTests(8)
+    val caseId = new java.util.concurrent.atomic.AtomicInteger()
+    val r = SCTest.check(fewCases, Prop.forAll(gen) { sizes =>
+      val dir = s"/tmp/graft_prop_cmp_${caseId.incrementAndGet()}"
+      // one doc per file (doc_id = 20*i), n_chars = the file's byte size
+      sizes.zipWithIndex.map { case (b, i) => (20L * i, "t", "s1", b) }
+        .toDF("doc_id", "text", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = graft.engine.Layout.compactionPlan(spark, dir).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6))).toList
+      val target = 8192L
+      var cum = 0L
+      val assigned = sizes.zipWithIndex.map { case (b, i) =>
+        val bin = cum / target; cum += b; (bin, i.toLong, b)
+      }
+      val expected = assigned.groupBy(_._1).toList.sortBy(_._1).map {
+        case (bin, fs) =>
+          val bytes = fs.map(_._3).sum
+          (bin, fs.size.toLong, bytes, fs.map(_._2).min, fs.map(_._2).max,
+            bytes > target)
+      }
+      out == expected
+    })
+    assert(r.passed, r.status.toString)
+  }
+
   test("property: Misra-Gries guarantee survives arbitrary merge trees") {
     import graft.functions.MisraGriesAggregator
     // pure JVM property (no Spark): random streams, random capacity, random
