@@ -3452,6 +3452,45 @@ object Catalog {
         |  CAST(COUNT(*) AS BIGINT) AS n_months
         |FROM r GROUP BY grp ORDER BY start_month""".stripMargin),
 
+    // Multimodal training-record manifest: text + per-modality REAL-codec
+    // features in one row with presence flags; oracle recomputes every
+    // feature from the closed-form pixel/sample/frame laws.
+    q("q217_multimodal_manifest", (s, d) => ext.Multimodal.multimodalManifest(s, d),
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words FROM documents),
+        |ig AS (SELECT e.doc_id, CAST(SUM((e.doc_id * 31 + 7 * tx.xx + 13 * ty.yy) % 256) AS BIGINT) AS img_px
+        |  FROM (SELECT doc_id, doc_id % 8 + 1 AS w, doc_id % 5 + 1 AS h
+        |        FROM documents WHERE doc_id % 3 <> 0) e,
+        |  LATERAL (SELECT unnest(range(e.w)) AS xx) tx,
+        |  LATERAL (SELECT unnest(range(e.h)) AS yy) ty
+        |  GROUP BY e.doc_id),
+        |au AS (SELECT doc_id, CAST(SUM(smp * smp) AS BIGINT) AS audio_e FROM
+        |  (SELECT a.doc_id, ((a.doc_id * 17 + 11 * t.i) % 2048) - 1024 AS smp
+        |   FROM (SELECT doc_id, doc_id % 480 + 20 AS n
+        |         FROM documents WHERE doc_id % 4 <> 0) a,
+        |   LATERAL (SELECT unnest(range(a.n)) AS i) t) GROUP BY doc_id),
+        |vf AS (SELECT v.doc_id, 2 * tf.fi AS f,
+        |    (v.doc_id + 2 * tf.fi) % 8 + 1 AS w, (v.doc_id + 2 * tf.fi) % 5 + 1 AS h
+        |  FROM (SELECT doc_id, doc_id % 6 + 2 AS n
+        |        FROM documents WHERE doc_id % 5 <> 0) v,
+        |  LATERAL (SELECT unnest(range((v.n + 1) // 2)) AS fi) tf),
+        |vp AS (SELECT vf.doc_id, CAST(COUNT(DISTINCT vf.f) AS BIGINT) AS vid_frames,
+        |    CAST(SUM((vf.doc_id * 31 + vf.f * 17 + 7 * tx.xx + 13 * ty.yy) % 256) AS BIGINT) AS vid_px
+        |  FROM vf, LATERAL (SELECT unnest(range(vf.w)) AS xx) tx,
+        |           LATERAL (SELECT unnest(range(vf.h)) AS yy) ty
+        |  GROUP BY vf.doc_id)
+        |SELECT d.doc_id, d.n_words,
+        |  ig.doc_id IS NOT NULL AS has_image, COALESCE(ig.img_px, 0) AS img_px_sum,
+        |  au.doc_id IS NOT NULL AS has_audio, COALESCE(au.audio_e, 0) AS audio_energy,
+        |  vp.doc_id IS NOT NULL AS has_video, COALESCE(vp.vid_frames, 0) AS n_video_frames,
+        |  COALESCE(vp.vid_px, 0) AS video_px_sum,
+        |  CAST((CASE WHEN ig.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |     + (CASE WHEN au.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |     + (CASE WHEN vp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_modalities
+        |FROM d LEFT JOIN ig ON d.doc_id = ig.doc_id
+        |  LEFT JOIN au ON d.doc_id = au.doc_id
+        |  LEFT JOIN vp ON d.doc_id = vp.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+
     // Incremental materialized-view maintenance: at-rest monthly rollup +
     // wave delta merged on month; oracle = the full GROUP BY recompute.
     q("q216_incremental_rollup", (s, d) => engine.Analytics.incrementalRevenueRollup(s, d),

@@ -390,6 +390,50 @@ object Multimodal {
   def videoDecode(spark: SparkSession, dir: String): DataFrame =
     decodeVideoFrames(spark, videoTable(spark, dir)).orderBy("doc_id", "frame_idx")
 
+  /** Multimodal TRAINING-RECORD manifest (q217) — the assembly step a
+    * VLM/omni data pipeline ends with: per document, the text span plus
+    * every available modality's decoded features in ONE row, with
+    * per-modality presence flags and the modality count (partial coverage
+    * is the norm — most web docs have no audio; a missing modality must
+    * surface as has_x = false, not a dropped row, which is why every join
+    * is LEFT from the text base). Presence is simulated deterministically
+    * (image iff doc_id % 3 ≠ 0, audio iff % 4 ≠ 0, video iff % 5 ≠ 0);
+    * features come from the REAL codec paths ([[decodePngs]] /
+    * [[decodeWavs]] / [[decodeVideoFrames]]), so the oracle recomputes them
+    * from the closed-form laws. Numeric features of absent modalities are
+    * coalesced to 0 (the flags carry absence — nullable-int dtype drift
+    * across engines is not worth the prettier NULL).
+    *
+    * Scale shape: three partition-parallel decode projections + one
+    * frame-count aggregate, joined on doc_id — co-partitioned equi-joins, no
+    * driver involvement, output rows = corpus rows. */
+  def multimodalManifest(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
+    val img = decodePngs(spark, pngTable(spark, dir).filter(col("doc_id") % 3 =!= 0))
+      .select(col("doc_id"), col("px_sum").as("img_px"))
+    val aud = decodeWavs(spark, wavTable(spark, dir).filter(col("doc_id") % 4 =!= 0))
+      .select(col("doc_id"), col("sq_sum").as("audio_e"))
+    val vid = decodeVideoFrames(spark, videoTable(spark, dir).filter(col("doc_id") % 5 =!= 0))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("vid_frames"), sum(col("px_sum")).as("vid_px"))
+    base
+      .join(img, Seq("doc_id"), "left")
+      .join(aud, Seq("doc_id"), "left")
+      .join(vid, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        col("img_px").isNotNull.as("has_image"),
+        coalesce(col("img_px"), lit(0L)).as("img_px_sum"),
+        col("audio_e").isNotNull.as("has_audio"),
+        coalesce(col("audio_e"), lit(0L)).as("audio_energy"),
+        col("vid_frames").isNotNull.as("has_video"),
+        coalesce(col("vid_frames"), lit(0L)).as("n_video_frames"),
+        coalesce(col("vid_px"), lit(0L)).as("video_px_sum"),
+        (col("img_px").isNotNull.cast("int") + col("audio_e").isNotNull.cast("int")
+          + col("vid_frames").isNotNull.cast("int")).cast("long").as("n_modalities"))
+      .orderBy("doc_id")
+  }
+
   /** Decode stub: where a NON-JDK codec would run (H.264, JPEG-2000, MP3 —
     * this environment ships none). The JDK-native formats all have REAL
     * paths beside it: PNG [[decodePngs]] (q186), WAV/PCM [[decodeWavs]]

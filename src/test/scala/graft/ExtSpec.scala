@@ -308,6 +308,29 @@ class ExtSpec extends SparkSuite {
       out.map(_.getAs[Long]("n_chars")).sum)
   }
 
+  test("multimodal manifest: absent modalities flag false and zero, never drop the row") {
+    val s = spark; import s.implicits._
+    // 0: no modality (0%3=0%4=0%5=0); 1: all three; 12: video only (12%3=0,
+    // 12%4=0, 12%5!=0); 15: audio only (15%3=0, 15%5=0, 15%4!=0)
+    Seq((0L, "a b c"), (1L, "x y"), (12L, "w"), (15L, "p q r s"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_mmm/documents.parquet")
+    val out = graft.ext.Multimodal.multimodalManifest(spark, "/tmp/graft_test_mmm")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), r.getBoolean(4), r.getBoolean(6),
+          r.getAs[Long]("n_modalities"), r.getAs[Long]("img_px_sum")))).toMap
+    assert(out.keySet == Set(0L, 1L, 12L, 15L), "every doc keeps its row")
+    assert(out(0L) == ((false, false, false, 0L, 0L)))
+    assert(out(12L)._1 == false && out(12L)._2 == false && out(12L)._3 == true)
+    assert(out(12L)._4 == 1L)
+    assert(out(15L) == ((false, true, false, 1L, 0L)))
+    val (hasI, hasA, hasV, nMod, imgPx) = out(1L)
+    assert(hasI && hasA && hasV && nMod == 3L)
+    // image feature comes from the real decode: pin it to the pixel law
+    val lawPx = (for (x <- 0 until 2; y <- 0 until 2) yield (31 + 7 * x + 13 * y) % 256).sum
+    assert(imgPx == lawPx.toLong, s"doc 1 (2x2) decoded px sum must be $lawPx")
+  }
+
   test("wav decode: a non-WAV payload fails loudly instead of fabricating features") {
     val s = spark; import s.implicits._
     val bad = Seq((1L, "this is not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
