@@ -3452,6 +3452,19 @@ object Catalog {
         |  CAST(COUNT(*) AS BIGINT) AS n_months
         |FROM r GROUP BY grp ORDER BY start_month""".stripMargin),
 
+    // Unicode NFC canonicalization audit via the native graft_nfc expression;
+    // planted decomposed/precomposed spellings, oracle uses nfc_normalize.
+    q("q218_unicode_audit", (s, d) => ext.TextStats.unicodeAudit(s, d),
+      """WITH r AS (SELECT doc_id, CASE
+        |    WHEN doc_id % 3 = 0 THEN text || ' cafe' || chr(769)
+        |    WHEN doc_id % 3 = 1 THEN text || ' caf' || chr(233)
+        |    ELSE text END AS raw FROM documents),
+        |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM r)
+        |SELECT doc_id, raw <> nfc AS changed,
+        |  CAST(length(raw) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc) AS BIGINT) AS len_nfc
+        |FROM n ORDER BY doc_id""".stripMargin),
+
     // Multimodal training-record manifest: text + per-modality REAL-codec
     // features in one row with presence flags; oracle recomputes every
     // feature from the closed-form pixel/sample/frame laws.

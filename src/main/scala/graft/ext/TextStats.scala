@@ -1411,6 +1411,34 @@ object TextStats {
       .orderBy("merge_idx")
   }
 
+  /** Unicode canonicalization audit (q218) — NFC normalization via the
+    * native [[graft.functions.NfcNormalize]] expression (`graft_nfc`), the
+    * pass a text pipeline runs before fingerprinting/dedup/tokenization:
+    * composed ("é") and decomposed ("e"+U+0301) spellings hash differently
+    * raw, so un-normalized corpora silently miss canonically-equal
+    * duplicates. The ASCII fixture corpus is trivially NFC, so denormalized
+    * spellings are PLANTED deterministically (doc_id % 3 = 0 → a decomposed
+    * suffix that NFC composes; % 3 = 1 → the precomposed spelling, already
+    * canonical; else untouched) — both engines construct identical strings
+    * and normalize per the same Unicode spec (JDK Normalizer here, DuckDB
+    * nfc_normalize in the oracle). Pure projection, no shuffle; the
+    * expression stays inside whole-stage codegen with an isNormalized
+    * fast path for the dominant already-canonical case. */
+  def unicodeAudit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" cafe\u0301")))
+          .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" caf\u00e9")))
+          .otherwise(col("text")).as("raw"))
+      .withColumn("nfc", expr("graft_nfc(raw)"))
+      .select(col("doc_id"),
+        (col("raw") =!= col("nfc")).as("changed"),
+        length(col("raw")).cast("long").as("len_raw"),
+        length(col("nfc")).cast("long").as("len_nfc"))
+      .orderBy("doc_id")
+  }
+
   /** Code-switching rate (q213) — the WINDOW-level language-mix audit the
     * doc-level lang-id (q25) can't see: each doc's words split into 20-token
     * windows, every window classified with the SAME marker heuristic

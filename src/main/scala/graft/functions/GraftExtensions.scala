@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bounded_lev"),
       new ExpressionInfo(classOf[BoundedLevenshtein].getName, "graft_bounded_lev"),
       (exprs: Seq[Expression]) => BoundedLevenshtein(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
     ext.injectOptimizerRule(_ => SpecializeFloatDot)
   }
 }

@@ -56,7 +56,55 @@ case class BoundedLevenshtein(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Unicode NFC canonicalization of a string column — the normalization pass
+  * a 100 TB text pipeline runs BEFORE fingerprinting/dedup/tokenization:
+  * composed ("é") and decomposed ("e" + U+0301) spellings of the same text
+  * hash differently, so without canonicalization exact dedup silently misses
+  * byte-distinct/canonically-equal duplicates and the tokenizer learns two
+  * vocabularies for one grapheme. Spark ships no NFC function (SQL `lower`/
+  * `translate` cannot express composition), which is the SURVEY §7.3
+  * justification for a custom scalar Expression — option (b), same tier as
+  * [[BoundedLevenshtein]].
+  *
+  * Semantics: `java.text.Normalizer.normalize(s, NFC)` — the JDK implements
+  * the Unicode canonical-composition algorithm, the same spec DuckDB's
+  * `nfc_normalize` implements, so the oracle can verify outputs
+  * character-for-character. Null → null (UnaryExpression default); a
+  * fast-path `isNormalized` check skips allocation for the (dominant)
+  * already-NFC case.
+  */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc requires a string input, got ${child.dataType}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(s: Any): Any =
+    GraftStrings.nfc(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.GraftStrings.nfc($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftStrings {
+
+  /** NFC-normalize, allocation-free when the input is already normalized
+    * (checked with the JDK's quick-check). */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 
   /** `min(levenshtein(a, b), k + 1)` via the classic banded DP: only cells
     * with |i − j| ≤ k are evaluated (a valid alignment with ≤ k edits cannot

@@ -54,6 +54,27 @@ class VectorSpec extends SparkSuite {
     assert(edge.isNullAt(0) && edge.getInt(1) == 0 && edge.getInt(2) == 1)
   }
 
+  test("graft_nfc: composes decomposed sequences, identity on canonical text, null-safe") {
+    val s = spark; import s.implicits._
+    VectorExpressions.register(spark)
+    val decomposed = "cafe\u0301"   // e + combining acute
+    val precomposed = "caf\u00e9"   // U+00E9
+    val stacked = "e\u0327\u0301" // e + combining cedilla + combining acute
+    val df = Seq((decomposed, precomposed, stacked)).toDF("d", "p", "st")
+    val r = df.selectExpr(
+      "graft_nfc(d) AS a", "graft_nfc(p) AS b", "graft_nfc('plain ascii') AS c",
+      "graft_nfc(CAST(NULL AS STRING)) AS n", "graft_nfc(st) AS e5")
+      .collect().head
+    assert(r.getString(0) == precomposed, "decomposed e+U+0301 composes to U+00E9")
+    assert(r.getString(1) == precomposed, "precomposed input is untouched")
+    assert(r.getString(2) == "plain ascii")
+    assert(r.isNullAt(3), "null propagates")
+    // JDK reference on the combining stack - whatever the spec says, match it
+    val ref = java.text.Normalizer.normalize(stacked, java.text.Normalizer.Form.NFC)
+    assert(r.getString(4) == ref)
+  }
+
+
   test("SpecializeFloatDot rewrites cast form to FloatDotProduct with identical results") {
     VectorExpressions.register(spark)
     // parquet source (array<float>), so constant folding can't pre-evaluate
