@@ -3452,6 +3452,30 @@ object Catalog {
         |  CAST(COUNT(*) AS BIGINT) AS n_months
         |FROM r GROUP BY grp ORDER BY start_month""".stripMargin),
 
+    // Sorted-neighborhood dedup candidates (SNM): chunked parallel-prefix
+    // rank + w-1 rank equi-joins + exact Jaccard verification; the oracle's
+    // naive global ROW_NUMBER proves the chunked rank identical.
+    q("q219_sorted_neighborhood", (s, d) => ext.Dedup.sortedNeighborhoodPairs(s, d),
+      """WITH dw AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |keyed AS (SELECT doc_id, lower(array_to_string(words[1:3], ' ')) AS k FROM dw),
+        |rk AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS r FROM keyed),
+        |pairs AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+        |    greatest(a.doc_id, b.doc_id) AS doc_b
+        |  FROM rk a JOIN rk b ON b.r > a.r AND b.r <= a.r + 3),
+        |dt AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS toks
+        |  FROM dw WHERE len(words) >= 3),
+        |j AS (SELECT p.doc_a, p.doc_b,
+        |    CAST(len(ta.toks) AS BIGINT) AS n_a, CAST(len(tb.toks) AS BIGINT) AS n_b,
+        |    CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS n_common
+        |  FROM pairs p JOIN dt ta ON ta.doc_id = p.doc_a
+        |               JOIN dt tb ON tb.doc_id = p.doc_b),
+        |jj AS (SELECT doc_a, doc_b, n_a, n_b, n_common,
+        |    CAST(n_common * 1000000 // (n_a + n_b - n_common) AS BIGINT) AS jaccard_ppm
+        |  FROM j)
+        |SELECT doc_a, doc_b, n_a, n_b, n_common, jaccard_ppm FROM jj
+        |WHERE jaccard_ppm >= 500000 ORDER BY doc_a, doc_b""".stripMargin),
+
     // Unicode NFC canonicalization audit via the native graft_nfc expression;
     // planted decomposed/precomposed spellings, oracle uses nfc_normalize.
     q("q218_unicode_audit", (s, d) => ext.TextStats.unicodeAudit(s, d),

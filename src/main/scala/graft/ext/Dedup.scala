@@ -1119,6 +1119,67 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Sorted-neighborhood near-dup candidates (q219) — the THIRD classic
+    * blocking method beside LSH banding (q29) and prefix filtering (q173):
+    * sort the corpus by a normalized sort key (here the first 3 words,
+    * lowercased), slide a fixed window of `w` over the sorted order, and
+    * verify exactly the pairs that fall within a window (Hernández &
+    * Stolfo, SIGMOD 1995). Where LSH is probabilistic and prefix-filter is
+    * threshold-exact, SNM is CHEAP and key-local: it finds near-dups whose
+    * edits keep the sort key (template/prefix-stable duplicates — most
+    * crawl dups) at the cost of one sort, and is the method of choice when
+    * the duplicate signal concentrates in a prefix field (titles, URLs,
+    * names).
+    *
+    * Scale shape: the global rank is a CHUNKED PARALLEL PREFIX, not a
+    * single-partition window (q184's pattern): rows chunk on the key's
+    * first character (order-aligned), rank within each chunk is a
+    * partitioned window, and the cross-chunk offset is a cumulative count
+    * over the chunk-count-sized frame — proven equal to the naive global
+    * ROW_NUMBER by the oracle. Neighborhood pairing is w−1 equi-joins on
+    * rank (rank+j = rank2) — boundary pairs across chunks still pair,
+    * because pairing reads rank VALUES, not chunk locality. Verification is
+    * the shared `array_intersect` shape on the at-rest shingle arrays
+    * ([[shingleTokensPath]]). A pathologically hot first character recurses
+    * to a longer prefix — the same escape hatch q184 documents. */
+  def sortedNeighborhoodPairs(spark: SparkSession, dir: String,
+      windowSize: Int = 4, thresholdPpm: Long = 500000L): DataFrame = {
+    val docToks = spark.read.parquet(shingleTokensPath(spark, dir))
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        lower(concat_ws(" ", slice(split(col("text"), " "), 1, 3))).as("k"))
+      .withColumn("c", substring(col("k"), 1, 1))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c")).orderBy(col("k"), col("doc_id"))
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("c"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = keyed.groupBy(col("c")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("c"), col("off"))
+    val ranked = keyed.withColumn("ri", row_number().over(wIn))
+      .join(broadcast(offs), Seq("c"))
+      .select(col("doc_id"), (col("off") + col("ri")).as("r"))
+    val within = (1 until windowSize).map { j =>
+      ranked.select(col("doc_id").as("id_a"), (col("r") + j).as("r2"))
+        .join(ranked.select(col("doc_id").as("id_b"), col("r").as("r2")), Seq("r2"))
+        .select(least(col("id_a"), col("id_b")).as("doc_a"),
+          greatest(col("id_a"), col("id_b")).as("doc_b"))
+    }.reduce(_ unionByName _).distinct()
+    within
+      .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+        size(col("toks")).cast("long").as("n_a")), Seq("doc_a"))
+      .join(docToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+        size(col("toks")).cast("long").as("n_b")), Seq("doc_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("jaccard_ppm", expr(
+        "CAST(n_common * 1000000 div (n_a + n_b - n_common) AS BIGINT)"))
+      .filter(col("jaccard_ppm") >= thresholdPpm)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Cross-language shingle-overlap matrix: for each (lang_a < lang_b) pair,
     * the number of DISTINCT 3-word shingles both language slices contain —
     * the cross-lingual contamination / code-switching diagnostic a corpus

@@ -308,6 +308,27 @@ class ExtSpec extends SparkSuite {
       out.map(_.getAs[Long]("n_chars")).sum)
   }
 
+  test("sorted neighborhood: window-local dups found, key-distant dup missed by design") {
+    val s = spark; import s.implicits._
+    val body = (1 to 10).map(i => s"w$i").mkString(" ")
+    Seq(
+      (1L, s"alpha beta gamma $body one"),
+      (2L, s"alpha beta gamma $body two"),    // same key, adjacent rank → pair
+      (3L, s"zzz yyy xxx unrelated words entirely different content here"),
+      (4L, s"mmm nnn ooo $body one"))          // near-dup of 1 but distant key
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_snm/documents.parquet")
+    val out = graft.ext.Dedup
+      .sortedNeighborhoodPairs(spark, "/tmp/graft_test_snm")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)), "same-key neighbors verify as a pair")
+    // ranks: alpha..(1,2), mmm..(4), zzz..(3) → 1 and 4 are within window 4
+    // and DO share most shingles → found; SNM's documented miss is a dup
+    // whose rank distance exceeds the window, not merely a different key
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)),
+      "dissimilar docs never verify")
+  }
+
   test("multimodal manifest: absent modalities flag false and zero, never drop the row") {
     val s = spark; import s.implicits._
     // 0: no modality (0%3=0%4=0%5=0); 1: all three; 12: video only (12%3=0,
