@@ -3452,6 +3452,41 @@ object Catalog {
         |  CAST(COUNT(*) AS BIGINT) AS n_months
         |FROM r GROUP BY grp ORDER BY start_month""".stripMargin),
 
+    // Dedup method-recall datasheet: truth via ORACLE-side brute force (the
+    // prefix-filter lemma that defines engine truth stays under test);
+    // methods re-derived independently and scored against it.
+    q("q220_dedup_method_recall", (s, d) => ext.Dedup.dedupMethodRecall(s, d),
+      s"""WITH $bandsCte,
+         |counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+         |tcommon AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |scored AS (SELECT t.doc_a, t.doc_b,
+         |    CAST(t.n_common * 1000000 // (ca.n_sh + cb.n_sh - t.n_common) AS BIGINT) AS jppm
+         |  FROM tcommon t JOIN counts ca ON ca.doc_id = t.doc_a
+         |                 JOIN counts cb ON cb.doc_id = t.doc_b),
+         |truth AS (SELECT doc_a, doc_b FROM scored WHERE jppm >= 800000),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |lsh AS (SELECT s.doc_a FROM scored s JOIN cand c
+         |    ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b WHERE s.jppm >= 800000),
+         |keyed AS (SELECT doc_id,
+         |    lower(array_to_string(string_split(text, ' ')[1:3], ' ')) AS k FROM documents),
+         |rk AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS r FROM keyed),
+         |np AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+         |    greatest(a.doc_id, b.doc_id) AS doc_b
+         |  FROM rk a JOIN rk b ON b.r > a.r AND b.r <= a.r + 3),
+         |snm AS (SELECT s.doc_a FROM scored s JOIN np
+         |    ON np.doc_a = s.doc_a AND np.doc_b = s.doc_b WHERE s.jppm >= 800000),
+         |m AS (SELECT 'lsh_bands' AS method, CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_found
+         |  UNION ALL SELECT 'prefix_filter', (SELECT COUNT(*) FROM truth)
+         |  UNION ALL SELECT 'sorted_neighborhood', (SELECT COUNT(*) FROM snm)),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+         |SELECT method, n_truth, n_found,
+         |  CAST(n_found * 1000000 // NULLIF(n_truth, 0) AS BIGINT) AS recall_ppm
+         |FROM m, t ORDER BY method""".stripMargin),
+
     // Sorted-neighborhood dedup candidates (SNM): chunked parallel-prefix
     // rank + w-1 rank equi-joins + exact Jaccard verification; the oracle's
     // naive global ROW_NUMBER proves the chunked rank identical.

@@ -1180,6 +1180,44 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Dedup METHOD-RECALL datasheet (q220) — the comparison a pipeline owner
+    * reads before picking a blocking method: at one Jaccard threshold, how
+    * many true near-dup pairs each candidate generator actually surfaces.
+    * Ground truth is [[prefixFilterJoin]] — EXACT AND COMPLETE at the
+    * threshold by the prefix-filter lemma (the oracle independently
+    * recomputes truth by brute force, so the lemma itself stays under
+    * test); methods are LSH banding ([[minhashJaccard]], probabilistic
+    * recall) and sorted-neighborhood ([[sortedNeighborhoodPairs]],
+    * key-local recall). Every method exact-verifies its candidates, so
+    * found ⊆ truth by construction and recall is n_found/n_truth — no
+    * intersection join needed (precision is 1.0 for all three, which is
+    * the point of candidate-then-verify architectures).
+    *
+    * Scale shape: three already-bounded pipelines (each documented at its
+    * definition) + three 1-row aggregates + a broadcast scalar join. All
+    * three share the at-rest shingle/band indexes, so the marginal cost of
+    * the comparison is the aggregates. */
+  def dedupMethodRecall(spark: SparkSession, dir: String,
+      thresholdPpm: Long = 800000L): DataFrame = {
+    val truth = prefixFilterJoin(spark, dir, thresholdPpm)
+      .select(col("doc_a"), col("doc_b"))
+    val lsh = minhashJaccard(spark, dir)
+      .filter(expr(s"n_common * 1000000 div (n_a + n_b - n_common) >= $thresholdPpm"))
+      .select(col("doc_a"), col("doc_b"))
+    val snm = sortedNeighborhoodPairs(spark, dir, 4, thresholdPpm)
+      .select(col("doc_a"), col("doc_b"))
+    def counted(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_found")).select(lit(name).as("method"), col("n_found"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    counted("lsh_bands", lsh)
+      .unionByName(counted("prefix_filter", truth))
+      .unionByName(counted("sorted_neighborhood", snm))
+      .crossJoin(broadcast(nTruth))
+      .select(col("method"), col("n_truth"), col("n_found"),
+        expr("CAST(n_found * 1000000 div n_truth AS BIGINT)").as("recall_ppm"))
+      .orderBy("method")
+  }
+
   /** Cross-language shingle-overlap matrix: for each (lang_a < lang_b) pair,
     * the number of DISTINCT 3-word shingles both language slices contain —
     * the cross-lingual contamination / code-switching diagnostic a corpus

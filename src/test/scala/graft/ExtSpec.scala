@@ -329,6 +329,31 @@ class ExtSpec extends SparkSuite {
       "dissimilar docs never verify")
   }
 
+  test("dedup method recall: prefix filter is complete; SNM misses the key-distant dup") {
+    val s = spark; import s.implicits._
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    // one near-dup pair whose sort keys land far apart (aaa... vs zzz...),
+    // with > windowSize intervening keys — invisible to a rank window
+    val fillers = ('b' to 'y').zipWithIndex.map { case (c, i) =>
+      (10L + i, s"$c$c$c $c$c filler${i}a filler${i}b filler${i}c filler${i}d ${i} x y z")
+    }
+    (Seq(
+      (1L, s"aaa start $body tail one"),
+      (2L, s"zzz end $body tail one")) ++ fillers)
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_dmr/documents.parquet")
+    val out = graft.ext.Dedup
+      .dedupMethodRecall(spark, "/tmp/graft_test_dmr", thresholdPpm = 700000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (nTruth, prefixFound, prefixRecall) = out("prefix_filter")
+    assert(nTruth >= 1L && prefixFound == nTruth && prefixRecall == 1000000L,
+      "prefix filter is exact AND complete at the threshold")
+    val (_, snmFound, snmRecall) = out("sorted_neighborhood")
+    assert(snmFound < nTruth && snmRecall < 1000000L,
+      "the key-distant dup exceeds the rank window — SNM's documented miss")
+  }
+
   test("multimodal manifest: absent modalities flag false and zero, never drop the row") {
     val s = spark; import s.implicits._
     // 0: no modality (0%3=0%4=0%5=0); 1: all three; 12: video only (12%3=0,
