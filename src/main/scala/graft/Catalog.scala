@@ -3452,6 +3452,44 @@ object Catalog {
         |  CAST(COUNT(*) AS BIGINT) AS n_months
         |FROM r GROUP BY grp ORDER BY start_month""".stripMargin),
 
+    // Zipf slope of the head vocabulary: integer bit-length log-log OLS,
+    // sign-aware division — the corpus-naturalness health check.
+    q("q222_zipf_slope", (s, d) => ext.TextStats.zipfSlope(s, d),
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+        |  WHERE length(term) > 0 GROUP BY term),
+        |top AS (SELECT term, c FROM tc ORDER BY c DESC, term LIMIT 1024),
+        |rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS r FROM top),
+        |pts AS (SELECT CAST(length(bin(r)) AS BIGINT) AS x,
+        |    CAST(length(bin(c)) AS BIGINT) AS y FROM rk),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx FROM pts)
+        |SELECT n AS n_terms, CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |  WHEN n * sxy - sx * sy >= 0
+        |    THEN CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS BIGINT)
+        |  ELSE -CAST((-(n * sxy - sx * sy)) * 1000000 // (n * sxx - sx * sx) AS BIGINT)
+        |  END AS slope_ppm
+        |FROM m""".stripMargin),
+
+    // Purged temporal split: p80-day cut by counting selection, embargo band
+    // dropped; datasheet proves the split is contiguous and exactly gapped.
+    q("q221_embargo_split", (s, d) => streaming.Events.embargoSplit(s, d),
+      """WITH e AS (SELECT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day FROM events),
+        |h AS (SELECT day, COUNT(*) AS c FROM e GROUP BY day),
+        |cu AS (SELECT day, c,
+        |    SUM(c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER () AS n FROM h),
+        |ct AS (SELECT MIN(CASE WHEN cum >= (8 * n + 9) // 10 THEN day END) AS cut FROM cu),
+        |t AS (SELECT user_id, day, CASE WHEN day < cut THEN 'train'
+        |    WHEN day < cut + 2 THEN 'embargo_dropped' ELSE 'test' END AS split FROM e, ct)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(DATE '1970-01-01' + CAST(MIN(day) AS INT) AS VARCHAR) AS first_day,
+        |  CAST(DATE '1970-01-01' + CAST(MAX(day) AS INT) AS VARCHAR) AS last_day
+        |FROM t GROUP BY split ORDER BY split""".stripMargin),
+
     // Dedup method-recall datasheet: truth via ORACLE-side brute force (the
     // prefix-filter lemma that defines engine truth stays under test);
     // methods re-derived independently and scored against it.

@@ -1411,6 +1411,38 @@ object TextStats {
       .orderBy("merge_idx")
   }
 
+  /** Zipf slope of the head vocabulary (q222) — the corpus-naturalness
+    * health check: natural language follows count ∝ rank^(−s) with s ≈ 1,
+    * while machine-generated/templated corpora flatten (s → 0) or collapse
+    * to a few tokens (s ≫ 1). The fit is log-log OLS made ENGINE-EXACT by
+    * taking both logs as integer bit lengths (`length(bin(v))` = ⌊log₂ v⌋+1
+    * — identical in both engines) over the top-`topV` terms, with the full
+    * integer-moment slope formula and sign-aware division (the ols2
+    * discipline). Restricting to the head keeps the rank window bounded at
+    * `topV` rows (the q67 vocabulary pattern) — the head is where Zipf is
+    * measured anyway; the corpus-sized work is one term-count aggregate. */
+  def zipfSlope(spark: SparkSession, dir: String, topV: Int = 1024): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val top = counts.orderBy(col("c").desc, col("term")).limit(topV)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("term"))
+    val pts = top.withColumn("r", row_number().over(w))
+      .select(expr("CAST(length(bin(r)) AS BIGINT)").as("x"),
+        expr("CAST(length(bin(c)) AS BIGINT)").as("y"))
+    pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("n").as("n_terms"),
+        when(expr("n * sxx - sx * sx") === 0, lit(null).cast("long"))
+          .otherwise(when(expr("n * sxy - sx * sy") >= 0,
+            expr("CAST((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) AS BIGINT)"))
+            .otherwise(expr(
+              "-CAST((-(n * sxy - sx * sy)) * 1000000 div (n * sxx - sx * sx) AS BIGINT)")))
+          .as("slope_ppm"))
+  }
+
   /** Unicode canonicalization audit (q218) — NFC normalization via the
     * native [[graft.functions.NfcNormalize]] expression (`graft_nfc`), the
     * pass a text pipeline runs before fingerprinting/dedup/tokenization:

@@ -385,6 +385,43 @@ object Events {
       .orderBy("user_id", "event_type", "burst_idx")
   }
 
+  /** Temporal EMBARGO split (q221) — the leakage-safe time split
+    * forecasting/RL pipelines use: train is everything before the cut, test
+    * everything after cut + embargo, and the embargo band between them is
+    * DROPPED — examples whose features could see the test window's labels
+    * (the purged split of De Prado's finance ML, applied to event data).
+    * The cut is the p80 event DAY by exact counting selection (q152's
+    * machinery on the day histogram — a calendar-bounded frame), broadcast
+    * as a scalar; tagging is then a pure projection. Output: per split,
+    * event/user counts and the day range — the datasheet that proves the
+    * split is contiguous, ordered, and gapped by exactly the embargo. */
+  def embargoSplit(spark: SparkSession, dir: String,
+      embargoDays: Int = 2): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)").as("day"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cut = ev.groupBy(col("day")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .agg(min(when(col("cum") >= expr("(8 * n + 9) div 10"), col("day"))).as("cut"))
+    ev.crossJoin(broadcast(cut))
+      .withColumn("split",
+        when(col("day") < col("cut"), "train")
+          .when(col("day") < col("cut") + embargoDays, "embargo_dropped")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("day")).as("d_lo"), max(col("day")).as("d_hi"))
+      .select(col("split"), col("n_events"), col("n_users"),
+        expr("CAST(date_add(DATE '1970-01-01', CAST(d_lo AS INT)) AS STRING)").as("first_day"),
+        expr("CAST(date_add(DATE '1970-01-01', CAST(d_hi AS INT)) AS STRING)").as("last_day"))
+      .orderBy("split")
+  }
+
   /** Watermark lag audit (q184) — the measurement that PICKS a watermark:
     * per event, its event-time lateness relative to the maximum event time
     * among all EARLIER ARRIVALS, rolled up to the late-event percentiles a

@@ -329,6 +329,38 @@ class ExtSpec extends SparkSuite {
       "dissimilar docs never verify")
   }
 
+  test("zipf slope: planted power law fits near -1e6; single-term corpus yields NULL") {
+    val s = spark; import s.implicits._
+    // term t_i (i = 0..7) appears 2^(8-i) times: count halves per rank
+    // doubling, the exact discrete Zipf s = 1 shape
+    val words = (0 until 8).flatMap(i => Seq.fill(1 << (8 - i))(s"t$i"))
+    Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_zpf/documents.parquet")
+    val row = graft.ext.TextStats.zipfSlope(spark, "/tmp/graft_test_zpf")
+      .collect().head
+    assert(row.getLong(0) == 8L)
+    // driver-side reference with the same integer moments
+    val pts = (1 to 8).map { r =>
+      val x = java.lang.Long.toBinaryString(r.toLong).length.toLong
+      val y = java.lang.Long.toBinaryString(1L << (9 - r)).length.toLong
+      (x, y)
+    }
+    val n = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val expected = if (num >= 0) num * 1000000L / den else -((-num) * 1000000L / den)
+    assert(row.getLong(1) == expected, s"got ${row.getLong(1)}, want $expected")
+    assert(expected < -600000L, "a planted power law reads as steeply negative")
+    // degenerate: one distinct term → zero x-variance → NULL slope
+    Seq((1L, "same same same")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_zpf1/documents.parquet")
+    assert(graft.ext.TextStats.zipfSlope(spark, "/tmp/graft_test_zpf1")
+      .collect().head.isNullAt(1))
+  }
+
   test("dedup method recall: prefix filter is complete; SNM misses the key-distant dup") {
     val s = spark; import s.implicits._
     val body = (1 to 30).map(i => s"w$i").mkString(" ")
