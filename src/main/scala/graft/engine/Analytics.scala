@@ -222,11 +222,14 @@ object Analytics {
         .write.mode("overwrite").parquet(p)
     }
     val state = spark.read.parquet(statePath)
-      .select(col("month"), col("n_orders").as("n_s"), col("rev").as("r_s"))
+      .select(col("month").as("m_s"), col("n_orders").as("n_s"), col("rev").as("r_s"))
     val delta = rollup(Tables.orders(spark, dir).filter(isWave))
-      .select(col("month"), col("n_orders").as("n_d"), col("rev").as("r_d"))
-    state.join(delta, Seq("month"), "full_outer")
-      .select(col("month"),
+      .select(col("month").as("m_d"), col("n_orders").as("n_d"), col("rev").as("r_d"))
+    // NULL-SAFE merge key: a NULL month (null o_orderdate) groups into one
+    // row on both sides and in the oracle's single GROUP BY — a plain
+    // equi-join would keep state-NULL and delta-NULL as two separate rows
+    state.join(delta, col("m_s") <=> col("m_d"), "full_outer")
+      .select(coalesce(col("m_s"), col("m_d")).as("month"),
         (coalesce(col("n_s"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n_orders"),
         (coalesce(col("r_s"), lit(0).cast(Dec.D18_2))
           + coalesce(col("r_d"), lit(0).cast(Dec.D18_2))).cast("double").as("revenue"))

@@ -342,11 +342,23 @@ object Dedup {
         least(col("n_a"), col("n_b")) * 1000000L >=
           lit(thresholdPpm) * greatest(col("n_a"), col("n_b")))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b")).distinct()
-    cand
-      .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
-        Seq("doc_a"))
-      .join(docToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
-        Seq("doc_b"))
+    verifyPairs(cand, docToks, thresholdPpm)
+  }
+
+  /** The shared EXACT-verification tail of every candidate-then-verify
+    * pipeline over the shingle-array index ([[prefixFilterJoin]],
+    * [[incrementalPrefixJoin]], [[sortedNeighborhoodPairs]]): candidate
+    * (doc_a, doc_b) pairs joined to the two docs' DISTINCT shingle arrays,
+    * overlap via codegen'd `array_intersect`, and the single ppm rounding
+    * rule `floor(o·10⁶/u) ≥ t` — one definition, so the verification
+    * discipline cannot drift between blocking methods. */
+  private def verifyPairs(cand: DataFrame, docToks: DataFrame,
+      thresholdPpm: Long): DataFrame =
+    cand.select(col("doc_a"), col("doc_b"))
+      .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+        size(col("toks")).cast("long").as("n_a")), Seq("doc_a"))
+      .join(docToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+        size(col("toks")).cast("long").as("n_b")), Seq("doc_b"))
       .withColumn("n_common",
         size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
       .withColumn("jaccard_ppm", expr(
@@ -355,7 +367,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
         col("n_common"), col("jaccard_ppm"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Per-document 3-gram shingle ARRAYS at rest — (doc_id, toks), one row per
     * doc — materialized ONCE per source dir per JVM. The shingle projection
@@ -429,19 +440,7 @@ object Dedup {
       .filter(least(col("n_a"), col("n_b")) * 1000000L >=
         lit(thresholdPpm) * greatest(col("n_a"), col("n_b")))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b")).distinct()
-    cand
-      .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")),
-        Seq("doc_a"))
-      .join(docToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")),
-        Seq("doc_b"))
-      .withColumn("n_common",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
-      .withColumn("jaccard_ppm", expr(
-        "CAST(n_common * 1000000 div (n_a + n_b - n_common) AS BIGINT)"))
-      .filter(col("jaccard_ppm") >= thresholdPpm)
-      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
-        col("n_common"), col("jaccard_ppm"))
-      .orderBy("doc_a", "doc_b")
+    verifyPairs(cand, docToks, thresholdPpm)
   }
 
   /** The LSH candidate-pair table materialized ONCE per (source dir, bucket
@@ -1159,25 +1158,16 @@ object Dedup {
     val ranked = keyed.withColumn("ri", row_number().over(wIn))
       .join(broadcast(offs), Seq("c"))
       .select(col("doc_id"), (col("off") + col("ri")).as("r"))
+    // ranks are unique, so the unordered pair at gap g arises from exactly
+    // one branch (j = g) exactly once — no dedup pass needed (the oracle's
+    // DISTINCT is equally vacuous)
     val within = (1 until windowSize).map { j =>
       ranked.select(col("doc_id").as("id_a"), (col("r") + j).as("r2"))
         .join(ranked.select(col("doc_id").as("id_b"), col("r").as("r2")), Seq("r2"))
         .select(least(col("id_a"), col("id_b")).as("doc_a"),
           greatest(col("id_a"), col("id_b")).as("doc_b"))
-    }.reduce(_ unionByName _).distinct()
-    within
-      .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
-        size(col("toks")).cast("long").as("n_a")), Seq("doc_a"))
-      .join(docToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
-        size(col("toks")).cast("long").as("n_b")), Seq("doc_b"))
-      .withColumn("n_common",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
-      .withColumn("jaccard_ppm", expr(
-        "CAST(n_common * 1000000 div (n_a + n_b - n_common) AS BIGINT)"))
-      .filter(col("jaccard_ppm") >= thresholdPpm)
-      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
-        col("n_common"), col("jaccard_ppm"))
-      .orderBy("doc_a", "doc_b")
+    }.reduce(_ unionByName _)
+    verifyPairs(within, docToks, thresholdPpm)
   }
 
   /** Dedup METHOD-RECALL datasheet (q220) — the comparison a pipeline owner
@@ -1199,8 +1189,10 @@ object Dedup {
     * the comparison is the aggregates. */
   def dedupMethodRecall(spark: SparkSession, dir: String,
       thresholdPpm: Long = 800000L): DataFrame = {
-    val truth = prefixFilterJoin(spark, dir, thresholdPpm)
-      .select(col("doc_a"), col("doc_b"))
+    // truth is the most expensive pipeline here — counted ONCE (a 1-row
+    // driver seed, the A1 pattern); the prefix_filter row IS that count, so
+    // the pipeline never runs a second time for its own method row
+    val nTruth: Long = prefixFilterJoin(spark, dir, thresholdPpm).count()
     val lsh = minhashJaccard(spark, dir)
       .filter(expr(s"n_common * 1000000 div (n_a + n_b - n_common) >= $thresholdPpm"))
       .select(col("doc_a"), col("doc_b"))
@@ -1208,11 +1200,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     def counted(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_found")).select(lit(name).as("method"), col("n_found"))
-    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val spark0 = spark
+    import spark0.implicits._
     counted("lsh_bands", lsh)
-      .unionByName(counted("prefix_filter", truth))
+      .unionByName(Seq(("prefix_filter", nTruth)).toDF("method", "n_found"))
       .unionByName(counted("sorted_neighborhood", snm))
-      .crossJoin(broadcast(nTruth))
+      .withColumn("n_truth", lit(nTruth))
       .select(col("method"), col("n_truth"), col("n_found"),
         expr("CAST(n_found * 1000000 div n_truth AS BIGINT)").as("recall_ppm"))
       .orderBy("method")

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 
@@ -68,9 +68,10 @@ object Multimodal {
     * encoder context per partition, the codec batch shape). The closed-form
     * pixel law is what lets the DuckDB oracle check the DECODED output
     * arithmetically without itself owning a PNG codec. */
-  def pngTable(spark: SparkSession, dir: String): DataFrame = {
+  def pngTable(spark: SparkSession, dir: String,
+      docFilter: Column = lit(true)): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documents(spark, dir).filter(docFilter).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // no tmp-file spill per image
         it.map { id =>
@@ -175,9 +176,10 @@ object Multimodal {
     * JDK-native `javax.sound.sampled` WAVE writer in `mapPartitions` — the
     * audio twin of [[pngTable]]: the law is what lets the oracle check the
     * DECODED output arithmetically without owning an audio codec. */
-  def wavTable(spark: SparkSession, dir: String): DataFrame = {
+  def wavTable(spark: SparkSession, dir: String,
+      docFilter: Column = lit(true)): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documents(spark, dir).filter(docFilter).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val n = (id % 480 + 20).toInt
@@ -287,9 +289,10 @@ object Multimodal {
     * engine's own trivial format; parsing it + decoding its frames is the
     * video access pattern ([[frameSample]]'s byte-window form upgraded to a
     * real index + codec). */
-  def videoTable(spark: SparkSession, dir: String): DataFrame = {
+  def videoTable(spark: SparkSession, dir: String,
+      docFilter: Column = lit(true)): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    Tables.documents(spark, dir).filter(docFilter).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
@@ -410,11 +413,14 @@ object Multimodal {
   def multimodalManifest(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
-    val img = decodePngs(spark, pngTable(spark, dir).filter(col("doc_id") % 3 =!= 0))
+    // presence filters pass INTO the builders: a filter above the typed
+    // mapPartitions encoder cannot push below it, so filtering afterwards
+    // would pay the codec for payloads that are immediately discarded
+    val img = decodePngs(spark, pngTable(spark, dir, col("doc_id") % 3 =!= 0))
       .select(col("doc_id"), col("px_sum").as("img_px"))
-    val aud = decodeWavs(spark, wavTable(spark, dir).filter(col("doc_id") % 4 =!= 0))
+    val aud = decodeWavs(spark, wavTable(spark, dir, col("doc_id") % 4 =!= 0))
       .select(col("doc_id"), col("sq_sum").as("audio_e"))
-    val vid = decodeVideoFrames(spark, videoTable(spark, dir).filter(col("doc_id") % 5 =!= 0))
+    val vid = decodeVideoFrames(spark, videoTable(spark, dir, col("doc_id") % 5 =!= 0))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("vid_frames"), sum(col("px_sum")).as("vid_px"))
     base
