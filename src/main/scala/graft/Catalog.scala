@@ -3452,6 +3452,53 @@ object Catalog {
         |  CAST(COUNT(*) AS BIGINT) AS n_months
         |FROM r GROUP BY grp ORDER BY start_month""".stripMargin),
 
+    // Cross-source duplication matrix: verified LSH pairs attributed to
+    // (source, source) cells — dedup-burden attribution.
+    q("q223_cross_source_dups", (s, d) => ext.Dedup.crossSourceDupMatrix(s, d),
+      s"""WITH $bandsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+         |              JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+         |  GROUP BY c.doc_a, c.doc_b),
+         |lshp AS (SELECT c.doc_a, c.doc_b FROM cand c
+         |  JOIN counts ca ON ca.doc_id = c.doc_a
+         |  JOIN counts cb ON cb.doc_id = c.doc_b
+         |  LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+         |  WHERE COALESCE(cm.n_common, 0) * 1000000
+         |      // (ca.n_sh + cb.n_sh - COALESCE(cm.n_common, 0)) >= 800000),
+         |m AS (SELECT least(da.source, db.source) AS src_a,
+         |    greatest(da.source, db.source) AS src_b
+         |  FROM lshp JOIN documents da ON da.doc_id = lshp.doc_a
+         |            JOIN documents db ON db.doc_id = lshp.doc_b)
+         |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+         |FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin),
+
+    // Takedown expansion: removal requests close over the duplicate
+    // clusters; oracle recomputes the closure by recursive transitive CTE.
+    q("q224_takedown_expansion", (s, d) => ext.Dedup.takedownExpansion(s, d),
+      s"""WITH RECURSIVE $bandsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |          UNION SELECT doc_b, doc_a FROM cand),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+         |lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |all_lab AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cl
+         |  FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id),
+         |hit AS (SELECT cl, MIN(doc_id) AS requested_by FROM all_lab
+         |  WHERE doc_id % 83 = 11 GROUP BY cl)
+         |SELECT a.doc_id, a.cl AS cluster_id,
+         |  a.doc_id % 83 = 11 AS directly_requested, h.requested_by
+         |FROM all_lab a JOIN hit h ON h.cl = a.cl ORDER BY a.doc_id""".stripMargin),
+
     // Zipf slope of the head vocabulary: integer bit-length log-log OLS,
     // sign-aware division — the corpus-naturalness health check.
     q("q222_zipf_slope", (s, d) => ext.TextStats.zipfSlope(s, d),

@@ -1211,6 +1211,59 @@ object Dedup {
       .orderBy("method")
   }
 
+  /** Cross-SOURCE duplication matrix (q223) — dedup-burden attribution: for
+    * every source pair, how many verified near-dup pairs span them (who is
+    * mirroring whom), plus each source's within-source count on the
+    * diagonal. The pair stream is the at-rest LSH candidate index verified
+    * at the threshold ([[minhashJaccard]]'s columns carry exact counts), so
+    * the matrix costs two dim-sized joins over an already-bounded pair set
+    * — the corpus is never rescanned. Output ordered (src_a ≤ src_b,
+    * lexicographic). The release-gate (q200) says IF a source is dirty;
+    * this says WITH WHOM. */
+  def crossSourceDupMatrix(spark: SparkSession, dir: String,
+      thresholdPpm: Long = 800000L): DataFrame = {
+    val pairs = minhashJaccard(spark, dir)
+      .filter(expr(s"n_common * 1000000 div (n_a + n_b - n_common) >= $thresholdPpm"))
+      .select(col("doc_a"), col("doc_b"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("s_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("s_b")), Seq("doc_b"))
+      .select(least(col("s_a"), col("s_b")).as("src_a"),
+        greatest(col("s_a"), col("s_b")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** TAKEDOWN expansion (q224) — rights-holder removal with near-dup
+    * closure: deleting only the requested doc leaves its mirrors serving
+    * the same content, so a takedown expands through the duplicate-cluster
+    * labels ([[clustersPath]], the at-rest CC index) to every member of a
+    * requested doc's cluster. Requests are deterministic
+    * (doc_id % 83 = 11); output: one row per REMOVED doc with its cluster,
+    * whether it was directly requested, and the request that pulled it in
+    * (min requested id in the cluster — auditable provenance). The corpus
+    * pays one broadcast semi-join against the request-hit cluster set;
+    * un-clustered requested docs (singletons, absent from the pair graph)
+    * remove just themselves via the label fallback. */
+  def takedownExpansion(spark: SparkSession, dir: String, mod: Int = 83,
+      rem: Int = 11): DataFrame = {
+    val labels = spark.read.parquet(clustersPath(spark, dir))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    // every doc gets a label: clustered docs their component id, singletons
+    // themselves (clustersPath only covers docs in the candidate graph)
+    val labeled = docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cl"))
+    val hit = labeled.filter(col("doc_id") % mod === rem)
+      .groupBy(col("cl")).agg(min(col("doc_id")).as("requested_by"))
+    labeled.join(broadcast(hit), Seq("cl"))
+      .select(col("doc_id"), col("cl").as("cluster_id"),
+        (col("doc_id") % mod === rem).as("directly_requested"),
+        col("requested_by"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-language shingle-overlap matrix: for each (lang_a < lang_b) pair,
     * the number of DISTINCT 3-word shingles both language slices contain —
     * the cross-lingual contamination / code-switching diagnostic a corpus

@@ -329,6 +329,29 @@ class ExtSpec extends SparkSuite {
       "dissimilar docs never verify")
   }
 
+  test("takedown expansion: a requested doc pulls its whole dup cluster, others untouched") {
+    val s = spark; import s.implicits._
+    val shared = (1 to 40).map(i => s"c$i").mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    Seq(
+      (11L, shared),           // requested (11 % 83 = 11), clustered with...
+      (200L, shared),          // ...mirrors that were NOT requested
+      (300L, shared),
+      (5L, other), (6L, other), // unrelated dup cluster, no request → survives
+      (94L, "a singleton request with its own unique words here today"),
+      (50L, "an untouched unique document nothing shares"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_tkd/documents.parquet")
+    val out = graft.ext.Dedup.takedownExpansion(spark, "/tmp/graft_test_tkd")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(11L, 200L, 300L, 94L),
+      s"exactly the requested docs + their cluster members are removed, got ${out.keySet}")
+    assert(out(11L) == ((true, 11L)) && out(94L) == ((true, 94L)))
+    assert(out(200L) == ((false, 11L)) && out(300L) == ((false, 11L)),
+      "mirrors carry the requesting doc as provenance")
+  }
+
   test("zipf slope: planted power law fits near -1e6; single-term corpus yields NULL") {
     val s = spark; import s.implicits._
     // term t_i (i = 0..7) appears 2^(8-i) times: count halves per rank
