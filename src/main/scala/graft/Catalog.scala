@@ -3452,6 +3452,35 @@ object Catalog {
         |  CAST(COUNT(*) AS BIGINT) AS n_months
         |FROM r GROUP BY grp ORDER BY start_month""".stripMargin),
 
+    // JL retrieval-recall audit: exact integer top-10 in the full vs the
+    // 16-dim projected space, per-query overlap — recall@k of the reduction.
+    q("q225_jl_recall", (s, d) => ext.Similarity.jlRecall(s, d),
+      """WITH kn AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q FROM embeddings),
+        |pr AS (SELECT vec_id, q,
+        |    list_transform(range(16), k -> CAST(list_sum(list_transform(range(64), d ->
+        |      (CASE WHEN CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) AS INT) % 2 = 0
+        |        THEN 1 ELSE -1 END) * q[d + 1])) AS BIGINT)) AS p
+        |  FROM kn),
+        |fq AS (SELECT vec_id AS query_id, q AS qq FROM pr WHERE vec_id < 20),
+        |fd AS (SELECT query_id, c.vec_id AS cid,
+        |    CAST(list_sum(list_transform(list_zip(qq, c.q), z -> z[1] * z[2])) AS BIGINT) AS dot
+        |  FROM fq, pr c),
+        |fr AS (SELECT query_id, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, cid) AS rk FROM fd),
+        |ft AS (SELECT query_id, cid FROM fr WHERE rk <= 10),
+        |pq AS (SELECT vec_id AS query_id, p AS qp FROM pr WHERE vec_id < 20),
+        |pd AS (SELECT query_id, c.vec_id AS cid,
+        |    CAST(list_sum(list_transform(list_zip(qp, c.p), z -> z[1] * z[2])) AS BIGINT) AS dot
+        |  FROM pq, pr c),
+        |prk AS (SELECT query_id, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, cid) AS rk FROM pd),
+        |pt AS (SELECT query_id, cid FROM prk WHERE rk <= 10)
+        |SELECT f.query_id, CAST(COUNT(p.cid) AS BIGINT) AS n_overlap,
+        |  CAST(COUNT(p.cid) * 1000000 // 10 AS BIGINT) AS recall_ppm
+        |FROM ft f LEFT JOIN pt p ON p.query_id = f.query_id AND p.cid = f.cid
+        |GROUP BY f.query_id ORDER BY f.query_id""".stripMargin),
+
     // Cross-source duplication matrix: verified LSH pairs attributed to
     // (source, source) cells — dedup-burden attribution.
     q("q223_cross_source_dups", (s, d) => ext.Dedup.crossSourceDupMatrix(s, d),

@@ -585,15 +585,20 @@ object Similarity {
     * `ratio_ppm` = ‖proj‖²·10⁶ / (nPlanes·‖q‖²), whose concentration around
     * 10⁶ (E[(s·x)²] = ‖x‖² per sign plane) is the distance-preservation
     * guarantee downstream ANN relies on. */
+  /** The md5-derived ±1 JL sign matrix entry for (plane k, dim d) — shared
+    * by [[jlProjection]] (q209) and [[jlRecall]] (q225) so the projection
+    * and its retrieval audit can never use different planes. */
+  private[ext] def jlSign(k: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$k:$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1L else -1L
+  }
+
   def jlProjection(spark: SparkSession, dir: String,
       nPlanes: Int = 16, dim: Int = 64): DataFrame = {
     VectorExpressions.register(spark)
-    def sign(k: Int, d: Int): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"$k:$d".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1L else -1L
-    }
+    def sign(k: Int, d: Int): Long = jlSign(k, d)
     val q = Tables.embeddings(spark, dir)
       .select(col("vec_id"), expr(
         s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${KmScale}D) AS BIGINT))")
@@ -619,6 +624,63 @@ object Similarity {
           .otherwise(expr(s"CAST(norm2_p * 1000000 div ($nPlanes * norm2_q) AS BIGINT)"))
           .as("ratio_ppm"))
       .orderBy("vec_id")
+  }
+
+  /** JL retrieval-RECALL audit (q225) — the downstream half of q209's norm
+    * audit: does top-k retrieval in the 16-dim projected space return the
+    * same neighbors as the full 64-dim space? Per query (vec_id < 20, the
+    * q190 convention), exact top-k by integer dot product is computed in
+    * BOTH spaces (full tie-break dot DESC, vec_id — the self-match ranks
+    * first in each, identically) and the overlap counted — recall@k of the
+    * reduced index against the full one, the number that decides whether
+    * 4× dimension reduction is admissible before the ANN stack. All
+    * arithmetic is exact integers (quantized components, ±1 planes), so
+    * both engines agree on every rank.
+    *
+    * Scale shape: the query side is k·dim-bounded → broadcast into one
+    * corpus pass per space; per-query rank trims via WindowGroupLimit
+    * (q190's shape); the overlap join is (queries × k)-sized.
+    *
+    * Reading the number: the self-match survives any projection (equal
+    * vectors project equally), so recall ≥ 1/k by construction; on the
+    * synthetic RANDOM corpus recall@10 sits near 0.2 — random embeddings
+    * have near-uniform pairwise similarity, the regime where JL provably
+    * cannot keep fine ranks at 4× reduction. That LOW number is the audit
+    * working: it says "raise nPlanes or skip the reduction for this
+    * corpus", which is exactly the decision the operator exists to
+    * inform (clustered real-model embeddings score far higher). */
+  def jlRecall(spark: SparkSession, dir: String, topK: Int = 10,
+      nPlanes: Int = 16, dim: Int = 64): DataFrame = {
+    VectorExpressions.register(spark)
+    val qv = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${KmScale}D) AS BIGINT))")
+        .as("q"))
+      .withColumn("q", expr(
+        s"CASE WHEN size(q) = $dim THEN q ELSE raise_error('jlRecall: expected dim $dim, got ' || size(q)) END"))
+    val projected = (0 until nPlanes).foldLeft(qv) { (df, k) =>
+      val arr = (0 until dim).map(d => s"${jlSign(k, d)}L").mkString(",")
+      df.withColumn(s"p$k", expr(s"graft_dot_long(q, array($arr))"))
+    }.withColumn("p", array((0 until nPlanes).map(k => col(s"p$k")): _*))
+      .select(col("vec_id"), col("q"), col("p"))
+    def topkIn(space: String): DataFrame = {
+      val queries = projected.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col(space).as("qvec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("dot").desc, col("vec_id"))
+      broadcast(queries).crossJoin(projected.select(col("vec_id"), col(space).as("cvec")))
+        .withColumn("dot", expr("graft_dot_long(qvec, cvec)"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= topK)
+        .select(col("query_id"), col("vec_id"))
+    }
+    val full = topkIn("q")
+    val proj = topkIn("p").withColumn("hit", lit(1))
+    full.join(proj, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+      .withColumn("recall_ppm", expr(s"n_overlap * 1000000 div $topK"))
+      .orderBy("query_id")
   }
 
   /** Quantization scale for the integer k-means domain. 1024 = 2^10: the

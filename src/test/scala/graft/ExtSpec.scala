@@ -329,6 +329,27 @@ class ExtSpec extends SparkSuite {
       "dissimilar docs never verify")
   }
 
+  test("jl recall: self and exact-duplicate neighbors survive any projection") {
+    val s = spark; import s.implicits._
+    def basis(i: Int, scale: Float): Array[Float] =
+      Array.tabulate(64)(d => if (d == i) scale else 0.0f)
+    // query 0 has an exact duplicate (id 100) and a same-direction smaller
+    // twin (id 101): equal vectors project equally, so both spaces rank
+    // them identically at the top — overlap must include all three
+    val vecs = Seq(
+      (0L, basis(0, 1.0f)), (100L, basis(0, 1.0f)), (101L, basis(0, 0.5f))) ++
+      (1L to 19L).map(i => (i, basis((i % 60).toInt + 2, 1.0f))) ++
+      (200L to 230L).map(i => (i, basis(((i - 200) % 60).toInt + 2, 0.9f)))
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet("/tmp/graft_test_jlr/embeddings.parquet")
+    val out = graft.ext.Similarity.jlRecall(spark, "/tmp/graft_test_jlr")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == (0L to 19L).toSet)
+    assert(out.values.forall(_ >= 1L), "the self-match survives any projection")
+    assert(out(0L) >= 3L,
+      "exact duplicate and collinear twin rank top in BOTH spaces")
+  }
+
   test("takedown expansion: a requested doc pulls its whole dup cluster, others untouched") {
     val s = spark; import s.implicits._
     val shared = (1 to 40).map(i => s"c$i").mkString(" ")
