@@ -623,6 +623,25 @@ class PlanSpec extends SparkSuite {
       s"no explode/aggregate/join may appear:\n$p")
   }
 
+  test("q204 incremental ppjoin: every join broadcasts at runtime under AQE") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == "true",
+      "this pin must run with AQE enabled, exactly as Bench does")
+    val df = Catalog.queries("q204_incremental_ppjoin")(spark, dir)
+    df.collect() // drive to completion so the adaptive plan is final
+    val nodes = finalNodes(df.queryExecution.executedPlan)
+    val smj = nodes.count {
+      case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+      case _ => false
+    }
+    val bhj = nodes.count {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case _ => false
+    }
+    assert(smj == 0 && bhj >= 4,
+      s"wave-vs-corpus joins must all broadcast at runtime (got $bhj BHJ, $smj SMJ):\n" +
+        df.queryExecution.executedPlan)
+  }
+
   test("q212 decontaminate rewrite: benchmark set broadcasts, order restored without a window") {
     val p = plan("q212_decontaminate_rewrite")
     assert(p.contains("BroadcastHashJoin"),
