@@ -3452,6 +3452,32 @@ object Catalog {
         |  CAST(COUNT(*) AS BIGINT) AS n_months
         |FROM r GROUP BY grp ORDER BY start_month""".stripMargin),
 
+    // Effective token budget: raw vs dedup-surviving tokens per source —
+    // the duplication-inflation margin a pretraining plan corrects for.
+    q("q226_effective_tokens", (s, d) => ext.Dedup.effectiveTokens(s, d),
+      s"""WITH RECURSIVE $bandsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |          UNION SELECT doc_b, doc_a FROM cand),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+         |lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |losers AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id),
+         |t AS (SELECT d.doc_id, d.source,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |    l.doc_id IS NOT NULL AS lost
+         |  FROM documents d LEFT JOIN losers l ON l.doc_id = d.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+         |  CAST(SUM(CASE WHEN lost THEN 0 ELSE n_tokens END) AS BIGINT) AS effective_tokens,
+         |  CAST((SUM(n_tokens) - SUM(CASE WHEN lost THEN 0 ELSE n_tokens END)) * 1000000
+         |    // SUM(n_tokens) AS BIGINT) AS inflation_ppm
+         |FROM t GROUP BY source ORDER BY source""".stripMargin),
+
     // JL retrieval-recall audit: exact integer top-10 in the full vs the
     // 16-dim projected space, per-query overlap — recall@k of the reduction.
     q("q225_jl_recall", (s, d) => ext.Similarity.jlRecall(s, d),

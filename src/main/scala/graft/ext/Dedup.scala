@@ -1264,6 +1264,33 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** EFFECTIVE token budget (q226) — the one number a pretraining plan is
+    * built on: per source, raw tokens vs tokens surviving near-dup removal
+    * (the [[dedupSurvivors]] policy — non-canonical cluster members drop),
+    * with the duplication inflation in ppm. Raw corpus statistics overstate
+    * the budget exactly by this margin; epoch math done on raw counts
+    * silently over-trains on duplicated sources. One corpus scan for token
+    * counts, one broadcast anti-join against the (tiny) loser set from the
+    * at-rest cluster labels — the corpus is never re-paired. */
+  def effectiveTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val losers = spark.read.parquet(clustersPath(spark, dir))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id")).withColumn("lost", lit(1))
+    toks.join(broadcast(losers), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("raw_tokens"),
+        sum(when(col("lost").isNull, col("n_tokens")).otherwise(0L))
+          .as("effective_tokens"))
+      .withColumn("inflation_ppm", expr(
+        "CAST((raw_tokens - effective_tokens) * 1000000 div raw_tokens AS BIGINT)"))
+      .orderBy("source")
+  }
+
   /** Cross-language shingle-overlap matrix: for each (lang_a < lang_b) pair,
     * the number of DISTINCT 3-word shingles both language slices contain —
     * the cross-lingual contamination / code-switching diagnostic a corpus
