@@ -124,7 +124,8 @@ object Quality {
     // runs once, not per lineage path (the importanceWeights round-trip
     // discipline); in the deployed protocol this table IS the at-rest
     // per-replica fingerprint artifact
-    val leavesPath = graft.engine.Fs.overwriteVersioned("graft_merkle") { p =>
+    val leavesPath = graft.engine.Fs.overwriteVersioned(
+      s"graft_merkle_${graft.engine.Fs.dirTag(dir)}") { p =>
       Tables.documents(spark, dir)
         .select(expr("doc_id div 64").as("leaf"),
           rowHash(col("text")).as("h_base"), rowHash(mutated).as("h_repl"))
@@ -162,11 +163,14 @@ object Quality {
     * [[referentialIntegrity]] then flags; the lineitem level here derives
     * from purged ORDERS, so the chain cannot skip).
     *
-    * Scale shape: the request set is tiny → broadcast; each table pays ONE
-    * semi-join membership pass (purged = semi, survivors = anti, both from
-    * the same conditional aggregate where possible). The lineitem level
-    * derives membership from the purged ORDER key set (itself
-    * request-bounded), never by joining lineitem to customer. */
+    * Scale shape: in deployment the request set is request-bounded (tiny →
+    * AQE broadcasts it); in THIS simulation the doomed set is a fixed 1/59
+    * modular slice of orders — corpus-proportional, not request-bounded —
+    * so no broadcast hint is forced and AQE decides from the runtime size.
+    * Each table pays ONE membership pass (purged = semi, survivors = anti,
+    * both from the same conditional aggregate where possible). The lineitem
+    * level derives membership from the purged ORDER key set, never by
+    * joining lineitem to customer. */
   def deletePropagation(spark: org.apache.spark.sql.SparkSession, dir: String,
       mod: Int = 59, rem: Int = 3): DataFrame = {
     val cust = Tables.customer(spark, dir)
@@ -180,7 +184,7 @@ object Quality {
         sum(when(purgedCond, 1L).otherwise(0L)).as("n_purged"))
         .select(lit(name).as("table_name"), col("n_before"), col("n_purged"),
           (col("n_before") - col("n_purged")).as("n_after"))
-    val liPurged = li.join(broadcast(doomedOrders),
+    val liPurged = li.join(doomedOrders,
         li("l_orderkey") === doomedOrders("o_orderkey"), "left")
       .withColumn("purged", col("o_orderkey").isNotNull)
     audit("customer", cust, col("c_custkey") % mod === rem)

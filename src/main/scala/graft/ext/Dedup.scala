@@ -388,39 +388,29 @@ object Dedup {
         .write.mode("overwrite").parquet(p)
     }
 
-  /** Incremental PPJoin (q204) — the EXACT-join counterpart of q85's
-    * incremental MinHash check: an arriving batch (doc_id % mod = rem, the
-    * repo-wide ingest-wave convention) prefix-joined against the AT-REST
-    * corpus shingle index only. The corpus is never self-joined and never
-    * re-shingled per wave — both sides read [[shingleTokensPath]], so at
-    * 100 TB the per-wave cost is (batch shingles × prefix posting lists),
-    * linear in the wave, not the corpus.
-    *
-    * Same two exact filters as [[prefixFilterJoin]] in the R-S form (Xiao et
-    * al., WWW 2008 §5): the prefix lemma holds for ANY shared global token
-    * order, so both sides order by corpus-wide document frequency (rarest
-    * first — df is the performance knob, not a correctness input) and take
-    * the |s| − ceil(t·|s|) + 1 head; the length filter prunes before
-    * verification. Verification is the same hash-class-domain argument as
-    * [[prefixFilterJoin]]: candidates on xxhash64 classes (collisions only
-    * ADD candidates), exact string-level `array_intersect` decides.
-    *
-    * Output: one row per (batch doc, corpus doc) pair with J ≥ t — the
-    * verdict stream an ingest pipeline turns into drop/keep decisions
-    * (q85's is_new column is this table's emptiness per doc). */
-  def incrementalPrefixJoin(spark: SparkSession, dir: String,
-      thresholdPpm: Long = 800000L, mod: Int = 10, rem: Int = 7): DataFrame = {
-    val isBatch = col("doc_id") % mod === rem
-    val docToks = spark.read.parquet(shingleTokensPath(spark, dir))
-    val toks = docToks
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
-        explode(col("toks")).as("tok"))
-      .select(col("doc_id"), col("n"), xxhash64(col("tok")).as("tok_h"))
-    // one global df over corpus ∪ batch: both sides MUST share the ordering
-    // (the lemma needs a common total order); in the deployed form df is a
-    // maintained corpus statistic the wave reuses, so waves stay corpus-free
-    val freq = toks.groupBy(col("tok_h")).agg(count(lit(1)).as("df"))
-    val prefix = toks.join(freq, Seq("tok_h"))
+  /** Corpus-side token document frequencies AT REST — (tok_h, df) over the
+    * non-wave docs only, materialized once per (dir, wave id) per JVM: the
+    * maintained corpus statistic the deployed ingest path reuses each wave
+    * (advisor round 6 — the previous form recomputed a global df over
+    * corpus ∪ batch per call, a full corpus shuffle per wave). */
+  def corpusDfPath(spark: SparkSession, dir: String, mod: Int, rem: Int): String =
+    graft.engine.Fs.buildOnce(
+      s"graft_ppjdf_${graft.engine.Fs.dirTag(dir)}_${mod}_$rem",
+      spark.sessionState.newHadoopConf()) { p =>
+      spark.read.parquet(shingleTokensPath(spark, dir))
+        .filter(!(col("doc_id") % mod === rem))
+        .select(explode(col("toks")).as("tok"))
+        .groupBy(xxhash64(col("tok")).as("tok_h"))
+        .agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(p)
+    }
+
+  /** Shared prefix projection for [[incrementalPrefixJoin]]: the
+    * |s| − ceil(t·|s|) + 1 head of each doc's tokens under the
+    * (df asc, tok_h asc) total order. Input must carry
+    * (doc_id, n, tok_h, df). */
+  private def prefixHeads(toksWithDf: DataFrame, thresholdPpm: Long): DataFrame =
+    toksWithDf
       .groupBy(col("doc_id"), col("n"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok_h")))).as("ord"))
       .withColumn("ordd", array_distinct(col("ord")))
@@ -430,11 +420,72 @@ object Dedup {
       .select(col("doc_id"), col("n"),
         explode(expr("slice(ordd, 1, CAST(plen AS INT))")).as("p"))
       .select(col("doc_id"), col("n"), col("p.tok_h").as("tok_h"))
-    // R-S prefix join: the small batch side builds the hash table; the corpus
-    // prefix stream probes it (broadcast-eligible at ingest-wave sizes)
-    val cand = prefix.filter(isBatch)
+
+  /** Corpus-side prefix POSTINGS at rest — (tok_h, doc_id, n) for each
+    * corpus doc's df-ordered prefix head, built once per (dir, threshold,
+    * wave id) per JVM beside [[corpusDfPath]]. This is the index an ingest
+    * pipeline maintains between waves; per-wave work never touches it
+    * beyond the posting-list probe. */
+  def corpusPrefixPath(spark: SparkSession, dir: String, thresholdPpm: Long,
+      mod: Int, rem: Int): String =
+    graft.engine.Fs.buildOnce(
+      s"graft_ppjpre_${graft.engine.Fs.dirTag(dir)}_${thresholdPpm}_${mod}_$rem",
+      spark.sessionState.newHadoopConf()) { p =>
+      val dfTab = spark.read.parquet(corpusDfPath(spark, dir, mod, rem))
+      val toks = spark.read.parquet(shingleTokensPath(spark, dir))
+        .filter(!(col("doc_id") % mod === rem))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+          explode(col("toks")).as("tok"))
+        .select(col("doc_id"), col("n"), xxhash64(col("tok")).as("tok_h"))
+        .join(dfTab, Seq("tok_h"))
+      prefixHeads(toks, thresholdPpm)
+        .write.mode("overwrite").parquet(p)
+    }
+
+  /** Incremental PPJoin (q204) — the EXACT-join counterpart of q85's
+    * incremental MinHash check: an arriving batch (doc_id % mod = rem, the
+    * repo-wide ingest-wave convention) prefix-joined against the AT-REST
+    * corpus prefix postings ([[corpusPrefixPath]]) only. The corpus is
+    * never self-joined, never re-shingled, and — since round 7 — never
+    * re-aggregated per wave: df ([[corpusDfPath]]) and the corpus prefix
+    * index both live at rest, so the per-wave cost is
+    * (batch shingles × prefix posting lists), linear in the wave, not the
+    * corpus.
+    *
+    * Same two exact filters as [[prefixFilterJoin]] in the R-S form (Xiao et
+    * al., WWW 2008 §5): the prefix lemma holds for ANY shared global token
+    * order, so both sides order by the CORPUS df snapshot (rarest first —
+    * df is the performance knob, not a correctness input; wave tokens the
+    * corpus has never seen rank rarest via df = 0) and take the
+    * |s| − ceil(t·|s|) + 1 head; the length filter prunes before
+    * verification. Verification is the same hash-class-domain argument as
+    * [[prefixFilterJoin]]: candidates on xxhash64 classes (collisions only
+    * ADD candidates), exact string-level `array_intersect` decides — which
+    * is also why switching the order from global df to the corpus snapshot
+    * cannot change output (only candidate supersets differ).
+    *
+    * Output: one row per (batch doc, corpus doc) pair with J ≥ t — the
+    * verdict stream an ingest pipeline turns into drop/keep decisions
+    * (q85's is_new column is this table's emptiness per doc). */
+  def incrementalPrefixJoin(spark: SparkSession, dir: String,
+      thresholdPpm: Long = 800000L, mod: Int = 10, rem: Int = 7): DataFrame = {
+    val docToks = spark.read.parquet(shingleTokensPath(spark, dir))
+    val corpusDf = spark.read.parquet(corpusDfPath(spark, dir, mod, rem))
+    // batch side ONLY is computed per wave: explode, look up the at-rest df
+    // (left join — unseen tokens coalesce to df 0), take the prefix head
+    val batchToks = docToks.filter(col("doc_id") % mod === rem)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+        explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("n"), xxhash64(col("tok")).as("tok_h"))
+      .join(corpusDf, Seq("tok_h"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+    // R-S prefix join: the small batch side builds the hash table; the
+    // at-rest corpus posting stream probes it (broadcast-eligible at
+    // ingest-wave sizes)
+    val cand = prefixHeads(batchToks, thresholdPpm)
       .select(col("tok_h"), col("doc_id").as("doc_a"), col("n").as("n_a"))
-      .join(prefix.filter(!isBatch)
+      .join(spark.read.parquet(
+          corpusPrefixPath(spark, dir, thresholdPpm, mod, rem))
           .select(col("tok_h"), col("doc_id").as("doc_b"), col("n").as("n_b")),
         Seq("tok_h"))
       .filter(least(col("n_a"), col("n_b")) * 1000000L >=
@@ -1207,7 +1258,10 @@ object Dedup {
       .unionByName(counted("sorted_neighborhood", snm))
       .withColumn("n_truth", lit(nTruth))
       .select(col("method"), col("n_truth"), col("n_found"),
-        expr("CAST(n_found * 1000000 div n_truth AS BIGINT)").as("recall_ppm"))
+        // nullif mirrors the DuckDB oracle: an empty truth set (no near-dup
+        // pairs at the threshold) yields NULL recall, not ANSI div-by-zero
+        expr("CAST(n_found * 1000000 div nullif(n_truth, 0) AS BIGINT)")
+          .as("recall_ppm"))
       .orderBy("method")
   }
 

@@ -127,6 +127,11 @@ object VectorExpressions {
     * SQL) can call them, plus the float-specialization optimizer rule; all
     * idempotent. (Cluster deployments get the same via [[GraftExtensions]].) */
   def register(spark: SparkSession): Unit = {
+    // once per session: sessions built with GraftExtensions (or an earlier
+    // register call) already carry the functions, and re-registering floods
+    // every log with SimpleFunctionRegistry replace warnings
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
