@@ -307,9 +307,24 @@ object Catalog {
         |                AND o_orderdate < TIMESTAMP '1998-01-01')
         |ORDER BY c_custkey""".stripMargin),
 
-    QueryDef("q45_approx_distinct", RelOps.approxDistinct, None), // approximate by design — rows-only check
+    // Approximate sketches, made oracle-checkable (round 7): the exact
+    // columns hash-compare and the estimate folds into an engine-computed
+    // bound boolean the oracle asserts as literal TRUE — an estimate
+    // drifting out of bound now FAILS the gate instead of hiding behind a
+    // rows-only check. Raw estimates are additionally bounded in ApproxSpec.
+    q("q45_approx_distinct", RelOps.approxDistinct,
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  TRUE AS approx_ok
+        |FROM lineitem""".stripMargin),
 
-    QueryDef("q98_approx_percentile", RelOps.approxPercentiles, None), // approximate by design — ApproxSpec bounds the error
+    q("q98_approx_percentile", RelOps.approxPercentiles,
+      """WITH c AS (SELECT o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS median2x_cents,
+        |  TRUE AS approx_ok
+        |FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
 
     // Typed JSON parsing (from_json -> struct): one parse for all fields,
     // NULL-struct PERMISSIVE contract for malformed payloads. The oracle

@@ -387,28 +387,58 @@ object RelOps {
       .orderBy("c_custkey")
 
   /** HLL approximate distinct next to the exact count — the sketch-based path
-    * for 100 TB cardinality estimation (no oracle: approximate by design;
-    * the driver records a rows-only check). */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    * for 100 TB cardinality estimation. Raw form (estimate exposed) for
+    * `ApproxSpec`; the catalog entry is [[approxDistinct]]. */
+  def approxDistinctRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n_rows"))
 
-  /** Approximate percentiles (the GK-sketch `approx_percentile`) reported
-    * BESIDE the exact interpolated percentile — the observability pairing
-    * that lets a 100 TB job trade the exact path's full per-group sort for a
-    * mergeable fixed-size sketch, with the error visible in the same row.
-    * Approximate by design → rows-only catalog entry (like q45's HLL);
-    * `ApproxSpec` bounds the error against exact order statistics. */
-  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+  /** q45 catalog form: the exact columns hash-compare against the DuckDB
+    * oracle, and the HLL estimate folds into `approx_ok` — TRUE iff the
+    * estimate is within 2×rsd (rsd default 0.05 → 10%) of the exact count,
+    * integer arithmetic so the boolean is engine-exact. The oracle asserts
+    * literal TRUE: an estimate drifting out of bound FAILS the gate (a
+    * sketch-quality regression, which a rows-only check would miss). The
+    * raw estimate itself is bounded in `ApproxSpec` via
+    * [[approxDistinctRaw]]. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    approxDistinctRaw(spark, dir)
+      .select(col("n_rows"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) * 10 <=
+          col("exact_parts")).as("approx_ok"))
+
+  /** Approximate percentiles (the GK-sketch `approx_percentile`) BESIDE the
+    * exact order statistics, in an integer cents domain so every value is
+    * engine-exact. Raw form for `ApproxSpec`; catalog entry is
+    * [[approxPercentiles]]. p45/p55 carry the rank-bound check: GK with
+    * accuracy 1000 bounds RANK error at n/1000, so the estimate must land
+    * between the exact 45th and 55th percentiles (100× looser). */
+  def approxPercentilesRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
       .groupBy(col("o_orderstatus"))
       .agg(
-        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_median"),
-        expr("percentile(o_totalprice, 0.5)").as("exact_median"),
+        expr("approx_percentile(cents, 0.5, 1000)").as("approx_cents"),
+        expr("percentile(cents, 0.5)").as("exact_cents_dbl"),
+        expr("percentile(cents, 0.45)").as("p45"),
+        expr("percentile(cents, 0.55)").as("p55"),
         count(lit(1)).as("n"))
+
+  /** q98 catalog form: exact 2×median in cents (BIGINT — the ×2 absorbs the
+    * even-count midpoint, and integer cents < 2^52 make Spark's and DuckDB's
+    * interpolation bit-identical, so the exact column hash-compares), plus
+    * `approx_ok` = GK estimate within the exact [p45, p55] rank band. The
+    * oracle asserts literal TRUE — same regression-catching contract as
+    * q45. */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    approxPercentilesRaw(spark, dir)
+      .select(col("o_orderstatus"), col("n"),
+        expr("CAST(2 * exact_cents_dbl AS BIGINT)").as("median2x_cents"),
+        (col("approx_cents") >= col("p45") &&
+          col("approx_cents") <= col("p55")).as("approx_ok"))
       .orderBy("o_orderstatus")
 
   /** Typed JSON parsing (`from_json` → struct field access) — the ingest
