@@ -3725,6 +3725,49 @@ object Catalog {
         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders GROUP BY month ORDER BY month""".stripMargin),
+
+    // Long-repeated-substring detection (Lee et al. ExactSubstr): maximal
+    // verbatim repeats >= 5 tokens at arbitrary offsets, as maximal runs of
+    // corpus-duplicated 5-grams. The oracle recomputes coverage from first
+    // principles (every 5-gram, grouped, count >= 2) — it shares no filter
+    // machinery with the engine's shuffle/islands plan.
+    q("q227_long_repeat_spans", (s, d) => ext.Dedup.longRepeatSpans(s, d),
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |g AS (SELECT doc_id, i AS p, array_to_string(w[i:i+4], ' ') AS gram
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i)),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |c AS (SELECT doc_id, p FROM g JOIN d USING (gram)),
+        |r AS (SELECT doc_id, p, CASE WHEN p - lag(p)
+        |      OVER (PARTITION BY doc_id ORDER BY p) <= 5 THEN 0 ELSE 1 END AS nr
+        |  FROM c),
+        |r2 AS (SELECT doc_id, p,
+        |    sum(nr) OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM r)
+        |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+        |  CAST(max(p) + 5 - min(p) AS BIGINT) AS span_len_tokens
+        |FROM r2 GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin),
+
+    // The removal half of ExactSubstr: every token inside a repeated span is
+    // cut from every occurrence; untouched docs pass through verbatim.
+    q("q228_repeat_cut", (s, d) => ext.Dedup.repeatCutRewrite(s, d),
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, i AS p, array_to_string(w[i:i+4], ' ') AS gram
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i)
+        |  WHERE len(w) >= 5),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |c AS (SELECT doc_id, p FROM g JOIN d USING (gram)),
+        |r AS (SELECT doc_id, p,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM c),
+        |sp AS (SELECT doc_id, min(p) AS s, max(p) + 4 AS e FROM r GROUP BY doc_id, grp),
+        |tok AS (SELECT doc_id, len(w) AS nt, t.i AS i, w[t.i] AS word
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) t),
+        |k2 AS (SELECT tok.*, EXISTS (SELECT 1 FROM sp WHERE sp.doc_id = tok.doc_id
+        |    AND tok.i >= sp.s AND tok.i <= sp.e) AS cov FROM tok)
+        |SELECT doc_id, CAST(max(nt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  COALESCE(string_agg(CASE WHEN NOT cov THEN word END, ' ' ORDER BY i), '')
+        |    AS clean_text
+        |FROM k2 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

@@ -1624,6 +1624,90 @@ object Dedup {
     adjustedRandOf(clusters, buckets)
   }
 
+  /** Long-repeated-substring detection (q227) — the Lee et al. ExactSubstr
+    * method ("Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022), the one major LLM-dedup family the fixed-segment (q191) and
+    * known-span (q212) cutters don't cover: find MAXIMAL verbatim repeats of
+    * ≥ k tokens at ARBITRARY offsets across the corpus, without a
+    * driver-memory suffix array.
+    *
+    * Distributed form: a token position p in doc d is *covered* iff the
+    * k-gram starting at p occurs ≥ 2 times corpus-wide (any doc, any
+    * offset — including elsewhere in d). A substring of length L ≥ k is
+    * repeated iff all of its L−k+1 k-grams are covered, and conversely every
+    * covered gram start heads a repeated substring of length exactly k — so
+    * the union of all repeated substrings of length ≥ k is EXACTLY the union
+    * of covered gram windows, and the outputs here are its maximal runs
+    * (start, token length). That equivalence is what lets a groupBy replace
+    * the suffix array: one shuffle on the gram (map-side partial agg), one
+    * semi-join back, one per-doc islands window — no corpus self-join, no
+    * global sort, no driver state. Grouping is on the exact gram string
+    * (oracle-exact); at 100 TB the shuffle key would be a 128-bit
+    * fingerprint of the gram (collisions only ADD coverage) to cut shuffle
+    * bytes — a transport optimization, not a semantics change.
+    *
+    * Output: (doc_id, span_start 1-based, span_len_tokens), one row per
+    * maximal run of covered TOKENS — two covered gram starts p1 < p2 merge
+    * iff p2 ≤ p1 + k (their token windows overlap or touch), so spans never
+    * overlap and each is the maximal contiguous covered stretch. */
+  def longRepeatSpans(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      // grams are built INSIDE the array before the explode, so the row
+      // explosion never duplicates the full token array per position
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - $k + 1), i -> concat_ws(' ', slice(w, i, $k)))")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("gram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    grams.join(dup, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("p"))
+      // gap-merge islands: a new run starts when the previous covered gram
+      // start is more than k back (its token window no longer touches ours)
+      .withColumn("new_run",
+        when(col("p") - lag(col("p"), 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("grp", sum(col("new_run")).over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("p")).cast("long").as("span_start"),
+        (max(col("p")) + k - min(col("p"))).cast("long").as("span_len_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_len_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** Repeat-cut rewrite (q228) — the removal half of ExactSubstr dedup:
+    * every token inside a [[longRepeatSpans]] span is dropped from EVERY
+    * occurrence (Lee et al. §4.2 note boilerplate repeats are safe to cut
+    * wholesale; the conservative keep-one-copy variant is a policy choice on
+    * top of the same span table). Docs shorter than k tokens, and docs with
+    * no repeated span, pass through verbatim.
+    *
+    * Scale shape: the span table is joined back per doc as a collected
+    * array (spans per doc are few — they are maximal, hence disjoint), and
+    * the cut is a pure array expression (filter over token positions), so
+    * after the span computation the rewrite is shuffle-free per doc: no
+    * position-level range join, no explode of the corpus text. */
+  def repeatCutRewrite(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val spans = longRepeatSpans(spark, dir, k)
+      .withColumn("span_end", col("span_start") + col("span_len_tokens") - 1)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("keep", expr(
+        """filter(sequence(1, size(w)),
+          |  i -> sp IS NULL OR NOT exists(sp,
+          |    s -> i >= s.span_start AND i <= s.span_end))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("keep"))).cast("long").as("n_dropped"),
+        concat_ws(" ", expr("transform(keep, i -> element_at(w, i))")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** The clusters table materialized once per (dir, iters, cap) per JVM —
     * the dedup stack's second at-rest index (the first is
     * [[candidatePairsPath]]): in production the cluster assignment is

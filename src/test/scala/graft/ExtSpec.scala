@@ -1379,6 +1379,44 @@ class ExtSpec extends SparkSuite {
     assert(rank1 == Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("long repeat spans: arbitrary-offset repeats found, overlapping repeats merge maximally") {
+    val s = spark; import s.implicits._
+    val rep = (1 to 8).map(i => s"R$i").mkString(" ")     // 8-token repeat
+    val o = (1 to 7).map(i => s"o$i")                     // two overlapping 5-token repeats
+    Seq(
+      (0L, (1 to 7).map(i => s"a$i").mkString(" ") + " " + rep), // rep at offset 8
+      (1L, rep + " " + (1 to 9).map(i => s"b$i").mkString(" ")), // rep at offset 1
+      (2L, "c1 c2 " + o.mkString(" ") + " c3"),                  // o1..o5 and o3..o7 overlap
+      (3L, "d1 d2 d3 " + o.take(5).mkString(" ")),               // plants o1..o5
+      (4L, o.drop(2).mkString(" ") + " e1 e2 e3"),               // plants o3..o7
+      (5L, (1 to 6).map(i => s"u$i").mkString(" ")))             // unique — no spans
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_lrs/documents.parquet")
+    val spans = graft.ext.Dedup.longRepeatSpans(spark, "/tmp/graft_test_lrs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSet == Set(
+      (0L, 8L, 8L),   // the repeat at arbitrary offset, maximal (not just 5)
+      (1L, 1L, 8L),
+      (2L, 3L, 7L),   // two overlapping 5-token repeats merge into o1..o7
+      (3L, 4L, 5L),
+      (4L, 1L, 5L)), spans.mkString(", "))
+    // spans are maximal → never overlap within a doc
+    spans.groupBy(_._1).values.foreach { sp =>
+      val sorted = sp.sortBy(_._2)
+      sorted.zip(sorted.drop(1)).foreach { case ((_, s1, l1), (_, s2, _)) =>
+        assert(s1 + l1 <= s2 - 1 || s1 + l1 <= s2, "overlapping or touching spans")
+      }
+    }
+    val cut = graft.ext.Dedup.repeatCutRewrite(spark, "/tmp/graft_test_lrs")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(cut(0L) == ((15L, 8L, (1 to 7).map(i => s"a$i").mkString(" "))))
+    assert(cut(2L) == ((10L, 7L, "c1 c2 c3")),
+      "the merged overlapping span is cut once, survivors rejoin in order")
+    assert(cut(5L) == ((6L, 0L, (1 to 6).map(i => s"u$i").mkString(" "))),
+      "untouched docs pass through verbatim")
+  }
+
   test("dedup rewrite: corpus-shared segment dropped, survivors reassembled in order") {
     val s = spark; import s.implicits._
     def seg(p: String) = (1 to 10).map(i => s"$p$i").mkString(" ")
