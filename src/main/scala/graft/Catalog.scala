@@ -3768,6 +3768,22 @@ object Catalog {
         |  COALESCE(string_agg(CASE WHEN NOT cov THEN word END, ' ' ORDER BY i), '')
         |    AS clean_text
         |FROM k2 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Homoglyph-skeleton audit: planted Cyrillic/fullwidth evasions must be
+    // restored by graft_skeleton (NFKC + lower + confusables). The oracle's
+    // restoration check is an explicit inverse mapping table — translate
+    // over the same codepoints — not the engine's Normalizer path.
+    q("q229_homoglyph_skeleton", (s, d) => ext.TextStats.homoglyphSkeleton(s, d),
+      """WITH d AS (SELECT doc_id, text,
+        |    CASE WHEN doc_id % 7 = 3 THEN 'cyrillic'
+        |         WHEN doc_id % 7 = 5 THEN 'fullwidth' ELSE 'clean' END AS variant,
+        |    CASE WHEN doc_id % 7 = 3 THEN translate(text, 'aeopc', 'аеорс')
+        |         WHEN doc_id % 7 = 5 THEN translate(text, 'aeo', 'ａｅｏ')
+        |         ELSE text END AS dirty
+        |  FROM documents)
+        |SELECT doc_id, variant, dirty <> text AS changed,
+        |  translate(dirty, 'аеорсａｅｏ', 'aeopcaeo') = text AS restored
+        |FROM d ORDER BY doc_id""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

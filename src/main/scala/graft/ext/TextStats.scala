@@ -1471,6 +1471,42 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Homoglyph-skeleton audit (q229) — the anti-evasion layer above q218's
+    * NFC pass, via the native [[graft.functions.ConfusableSkeleton]]
+    * expression (`graft_skeleton`): cross-script homoglyph substitution
+    * (Cyrillic 'а' for Latin 'a', fullwidth 'ａ') defeats every current
+    * dedup signal — shingles, MinHash, SimHash, and exact hashes all see
+    * distinct codepoints — so dedup on adversarial corpora must group on
+    * the NFKC + lowercase + confusables skeleton instead of the raw text.
+    *
+    * The ASCII fixture corpus is trivially clean, so evasive spellings are
+    * PLANTED deterministically (doc_id % 7 = 3 → Cyrillic homoglyphs of
+    * a/e/o/p/c; % 7 = 5 → fullwidth a/e/o, the NFKC territory; else
+    * untouched), and the skeleton must restore the original text exactly.
+    * The oracle recomputes restoration with an EXPLICIT inverse mapping
+    * table (`translate` over the same codepoints) — independent machinery
+    * from the engine's Normalizer+map path. Pure projection, no shuffle;
+    * the expression stays inside whole-stage codegen with a clean-ASCII
+    * fast path. */
+  def homoglyphSkeleton(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    Tables.documents(spark, dir)
+      .withColumn("variant",
+        when(col("doc_id") % 7 === 3, lit("cyrillic"))
+          .when(col("doc_id") % 7 === 5, lit("fullwidth"))
+          .otherwise(lit("clean")))
+      .withColumn("dirty",
+        when(col("variant") === "cyrillic",
+          translate(col("text"), "aeopc", "аеорс"))
+          .when(col("variant") === "fullwidth",
+            translate(col("text"), "aeo", "ａｅｏ"))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("variant"),
+        (col("dirty") =!= col("text")).as("changed"),
+        (expr("graft_skeleton(dirty)") === col("text")).as("restored"))
+      .orderBy("doc_id")
+  }
+
   /** Code-switching rate (q213) — the WINDOW-level language-mix audit the
     * doc-level lang-id (q25) can't see: each doc's words split into 20-token
     * windows, every window classified with the SAME marker heuristic

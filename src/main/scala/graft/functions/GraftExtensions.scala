@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_skeleton"),
+      new ExpressionInfo(classOf[ConfusableSkeleton].getName, "graft_skeleton"),
+      (exprs: Seq[Expression]) => ConfusableSkeleton(exprs(0))))
     ext.injectOptimizerRule(_ => SpecializeFloatDot)
   }
 }

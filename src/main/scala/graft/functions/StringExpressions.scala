@@ -95,7 +95,88 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** Homoglyph skeleton of a string column — the anti-evasion normalization
+  * pass layered ON TOP of [[NfcNormalize]]: cross-script homoglyph
+  * substitution (Cyrillic 'а' U+0430 for Latin 'a') defeats every
+  * shingle/MinHash/SimHash dedup signal because the signals see distinct
+  * codepoints, so a skeleton key — NFKC, then ROOT-locale lowercase, then a
+  * curated UTS #39 confusables subset mapped to Latin — is what exact and
+  * near dedup should group on for adversarial corpora. NFKC (not NFC)
+  * additionally folds compatibility variants: fullwidth 'ａ' U+FF41,
+  * ligature 'ﬁ' U+FB01, circled digits — the forms spam uses to dodge
+  * filters.
+  *
+  * The confusables table is deliberately explicit and small (Cyrillic
+  * а е о р с у х і ј ѕ ԁ һ, Greek ο ν ρ) so an oracle can mirror it with a
+  * `translate`; the full UTS #39 table is a data-file swap, not a design
+  * change. Same custom-Expression justification as [[NfcNormalize]]: SQL
+  * translate cannot express NFKC composition, and the JDK Normalizer is the
+  * reference implementation. Null → null; codegen is one static call, so
+  * the expression stays inside whole-stage codegen. */
+case class ConfusableSkeleton(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_skeleton requires a string input, got ${child.dataType}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_skeleton"
+
+  override def nullSafeEval(s: Any): Any =
+    GraftStrings.skeleton(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.GraftStrings.skeleton($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftStrings {
+
+  /** Curated confusables → Latin (lowercase input; uppercase homoglyphs are
+    * handled by the lowercase step before this map runs). */
+  private def confusableToLatin(c: Char): Char = c match {
+    case 'а' => 'a' // Cyrillic а
+    case 'е' => 'e' // Cyrillic е
+    case 'о' => 'o' // Cyrillic о
+    case 'р' => 'p' // Cyrillic р
+    case 'с' => 'c' // Cyrillic с
+    case 'у' => 'y' // Cyrillic у
+    case 'х' => 'x' // Cyrillic х
+    case 'і' => 'i' // Cyrillic і
+    case 'ј' => 'j' // Cyrillic ј
+    case 'ѕ' => 's' // Cyrillic ѕ
+    case 'ԁ' => 'd' // Cyrillic ԁ
+    case 'һ' => 'h' // Cyrillic һ
+    case 'ο' => 'o' // Greek ο
+    case 'ν' => 'v' // Greek ν
+    case 'ρ' => 'p' // Greek ρ
+    case other => other
+  }
+
+  /** NFKC → ROOT-locale lowercase → confusables map; allocation-free when
+    * the input is already its own skeleton (the dominant clean-ASCII case:
+    * NFKC quick-check passes and the char scan finds nothing to change). */
+  def skeleton(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val nfkc =
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFKC)) str
+      else java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFKC)
+    val lower = nfkc.toLowerCase(java.util.Locale.ROOT)
+    var changed = !(lower eq str)
+    val chars = lower.toCharArray
+    var i = 0
+    while (i < chars.length) {
+      val m = confusableToLatin(chars(i))
+      if (m != chars(i)) { chars(i) = m; changed = true }
+      i += 1
+    }
+    if (!changed) s else UTF8String.fromString(new String(chars))
+  }
 
   /** NFC-normalize, allocation-free when the input is already normalized
     * (checked with the JDK's quick-check). */

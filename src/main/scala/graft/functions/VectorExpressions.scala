@@ -141,6 +141,8 @@ object VectorExpressions {
       exprs => BoundedLevenshtein(exprs(0), exprs(1), exprs(2)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc", exprs => NfcNormalize(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_skeleton", exprs => ConfusableSkeleton(exprs(0)), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(SpecializeFloatDot))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SpecializeFloatDot

@@ -75,6 +75,36 @@ class VectorSpec extends SparkSuite {
   }
 
 
+  test("graft_skeleton: Cyrillic/Latin homoglyph dups collapse to one key; NFKC folds fullwidth and ligatures") {
+    val s = spark; import s.implicits._
+    VectorExpressions.register(spark)
+    val latin = "the secret cheap meds offer"
+    // every a/e/o/p/c swapped for its Cyrillic homoglyph — byte-distinct,
+    // visually identical; raw exact dedup and shingle dedup both miss it
+    val cyrillic = latin.map {
+      case 'a' => 'а'; case 'e' => 'е'; case 'o' => 'о'
+      case 'p' => 'р'; case 'c' => 'с'; case ch => ch
+    }
+    assert(cyrillic != latin)
+    val fullwidth = "ｏﬀｅｒ"  // fullwidth o/e + ligature ff (U+FB00)
+    val df = Seq((latin, cyrillic, fullwidth, "MiXeD CаSe")).toDF("l", "cy", "fw", "mx")
+    val r = df.selectExpr(
+      "graft_skeleton(l) AS a", "graft_skeleton(cy) AS b",
+      "graft_skeleton(fw) AS c", "graft_skeleton(mx) AS d",
+      "graft_skeleton(CAST(NULL AS STRING)) AS n").collect().head
+    assert(r.getString(0) == latin, "clean lowercase ASCII is its own skeleton")
+    assert(r.getString(1) == latin, "homoglyph dup collapses onto the Latin key")
+    assert(r.getString(2) == "offer", "NFKC folds fullwidth + ligature, then lowercase")
+    assert(r.getString(3) == "mixed case", "uppercase homoglyphs lowered then mapped")
+    assert(r.isNullAt(4), "null propagates")
+    // the dedup claim itself: grouping by skeleton finds the planted pair
+    val groups = Seq((0L, latin), (1L, cyrillic), (2L, "unrelated text"))
+      .toDF("doc_id", "text")
+      .selectExpr("graft_skeleton(text) AS k", "doc_id")
+      .groupBy("k").count().collect().map(_.getLong(1)).sorted
+    assert(groups.toSeq == Seq(1L, 2L), "skeleton exact-dedup groups the homoglyph pair")
+  }
+
   test("SpecializeFloatDot rewrites cast form to FloatDotProduct with identical results") {
     VectorExpressions.register(spark)
     // parquet source (array<float>), so constant folding can't pre-evaluate
