@@ -27,6 +27,11 @@ import graft.functions.VectorExpressions
   * Dot products use the native codegen'd [[graft.functions.DotProduct]]
   * expression (`graft_dot`) — see that file for why the HOF form was replaced.
   */
+/** One centroid for the large-k typed-literal assignment path in
+  * [[Similarity.kmeansStatePath]]: quantized components `cq` plus the
+  * precomputed Σc² term. Top-level so `typedlit` gets a stable TypeTag. */
+case class CentroidLit(cid: Long, cq: Seq[Long], cc: Long)
+
 object Similarity {
 
   /** embedding as array<double> plus its L2 norm. `cast` (not a `transform`
@@ -717,15 +722,22 @@ object Similarity {
     * to the LOWEST cid on equal distance in both engines (strict `<` fold
     * over ascending cids here; `ORDER BY dist, cid` in the oracle).
     *
-    * Practical k bound: the centroid matrix rides in the plan as a k·dim
-    * literal (codegen splits large expressions — fine through hundreds of
-    * centroids); for a thousands-of-cells regime use the IVF family
-    * (q72/q86), where centroids join as a broadcast TABLE instead of a
-    * literal — same math, different k/plan trade. */
+    * k is a real PARAMETER, not a plan-size bound (round 7): `k = 0` keeps
+    * the modular-seed convention (every vec_id % seedMod == 0 seeds a
+    * cell), `k > 0` takes exactly the k lowest-id eligible seeds. Through
+    * `maxLiteralK` centroids the matrix rides as the unrolled codegen
+    * literal below (k fused integer dots, the fastest small-k form); above
+    * it the SAME math rides as a typed literal ARRAY + HOF argmin — plan
+    * size bounded, thousands of cells fine — with identical exact-integer
+    * distances and the identical (dist, cid) lexicographic tie-break, so
+    * the two forms are output-equal by construction (pinned in
+    * `ExtSpec`). The thousands-of-cells ANN serving regime still belongs
+    * to the IVF family (q72/q86), where centroids join as a broadcast
+    * table at query time; this knob is about TRAINING at large k. */
   def kmeansStatePath(spark: SparkSession, dir: String, iters: Int = 2,
-      seedMod: Int = 61): String =
+      seedMod: Int = 61, k: Int = 0, maxLiteralK: Int = 128): String =
     graft.engine.Fs.buildOnce(
-      s"graft_km_${graft.engine.Fs.dirTag(dir)}_i${iters}_s$seedMod",
+      s"graft_km_${graft.engine.Fs.dirTag(dir)}_i${iters}_s${seedMod}_k${k}_L$maxLiteralK",
       spark.sessionState.newHadoopConf()) { p =>
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), expr(
@@ -733,8 +745,9 @@ object Similarity {
           .as("q"))
         .write.mode("overwrite").parquet(s"$p/q")
       val qv = spark.read.parquet(s"$p/q")
-      qv.filter(col("vec_id") % seedMod === 0)
+      val eligible = qv.filter(col("vec_id") % seedMod === 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"))
+      (if (k > 0) eligible.orderBy("cid").limit(k) else eligible)
         .write.mode("overwrite").parquet(s"$p/c0")
       VectorExpressions.register(spark)
       for (k <- 1 to iters) {
@@ -747,22 +760,36 @@ object Similarity {
         require(cents.nonEmpty,
           s"kmeans: no seed vectors (vec_id % $seedMod == 0) in $dir")
         // dist(q, c) = dqq − 2·(q·c) + Σc²: dqq is computed once per row and
-        // Σc² folds to a driver-side constant per centroid, so the per-row
-        // work is k codegen'd integer dot products ([[LongDotProduct]]) — no
-        // interpreted HOF lambdas, no per-row zipped intermediates. argmin =
+        // Σc² folds to a driver-side constant per centroid. argmin =
         // lexicographic array_min over (dist, cid) structs: smallest
         // distance, then smallest cid — the oracle's ORDER BY dist, cid.
-        val entries = cents.map { r =>
-          val cq = r.getSeq[Long](1)
-          val cc = cq.map(x => x * x).sum
-          val arr = cq.map(_.toString + "L").mkString(",")
-          s"named_struct('d', dqq - 2L * graft_dot_long(q, array($arr)) + ${cc}L, " +
-            s"'c', ${r.getLong(0)}L)"
-        }.mkString("array(", ", ", ")")
-        val assigned = qv
-          .withColumn("dqq", expr("graft_dot_long(q, q)"))
-          .withColumn("cell", expr(s"array_min($entries).c"))
-          .drop("dqq")
+        // Small k (≤ maxLiteralK): unrolled codegen literal, k fused integer
+        // dot products ([[LongDotProduct]]), no interpreted HOF lambdas.
+        // Large k: the same centroids as ONE typed array literal + HOF —
+        // plan size stays bounded, same integers, same tie-break.
+        val base = qv.withColumn("dqq", expr("graft_dot_long(q, q)"))
+        val assigned = (if (cents.length <= maxLiteralK) {
+          val entries = cents.map { r =>
+            val cq = r.getSeq[Long](1)
+            val cc = cq.map(x => x * x).sum
+            val arr = cq.map(_.toString + "L").mkString(",")
+            s"named_struct('d', dqq - 2L * graft_dot_long(q, array($arr)) + ${cc}L, " +
+              s"'c', ${r.getLong(0)}L)"
+          }.mkString("array(", ", ", ")")
+          base.withColumn("cell", expr(s"array_min($entries).c"))
+        } else {
+          val lits = cents.toSeq.map { r =>
+            val cq = r.getSeq[Long](1)
+            CentroidLit(r.getLong(0), cq, cq.map(x => x * x).sum)
+          }
+          base
+            .withColumn("cents",
+              org.apache.spark.sql.functions.typedlit(lits))
+            .withColumn("cell", expr("array_min(transform(cents, " +
+              "c -> named_struct('d', dqq - 2L * graft_dot_long(q, c.cq) + c.cc, " +
+              "'c', c.cid))).c"))
+            .drop("cents")
+        }).drop("dqq")
         def updFrom(a: DataFrame): DataFrame = a
           .select(col("cell"), posexplode(col("q")).as(Seq("pos", "comp")))
           .groupBy(col("cell"), col("pos"))

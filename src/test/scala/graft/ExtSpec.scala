@@ -1319,6 +1319,34 @@ class ExtSpec extends SparkSuite {
       (61L, 1) -> ((3L, 85L)), (61L, 2) -> ((3L, 768L))))
   }
 
+  test("kmeans parameterized k: explicit seed counts honored; literal and typed-array paths output-equal") {
+    val s = spark; import s.implicits._
+    // 8 eligible seeds (seedMod=1) in two tight groups around (1,0) and (0,1)
+    val vecs = (0L until 16L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      (i, Array(base(0) + i * 0.015625f, base(1) + i * 0.0078125f))
+    }
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet("/tmp/graft_test_kmk/embeddings.parquet")
+    def assignAt(k: Int, maxLiteralK: Int): Map[Long, Long] = {
+      val p = Similarity.kmeansStatePath(spark, "/tmp/graft_test_kmk",
+        iters = 2, seedMod = 1, k = k, maxLiteralK = maxLiteralK)
+      spark.read.parquet(s"$p/assign").collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    }
+    // k is a real parameter: exactly k cells may appear, seeds are the k
+    // lowest eligible ids
+    val k2 = assignAt(2, 128)
+    assert(k2.values.toSet.subsetOf(Set(0L, 1L)) && k2.values.toSet.size == 2)
+    val k4 = assignAt(4, 128)
+    assert(k4.values.toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    // forcing the typed-array HOF path (maxLiteralK = 0) is output-identical
+    // to the unrolled codegen literal at the same k — same integers, same
+    // (dist, cid) tie-break
+    assert(assignAt(4, 0) == k4, "literal vs typed-array assignment paths diverge")
+    assert(assignAt(2, 0) == k2)
+  }
+
   test("kmeans rounds: a seed that loses every member (exact tie -> lower cid) drops out") {
     val s = spark; import s.implicits._
     // seeds 0 and 61 share an identical vector: every assignment ties and
