@@ -855,7 +855,14 @@ object Dedup {
     * label-SUM invariant: labels are per-node monotone non-increasing, so any
     * change strictly decreases the total — one tiny aggregate over the
     * just-written snapshot replaces a join against the previous iteration.
-    * `maxIters` bounds the worst case.
+    * `maxIters` bounds the worst case; 0 (the default) sizes the budget
+    * from the DATA as ceil(log2(nodes)) + 4 — pointer jumping needs
+    * O(log diameter) <= O(log n) rounds, so a fixed budget that was fine at
+    * one SF silently becomes too small when chance LSH collisions knit a
+    * giant component at 10x the corpus (measured at sf1: 59x the candidate
+    * pairs of sf0.1, diameter past a 10-round budget — the round-7 growth
+    * gate caught exactly this). An explicit positive maxIters stays a hard
+    * budget (the fail-loud spec drives it).
     *
     * The edge set and each iteration's label frame are MATERIALIZED to
     * parquet (a scratch dir under java.io.tmpdir; at cluster scale this is
@@ -873,7 +880,7 @@ object Dedup {
     * @param maxBucketSize forwarded to [[minhashCandidatePairs]] — the LSH
     *   degenerate-band cap. 0 (default) keeps every bucket, matching the
     *   exhaustive oracle. */
-  def duplicateClusters(spark: SparkSession, dir: String, maxIters: Int = 10,
+  def duplicateClusters(spark: SparkSession, dir: String, maxIters: Int = 0,
       maxBucketSize: Int = 0): DataFrame =
     clustersFromPairs(spark,
       spark.read.parquet(candidatePairsPath(spark, dir, maxBucketSize))
@@ -887,11 +894,21 @@ object Dedup {
     * min-label propagation, per-round parquet materialization, observed
     * label-sum convergence confirmed on committed snapshots, fail-loud. */
   def clustersFromPairs(spark: SparkSession, pairs: DataFrame,
-      maxIters: Int = 10): DataFrame = {
+      maxIters: Int = 0): DataFrame = {
     val tmp = Scratch.dir("graft_cc")
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
+    // auto budget: log2(nodes) + 4 rounds always suffices for pointer
+    // jumping (diameter <= nodes, reach doubles per round); one cheap
+    // distinct-count job, paid once, keeps the budget scale-correct
+    val iterBudget =
+      if (maxIters > 0) maxIters
+      else {
+        val nodes = edges.select(col("src")).distinct().count()
+        math.max(10, (64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(1L, nodes))) + 4)
+      }
     // round 0 folded into the init: label0 = min(id, min neighbor) — one
     // aggregate instead of a full propagation iteration
     // convergence metric rides ON the snapshot write via CollectMetrics
@@ -920,7 +937,7 @@ object Dedup {
     var labels = spark.read.parquet(s"$tmp/labels0")
     var converged = false
     var i = 0
-    while (!converged && i < maxIters) {
+    while (!converged && i < iterBudget) {
       // step 1: neighbor min-propagation (each node takes the min of its own
       // and its neighbors' labels)
       val prop = labels.join(edges, col("id") === col("src"))
@@ -967,7 +984,7 @@ object Dedup {
     // need a larger budget (or pointer-jumping), not silent truncation.
     if (!converged)
       throw new IllegalStateException(
-        s"duplicateClusters did not converge in $maxIters iterations; " +
+        s"duplicateClusters did not converge in $iterBudget iterations; " +
           "raise maxIters (component diameter exceeds the budget)")
     // eager scratch cleanup: the returned frame reads ONLY the final labels
     // dir (which the shutdown hook reclaims at JVM exit)
@@ -998,7 +1015,7 @@ object Dedup {
     * is the difference between re-clustering the corpus per ingest wave and
     * recomputing only the components the wave touches. */
   def incrementalClusters(spark: SparkSession, dir: String, mod: Int = 10,
-      rem: Int = 7, maxIters: Int = 10): DataFrame =
+      rem: Int = 7, maxIters: Int = 0): DataFrame =
     incrementalClustersFrom(spark,
       spark.read.parquet(candidatePairsPath(spark, dir))
         .select(col("doc_a"), col("doc_b")),
@@ -1424,11 +1441,12 @@ object Dedup {
     * broadcastable at any realistic duplicate rate.
     *
     * `maxIters`/`maxBucketSize` pass through to [[duplicateClusters]] /
-    * [[minhashCandidatePairs]]: with pointer jumping 10 iterations cover
-    * components ~2¹⁰ hops deep, and the bucket cap bounds candidate-pair
-    * blowup on boilerplate-heavy corpora — the two knobs a 100 TB run tunes
-    * instead of editing this file. */
-  def dedupSurvivors(spark: SparkSession, dir: String, maxIters: Int = 10,
+    * [[minhashCandidatePairs]]: the auto iteration budget
+    * (ceil(log2(nodes)) + 4, see [[clustersFromPairs]]) covers any component
+    * the graph can contain, and the bucket cap bounds candidate-pair blowup
+    * on boilerplate-heavy corpora — the knobs a 100 TB run tunes instead of
+    * editing this file. */
+  def dedupSurvivors(spark: SparkSession, dir: String, maxIters: Int = 0,
       maxBucketSize: Int = 0): DataFrame = {
     val losers = spark.read.parquet(clustersPath(spark, dir, maxIters, maxBucketSize))
       .filter(col("doc_id") =!= col("cluster_id"))
@@ -1715,7 +1733,7 @@ object Dedup {
     * recomputed per reader. q62 still runs the clustering live (the
     * iteration IS that query's operator); the CONSUMERS (q71 survivors, the
     * q100 capstone) read this table. */
-  def clustersPath(spark: SparkSession, dir: String, maxIters: Int = 10,
+  def clustersPath(spark: SparkSession, dir: String, maxIters: Int = 0,
       maxBucketSize: Int = 0): String =
     graft.engine.Fs.buildOnce(
       s"graft_cc_${graft.engine.Fs.dirTag(dir)}_i${maxIters}_m$maxBucketSize",

@@ -511,4 +511,70 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** One wave's soak telemetry: input rows fed (incl. planted duplicates),
+    * cumulative rows emitted by the sink, the dedup operator's state-store
+    * rows at the wave's end, and the wave's drain wall time. */
+  final case class SoakWave(wave: Int, nInput: Long, nEmittedTotal: Long,
+      stateRows: Long, wallMs: Long)
+
+  /** End-to-end streaming-medallion SOAK (round 7): replay an SF dir's
+    * whole events table in `waves` contiguous EVENT-TIME slices through the
+    * bounded-state [[dedupStream]] (watermarked dedup → exactly-once parquet
+    * file sink), draining each wave with `Trigger.AvailableNow` against one
+    * shared checkpoint — the multi-batch restart path a 30-minute-cadence
+    * deployment exercises all day.
+    *
+    * The claim under soak is STATE BOUNDEDNESS: the dedup state store holds
+    * only keys the watermark hasn't passed, so each wave's end-of-drain
+    * state is O(wave), and stays FLAT as waves accumulate — on an unbounded
+    * ingest the state never tracks corpus size (a plain streaming
+    * dropDuplicates would). `dupPct`% of each wave is fed twice (same
+    * event_id, same wave) to prove the dedup is actually doing work: the
+    * sink must emit each event exactly once.
+    *
+    * Wave boundaries come from exact `percentile` cutoffs on the event-time
+    * micros — one aggregate, no global sort/window in the harness either.
+    * Telemetry is read from the terminated query's `recentProgress`
+    * (max `numRowsTotal` across the drain's micro-batches). */
+  def dedupSoak(spark: SparkSession, sfDir: String, scratch: String,
+      waves: Int = 4, dupPct: Int = 1): Seq[SoakWave] = {
+    require(waves >= 2, "soak needs at least 2 waves")
+    val stage = s"$scratch/stage"; val out = s"$scratch/out"
+    val ckpt = s"$scratch/ckpt"
+    graft.engine.Fs.rmTree(scratch)
+    val ev = graft.engine.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    val probs = (1 until waves).map(i => i.toDouble / waves)
+      .mkString("array(", ", ", ")")
+    val cuts = ev.agg(expr(s"percentile(unix_micros(ts), $probs)"))
+      .head().getSeq[Double](0).map(_.toLong)
+    def waveFilter(i: Int) = {
+      val t = unix_micros(col("ts"))
+      val lo = if (i == 1) lit(Long.MinValue) else lit(cuts(i - 2))
+      val hi = if (i == waves) lit(Long.MaxValue) else lit(cuts(i - 1))
+      t > lo && t <= hi
+    }
+    (1 to waves).map { i =>
+      val wdf = ev.filter(waveFilter(i))
+      val planted = wdf.filter(pmod(col("event_id"), lit(100)) < dupPct)
+      val fed = wdf.unionAll(planted)
+      val nInput = fed.count()
+      fed.write.mode("append").parquet(stage)
+      val t0 = System.nanoTime()
+      val q = dedupStream(spark, stage).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      val stateRows = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal).foldLeft(0L)(math.max)
+      val emitted = spark.read.parquet(out).count()
+      SoakWave(i, nInput, emitted, stateRows, wallMs)
+    }
+  }
 }

@@ -369,6 +369,26 @@ class StreamsSpec extends SparkSuite {
     assert(row(Streams.watermarkLagSummary(spark, late)) == batch)
   }
 
+  test("medallion soak: 4 event-time waves at sf0.1 — bounded dedup state, exactly-once emission") {
+    val soak = Streams.dedupSoak(spark, "/root/testdata/sf0.1", "/tmp/graft_soak", waves = 4)
+    assert(soak.size == 4)
+    val total = graft.engine.Tables.events(spark, "/root/testdata/sf0.1").count()
+    // exactly-once: every event emitted once despite the planted duplicate feeds
+    assert(soak.last.nEmittedTotal == total, soak.mkString(", "))
+    assert(soak.map(_.nInput).sum > total, "planted duplicates were actually fed")
+    // emission is monotone per wave (file sink only appends)
+    assert(soak.map(_.nEmittedTotal) == soak.map(_.nEmittedTotal).sorted)
+    // bounded state: each wave's end-of-drain state is O(wave) — flat as the
+    // corpus accumulates, never cumulative. 1.5x headroom covers the
+    // sub-watermark carry-over between waves (2h of a ~7.5-day wave).
+    val s1 = soak.head.stateRows
+    assert(s1 > 0, s"no state observed: ${soak.head}")
+    soak.foreach { w =>
+      assert(w.stateRows <= (s1 * 3) / 2, s"state grew across waves: $w vs first $s1")
+      assert(w.stateRows < total / 2, s"state tracks the corpus, not the wave: $w")
+    }
+  }
+
   test("streaming heavy-hitter candidates: MG state keeps the hot term, exact running n") {
     val s = spark; import s.implicits._
     val src = "/tmp/graft_stream_hh_src"
