@@ -460,6 +460,24 @@ object Catalog {
   private val simhashSql: String =
     s"WITH $simhashCte\nSELECT doc_id, simhash16 FROM simh ORDER BY doc_id"
 
+  /** 60-bit SimHash CTE chain (terminal CTE `sim60`) mirroring
+    * Dedup.simhash60 bit-for-bit: 15 md5 hex digits per token (60 bits —
+    * positive in a signed BIGINT in both engines). */
+  private val simhash60Cte: String = {
+    val bitSums = (0 until 60)
+      .map(b => s"  SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bit$b")
+      .mkString(",\n")
+    val sig = (0 until 60)
+      .map(b => s"(CASE WHEN bit$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""s60t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |s60h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM s60t),
+       |s60b AS (SELECT doc_id,
+       |$bitSums
+       |FROM s60h GROUP BY doc_id),
+       |sim60 AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM s60b)""".stripMargin
+  }
+
   /** Shared DuckDB CTE: embeddings as double lists + L2 norm + LSH bucket
     * (mirrors Similarity.vecs / Similarity.lshBuckets). */
   private val lshBucketExpr: String = (0 until 8).map { p =>
@@ -3140,17 +3158,15 @@ object Catalog {
     // SimHash Hamming-ball pairs via pigeonhole banding: distance <= 3 over
     // 4 bands means >= 1 band matches exactly — equi-join candidates, exact
     // XOR-popcount verification, zero false negatives.
+    // 60-bit SimHash Hamming ball (<= 5). The oracle is DELIBERATELY the
+    // brute-force all-pairs popcount — it shares none of the engine's
+    // pigeonhole banding, so the zero-false-negative claim is what's tested.
     q("q198_simhash_hamming", (s, d) => ext.Dedup.simhashHammingPairs(s, d),
-      s"""WITH $simhashCte,
-         |bands AS (SELECT doc_id, simhash16, CAST(t.b AS INT) AS bidx,
-         |            (simhash16 >> (4 * CAST(t.b AS INT))) & 15 AS bval
-         |          FROM simh, LATERAL (SELECT unnest(range(0, 4)) AS b) t),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |           a.simhash16 AS sa, b.simhash16 AS sb
-         |         FROM bands a JOIN bands b
-         |           ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+      s"""WITH $simhash60Cte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         |FROM sim60 a JOIN sim60 b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 5
          |ORDER BY doc_a, doc_b""".stripMargin),
 
     // Schema-evolution roundtrip: two writer generations (one without the

@@ -179,36 +179,63 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** 60-bit SimHash per document from the first 15 md5 hex digits of each
+    * token (with multiplicity — standard frequency-weighted SimHash). 60
+    * bits (not 64) so the signature is positive in a signed BIGINT in BOTH
+    * engines; this is the PAIR-SEARCH signature ([[simhashHammingPairs]]) —
+    * the 16-bit [[simhash]] stays as the cheap bucket-label/audit form
+    * (q30/q167/q168), where its tiny space is the point, not a defect. */
+  def simhash60(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until 60).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"bit$b")
+    }
+    val sig = (0 until 60).map { b =>
+      when(col(s"bit$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash60"))
+  }
+
   /** q198: SimHash Hamming-ball pair search via PIGEONHOLE banding (Manku,
     * Jarvelin & Sarma, WWW 2007): all pairs within Hamming distance ≤
-    * `maxDist` of each other's [[simhash]] signature. The 16-bit signature
-    * splits into 4 bands of 4 bits; distance ≤ 3 < 4 flips cannot touch
+    * `maxDist` of each other's [[simhash60]] signature. The 60-bit signature
+    * splits into 6 bands of 10 bits; distance ≤ 5 < 6 flips cannot touch
     * every band, so two near signatures MUST agree exactly on ≥ 1 band —
     * candidates are an equi-join on (band_idx, band_value), never all-pairs,
     * with zero false negatives by the pigeonhole argument; the exact popcount
     * of the XOR verifies each candidate.
     *
-    * Scale note: the per-band value space here is 2^4 (the 16-bit fixture
-    * signature q30 defines); a production 64-bit SimHash uses 4 × 16-bit
-    * bands (2^16 values per band), which is what keeps band buckets small at
-    * corpus scale. `maxBandBucket` is the same degenerate-bucket guard as
-    * the MinHash/embedding paths: a band value the corpus piles onto is
-    * dropped from candidate generation rather than joined n² (0 = keep all,
-    * matching the exhaustive oracle). */
-  def simhashHammingPairs(spark: SparkSession, dir: String, maxDist: Int = 3,
+    * Scale note (round 7, measured): this operator originally banded the
+    * 16-bit q30 signature into 4-bit chunks — 16 values per band, so every
+    * band bucket held n/16 of the corpus and candidates grew n²/16: the sf1
+    * growth gate clocked it at 155× for 10× docs (354 s). With 2^10 values
+    * per band the bucket load factor is n/1024 per band and the measured
+    * sf1 cost drops to linear-range; a 100 TB deployment widens bands
+    * further (e.g. 4 × 16-bit on a 64-bit signature) — band WIDTH is the
+    * collision-control knob, and the audit that tells you when to widen is
+    * the occupancy datasheet. `maxBandBucket` is the same degenerate-bucket
+    * guard as the MinHash/embedding paths: a band value the corpus piles
+    * onto is dropped from candidate generation rather than joined n²
+    * (0 = keep all, matching the exhaustive oracle). */
+  def simhashHammingPairs(spark: SparkSession, dir: String, maxDist: Int = 5,
       maxBandBucket: Long = 0L): DataFrame = {
-    // the pigeonhole guarantee is bands > maxDist: with 4 bands, distance 4
+    // the pigeonhole guarantee is bands > maxDist: with 6 bands, distance 6
     // can flip one bit in every band and agree on none — silently missing
     // pairs. Reject rather than under-deliver.
-    require(maxDist >= 0 && maxDist < 4,
-      s"simhashHammingPairs: 4 bands guarantee completeness only for maxDist <= 3, got $maxDist")
-    val bands = simhash(spark, dir)
-      .select(col("doc_id"), col("simhash16"),
+    require(maxDist >= 0 && maxDist < 6,
+      s"simhashHammingPairs: 6 bands guarantee completeness only for maxDist <= 5, got $maxDist")
+    val bands = simhash60(spark, dir)
+      .select(col("doc_id"), col("simhash60"),
         explode(expr(
-          """transform(sequence(0, 3), b ->
-            |  named_struct('bidx', b, 'bval', shiftright(simhash16, b * 4) & 15))""".stripMargin))
+          """transform(sequence(0, 5), b ->
+            |  named_struct('bidx', b, 'bval', shiftright(simhash60, b * 10) & 1023))""".stripMargin))
           .as("band"))
-      .select(col("doc_id"), col("simhash16"),
+      .select(col("doc_id"), col("simhash60"),
         col("band.bidx").as("bidx"), col("band.bval").as("bval"))
     val kept =
       if (maxBandBucket <= 0) bands
@@ -219,9 +246,9 @@ object Dedup {
           .select(col("bidx"), col("bval"))),
         Seq("bidx", "bval"), "left_semi")
     kept.select(col("bidx"), col("bval"),
-        col("doc_id").as("doc_a"), col("simhash16").as("sig_a"))
+        col("doc_id").as("doc_a"), col("simhash60").as("sig_a"))
       .join(kept.select(col("bidx"), col("bval"),
-          col("doc_id").as("doc_b"), col("simhash16").as("sig_b")),
+          col("doc_id").as("doc_b"), col("simhash60").as("sig_b")),
         Seq("bidx", "bval"))
       .filter(col("doc_a") < col("doc_b"))
       // verify BEFORE deduplicating: the popcount is a codegen'd per-row op

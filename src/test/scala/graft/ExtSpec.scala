@@ -1202,12 +1202,12 @@ class ExtSpec extends SparkSuite {
   }
 
   test("simhash hamming pairs: banding equals brute-force popcount (zero false negatives)") {
-    val sigs = Dedup.simhash(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getInt(1)))
+    val sigs = Dedup.simhash60(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
     val brute = (for {
       (a, sa) <- sigs; (b, sb) <- sigs
       if a < b
-      h = Integer.bitCount(sa ^ sb) if h <= 3
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 5
     } yield (a, b, h)).toSet
     val banded = Dedup.simhashHammingPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
