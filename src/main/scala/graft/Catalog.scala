@@ -3800,6 +3800,20 @@ object Catalog {
         |SELECT doc_id, variant, dirty <> text AS changed,
         |  translate(dirty, 'аеорсａｅｏ', 'aeopcaeo') = text AS restored
         |FROM d ORDER BY doc_id""".stripMargin),
+
+    // LSH band-occupancy audit: the load-factor datasheet that predicts
+    // candidate-pair blowup (sf1: 59x pairs at 10x docs) before the dedup
+    // pass runs — per band, bucket stats + Σ s(s-1)/2 candidate pairs.
+    q("q230_lsh_occupancy", (s, d) => ext.Dedup.lshOccupancyAudit(s, d),
+      s"""WITH $bandsCte,
+         |b AS (SELECT band_idx, band_hash, count(*) AS s FROM bands GROUP BY 1, 2)
+         |SELECT band_idx, CAST(sum(s) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(max(s) AS BIGINT) AS max_bucket,
+         |  CAST(sum(CASE WHEN s >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_collision_buckets,
+         |  CAST(sum(s * (s - 1) // 2) AS BIGINT) AS cand_pairs,
+         |  CAST(sum(s * (s - 1) // 2) * 1000000 // sum(s) AS BIGINT) AS pair_inflation_ppm
+         |FROM b GROUP BY band_idx ORDER BY band_idx""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

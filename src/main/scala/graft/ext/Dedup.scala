@@ -161,6 +161,32 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
       .orderBy("doc_a", "doc_b")
 
+  /** LSH band-occupancy audit (q230) — the operational dial behind the
+    * round-7 sf1 findings: when the corpus outgrows its signature space,
+    * candidate pairs stop scaling linearly (measured here: 10× docs → 59×
+    * MinHash pairs, and 155× for the old 4-bit SimHash bands), and the
+    * number that TELLS you is bucket occupancy, not query latency. Per
+    * band: docs, buckets, max bucket, collision buckets, candidate pairs
+    * Σ s·(s−1)/2, and pair inflation (candidate pairs per doc, ppm) — the
+    * load factor an operator watches to decide when to enable the
+    * `maxBucketSize` cap or widen bands. One groupBy on (band_idx,
+    * band_hash) with map-side partial agg, then a 6-group rollup: strictly
+    * cheaper than the candidate join it predicts, so it can run on every
+    * data drop BEFORE the dedup pass commits to a plan. */
+  def lshOccupancyAudit(spark: SparkSession, dir: String): DataFrame =
+    bandsUnordered(spark, dir)
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("s"))
+      .groupBy(col("band_idx"))
+      .agg(sum(col("s")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        max(col("s")).cast("long").as("max_bucket"),
+        sum(when(col("s") >= 2, 1L).otherwise(0L)).as("n_collision_buckets"),
+        sum(expr("s * (s - 1) div 2")).cast("long").as("cand_pairs"))
+      .withColumn("pair_inflation_ppm",
+        expr("CAST(cand_pairs * 1000000 div n_docs AS BIGINT)"))
+      .orderBy("band_idx")
+
   /** 16-bit SimHash per document from the first 4 md5 hex digits of each token
     * (with multiplicity — standard frequency-weighted SimHash). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {

@@ -1201,6 +1201,26 @@ class ExtSpec extends SparkSuite {
     assert(inc == full)
   }
 
+  test("lsh occupancy audit: identical trio fills one bucket per band, inflation on paper") {
+    val s = spark; import s.implicits._
+    val same = "the same boilerplate text repeated verbatim everywhere"
+    Seq((0L, same), (1L, same), (2L, same),
+      (10L, "a completely different first document body"),
+      (11L, "another unrelated second document text entirely"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_occ/documents.parquet")
+    val rows = Dedup.lshOccupancyAudit(spark, "/tmp/graft_test_occ").collect()
+    assert(rows.length == 6, "one audit row per band")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == 5)
+      assert(r.getAs[Long]("max_bucket") == 3, "the identical trio is the hot bucket")
+      assert(r.getAs[Long]("n_collision_buckets") == 1)
+      assert(r.getAs[Long]("cand_pairs") == 3, "3 choose 2 from the trio")
+      assert(r.getAs[Long]("pair_inflation_ppm") ==
+        r.getAs[Long]("cand_pairs") * 1000000 / 5)
+    }
+  }
+
   test("simhash hamming pairs: banding equals brute-force popcount (zero false negatives)") {
     val sigs = Dedup.simhash60(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
