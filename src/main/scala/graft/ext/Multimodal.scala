@@ -15,6 +15,52 @@ import graft.engine.Tables
   * inside the same `mapPartitions` (one codec init per partition, not per row —
   * the Scala analog of `mapInPandas` batching).
   */
+/** The JDK WAVE codec resolved ONCE per JVM through the PUBLIC
+  * `javax.sound.sampled.spi` SPI. `AudioSystem.getAudioInputStream` /
+  * `AudioSystem.write` consult the provider registry on EVERY call, and
+  * that registry lookup (`JDK13Services.getProviders`) holds a global lock
+  * and rescans the service loader — round-7 sf1 benching measured it as the
+  * per-row bottleneck of the audio operators at 32 threads (decode cost per
+  * doc RISING with parallelism). The codec objects themselves are the same
+  * ones the facade would pick; only the synchronized lookup is hoisted, so
+  * decode stays the real JDK codec. An `object` so the lazy vals initialize
+  * once per executor JVM — cluster-safe, nothing serialized. */
+private[ext] object WavCodec {
+  import javax.sound.sampled.{AudioFileFormat, AudioInputStream, UnsupportedAudioFileException}
+  import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+
+  lazy val readers: List[AudioFileReader] = {
+    val it = java.util.ServiceLoader.load(classOf[AudioFileReader]).iterator()
+    val b = List.newBuilder[AudioFileReader]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  lazy val wavWriter: AudioFileWriter = {
+    val it = java.util.ServiceLoader.load(classOf[AudioFileWriter]).iterator()
+    var found: AudioFileWriter = null
+    while (found == null && it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(AudioFileFormat.Type.WAVE)) found = w
+    }
+    require(found != null, "no JDK AudioFileWriter supports WAVE")
+    found
+  }
+
+  /** Decode `bytes` with the first provider that accepts the container —
+    * identical provider semantics to `AudioSystem.getAudioInputStream`,
+    * minus the per-call registry lock. Fails loudly on undecodable input. */
+  def stream(bytes: Array[Byte], id: Long): AudioInputStream = {
+    val in = new java.io.ByteArrayInputStream(bytes)
+    readers.foreach { r =>
+      try return r.getAudioInputStream(in)
+      catch { case _: UnsupportedAudioFileException => in.reset() }
+    }
+    throw new IllegalArgumentException(
+      s"doc $id: no JDK AudioFileReader accepts the payload")
+  }
+}
+
 object Multimodal {
 
   /** documents → multimodal layout: payload as binary + metadata struct.
@@ -195,7 +241,7 @@ object Multimodal {
           val ais = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
           val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(
+          WavCodec.wavWriter.write(
             ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
           (id, bos.toByteArray)
         }
@@ -214,8 +260,7 @@ object Multimodal {
     wavs.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
+          val ais = WavCodec.stream(bytes, id)
           val fmt = ais.getFormat
           require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
             !fmt.isBigEndian, s"doc $id: unexpected decoded format $fmt")
@@ -256,8 +301,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
+          val ais = WavCodec.stream(bytes, id)
           val fmt = ais.getFormat
           require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
             !fmt.isBigEndian, s"doc $id: unexpected decoded format $fmt")
