@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
 object GoldDims {
 
   private def sk(name: String, orderCols: Seq[String]): DataFrame => DataFrame = df =>
-    df.withColumn(name,
-      row_number().over(Window.orderBy(orderCols.map(col): _*)).cast("long"))
+    // distributed chunked rank — identical values (SK keys are unique), no
+    // all-to-one WindowExec even if a dimension approaches fact scale
+    RelOps.rangedRowNumber(df, name, orderCols)
 
   /** dim_date: range-source spine + 20 calendar attributes
     * (`reporting.py:55-93`). Seeded from orders min/max purchase time —

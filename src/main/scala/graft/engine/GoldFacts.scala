@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
 object GoldFacts {
 
   private def withSk(name: String, orderCols: Seq[String], df: DataFrame): DataFrame =
-    df.withColumn(name,
-      row_number().over(Window.orderBy(orderCols.map(col): _*)).cast("long"))
+    // distributed chunked rank — identical values (fact SK keys are unique
+    // natural keys), and the fact build no longer funnels through ONE
+    // partition for its surrogate keys at 100 TB
+    RelOps.rangedRowNumber(df, name, orderCols)
 
   /** Payments rolled up per order — `reporting.py:260-263`. */
   def paymentsAggSales(silverPayments: DataFrame, deterministic: Boolean = true): DataFrame = {

@@ -22,6 +22,71 @@ import Dec._
   */
 object RelOps {
 
+  /** Distributed deterministic ROW_NUMBER over a TOTAL order — the
+    * scale-safe replacement for `row_number().over(Window.orderBy(...))`,
+    * which moves the whole input to ONE partition (Spark's WindowExec
+    * warning, and a hard wall at fact scale). Chunked parallel-prefix
+    * rank, the same shape [[graft.ext.Dedup.sortedNeighborhoodPairs]]
+    * uses: rank within order-aligned chunks in parallel, then add
+    * per-chunk offsets (one tiny aggregate over the chunk keys, broadcast
+    * back).
+    *
+    * The chunk key is a DETERMINISTIC, ORDER-MONOTONE function of the ROW
+    * DATA — a string prefix, or integer division against a min/max driver
+    * seed (the A1 pattern) — NEVER `spark_partition_id()` after a range
+    * repartition: physical partition ids are not stable across the two
+    * executions of an unmaterialized lineage (range boundaries are
+    * re-sampled per run and AQE re-coalesces), so a pid-keyed offsets join
+    * silently drops or mis-ranks rows. Monotone data chunks make every
+    * execution agree by construction.
+    *
+    * Output is IDENTICAL to the single-partition form whenever `orderCols`
+    * is a total order (unique keys — every SK assignment in this repo
+    * guarantees one); on ties BOTH forms are layout-dependent. Cost: one
+    * hash exchange on the chunk key + a chunk-count aggregate, instead of
+    * an all-to-one sort. */
+  def rangedRowNumber(df: DataFrame, name: String,
+      orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val cols = orderCols.map(col)
+    val first = col(orderCols.head)
+    // NULL keys coalesce into the chunk that sorts FIRST (NULLs lead the
+    // window order too) — a bare NULL chunk would be dropped by the
+    // offsets equi-join
+    val chunk: Column = df.schema(orderCols.head).dataType match {
+      // prefix of a string is monotone under the binary UTF8 ordering
+      case StringType => coalesce(substring(first, 1, 2), lit(""))
+      case ByteType | ShortType | IntegerType | LongType =>
+        // one tiny deterministic driver seed (min/max) calibrates ~64
+        // equal-width chunks; (x - lo) >= 0 keeps integer div monotone
+        val mm = df.agg(min(first), max(first)).head()
+        if (mm.isNullAt(0)) lit(0L)
+        else {
+          val lo = mm.getAs[Number](0).longValue
+          val hi = mm.getAs[Number](1).longValue
+          val span = math.max(1L, (hi - lo) / 64L + 1L)
+          coalesce(((first.cast("long") - lit(lo)) / lit(span)).cast("long"),
+            lit(-1L))
+        }
+      // other key types: single chunk — correct, just not parallel (no
+      // current SK call site orders by a non-string non-integral key)
+      case _ => lit(0L)
+    }
+    val wIn = Window.partitionBy(col("__chunk")).orderBy(cols: _*)
+    // chunk keys are monotone in the order, so ordering chunks BY KEY is
+    // the global order; NULL chunks sort first exactly like NULL keys
+    val wOff = Window.orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunked = df.withColumn("__chunk", chunk)
+    val offs = chunked.groupBy(col("__chunk")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__chunk"), col("__off"))
+    chunked.withColumn("__ri", row_number().over(wIn))
+      .join(broadcast(offs), Seq("__chunk"))
+      .withColumn(name, (col("__off") + col("__ri")).cast("long"))
+      .drop("__chunk", "__ri", "__off")
+  }
+
   /** TPC-H Q1-style pricing summary: scan-filter-aggregate with exact decimals.
     * Reference analog: silver filters + gold hash aggregates
     * (`spark_jobs/reporting.py:260-263,309-321`). */

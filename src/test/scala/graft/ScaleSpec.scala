@@ -48,6 +48,36 @@ class ScaleSpec extends SparkSuite {
     assert(scanned.contains("Order_Year"), scanned)
   }
 
+  test("rangedRowNumber equals the single-partition global row_number (strings, ints, nulls)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    def globalRn(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+      df.withColumn("rn", row_number()
+        .over(Window.orderBy(cols.map(col): _*)).cast("long"))
+    // string keys incl. NULL and empty string (the chunk-edge cases)
+    val sdf = Seq(Option("zz9"), Option("ab"), None, Option(""), Option("a"),
+      Option("zz1"), Option("m"), Option("ab2")).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "v").repartition(5)
+    val got = graft.engine.RelOps.rangedRowNumber(sdf, "rn", Seq("k"))
+      .select("k", "rn").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = globalRn(sdf, Seq("k"))
+      .select("k", "rn").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want, s"string ranks diverge: $got vs $want")
+    // integer keys incl. NULL and negatives; two-column tie-break order
+    val idf = Seq((Option(-50L), "a"), (None, "b"), (Option(7L), "c"),
+      (Option(1000000L), "d"), (Option(0L), "e"), (Option(-50000L), "f"))
+      .toDF("k", "t").repartition(4)
+    val gi = graft.engine.RelOps.rangedRowNumber(idf, "rn", Seq("k", "t"))
+      .select("t", "rn").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val wi = globalRn(idf, Seq("k", "t"))
+      .select("t", "rn").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gi == wi, s"integer ranks diverge: $gi vs $wi")
+    // ranks are a permutation of 1..n (no drops from the offsets join)
+    assert(got.map(_._2) == (1L to 8L).toSet)
+    assert(gi.map(_._2) == (1L to 6L).toSet)
+  }
+
   test("salted join returns exactly the rows of the plain join on skewed data") {
     val s = spark; import s.implicits._
     // heavy skew: 90% of rows share key 1
