@@ -3801,6 +3801,24 @@ object Catalog {
         |  translate(dirty, 'аеорсａｅｏ', 'aeopcaeo') = text AS restored
         |FROM d ORDER BY doc_id""".stripMargin),
 
+    // Sequence packing (concat-and-chunk): the corpus token stream in
+    // doc_id order cut into 256-token training sequences; oracle recomputes
+    // with a window cumsum and per-doc sequence-range expansion.
+    q("q231_sequence_packing", (s, d) => ext.TextStats.sequencePacking(s, d),
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d),
+        |e AS (SELECT doc_id, n, cum, cum - n AS strt,
+        |    unnest(range(CAST((cum - n) // 256 AS BIGINT),
+        |                 CAST((cum - 1) // 256 + 1 AS BIGINT))) AS seq_id FROM c)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(least(cum, (seq_id + 1) * 256) -
+        |           greatest(strt, seq_id * 256)) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM e GROUP BY seq_id ORDER BY seq_id""".stripMargin),
+
     // LSH band-occupancy audit: the load-factor datasheet that predicts
     // candidate-pair blowup (sf1: 59x pairs at 10x docs) before the dedup
     // pass runs — per band, bucket stats + Σ s(s-1)/2 candidate pairs.

@@ -46,7 +46,20 @@ object RelOps {
     * hash exchange on the chunk key + a chunk-count aggregate, instead of
     * an all-to-one sort. */
   def rangedRowNumber(df: DataFrame, name: String,
-      orderCols: Seq[String]): DataFrame = {
+      orderCols: Seq[String]): DataFrame =
+    chunkedPrefixAgg(df, name, orderCols, lit(1L))
+
+  /** Distributed INCLUSIVE cumulative sum of `valueCol` over a total
+    * order — same chunked parallel-prefix machinery as
+    * [[rangedRowNumber]] (which is this with value 1), for running-total
+    * operators (token-stream offsets, sequence packing) that would
+    * otherwise need the all-to-one window. */
+  def rangedCumsum(df: DataFrame, name: String, orderCols: Seq[String],
+      valueCol: Column): DataFrame =
+    chunkedPrefixAgg(df, name, orderCols, valueCol)
+
+  private def chunkedPrefixAgg(df: DataFrame, name: String,
+      orderCols: Seq[String], valueCol: Column): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     val cols = orderCols.map(col)
     val first = col(orderCols.head)
@@ -73,18 +86,20 @@ object RelOps {
       case _ => lit(0L)
     }
     val wIn = Window.partitionBy(col("__chunk")).orderBy(cols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // chunk keys are monotone in the order, so ordering chunks BY KEY is
     // the global order; NULL chunks sort first exactly like NULL keys
     val wOff = Window.orderBy(col("__chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val chunked = df.withColumn("__chunk", chunk)
-    val offs = chunked.groupBy(col("__chunk")).agg(count(lit(1)).as("__n"))
+      .withColumn("__v", valueCol.cast("long"))
+    val offs = chunked.groupBy(col("__chunk")).agg(sum(col("__v")).as("__n"))
       .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
       .select(col("__chunk"), col("__off"))
-    chunked.withColumn("__ri", row_number().over(wIn))
+    chunked.withColumn("__ri", sum(col("__v")).over(wIn))
       .join(broadcast(offs), Seq("__chunk"))
       .withColumn(name, (col("__off") + col("__ri")).cast("long"))
-      .drop("__chunk", "__ri", "__off")
+      .drop("__chunk", "__ri", "__off", "__v")
   }
 
   /** TPC-H Q1-style pricing summary: scan-filter-aggregate with exact decimals.

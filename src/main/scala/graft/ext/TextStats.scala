@@ -1507,6 +1507,42 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing, concat-and-chunk form (q231) — the dataset-assembly
+    * step between curation and the trainer: the corpus's token stream (docs
+    * concatenated in doc_id order) is cut into fixed `seqLen`-token training
+    * sequences, GPT-style (documents may span a boundary; only the final
+    * sequence is short). Output: one row per SEQUENCE with the docs it
+    * spans, its token count, and its first/last doc — the packing manifest
+    * a loader shards by.
+    *
+    * Scale shape: the global token-stream offset is
+    * [[graft.engine.RelOps.rangedCumsum]] (chunked parallel-prefix — no
+    * all-to-one window), each doc then expands to the sequences it overlaps
+    * with pure arithmetic (a ~55-token doc spans ≤ 2 sequences at 256 — the
+    * explode factor is 1 + n/seqLen, never corpus-shaped), and one groupBy
+    * on seq_id finishes. No token-level explode anywhere: a 100 TB corpus
+    * moves doc-grain rows only. */
+  def sequencePacking(spark: SparkSession, dir: String,
+      seqLen: Int = 256): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    graft.engine.RelOps.rangedCumsum(docs, "cum", Seq("doc_id"), col("n"))
+      .withColumn("strt", col("cum") - col("n"))
+      .withColumn("first_seq", expr(s"strt div $seqLen"))
+      .withColumn("last_seq", expr(s"(cum - 1) div $seqLen"))
+      .select(col("doc_id"), col("strt"), col("cum"),
+        explode(expr("sequence(first_seq, last_seq)")).as("seq_id"))
+      .withColumn("tok_in_seq",
+        least(col("cum"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("strt"), col("seq_id") * seqLen))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_in_seq")).cast("long").as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("seq_id")
+  }
+
   /** Code-switching rate (q213) — the WINDOW-level language-mix audit the
     * doc-level lang-id (q25) can't see: each doc's words split into 20-token
     * windows, every window classified with the SAME marker heuristic

@@ -1201,6 +1201,33 @@ class ExtSpec extends SparkSuite {
     assert(inc == full)
   }
 
+  test("sequence packing: boundary-spanning docs, exact per-sequence manifests on paper") {
+    val s = spark; import s.implicits._
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    // token stream lengths 3,4,5,8,1 packed at seqLen=8:
+    // seq0 = [0,8): docs 0,1,2; seq1 = [8,16): docs 2,3; seq2 = [16,21): docs 3,4
+    Seq((0L, toks("a", 3)), (1L, toks("b", 4)), (2L, toks("c", 5)),
+      (3L, toks("d", 8)), (4L, toks("e", 1)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_pack/documents.parquet")
+    val rows = TextStats.sequencePacking(spark, "/tmp/graft_test_pack", seqLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (0L, 3L, 8L, 0L, 2L),
+      (1L, 2L, 8L, 2L, 3L),
+      (2L, 2L, 5L, 3L, 4L)), rows.mkString(", "))
+    // real-corpus invariants at the default seqLen: every sequence but the
+    // last is exactly full, and the manifest conserves the token stream
+    val real = TextStats.sequencePacking(spark, "/root/testdata/sf0.001")
+      .collect()
+    val total = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("CAST(sum(size(split(text, ' '))) AS BIGINT)").head().getLong(0)
+    assert(real.init.forall(_.getAs[Long]("n_tokens") == 256L))
+    assert(real.map(_.getAs[Long]("n_tokens")).sum == total)
+    assert(real.map(_.getAs[Long]("seq_id")).toSeq == (0L until real.length).toSeq)
+  }
+
   test("lsh occupancy audit: identical trio fills one bucket per band, inflation on paper") {
     val s = spark; import s.implicits._
     val same = "the same boilerplate text repeated verbatim everywhere"
