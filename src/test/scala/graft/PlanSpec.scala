@@ -21,6 +21,33 @@ class PlanSpec extends SparkSuite {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  test("gold SK rank (rangedRowNumber): runs chunk-partitioned, never an all-to-one window over the data") {
+    // the gold dim/fact SK assignment path (GoldDims.sk / GoldFacts.withSk)
+    val df = spark.range(1000).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+    val p = graft.engine.RelOps.rangedRowNumber(df, "sk", Seq("k"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("hashpartitioning(__chunk"),
+      s"SK rank lost its chunk partitioning (all-to-one window is back):\n$p")
+  }
+
+  test("q227 long repeat spans: semi-join candidate shape, no cartesian, no self-join") {
+    val p = plan("q227_long_repeat_spans")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the repeat-span plan:\n$p")
+    assert(p.contains("LeftSemi"), s"dup-gram membership is not a semi join:\n$p")
+  }
+
+  test("q230 occupancy audit: aggregate-only plan — predicts the candidate join without paying one") {
+    val p = plan("q230_lsh_occupancy")
+    assert(!p.contains("Join"), s"the audit must not join anything:\n$p")
+  }
+
+  test("q231 sequence packing: cumsum runs chunk-partitioned, no token-level blowup joins") {
+    val p = plan("q231_sequence_packing")
+    assert(p.contains("hashpartitioning(__chunk"),
+      s"packing cumsum lost its chunk partitioning:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the packing plan:\n$p")
+  }
+
   test("q01: the shipdate filter is pushed to the parquet scan") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
