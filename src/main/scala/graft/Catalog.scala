@@ -3819,6 +3819,29 @@ object Catalog {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM e GROUP BY seq_id ORDER BY seq_id""".stripMargin),
 
+    // Incremental packing: the ingest wave (doc_id % 10 = 7) continues the
+    // at-rest corpus token stream at the next sequence boundary; oracle
+    // recomputes the wave manifest from the corpus total + a window cumsum.
+    q("q232_incremental_packing", (s, d) => ext.TextStats.incrementalPacking(s, d),
+      """WITH ct AS (SELECT COALESCE(CAST(sum(len(string_split(text, ' '))) AS BIGINT), 0)
+        |    AS t FROM documents WHERE doc_id % 10 <> 7),
+        |off AS (SELECT ((t + 255) // 256) * 256 AS o FROM ct),
+        |d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents
+        |  WHERE doc_id % 10 = 7),
+        |c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + (SELECT o FROM off)
+        |    AS cum FROM d),
+        |e AS (SELECT doc_id, n, cum, cum - n AS strt,
+        |    unnest(range(CAST((cum - n) // 256 AS BIGINT),
+        |                 CAST((cum - 1) // 256 + 1 AS BIGINT))) AS seq_id FROM c)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(least(cum, (seq_id + 1) * 256) -
+        |           greatest(strt, seq_id * 256)) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM e GROUP BY seq_id ORDER BY seq_id""".stripMargin),
+
     // LSH band-occupancy audit: the load-factor datasheet that predicts
     // candidate-pair blowup (sf1: 59x pairs at 10x docs) before the dedup
     // pass runs — per band, bucket stats + Σ s(s-1)/2 candidate pairs.

@@ -1543,6 +1543,55 @@ object TextStats {
       .orderBy("seq_id")
   }
 
+  /** Incremental sequence packing (q232) — the ingest-wave form of
+    * [[sequencePacking]], same append semantics a real packer has: the
+    * at-rest corpus (doc_id % mod ≠ rem) is already packed, its manifest
+    * immutable; an arriving wave's docs CONTINUE the token stream — new
+    * sequences start at the corpus's total token offset, never repacking
+    * or even rescanning the corpus (the total is a 1-row at-rest seed via
+    * [[graft.engine.Fs.buildOnce]]). Output: the WAVE's sequence manifest,
+    * seq ids continuing the corpus numbering. If the corpus's final
+    * sequence was partial, the first wave sequence starts at the next
+    * boundary (standard shard-aligned append: a loader never re-reads a
+    * sealed shard to top it up).
+    *
+    * Per-wave cost: one cumsum over the wave (chunked parallel-prefix) +
+    * arithmetic — linear in the wave, not the corpus. */
+  def incrementalPacking(spark: SparkSession, dir: String, seqLen: Int = 256,
+      mod: Int = 10, rem: Int = 7): DataFrame = {
+    val base = graft.engine.Fs.buildOnce(
+      s"graft_packoff_${graft.engine.Fs.dirTag(dir)}_${seqLen}_${mod}_$rem",
+      spark.sessionState.newHadoopConf()) { p =>
+      Tables.documents(spark, dir)
+        .filter(!(col("doc_id") % mod === rem))
+        .agg(coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
+          .as("corpus_tokens"))
+        .write.mode("overwrite").parquet(p)
+    }
+    val corpusTokens = spark.read.parquet(base).head().getLong(0)
+    // sealed-shard alignment: the wave starts at the next sequence boundary
+    val offset = ((corpusTokens + seqLen - 1) / seqLen) * seqLen
+    val wave = Tables.documents(spark, dir)
+      .filter(col("doc_id") % mod === rem)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    graft.engine.RelOps.rangedCumsum(wave, "wcum", Seq("doc_id"), col("n"))
+      .withColumn("cum", col("wcum") + offset)
+      .withColumn("strt", col("cum") - col("n"))
+      .withColumn("first_seq", expr(s"strt div $seqLen"))
+      .withColumn("last_seq", expr(s"(cum - 1) div $seqLen"))
+      .select(col("doc_id"), col("strt"), col("cum"),
+        explode(expr("sequence(first_seq, last_seq)")).as("seq_id"))
+      .withColumn("tok_in_seq",
+        least(col("cum"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("strt"), col("seq_id") * seqLen))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_in_seq")).cast("long").as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("seq_id")
+  }
+
   /** Code-switching rate (q213) — the WINDOW-level language-mix audit the
     * doc-level lang-id (q25) can't see: each doc's words split into 20-token
     * windows, every window classified with the SAME marker heuristic

@@ -1228,6 +1228,27 @@ class ExtSpec extends SparkSuite {
     assert(real.map(_.getAs[Long]("seq_id")).toSeq == (0L until real.length).toSeq)
   }
 
+  test("incremental packing: wave continues at the next sealed-shard boundary, on paper") {
+    val s = spark; import s.implicits._
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    // corpus (ids 1, 2): 5 + 6 = 11 tokens -> at seqLen 8 the corpus owns
+    // seqs 0..1 and the wave starts at offset 16 (seq 2). Wave (ids 7, 17):
+    // 3 + 9 tokens -> stream [16,19) + [19,28): seq2 = both docs, 8 tokens;
+    // seq3 = doc 17 only, 4 tokens.
+    Seq((1L, toks("a", 5)), (2L, toks("b", 6)),
+      (7L, toks("w", 3)), (17L, toks("x", 9)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_ipack/documents.parquet")
+    val rows = TextStats.incrementalPacking(spark, "/tmp/graft_test_ipack", seqLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (2L, 2L, 8L, 7L, 17L),
+      (3L, 1L, 4L, 17L, 17L)), rows.mkString(", "))
+    // conservation: the wave manifest carries exactly the wave's tokens
+    assert(rows.map(_._3).sum == 12L)
+  }
+
   test("lsh occupancy audit: identical trio fills one bucket per band, inflation on paper") {
     val s = spark; import s.implicits._
     val same = "the same boilerplate text repeated verbatim everywhere"
