@@ -105,15 +105,20 @@ object Bench {
     // Cross-SF growth gate (opt-in via SPARK_GRAFT_GROWTH_BASE_DIR; the
     // driver sets only SF_DIR, so per-round behavior is unchanged): time the
     // same catalog at a smaller SF and flag any query whose large/base ratio
-    // exceeds SPARK_GRAFT_GROWTH_BOUND. ROUND5/ROUND6 measured worst honest
-    // growth ≈ 4.6× at 10× rows (decode-bound and documented fixture
-    // quadratics); a real superlinear regression lands at 50-100×, so the
-    // default bound 6.0 separates the two cleanly. Queries under
-    // SPARK_GRAFT_GROWTH_FLOOR_SEC (default 0.5 s) at the LARGE SF are
-    // exempt — ratios of millisecond timings measure scheduler noise, not
-    // plan growth. Flags fail loudly: stderr + "growth_flags" + exit 3.
+    // exceeds SPARK_GRAFT_GROWTH_BOUND. The gate's SF steps are 10× rows,
+    // so any ratio ≤ 10 is AT MOST LINEAR — the flag must mean superlinear,
+    // and real superlinear defects measure far past it (round 7 caught the
+    // 16-bit-SimHash banding at 155× and the CC-budget failure outright).
+    // Default bound 12.0 = linear plus measurement headroom: rounds 5-6
+    // used 6.0 (calibrated when worst honest growth was 4.6×), which by
+    // round 7 started flagging SUB-linear queries whose sub-0.3 s base
+    // timings are jitter-dominated (q155 at "6.3×" of a 0.12 s base).
+    // Queries under SPARK_GRAFT_GROWTH_FLOOR_SEC (default 0.5 s) at the
+    // LARGE SF are exempt — ratios of millisecond timings measure scheduler
+    // noise, not plan growth. Flags fail loudly: stderr + "growth_flags" +
+    // exit 3.
     val growthBase = sys.env.get("SPARK_GRAFT_GROWTH_BASE_DIR")
-    val growthBound = sys.env.getOrElse("SPARK_GRAFT_GROWTH_BOUND", "6.0").toDouble
+    val growthBound = sys.env.getOrElse("SPARK_GRAFT_GROWTH_BOUND", "12.0").toDouble
     val growthFloor = sys.env.getOrElse("SPARK_GRAFT_GROWTH_FLOOR_SEC", "0.5").toDouble
     val growth: Option[(Map[String, Double], Seq[String])] = growthBase.map { bDir =>
       // only queries the gate can act on pay a base-SF run: sub-floor
