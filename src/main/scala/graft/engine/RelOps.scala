@@ -70,15 +70,24 @@ object RelOps {
       // prefix of a string is monotone under the binary UTF8 ordering
       case StringType => coalesce(substring(first, 1, 2), lit(""))
       case ByteType | ShortType | IntegerType | LongType =>
-        // one tiny deterministic driver seed (min/max) calibrates ~64
-        // equal-width chunks; (x - lo) >= 0 keeps integer div monotone
+        // one tiny deterministic driver seed (min/max) calibrates ~32-64
+        // equal-width chunks. Keys are biased into the unsigned domain by
+        // XOR-ing the sign bit (order-preserving, no arithmetic — safe for
+        // full-range keys such as xxhash64 output, and under ANSI mode),
+        // then chunked with an unsigned right shift: both bitwise ops, so
+        // no `hi - lo` Long overflow anywhere on driver or executors.
         val mm = df.agg(min(first), max(first)).head()
         if (mm.isNullAt(0)) lit(0L)
         else {
-          val lo = mm.getAs[Number](0).longValue
-          val hi = mm.getAs[Number](1).longValue
-          val span = math.max(1L, (hi - lo) / 64L + 1L)
-          coalesce(((first.cast("long") - lit(lo)) / lit(span)).cast("long"),
+          def ub(x: Long) = BigInt(x ^ Long.MinValue) & ((BigInt(1) << 64) - 1)
+          // shift >= 1 keeps every chunk id in [0, 2^63) so the signed
+          // ordering of chunk ids equals the unsigned (true) ordering
+          val shift = math.max(1,
+            (ub(mm.getAs[Number](1).longValue) -
+             ub(mm.getAs[Number](0).longValue)).bitLength - 6)
+          coalesce(
+            shiftrightunsigned(
+              first.cast("long").bitwiseXOR(lit(Long.MinValue)), shift),
             lit(-1L))
         }
       // other key types: single chunk — correct, just not parallel (no
@@ -478,16 +487,20 @@ object RelOps {
 
   /** q45 catalog form: the exact columns hash-compare against the DuckDB
     * oracle, and the HLL estimate folds into `approx_ok` — TRUE iff the
-    * estimate is within 2×rsd (rsd default 0.05 → 10%) of the exact count,
+    * estimate is within 4×rsd (rsd default 0.05 → 20%) of the exact count,
     * integer arithmetic so the boolean is engine-exact. The oracle asserts
     * literal TRUE: an estimate drifting out of bound FAILS the gate (a
     * sketch-quality regression, which a rows-only check would miss). The
-    * raw estimate itself is bounded in `ApproxSpec` via
-    * [[approxDistinctRaw]]. */
+    * bound is 4 standard deviations — rsd is a σ, not a hard bound, so a
+    * 2×rsd gate could deterministically fail on a healthy sketch at a new
+    * scale factor (~5% of fixtures); 4σ makes a gate failure here a real
+    * regression signal. If it ever fires, re-check the raw estimate via
+    * [[approxDistinctRaw]] before treating it as a correctness break. The
+    * raw estimate itself is bounded in `ApproxSpec`. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     approxDistinctRaw(spark, dir)
       .select(col("n_rows"), col("exact_parts"),
-        (abs(col("approx_parts") - col("exact_parts")) * 10 <=
+        (abs(col("approx_parts") - col("exact_parts")) * 5 <=
           col("exact_parts")).as("approx_ok"))
 
   /** Approximate percentiles (the GK-sketch `approx_percentile`) BESIDE the

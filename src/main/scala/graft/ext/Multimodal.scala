@@ -51,10 +51,12 @@ private[ext] object WavCodec {
     * identical provider semantics to `AudioSystem.getAudioInputStream`,
     * minus the per-call registry lock. Fails loudly on undecodable input. */
   def stream(bytes: Array[Byte], id: Long): AudioInputStream = {
-    val in = new java.io.ByteArrayInputStream(bytes)
+    // fresh stream per attempt (cheap — wraps the same array): a provider
+    // that mark()s at a nonzero offset before rejecting would otherwise
+    // leave a shared stream truncated for the next reader
     readers.foreach { r =>
-      try return r.getAudioInputStream(in)
-      catch { case _: UnsupportedAudioFileException => in.reset() }
+      try return r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: UnsupportedAudioFileException => () }
     }
     throw new IllegalArgumentException(
       s"doc $id: no JDK AudioFileReader accepts the payload")

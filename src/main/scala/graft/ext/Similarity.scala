@@ -750,9 +750,9 @@ object Similarity {
       (if (k > 0) eligible.orderBy("cid").limit(k) else eligible)
         .write.mode("overwrite").parquet(s"$p/c0")
       VectorExpressions.register(spark)
-      for (k <- 1 to iters) {
+      for (it <- 1 to iters) {
         // k centroid rows to the driver (bounded by k·dim, never corpus-sized)
-        val cents = spark.read.parquet(s"$p/c${k - 1}")
+        val cents = spark.read.parquet(s"$p/c${it - 1}")
           .orderBy("cid").collect()
         // fail loudly on a seedless corpus: an empty centroid literal would
         // assign every vector a NULL cell while the oracle's empty-seed CTE
@@ -796,7 +796,7 @@ object Similarity {
           .agg(sum(col("comp")).as("s"), count(lit(1)).as("n"))
           .withColumn("comp",
             floor(col("s").cast("double") / col("n").cast("double")).cast("long"))
-        if (k == iters) {
+        if (it == iters) {
           // final round: materialize the assignment FIRST (q rides along so
           // [[semDedupPairs]] reads (vec_id, cell, q) directly — the at-rest
           // trade every index in this repo makes), then derive the stats
@@ -814,7 +814,7 @@ object Similarity {
             .agg(expr("transform(array_sort(collect_list(struct(pos, comp))), e -> e.comp)")
               .as("cq"))
             .select(col("cell").as("cid"), col("cq"))
-            .write.mode("overwrite").parquet(s"$p/c$k")
+            .write.mode("overwrite").parquet(s"$p/c$it")
         }
       }
       // multi-table state: commit the top-level marker buildOnce guards on

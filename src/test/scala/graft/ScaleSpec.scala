@@ -76,6 +76,16 @@ class ScaleSpec extends SparkSuite {
     // ranks are a permutation of 1..n (no drops from the offsets join)
     assert(got.map(_._2) == (1L to 8L).toSet)
     assert(gi.map(_._2) == (1L to 6L).toSet)
+    // full-range Long keys (e.g. xxhash64-derived): `hi - lo` overflows a
+    // signed Long, so the sign-bit-biased unsigned chunking must still rank
+    // correctly — including keys straddling 0 and both extremes
+    val fdf = Seq((Long.MinValue, "a"), (Long.MinValue + 7, "b"), (-3L, "c"),
+      (0L, "d"), (12L, "e"), (Long.MaxValue - 1, "f"), (Long.MaxValue, "g"))
+      .toDF("k", "t").repartition(4)
+    val gf = graft.engine.RelOps.rangedRowNumber(fdf, "rn", Seq("k"))
+      .select("t", "rn").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gf == Set(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L), ("e", 5L),
+      ("f", 6L), ("g", 7L)), s"full-range ranks diverge: $gf")
   }
 
   test("salted join returns exactly the rows of the plain join on skewed data") {
