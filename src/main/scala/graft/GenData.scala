@@ -12,8 +12,13 @@ import org.apache.spark.sql.functions._
   * (measured from sf0.01/sf0.1, TESTDATA.md):
   *  - same schemas, key ranges, value domains and marginal distributions
   *    (uniform keys/dates/prices, TPC-H-ish `discount` 0–0.10 and `tax`
-  *    0–0.08 in cents, `Customer#%09d`-style names, 31-word document
-  *    vocabulary, N(0, 0.125) 64-dim embeddings, `{"k": N}` event props);
+  *    0–0.08 in cents, `Customer#%09d`-style names, N(0, 0.125) 64-dim
+  *    embeddings, `{"k": N}` event props);
+  *  - document tokens drawn Zipf(s = 0.5) over a vocabulary that GROWS
+  *    with the multiplier per Heaps' law, V(m) = 31·√m ([[vocabSize]]/
+  *    [[toksOf]] — round-8 change; the round-7 fixed 31-word uniform draw
+  *    saturated posting lists so the dedup families' sf1 growth measured a
+  *    regime real growing-vocabulary corpora only hit far later);
   *  - same FK shape (lineitem→orders/part/supplier, orders→customer,
   *    events.user_id over customer/10 users; Poisson-like lines per order
   *    from independent uniform order keys);
@@ -44,6 +49,17 @@ object GenData {
     "part", "query", "row", "scan", "slow", "small", "sort", "spark",
     "stream", "table", "the", "value", "vector", "window")
 
+  /** Vocabulary size at multiplier `mult` (relative to sf0.1): Heaps' law
+    * with the literature-standard β = 0.5 — V(N) ∝ √N — anchored at the
+    * driver fixture's 31 words for mult ≤ 1. A FIXED vocabulary saturates
+    * the shingle space as the corpus grows (posting lists grow linearly
+    * with docs, so candidate pairs in the prefix/band dedup families grow
+    * quadratically — the round-7 sf1 gate measured exactly that regime);
+    * real corpora grow vocabulary with size, keeping chance shingle
+    * collisions — and thus candidate volume — near-linear. */
+  private[graft] def vocabSize(mult: Double): Int =
+    math.max(Vocab.size, math.round(Vocab.size * math.sqrt(mult)).toInt)
+
   /** Uniform [0,1) from (idCol, salt) — 40 high-entropy bits of xxhash64. */
   private def u(idCol: Column, salt: String): Column =
     pmod(xxhash64(idCol, lit(salt)), lit(1L << 40)).cast("double") /
@@ -62,23 +78,44 @@ object GenData {
   private def pick(idCol: Column, salt: String, vals: Seq[String]): Column =
     element_at(array(vals.map(lit): _*), ui(idCol, salt, vals.size) + 1)
 
-  /** The document token array of row `idc`: 10–100 tokens over [[Vocab]]. */
-  private def toksOf(idc: Column): Column = {
+  /** The word string of Zipf rank `rank` ∈ [1, V]: the 31 base words for
+    * ranks 1–31, then word-like synthetics (`"join2"`, `"vector7"`, …) —
+    * rank determines the string alone, so growing V only APPENDS tail
+    * words (rank→word is stable across multipliers). */
+  private def wordOf(rank: Column): Column = {
+    val base = element_at(array(Vocab.map(lit): _*),
+      pmod(rank - 1, lit(Vocab.size)).cast("int") + 1)
+    when(rank <= Vocab.size, base)
+      .otherwise(concat(base, floor((rank - 1) / Vocab.size).cast("string")))
+  }
+
+  /** The document token array of row `idc`: 10–100 tokens, each drawn
+    * Zipf(s = 0.5) over a `vocab`-word vocabulary by exact inverse-CDF —
+    * the CDF of p_k ∝ k^{-1/2} is √(k/V), so rank = ⌈V·u²⌉ on a hash
+    * uniform u: one closed-form expression, no rank table, no UDF.
+    *
+    * Exponent choice: s = 0.5 (Zipf–Mandelbrot tail range) keeps the
+    * collision mass Σp² ≈ ln(V)/(4V) within ~1.4× of the driver fixture's
+    * uniform-31 law at mult = 1 (0.045 vs 0.032) — so the m=1 fixture
+    * still matches the driver's measured chance-candidate rates — while
+    * classic s = 1 would concentrate 25% of draws on the head word and
+    * inflate trigram collisions ~30× over the driver law at any V. With
+    * Heaps V = 31√m, chance candidate pairs grow ~m^1.5·polylog from the
+    * m² of the fixed-vocab fixture — the near-linear regime real growing
+    * corpora show. */
+  private[graft] def toksOf(idc: Column, vocab: Int): Column = {
     val len = (lit(10) + pmod(xxhash64(idc, lit("doclen")), lit(91L))).cast("int")
-    transform(sequence(lit(1), len),
-      j => element_at(array(Vocab.map(lit): _*),
-        pmod(xxhash64(idc, j, lit("doctok")), lit(Vocab.size.toLong)).cast("int") + 1))
+    transform(sequence(lit(1), len), j => {
+      val uu = pmod(xxhash64(idc, j, lit("doctok")), lit(1L << 40))
+        .cast("double") / lit((1L << 40).toDouble)
+      // ⌈V·u²⌉ clamped to ≥ 1 (u = 0 hits rank 0)
+      wordOf(greatest(ceil(lit(vocab.toDouble) * uu * uu), lit(1L)).cast("int"))
+    })
   }
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
     val mult = if (args.length > 1) args(1).toDouble else 10.0
-    def n(base: Long): Long = math.max(1L, (base * mult).toLong)
-
-    val nCust = n(15000); val nSupp = n(1000); val nPart = n(20000)
-    val nOrders = n(150000); val nLine = n(600000); val nEvents = n(100000)
-    val nDocs = n(5000); val nEmb = n(2000); val nUsers = n(1500)
-
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -87,8 +124,22 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
+    gen(spark, out, mult)
+    spark.stop()
+  }
 
+  /** Generate every table at `mult`× sf0.1 under `out` (callable from specs
+    * with an existing session). */
+  def gen(spark: SparkSession, out: String, mult: Double): Unit = {
+    import spark.implicits._
+    def n(base: Long): Long = math.max(1L, (base * mult).toLong)
+
+    val nCust = n(15000); val nSupp = n(1000); val nPart = n(20000)
+    val nOrders = n(150000); val nLine = n(600000); val nEvents = n(100000)
+    val nDocs = n(5000); val nEmb = n(2000); val nUsers = n(1500)
+    val vocab = vocabSize(mult)
+
+    val cpus = spark.sparkContext.defaultParallelism
     def rng(rows: Long) = spark.range(0L, rows, 1L, cpus)
     val id = col("id")
 
@@ -179,11 +230,11 @@ object GenData {
     // exact-dup census.
     val mutated = expr("slice(base_toks, 1, size(base_toks) - 1)")
     rng(nDocs)
-      .withColumn("base_toks", toksOf(id - 90))
+      .withColumn("base_toks", toksOf(id - 90, vocab))
       .withColumn("toks",
-        when(id % 625 === 89, toksOf(id - 84))
+        when(id % 625 === 89, toksOf(id - 84, vocab))
           .when(id % 100 >= 90 && id % 100 <= 94, mutated)
-          .otherwise(toksOf(id)))
+          .otherwise(toksOf(id, vocab)))
       .select(
         id.as("doc_id"),
         concat_ws(" ", col("toks")).as("text"),
@@ -199,8 +250,8 @@ object GenData {
       ui(id, "elabel", 10).as("label"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    println(s"""{"gen":"$out","mult":$mult,"lineitem":$nLine,"orders":$nOrders,""" +
-      s""""customer":$nCust,"documents":$nDocs,"embeddings":$nEmb,"events":$nEvents}""")
-    spark.stop()
+    println(s"""{"gen":"$out","mult":$mult,"vocab":$vocab,"lineitem":$nLine,""" +
+      s""""orders":$nOrders,"customer":$nCust,"documents":$nDocs,""" +
+      s""""embeddings":$nEmb,"events":$nEvents}""")
   }
 }
