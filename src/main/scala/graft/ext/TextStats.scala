@@ -1526,7 +1526,17 @@ object TextStats {
       seqLen: Int = 256): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
-    graft.engine.RelOps.rangedCumsum(docs, "cum", Seq("doc_id"), col("n"))
+    packDocs(docs, 0L, seqLen)
+  }
+
+  /** Shared pack core of q231/q232 and the streaming packer: a
+    * (doc_id, n)-grain token stream (doc_id order) cut into `seqLen`-token
+    * sequences starting at global token `offset`. Doc-grain rows only; the
+    * explode factor is 1 + n/seqLen. */
+  private[graft] def packDocs(docs: DataFrame, offset: Long,
+      seqLen: Int): DataFrame =
+    graft.engine.RelOps.rangedCumsum(docs, "wcum", Seq("doc_id"), col("n"))
+      .withColumn("cum", col("wcum") + lit(offset))
       .withColumn("strt", col("cum") - col("n"))
       .withColumn("first_seq", expr(s"strt div $seqLen"))
       .withColumn("last_seq", expr(s"(cum - 1) div $seqLen"))
@@ -1541,7 +1551,6 @@ object TextStats {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
       .orderBy("seq_id")
-  }
 
   /** Incremental sequence packing (q232) — the ingest-wave form of
     * [[sequencePacking]], same append semantics a real packer has: the
@@ -1574,22 +1583,7 @@ object TextStats {
     val wave = Tables.documents(spark, dir)
       .filter(col("doc_id") % mod === rem)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
-    graft.engine.RelOps.rangedCumsum(wave, "wcum", Seq("doc_id"), col("n"))
-      .withColumn("cum", col("wcum") + offset)
-      .withColumn("strt", col("cum") - col("n"))
-      .withColumn("first_seq", expr(s"strt div $seqLen"))
-      .withColumn("last_seq", expr(s"(cum - 1) div $seqLen"))
-      .select(col("doc_id"), col("strt"), col("cum"),
-        explode(expr("sequence(first_seq, last_seq)")).as("seq_id"))
-      .withColumn("tok_in_seq",
-        least(col("cum"), (col("seq_id") + 1) * seqLen) -
-          greatest(col("strt"), col("seq_id") * seqLen))
-      .groupBy(col("seq_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("tok_in_seq")).cast("long").as("n_tokens"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
-      .orderBy("seq_id")
+    packDocs(wave, offset, seqLen)
   }
 
   /** Code-switching rate (q213) — the WINDOW-level language-mix audit the

@@ -389,6 +389,54 @@ class StreamsSpec extends SparkSuite {
     }
   }
 
+  test("streaming packing: wave manifest == batch q232 at the sealed-shard boundary, exactly-once re-drain") {
+    val dir = "/root/testdata/sf0.001"
+    val src = "/tmp/graft_stream_pack_src"
+    val man = "/tmp/graft_stream_pack_man"
+    val ckpt = "/tmp/graft_stream_pack_ckpt"
+    Seq(src, man, ckpt).foreach(rmTree)
+    val docs = graft.engine.Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    // wave 1 = q232's at-rest corpus (doc_id % 10 != 7); wave 2 = its wave
+    docs.filter(!(col("doc_id") % 10 === 7)).write.mode("append").parquet(src)
+    Streams.runPackingStream(spark, src, man, ckpt)
+    docs.filter(col("doc_id") % 10 === 7).write.mode("append").parquet(src)
+    Streams.runPackingStream(spark, src, man, ckpt)
+
+    def rows(path: String) = spark.read.parquet(path).orderBy("seq_id")
+      .collect().map(_.toString).toSeq
+    // replay parity: the drained wave slice is row-identical to the batch
+    // incremental packer over the same corpus/wave split
+    val batchForm = graft.ext.TextStats.incrementalPacking(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(rows(s"$man/b1") == batchForm,
+      "streaming wave manifest must equal batch incrementalPacking")
+    // sealed-shard append: wave seq ids start at the boundary AFTER the
+    // corpus's last (possibly partial) sequence — manifests never overlap
+    val corpusMax = spark.read.parquet(s"$man/b0")
+      .agg(max(col("seq_id"))).collect()(0).getLong(0)
+    val waveMin = spark.read.parquet(s"$man/b1")
+      .agg(min(col("seq_id"))).collect()(0).getLong(0)
+    assert(waveMin == corpusMax + 1, s"wave starts at $waveMin, corpus ends at $corpusMax")
+    // every sequence is full except at most the last per wave
+    Seq(s"$man/b0", s"$man/b1").foreach { p =>
+      val seqs = spark.read.parquet(p).orderBy("seq_id").collect()
+      assert(seqs.dropRight(1).forall(_.getAs[Long]("n_tokens") == 256L),
+        s"non-final sequence short in $p")
+    }
+    // token conservation: manifest totals equal the doc-grain token counts
+    val tokTotal = docs.select(org.apache.spark.sql.functions.sum(
+      size(split(col("text"), " ")).cast("long"))).collect()(0).getLong(0)
+    val manTotal = spark.read.option("recursiveFileLookup", "true").parquet(man)
+      .agg(org.apache.spark.sql.functions.sum(col("n_tokens")))
+      .collect()(0).getLong(0)
+    assert(manTotal == tokTotal, s"manifest tokens $manTotal != corpus $tokTotal")
+    // idempotent re-drain: same checkpoint, no new files → manifest unchanged
+    val before = rows(s"$man/b0") ++ rows(s"$man/b1")
+    Streams.runPackingStream(spark, src, man, ckpt)
+    assert(rows(s"$man/b0") ++ rows(s"$man/b1") == before)
+  }
+
   test("streaming heavy-hitter candidates: MG state keeps the hot term, exact running n") {
     val s = spark; import s.implicits._
     val src = "/tmp/graft_stream_hh_src"
