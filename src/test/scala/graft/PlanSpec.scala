@@ -549,11 +549,18 @@ class PlanSpec extends SparkSuite {
       s"candidate generation must stay an equi-join on the bucket:\n$p")
   }
 
-  test("q193 audio decode: partition-parallel projection — no join, one exchange (the sort)") {
+  test("q193 audio decode: partition-parallel projection — no join, two exchanges (core spread + sort)") {
     val p = plan("q193_audio_decode")
     assert(!p.contains("Join"), s"decode is per-row work, no join belongs here:\n$p")
     val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
-    assert(exchanges <= 1, s"only the output sort may shuffle, got $exchanges:\n$p")
+    // round 8: a round-robin repartition of the 8-byte doc_id feed spreads
+    // the CPU-bound codec pass across cores (scan splits are sized by I/O
+    // bytes, not per-row CPU) — that exchange plus the output sort are the
+    // only two; anything more means the codec path grew a shuffle it
+    // doesn't need
+    assert(exchanges <= 2, s"only core-spread + output sort may shuffle, got $exchanges:\n$p")
+    assert(p.contains("RoundRobinPartitioning"),
+      s"codec feed must be core-spread, not scan-split-shaped:\n$p")
   }
 
   test("q194 column stats: all four NDVs share ONE scan via Expand (never k scans)") {
