@@ -12,8 +12,16 @@ object Verify {
     def selected(name: String): Boolean =
       only.forall(_.exists(name.contains))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Opt-in ANSI dual-run (SPARK_GRAFT_ANSI=true): the engine's integer
+    // division / overflow conventions are load-bearing in ~40 queries, and
+    // non-ANSI Spark turns a class of defects (overflow wrap, bad casts,
+    // div-by-zero) into silent NULLs the oracle may coincidentally match.
+    // A periodic ANSI pass catches that class wholesale; the driver never
+    // sets the var, so per-round behavior is unchanged.
+    val ansi = sys.env.getOrElse("SPARK_GRAFT_ANSI", "false").toBoolean
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.ansi.enabled", ansi)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
