@@ -62,10 +62,16 @@ object Bench {
     // the plan, not the input path, so this compiles + JITs every query's
     // generated code once. The timed passes below then measure execution, not
     // one-time janino/JIT cost (~2-3 min across 60 distinct plans otherwise).
-    val warmDir = {
-      val w = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
-      if (new java.io.File(w).isDirectory) w else sfDir
-    }
+    // SPARK_GRAFT_WARM_DIR overrides for generated fixtures whose paths
+    // don't match the driver's sf-suffix convention (/tmp/graft_sf10 would
+    // otherwise warm up against itself — paying full-SF cost per query
+    // before the first timed pass)
+    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR")
+      .filter(d => new java.io.File(d).isDirectory)
+      .getOrElse {
+        val w = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
+        if (new java.io.File(w).isDirectory) w else sfDir
+      }
     SparkEntry.queries.toSeq.filter(kv => selected(kv._1)).sortBy(_._1).foreach { case (name, fn) =>
       try { fn(spark, warmDir).count() } catch {
         case t: Throwable =>
