@@ -85,6 +85,27 @@ object Bench {
     // the same burst and the min would not filter it. Any throw marks the
     // query errored (-1 + "errors" entry), never a silent partial timing.
     val names = SparkEntry.queries.toSeq.filter(kv => selected(kv._1)).sortBy(_._1)
+
+    // Priming pass at the TIMED SF (untimed): the first query to touch a
+    // shared at-rest index (Fs.buildOnce scratch — e.g. q120 is the
+    // alphabetically-first reader of the candidate-pair + candidate-shingle
+    // index that 8 later queries reuse) otherwise pays the build inside its
+    // pass-1 timing. Min-of-passes discards that only when another pass is
+    // clean; a transient burst on pass 2 leaves the build-inflated pass 1 as
+    // the reported min — BENCH_r07's q120 read 1.22 s against a 0.59 s warm
+    // cost through exactly this mechanism. One untimed pass makes every
+    // timed pass warm-deterministic. Default: full-catalog runs only
+    // (filtered local iteration and the family-scoped growth-gate runs skip
+    // it — at sf10 an extra full pass is real wall-clock); SPARK_GRAFT_PRIME
+    // overrides either way.
+    val prime = sys.env.get("SPARK_GRAFT_PRIME").map(_.toBoolean)
+      .getOrElse(only.isEmpty)
+    if (prime) names.foreach { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] prime $name failed: ${t.getMessage}")
+      }
+    }
     val best = scala.collection.mutable.Map[String, Double]()
     val errs = scala.collection.mutable.Map[String, String]()
     for (_ <- 1 to passes; (name, fn) <- names if !errs.contains(name)) {
@@ -132,6 +153,13 @@ object Bench {
       // noise), so timing them at the base SF would be pure wasted wall-clock
       val gated = names.filter { case (name, _) =>
         !errs.contains(name) && best.getOrElse(name, -1.0) >= growthFloor }
+      // base-side ratios deserve the same warm determinism as the large side
+      if (prime) gated.foreach { case (name, fn) =>
+        try { fn(spark, bDir).count() } catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] prime-base $name failed: ${t.getMessage}")
+        }
+      }
       val bBest = scala.collection.mutable.Map[String, Double]()
       for (_ <- 1 to passes; (name, fn) <- gated) {
         val t0 = System.nanoTime()

@@ -702,29 +702,80 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
 
   /** Blocked record linkage over the customer dimension (q155) — the
-    * relational-entity counterpart of the document near-dup stack: candidate
-    * pairs come from equi-join BLOCKING on (nation, market segment) — never
-    * a corpus cross join — and the match verifier is the native banded
-    * Levenshtein expression (`graft_bounded_lev`, k = 2), whose cost is
-    * O(k·|name|) per pair instead of the full DP matrix. Emits matched pairs
-    * (distance ≤ k) with their exact distance.
+    * relational-entity counterpart of the document near-dup stack: the
+    * match verifier is the native banded Levenshtein expression
+    * (`graft_bounded_lev`, k = 2), O(k·|name|) per pair instead of the
+    * full DP matrix; matched pairs (distance ≤ k) emit with their exact
+    * distance.
     *
-    * Scale shape: the self-join shuffles once on the block key; pair count
-    * is Σ block² — the blocking key's job is to bound that (here two
-    * attributes cut it 5× vs nation alone; a production deployment with
-    * free-text names adds an LSH/phonetic block exactly like the document
-    * stack's band index). The verifier is budgeted, so a pathological block
-    * cannot blow up per-pair cost, only pair count. */
-  def recordLinkage(spark: SparkSession, dir: String, k: Int = 2): DataFrame = {
+    * Candidate generation (upgraded round 8 after the sf10 gate caught the
+    * original): attribute blocking on (nation, segment) alone is Σ block²
+    * — 9·10⁹ verifier calls at 1.5 M customers / 125 blocks; the first
+    * sf10 run spent 15+ min inside `boundedLev`. Within each attribute
+    * block, candidates now come from Ed-Join-style prefix filtering on
+    * q-grams (Xiao, Wang, Lin, VLDB 2008 — the edit-distance sibling of
+    * q173's PPJoin): a pair within edit distance k can lose at most k·q
+    * distinct q-gram types (each edit touches ≤ q gram windows), so under
+    * ANY shared total order of grams, two matching records must share a
+    * gram among their k·q + 1 FIRST grams. Ordering grams by global
+    * (document frequency, gram) puts the RAREST grams in the prefix —
+    * constant name prefixes ("Customer#…", the hot segment that defeats
+    * naive segment-pigeonhole blocking here) rank last and never join.
+    * Per-record cost: one gram explode (≤ |name| rows), one df lookup
+    * (broadcast), a kq+1-row prefix — candidate volume rides gram rarity,
+    * LINEAR in records. Records with ≤ k·q distinct grams keep their whole
+    * gram set as prefix (the lemma's degenerate case). q = 3 is measured,
+    * not guessed: q = 4 (bigger prefix, 9 grams) ran 3× SLOWER at sf10 —
+    * zero-padded ids leave most 4-grams zero-heavy, so the wider prefix
+    * adds candidates faster than the longer gram removes them.
+    *
+    * Inherent scale bound, measured by the sf10 gate: on DENSE key domains
+    * the OUTPUT is superlinear — at sf10 the 9-digit name space is 15 %
+    * occupied, so a typical name has ~14 neighbors within 2 digit edits
+    * and matches grow ~14× per 10× records (sf0.1: 1.5 k customers →
+    * sparse matches; sf10: 1.5 M → ~10⁷ matched pairs). No candidate
+    * scheme beats output size; real linkage corpora (person/company
+    * names) are sparse in their string space and stay match-linear. The
+    * verifier stays budgeted either way. */
+  def recordLinkage(spark: SparkSession, dir: String, k: Int = 2,
+      q: Int = 3): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
+    val pfx = k * q + 1
     val c = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
-    val a = c.select(col("c_custkey").as("custkey_a"), col("c_name").as("name_a"),
-      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
-    val b = c.select(col("c_custkey").as("custkey_b"), col("c_name").as("name_b"),
-      col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"))
-    a.join(b, Seq("nk", "seg"))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey").as("nk"),
+        col("c_mktsegment").as("seg"))
+      .withColumn("grams", expr(
+        s"array_distinct(transform(sequence(1, greatest(length(c_name) - $q + 1, 1)), i -> substring(c_name, i, $q)))"))
+    // global gram rarity — one small aggregate (gram space is bounded by
+    // the name alphabet), broadcast back onto the exploded grams
+    val df = c.select(explode(col("grams")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+    val prefix = c.select(col("c_custkey"), col("c_name"), col("nk"), col("seg"),
+        explode(col("grams")).as("gram"))
+      .join(broadcast(df), Seq("gram"))
+      // per-record rarest-first rank; (df, gram) is a total order so the
+      // prefix is deterministic
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c_custkey")).orderBy(col("df"), col("gram"))))
+      .filter(col("rk") <= pfx)
+      .select(col("c_custkey"), col("c_name"), col("nk"), col("seg"), col("gram"))
+    val a = prefix.select(col("c_custkey").as("custkey_a"),
+      col("c_name").as("name_a"), col("nk"), col("seg"), col("gram"))
+    val b = prefix.select(col("c_custkey").as("custkey_b"),
+      col("c_name").as("name_b"), col("nk"), col("seg"), col("gram"))
+    a.join(b, Seq("nk", "seg", "gram"))
       .filter(col("custkey_a") < col("custkey_b"))
+      .select(col("nk"), col("seg"), col("custkey_a"), col("custkey_b"),
+        col("name_a"), col("name_b"))
+      .distinct()
+      // Catalyst pushes this filter BELOW the distinct (lev's inputs are
+      // grouping keys) — so the 0.5µs codegen verifier runs per candidate
+      // row and only MATCHES reach the aggregate. That ordering is right:
+      // an sf10 experiment that forced dedup-before-verify (names as
+      // first() aggregates) hash-aggregated the full candidate volume and
+      // ran 4× SLOWER (1272 s vs 318 s) — shuffling a wide row costs more
+      // than verifying it
       .withColumn("lev", expr(s"graft_bounded_lev(name_a, name_b, $k)").cast("long"))
       .filter(col("lev") <= k)
       .select(col("nk").as("nationkey"), col("seg").as("mktsegment"),

@@ -872,6 +872,30 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("q155 Ed-Join prefix filter is COMPLETE: exactly the brute-force block matches") {
+    // the round-8 rarest-gram prefix blocking (kq+1 lemma) must never MISS
+    // a pair the quadratic verifier would match — recall == 1 by theorem,
+    // pinned here against an in-JVM brute force over every (nk, seg) block
+    val got = ext.Dedup.recordLinkage(spark, dir).collect()
+      .map(r => (r.getAs[Long]("custkey_a"), r.getAs[Long]("custkey_b"))).toSet
+    def fullLev(s: String, t: String): Int = {
+      val d = Array.tabulate(s.length + 1, t.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      d(s.length)(t.length)
+    }
+    val rows = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+    val brute = (for {
+      (ka, na, nka, sga) <- rows; (kb, nb, nkb, sgb) <- rows
+      if ka < kb && nka == nkb && sga == sgb && fullLev(na, nb) <= 2
+    } yield (ka, kb)).toSet
+    assert(got == brute,
+      s"missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
   test("q156 decayed engagement: decayed never exceeds raw and never goes negative") {
     val rows = Events.decayedEngagement(spark, dir).collect()
     assert(rows.nonEmpty)
