@@ -730,8 +730,9 @@ object Dedup {
     * adds candidates faster than the longer gram removes them.
     *
     * Inherent scale bound, measured by the sf10 gate: on DENSE key domains
-    * the OUTPUT is superlinear — at sf10 the 9-digit name space is 15 %
-    * occupied, so a typical name has ~14 neighbors within 2 digit edits
+    * the OUTPUT is superlinear — at sf10 the 9-digit name space is 0.15 %
+    * occupied, so a typical name has ~11 neighbors within 2 digit edits
+    * (8.29 M matched pairs measured over 1.5 M records)
     * and matches grow ~14× per 10× records (sf0.1: 1.5 k customers →
     * sparse matches; sf10: 1.5 M → ~10⁷ matched pairs). No candidate
     * scheme beats output size; real linkage corpora (person/company
