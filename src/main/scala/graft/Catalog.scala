@@ -1023,7 +1023,9 @@ object Catalog {
     // nProbe-cell search (the second scale path beside hyperplane LSH).
     q("q72_ivf_ann", (s, d) => ext.Similarity.ivfTopK(s, d),
       s"""WITH $vecsCte,
-         |cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 31 = 0),
+         |cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n
+         |          WHERE vec_id % (SELECT greatest(CAST(31 AS BIGINT),
+         |            CAST(floor(sqrt(COUNT(*))) AS BIGINT)) FROM n) = 0),
          |cc AS (SELECT a.vec_id, c.centroid_id,
          |         list_sum(list_transform(list_zip(a.v, c.cv), z -> z[1] * z[2])) / (a.nrm * c.cn) AS ccos
          |       FROM n a CROSS JOIN cents c),
@@ -1218,7 +1220,9 @@ object Catalog {
     // path): exact integer code sums per (Voronoi cell, dimension).
     q("q86_ivf_centroids", (s, d) => ext.Similarity.ivfCellCentroids(s, d),
       s"""WITH $vecsCte,
-         |cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 31 = 0),
+         |cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n
+         |          WHERE vec_id % (SELECT greatest(CAST(31 AS BIGINT),
+         |            CAST(floor(sqrt(COUNT(*))) AS BIGINT)) FROM n) = 0),
          |cc AS (SELECT a.vec_id, a.v, c.centroid_id,
          |         list_sum(list_transform(list_zip(a.v, c.cv), z -> z[1] * z[2])) / (a.nrm * c.cn) AS ccos
          |       FROM n a CROSS JOIN cents c),

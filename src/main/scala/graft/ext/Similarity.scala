@@ -32,6 +32,12 @@ import graft.functions.VectorExpressions
   * precomputed Σc² term. Top-level so `typedlit` gets a stable TypeTag. */
 case class CentroidLit(cid: Long, cq: Seq[Long], cc: Long)
 
+/** One IVF coarse centroid for [[Similarity.assignCells]]'s typed-literal
+  * argmax path (q72/q86): raw double components plus the precomputed norm.
+  * Top-level so `typedlit` gets a stable TypeTag. Field order is the
+  * `graft_argmax_cell` struct contract: (cid, cv, cn). */
+case class IvfCentroidLit(cid: Long, cv: Seq[Double], cn: Double)
+
 object Similarity {
 
   /** embedding as array<double> plus its L2 norm. `cast` (not a `transform`
@@ -347,6 +353,66 @@ object Similarity {
               0L, (a, x) -> a + x) END""").as("total_variation"))
       .orderBy("vec_id")
 
+  /** Corpus-adaptive centroid sample shared by the IVF pair (q72/q86):
+    * `vec_id % mod == 0` with `mod = max(31, floor(sqrt(n)))`, so the cell
+    * count follows the standard IVF sizing nlist ≈ √n (FAISS guideline:
+    * assignment work n·nlist = n^1.5, expected cell size √n — both probe cost
+    * and assignment cost grow with the SAME √n factor). The round-8 sf10 gate
+    * caught the original FIXED mod 31: a linearly-growing centroid table makes
+    * assignment n²/31 dots (at 200 k vectors that was 1.3 G candidate rows —
+    * 103-160× for 10× data). The floor keeps small fixtures on the original
+    * sample (mod 31 up to n = 961), so the sf0.01 oracle results are
+    * unchanged; the oracle derives the same law from COUNT(*).
+    *
+    * The sample is COLLECTED — nlist rows bounded by √n, never corpus-sized:
+    * the same driver-seed contract as the k-means centroid loop below, and
+    * the same deployment shape as every real IVF implementation, which holds
+    * the coarse-quantizer table in RAM on every node. The loud require is the
+    * k-means seedless-corpus guard: an empty sample would otherwise surface
+    * as [[graft.functions.ArgMaxCell]]'s -1 sentinel cell. */
+  private def centroidLits(all: DataFrame, spark: SparkSession): Seq[IvfCentroidLit] = {
+    val n = all.count()
+    val mod = math.max(31L, math.floor(math.sqrt(n.toDouble)).toLong)
+    val rows = all.filter(col("vec_id") % mod === 0)
+      .select(col("vec_id"), col("v"), col("nrm")).orderBy("vec_id").collect()
+    require(rows.nonEmpty, s"ivf: no centroid sample (vec_id % $mod == 0) in the corpus")
+    rows.toSeq.map(r => IvfCentroidLit(r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+  }
+
+  /** The collected sample back as a DataFrame — the probe-selection side of
+    * [[ivfTopK]] ranks it relationally (nQueries × nlist rows). */
+  private def centroidFrame(spark: SparkSession, cents: Seq[IvfCentroidLit]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("centroid_id", "cv", "cn")
+  }
+
+  /** Nearest-centroid cell id per vector as a PURE PROJECTION: the √n-sized
+    * centroid sample rides as one typed literal and
+    * [[graft.functions.ArgMaxCell]] (`graft_argmax_cell`) computes the
+    * argmax-cosine cell in whole-stage codegen — no n × nlist candidate
+    * materialization at all. The relational forms this replaced are
+    * documented on the expression: the window form shuffled ~660 GB of
+    * candidate rows at sf10; the `max_by` form sort-aggregated them
+    * (array-typed buffers fall off HashAggregate); measured 9.0 s → 2.1 s
+    * for the sf10 assignment. Same winner bit-for-bit: total double order,
+    * ties to the lower cid (the oracle's ORDER BY ccos DESC, centroid_id). */
+  private def assignCells(all: DataFrame, cents: Seq[IvfCentroidLit],
+      spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // the centroid table must sit INSIDE the expression node as a literal (a
+    // column reference is not foldable at analysis time), so the sample is
+    // bound via the function registry — the same mechanism every graft
+    // expression uses — under a per-dataset name (the growth gate runs two SF
+    // dirs in one session; the binding is deterministic per dir, so
+    // re-registration is idempotent)
+    val centsLit = Literal.create(cents)
+    val fname = s"graft_ivf_assign_${graft.engine.Fs.dirTag(dir)}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => graft.functions.ArgMaxCell(exprs(0), exprs(1), centsLit),
+      "scala_udf")
+    all.withColumn("cell", expr(s"$fname(v, nrm)"))
+  }
+
   /** IVF cell centroids in SQ8 code space — the index-maintenance counterpart
     * of [[ivfTopK]]: per (Voronoi cell, dimension), the count and exact integer
     * sum of the member vectors' SQ8 codes (FAISS's IVF+SQ8 layout). Float
@@ -354,22 +420,14 @@ object Similarity {
     * the oracle can hash-match the index content bit-for-bit.
     *
     * Scale shape: cell assignment is one corpus pass against the broadcast
-    * centroid table; the per-(cell, dim) rollup is a map-side-combinable hash
-    * aggregate over cells × dims rows (tiny output). No self-join, no window
-    * over the corpus — the only window ranks each vector's centroid candidates
-    * within its own partition-by-vector frame. */
-  def ivfCellCentroids(spark: SparkSession, dir: String,
-      centroidMod: Int = 31): DataFrame = {
+    * √n-sized centroid sample ([[centroidLits]]), argmax as a codegen projection
+    * ([[assignCells]] — no window over the corpus); the per-(cell, dim) rollup
+    * is a map-side-combinable hash aggregate over cells × dims rows (tiny
+    * output). No self-join anywhere. */
+  def ivfCellCentroids(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
-    val cents = all.filter(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val byCos = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("centroid_id").asc)
-    val assigned = all.crossJoin(broadcast(cents))
-      .withColumn("ccos", expr("graft_dot(v, cv)") / (col("nrm") * col("cn")))
-      .withColumn("crank", row_number().over(byCos))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("centroid_id").as("cell"))
+    val assigned = assignCells(all, centroidLits(all, spark), spark, dir)
+      .select(col("vec_id"), col("v"), col("cell"))
     assigned
       .withColumn("mn", array_min(col("v")))
       .withColumn("mx", array_max(col("v")))
@@ -387,16 +445,19 @@ object Similarity {
     * search only the `nProbe` cells nearest each query.
     *
     * Centroids are a content-addressed SAMPLE of the corpus itself
-    * (`vec_id % centroidMod == 0` — sampling data points as coarse centroids
-    * is standard IVF practice and, unlike Lloyd iterations, is deterministic
-    * and exactly reproducible in the DuckDB oracle; the centroid count scales
-    * with the corpus). Three stages, all linear or broadcast:
+    * (`vec_id % mod == 0` — sampling data points as coarse centroids is
+    * standard IVF practice and, unlike Lloyd iterations, is deterministic and
+    * exactly reproducible in the DuckDB oracle; the cell count follows the
+    * nlist ≈ √n law, see [[centroidLits]]). Three stages, all n^1.5-bounded
+    * or broadcast:
     *
-    *  1. cell assignment: one pass over the corpus × broadcast centroid table
-    *     (argmax cosine, ties to the lower centroid id). At 100 TB this is the
-    *     partitioning write — each cell is a parquet partition.
+    *  1. cell assignment: one pass over the corpus × broadcast centroid
+    *     table, argmax cosine folded map-side (ties to the lower centroid id,
+    *     [[assignCells]]). At 100 TB this is the partitioning write — each
+    *     cell is a parquet partition.
     *  2. probe selection: each query ranks the same broadcast centroid table,
-    *     keeps `nProbe` cells.
+    *     keeps `nProbe` cells (nQueries × nCents rows — a window is fine at
+    *     that cardinality).
     *  3. search: queries equi-join the assignment on cell id — the scan
     *     touches ~nProbe/nCells of the corpus, never all of it. Exact cosine +
     *     per-query top-k inside the probed cells only.
@@ -404,21 +465,19 @@ object Similarity {
     * Each vector lives in exactly one cell, so probing distinct cells can
     * never produce duplicate neighbors. */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 3, nQueries: Int = 20,
-      nProbe: Int = 2, centroidMod: Int = 31): DataFrame = {
+      nProbe: Int = 2): DataFrame = {
     val all = vecs(spark, dir)
-    val cents = all.filter(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val lits = centroidLits(all, spark)
+    val cents = centroidFrame(spark, lits)
+    val assigned = assignCells(all, lits, spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
+        col("nrm").as("nn"), col("cell"))
     val byCos = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("centroid_id").asc)
-    def rankCentroids(df: DataFrame): DataFrame =
-      df.crossJoin(broadcast(cents))
-        .withColumn("ccos", expr("graft_dot(v, cv)") / (col("nrm") * col("cn")))
-        .withColumn("crank", row_number().over(byCos))
-    val assigned = rankCentroids(all)
-      .filter(col("crank") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"),
-        col("nrm").as("nn"), col("centroid_id").as("cell"))
-    val probes = rankCentroids(all.filter(col("vec_id") < nQueries))
+    val probes = all.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", expr("graft_dot(v, cv)") / (col("nrm") * col("cn")))
+      .withColumn("crank", row_number().over(byCos))
       .filter(col("crank") <= nProbe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("centroid_id").as("cell"))

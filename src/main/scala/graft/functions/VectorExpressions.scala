@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StructType}
 
 /** Native Catalyst expression for the vector-similarity hot path.
   *
@@ -121,6 +121,123 @@ case class LongDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid argmax for the IVF family (q72/q86): given a vector `v`
+  * with norm `nrm` and a FOLDABLE centroid table `cents` (array of structs
+  * `(cid: bigint, cv: array<double>, cn: double)` — in practice a `typedlit`
+  * of the driver-collected √n centroid sample), returns the cid maximizing
+  * cosine `graft_dot(v, cv) / (nrm · cn)`, ties to the LOWEST cid.
+  *
+  * Why an expression and not a join/aggregate: the relational forms of this
+  * argmax materialize n × nlist candidate rows — the round-8 sf10 gate
+  * measured the window form at ~660 GB through one exchange, the `max_by`
+  * form as a SortAggregate over the same rows (array-typed agg buffers are
+  * not HashAggregate-compatible), and the `aggregate()` HOF form pays an
+  * interpreted lambda per (row, centroid). This expression keeps the whole
+  * scan inside WholeStageCodegen: because `cents` is foldable, it is
+  * evaluated ONCE (per executor, lazily) and unpacked into primitive
+  * `long[]` / `double[][]` / `double[]` tables, so the generated code is a
+  * JIT-friendly nested primitive loop — no per-row allocation, no boxed
+  * element access. Same once-per-plan constant-hoisting discipline as the
+  * LSH plane literals (file header above).
+  *
+  * Ordering semantics match the relational forms this replaces: doubles
+  * compare in Spark's TOTAL order (NaN greatest; ±0.0 equal — compared via
+  * `Double.compare` after canonicalizing -0.0, exactly SQLOrderingUtil), and
+  * equal cosines break to the lower cid — the oracle's
+  * `ORDER BY ccos DESC, centroid_id`. An EMPTY centroid table returns -1;
+  * callers guard with a loud `require` (a seedless corpus is a data bug, not
+  * a plan state — same contract as the k-means seed guard). */
+case class ArgMaxCell(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vOk = first.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val centsOk = third.dataType match {
+      case ArrayType(StructType(Array(f0, f1, f2)), _) =>
+        f0.dataType == LongType &&
+          (f1.dataType match { case ArrayType(DoubleType, _) => true; case _ => false }) &&
+          f2.dataType == DoubleType
+      case _ => false
+    }
+    if (!vOk || second.dataType != DoubleType || !centsOk)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_argmax_cell requires (array<double>, double, " +
+          s"array<struct<bigint, array<double>, double>>), got " +
+          s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+    else if (!third.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_argmax_cell requires a foldable (literal) centroid table")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_argmax_cell"
+
+  /** The literal centroid table unpacked to primitives — once per executor
+    * (@transient lazy; the serialized expression carries only the literal). */
+  @transient private lazy val table: (Array[Long], Array[Array[Double]], Array[Double]) = {
+    val arr = third.eval(null).asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val cids = new Array[Long](m)
+    val cvs = new Array[Array[Double]](m)
+    val cns = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      val row = arr.getStruct(i, 3)
+      cids(i) = row.getLong(0)
+      cvs(i) = row.getArray(1).toDoubleArray()
+      cns(i) = row.getDouble(2)
+      i += 1
+    }
+    (cids, cvs, cns)
+  }
+
+  /** The primitive argmax loop shared by eval and the generated code. */
+  def argmax(v: ArrayData, nrm: Double): Long = {
+    val (cids, cvs, cns) = table
+    val vArr = v.toDoubleArray()
+    var bestS = Double.NegativeInfinity
+    var bestC = -1L
+    var found = false
+    var i = 0
+    while (i < cids.length) {
+      val cv = cvs(i)
+      val n = math.min(vArr.length, cv.length)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += vArr(j) * cv(j); j += 1 }
+      var s = dot / (nrm * cns(i))
+      if (s == 0.0) s = 0.0 // canonicalize -0.0 (SQLOrderingUtil semantics)
+      val cmp = java.lang.Double.compare(s, bestS)
+      if (!found || cmp > 0 || (cmp == 0 && cids(i) < bestC)) {
+        bestS = s; bestC = cids(i); found = true
+      }
+      i += 1
+    }
+    bestC
+  }
+
+  override def nullSafeEval(v: Any, nrm: Any, cents: Any): Any =
+    argmax(v.asInstanceOf[ArrayData], nrm.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, nrm, _) => {
+      // the expression instance rides along as a reference object; the
+      // generated loop calls the same primitive argmax the interpreter uses
+      // (one virtual call per ROW, primitive loops inside — the per-element
+      // work is identical to inlining and stays allocation-free)
+      val self = ctx.addReferenceObj("argmaxCell", this,
+        classOf[ArgMaxCell].getName)
+      s"${ev.value} = $self.argmax($v, $nrm);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorExpressions {
   /** Register the engine's native functions (`graft_dot`,
     * `graft_bounded_lev`) in the session's function registry so plans (and
@@ -136,6 +253,9 @@ object VectorExpressions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot_long", exprs => LongDotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_argmax_cell",
+      exprs => ArgMaxCell(exprs(0), exprs(1), exprs(2)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bounded_lev",
       exprs => BoundedLevenshtein(exprs(0), exprs(1), exprs(2)), "scala_udf")

@@ -137,12 +137,20 @@ class PlanSpec extends SparkSuite {
       s"the layout key must be a codegen'd per-row expression:\n$p")
   }
 
-  test("q86 IVF centroids: centroid table broadcast, no cartesian product") {
+  test("q86 IVF centroids: assignment is a pure projection — no join, no window, no sort-agg") {
     val p = plan("q86_ivf_centroids")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"centroid assignment must broadcast the centroid side:\n$p")
-    assert(!p.contains("CartesianProduct"),
-      s"corpus x centroids must never be a shuffled cartesian:\n$p")
+    // round 8: cell assignment rides the graft_argmax_cell codegen expression
+    // over the literal √n centroid sample — the n × nlist candidate
+    // materialization (and the SortAggregate the max_by form fell into) is
+    // gone; the only remaining plan nodes are the scan, the projection, and
+    // the map-side-combinable (cell, dim) rollup
+    assert(!p.contains("Join"), s"assignment must not join the corpus:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"the rollup must stay a hash aggregate (primitive buffers):\n$p")
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("(") && l.contains(") Window")),
+      s"no window over the corpus:\n$p")
+    assert(p.contains("graft_argmax_cell"),
+      s"cell assignment must be the codegen argmax expression:\n$p")
   }
 
   test("q87 daily anomaly: per-type stats join is broadcast (types are a tiny dim)") {

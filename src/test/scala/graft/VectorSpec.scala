@@ -138,4 +138,50 @@ class VectorSpec extends SparkSuite {
       .collect().map(_.toString).toSeq
     assert(aggBased == winBased)
   }
+
+  test("graft_argmax_cell equals the relational max_by argmax; ties break to the lower cid") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    VectorExpressions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val all = graft.engine.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    // every 7th vector as a centroid — small mod so several cells populate
+    val centRows = all.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), col("v"), col("nrm")).orderBy("vec_id").collect()
+    val cents = centRows.toSeq.map(r =>
+      graft.ext.IvfCentroidLit(r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "argmax_cell_test",
+      exprs => graft.functions.ArgMaxCell(exprs(0), exprs(1), Literal.create(cents)),
+      "scala_udf")
+    val viaExpr = all.withColumn("cell", expr("argmax_cell_test(v, nrm)"))
+      .select("vec_id", "cell")
+    val centsDf = spark.createDataFrame(spark.sparkContext.parallelize(centRows.toSeq),
+      centRows.head.schema)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val viaRel = all.crossJoin(broadcast(centsDf))
+      .withColumn("ccos", expr("graft_dot(v, cv)") / (col("nrm") * col("cn")))
+      .groupBy(col("vec_id")).agg(
+        max_by(col("centroid_id"),
+          struct(col("ccos"), (-col("centroid_id")).as("tb"))).as("cell"))
+    val diff = viaExpr.exceptAll(viaRel).union(viaRel.exceptAll(viaExpr)).count()
+    assert(diff == 0, s"argmax expression diverges from the relational form on $diff rows")
+
+    // tie-break law: a vector equidistant from two identical centroids picks
+    // the LOWER cid (the oracle's ORDER BY ccos DESC, centroid_id)
+    val twin = Seq(
+      graft.ext.IvfCentroidLit(9L, Seq(1.0, 0.0), 1.0),
+      graft.ext.IvfCentroidLit(4L, Seq(1.0, 0.0), 1.0))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "argmax_cell_twin",
+      exprs => graft.functions.ArgMaxCell(exprs(0), exprs(1), Literal.create(twin)),
+      "scala_udf")
+    val s2 = spark; import s2.implicits._
+    val picked = Seq((Seq(0.5, 0.5), math.sqrt(0.5)))
+      .toDF("v", "nrm")
+      .select(expr("argmax_cell_twin(v, nrm)").as("cell"))
+      .head().getLong(0)
+    assert(picked == 4L, s"tie must break to the lower cid, got $picked")
+  }
 }
