@@ -239,24 +239,35 @@ object TextStats {
   /** Per-document n-gram novelty (q103): the share of a document's distinct
     * 3-token shingles whose corpus-wide FIRST occurrence (min doc_id) is this
     * document — the "how much new text does this doc contribute" signal a
-    * curation pipeline uses to rank near-boilerplate sources. Shape: one
-    * groupBy(shingle) for the first-occurrence table, then the per-(doc,
-    * shingle) rows re-join on shingle — the join reuses the groupBy's hash
-    * partitioning on `sh`, so the second shuffle moves only doc_id — and a
-    * final per-doc rollup. Never all-pairs; integer ppm output. */
+    * curation pipeline uses to rank near-boilerplate sources.
+    *
+    * Shape (reworked round 8 after the sf10 gate flagged the join form at
+    * 19× for 10× rows): the novelty credit is a per-shingle +1 to exactly its
+    * first doc, so it AGGREGATES — `groupBy(sh).min(doc_id)` then a doc-grain
+    * count — instead of re-joining the first-occurrence table against the
+    * full shingle stream on the string key (that join shuffled the ~50-byte
+    * shingle rows TWICE — both the probe side and the re-evaluated explode —
+    * and spilled at 25 M shingles). Per-doc `n_shingles` is a pure projection
+    * (`size` of the distinct-shingle array, no explode needed); the only
+    * corpus-mass shuffle left is the one map-side-combinable groupBy(sh), and
+    * the final join is doc-keyed at corpus ROW count, not shingle count. A
+    * doc whose every shingle was seen earlier left-joins to a 0 credit.
+    * Never all-pairs; integer ppm output. */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), explode(expr(
+      .withColumn("shs", expr(
         """array_distinct(transform(sequence(1, size(words)-2),
-          |  i -> concat_ws(' ', element_at(words, i), element_at(words, i+1), element_at(words, i+2))))""".stripMargin)).as("sh"))
-    val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
-    sh.join(first, Seq("sh"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          |  i -> concat_ws(' ', element_at(words, i), element_at(words, i+1), element_at(words, i+2))))""".stripMargin))
+    val perDoc = docs.select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
+    val novel = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
+      .groupBy("sh").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel_raw"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel_raw"), lit(0L)))
       .withColumn("novelty_ppm", expr("n_novel * 1000000L div n_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"), col("novelty_ppm"))
       .orderBy("doc_id")
   }
 
