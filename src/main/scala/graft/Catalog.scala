@@ -3859,6 +3859,31 @@ object Catalog {
          |  CAST(sum(s * (s - 1) // 2) AS BIGINT) AS cand_pairs,
          |  CAST(sum(s * (s - 1) // 2) * 1000000 // sum(s) AS BIGINT) AS pair_inflation_ppm
          |FROM b GROUP BY band_idx ORDER BY band_idx""".stripMargin),
+
+    // IVF cell-balance datasheet: the probe-cost dial for the IVF family
+    // (q230's counterpart for Voronoi cells) — size extremes plus exact ppm
+    // imbalance and expected 1-probe scan fraction under query-follows-data.
+    q("q233_ivf_cell_balance", (s, d) => ext.Similarity.ivfCellBalance(s, d),
+      s"""WITH $vecsCte,
+         |cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n
+         |          WHERE vec_id % (SELECT greatest(CAST(31 AS BIGINT),
+         |            CAST(floor(sqrt(COUNT(*))) AS BIGINT)) FROM n) = 0),
+         |cc AS (SELECT a.vec_id, c.centroid_id,
+         |         list_sum(list_transform(list_zip(a.v, c.cv), z -> z[1] * z[2])) / (a.nrm * c.cn) AS ccos
+         |       FROM n a CROSS JOIN cents c),
+         |cr AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS INT) AS crank
+         |       FROM cc),
+         |assigned AS (SELECT vec_id, centroid_id AS cell FROM cr WHERE crank = 1),
+         |sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS s FROM assigned GROUP BY cell)
+         |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(s) AS BIGINT) AS n_vectors,
+         |  CAST(min(s) AS BIGINT) AS min_cell,
+         |  CAST(max(s) AS BIGINT) AS max_cell,
+         |  CAST(CAST(max(s) AS HUGEINT) * count(*) * 1000000
+         |    // CAST(sum(s) AS HUGEINT) AS BIGINT) AS imbalance_ppm,
+         |  CAST(CAST(sum(s * s) AS HUGEINT) * 1000000
+         |    // (CAST(sum(s) AS HUGEINT) * sum(s)) AS BIGINT) AS expected_probe_ppm
+         |FROM sz""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

@@ -492,6 +492,45 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF cell-balance datasheet (q233): one row summarizing the Voronoi
+    * partition [[assignCells]] produces — the probe-cost dial for the IVF
+    * family, the same role q230's occupancy audit plays for LSH banding.
+    * Alongside the cell count and size extremes, two exact-integer ppm
+    * ratios a vector-store operator alarms on BEFORE query latency degrades:
+    *
+    *  - `imbalance_ppm` = max_cell · nlist · 10⁶ div n — how far the hottest
+    *    cell sits above the uniform mean (10⁶ = perfectly balanced). A
+    *    skewed coarse quantizer makes nProbe latency unpredictable; the
+    *    operational response is re-sampling/re-training centroids.
+    *  - `expected_probe_ppm` = Σ s² · 10⁶ div n² — the expected corpus
+    *    fraction scanned by a 1-probe query whose distribution FOLLOWS the
+    *    data (a query lands in cell i with probability sᵢ/n and scans sᵢ
+    *    rows). Uniform cells give 10⁶/nlist; a rising value predicts
+    *    probe-cost blowup exactly the way pair_inflation_ppm predicts
+    *    candidate blowup in q230.
+    *
+    * Shape: the same projection-only assignment as [[ivfCellCentroids]] plus
+    * one map-side-combinable hash aggregate over nlist rows. The ppm
+    * products run in DECIMAL(38,0) (HUGEINT on the oracle side) so no
+    * shard-size bound is needed for exactness. */
+  def ivfCellBalance(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val assigned = assignCells(all, centroidLits(all, spark), spark, dir)
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("s"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("s")).as("n_vectors"),
+        min(col("s")).as("min_cell"),
+        max(col("s")).as("max_cell"),
+        sum(col("s") * col("s")).as("sum_sq"))
+      .select(
+        col("n_cells"), col("n_vectors"), col("min_cell"), col("max_cell"),
+        expr("CAST(CAST(max_cell AS DECIMAL(38,0)) * n_cells * 1000000 div " +
+          "CAST(n_vectors AS DECIMAL(38,0)) AS BIGINT)").as("imbalance_ppm"),
+        expr("CAST(CAST(sum_sq AS DECIMAL(38,0)) * 1000000 div " +
+          "(CAST(n_vectors AS DECIMAL(38,0)) * n_vectors) AS BIGINT)").as("expected_probe_ppm"))
+  }
+
   /** Intra-bucket diversity in O(n) per bucket (q144): the exact sum of all
     * pairwise SQ8-code dot products within each LSH bucket via the sum-vector
     * identity Σ_{i<j} ⟨c_i,c_j⟩ = (⟨S,S⟩ − Σ_i ⟨c_i,c_i⟩) / 2 with

@@ -1034,6 +1034,23 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("ivf cell balance: datasheet laws (partition total, pigeonhole lower bounds)") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.ivfCellBalance(spark, dir).collect()
+    assert(rows.length == 1, "the datasheet is one row")
+    val r = rows.head
+    val k = r.getAs[Long]("n_cells")
+    val n = r.getAs[Long]("n_vectors")
+    assert(n == graft.engine.Tables.embeddings(spark, dir).count(),
+      "cell sizes partition the corpus")
+    assert(k >= 2 && r.getAs[Long]("min_cell") >= 1 && r.getAs[Long]("max_cell") <= n)
+    // pigeonhole: max ≥ n/k → imbalance ≥ 10⁶; Cauchy-Schwarz: Σs² ≥ n²/k →
+    // expected probe ≥ 10⁶/k; and a 1-probe query can never scan > the corpus
+    assert(r.getAs[Long]("imbalance_ppm") >= 1000000L)
+    assert(r.getAs[Long]("expected_probe_ppm") >= 1000000L / k)
+    assert(r.getAs[Long]("expected_probe_ppm") <= 1000000L)
+  }
+
   test("modularity: two triangles joined by a bridge, cut on the bridge (hand-computed)") {
     val s = spark; import s.implicits._
     // edges: triangle {1,2,3}, triangle {4,5,6}, bridge (3,4) → m = 7

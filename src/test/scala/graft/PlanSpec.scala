@@ -153,6 +153,15 @@ class PlanSpec extends SparkSuite {
       s"cell assignment must be the codegen argmax expression:\n$p")
   }
 
+  test("q233 IVF balance: projection-only assignment, hash aggregates, no join") {
+    val p = plan("q233_ivf_cell_balance")
+    assert(!p.contains("Join"), s"the datasheet must not join the corpus:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"both rollups must stay hash aggregates:\n$p")
+    assert(p.contains("graft_argmax_cell"),
+      s"cell assignment must be the codegen argmax expression:\n$p")
+  }
+
   test("q87 daily anomaly: per-type stats join is broadcast (types are a tiny dim)") {
     val p = plan("q87_daily_anomaly")
     assert(p.contains("BroadcastHashJoin"), s"stats join must broadcast:\n$p")
