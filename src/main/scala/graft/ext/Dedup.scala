@@ -229,37 +229,54 @@ object Dedup {
 
   /** q198: SimHash Hamming-ball pair search via PIGEONHOLE banding (Manku,
     * Jarvelin & Sarma, WWW 2007): all pairs within Hamming distance ≤
-    * `maxDist` of each other's [[simhash60]] signature. The 60-bit signature
-    * splits into 6 bands of 10 bits; distance ≤ 5 < 6 flips cannot touch
-    * every band, so two near signatures MUST agree exactly on ≥ 1 band —
-    * candidates are an equi-join on (band_idx, band_value), never all-pairs,
-    * with zero false negatives by the pigeonhole argument; the exact popcount
-    * of the XOR verifies each candidate.
+    * `maxDist` of each other's [[simhash60]] signature. The banding is
+    * DERIVED from the threshold — `maxDist + 1` bands of `60 / (maxDist+1)`
+    * bits (60 divides evenly for every maxDist ≤ 5): distance ≤ maxDist
+    * flips cannot touch every band, so two near signatures MUST agree
+    * exactly on ≥ 1 band — candidates are an equi-join on (band_idx,
+    * band_value), never all-pairs, with zero false negatives by the
+    * pigeonhole argument; the exact popcount of the XOR verifies each
+    * candidate. The MINIMUM complete band count is used deliberately:
+    * bands = maxDist+1 maximizes band width, and width is the
+    * collision-control knob.
+    *
+    * Default `maxDist = 3` is the published production configuration
+    * (Manku et al. run 64-bit fingerprints at k = 3 for 8 B-page web
+    * dedup), giving 4 × 15-bit bands. Round 8 measured WHY the previous
+    * ≤ 5 default was wrong on both axes at scale: 10-bit bands hold
+    * n/1024 of the corpus each (avg bucket 488 at sf10's 500 k docs —
+    * 733 M candidate pairs, 67 s), and the distance-5 shell dominated the
+    * output 6:1 over all nearer shells combined (1.4 M of 2.2 M pairs at
+    * sf1) — on a low-entropy corpus the wide ball mostly enumerates
+    * signature crowding, not near-duplicates (the planted dups live at
+    * ham 0-1). At k = 3 / 15-bit bands the sf1 candidate volume drops
+    * 5.2× (46.5 M vs 242.8 M) and the output stays dup-dominated.
     *
     * Scale note (round 7, measured): this operator originally banded the
     * 16-bit q30 signature into 4-bit chunks — 16 values per band, so every
     * band bucket held n/16 of the corpus and candidates grew n²/16: the sf1
-    * growth gate clocked it at 155× for 10× docs (354 s). With 2^10 values
-    * per band the bucket load factor is n/1024 per band and the measured
-    * sf1 cost drops to linear-range; a 100 TB deployment widens bands
-    * further (e.g. 4 × 16-bit on a 64-bit signature) — band WIDTH is the
-    * collision-control knob, and the audit that tells you when to widen is
-    * the occupancy datasheet. `maxBandBucket` is the same degenerate-bucket
-    * guard as the MinHash/embedding paths: a band value the corpus piles
-    * onto is dropped from candidate generation rather than joined n²
-    * (0 = keep all, matching the exhaustive oracle). */
-  def simhashHammingPairs(spark: SparkSession, dir: String, maxDist: Int = 5,
+    * growth gate clocked it at 155× for 10× docs (354 s). Band width is
+    * the dial; the audit that tells you when to widen (or to grow the
+    * signature beyond 60 bits) is the occupancy datasheet (q230).
+    * `maxBandBucket` is the same degenerate-bucket guard as the
+    * MinHash/embedding paths: a band value the corpus piles onto is
+    * dropped from candidate generation rather than joined n² (0 = keep
+    * all, matching the exhaustive oracle). */
+  def simhashHammingPairs(spark: SparkSession, dir: String, maxDist: Int = 3,
       maxBandBucket: Long = 0L): DataFrame = {
-    // the pigeonhole guarantee is bands > maxDist: with 6 bands, distance 6
-    // can flip one bit in every band and agree on none — silently missing
-    // pairs. Reject rather than under-deliver.
+    // the pigeonhole guarantee needs bands > maxDist; 60 bits cap the
+    // minimum-complete geometry at 6 bands. Reject rather than
+    // under-deliver (silently missing pairs).
     require(maxDist >= 0 && maxDist < 6,
-      s"simhashHammingPairs: 6 bands guarantee completeness only for maxDist <= 5, got $maxDist")
+      s"simhashHammingPairs: a 60-bit signature supports maxDist <= 5, got $maxDist")
+    val nBands = maxDist + 1
+    val width = 60 / nBands
+    val mask = (1L << width) - 1
     val bands = simhash60(spark, dir)
       .select(col("doc_id"), col("simhash60"),
         explode(expr(
-          """transform(sequence(0, 5), b ->
-            |  named_struct('bidx', b, 'bval', shiftright(simhash60, b * 10) & 1023))""".stripMargin))
+          s"""transform(sequence(0, ${nBands - 1}), b ->
+             |  named_struct('bidx', b, 'bval', shiftright(simhash60, b * $width) & $mask))""".stripMargin))
           .as("band"))
       .select(col("doc_id"), col("simhash60"),
         col("band.bidx").as("bidx"), col("band.bval").as("bval"))
@@ -1470,20 +1487,33 @@ object Dedup {
   /** Cross-language shingle-overlap matrix: for each (lang_a < lang_b) pair,
     * the number of DISTINCT 3-word shingles both language slices contain —
     * the cross-lingual contamination / code-switching diagnostic a corpus
-    * card reports. The join operates on the distinct (lang, shingle) set, so
-    * a shingle appearing in L languages contributes at most L·(L−1)/2 matches
-    * (L is small and bounded by the language inventory — no hot-key k²
-    * blowup on boilerplate shingles, unlike a doc-level shingle join). */
+    * card reports.
+    *
+    * Shape (reworked round 8 after the sf10 sweep measured the self-join
+    * form at 15.7× for 10× rows / 35 s): ONE `groupBy(sh)` collecting each
+    * shingle's language set — `collect_set` is partial-aggregable, so the
+    * per-partition dedup happens map-side — then the L·(L−1)/2 pairs expand
+    * IN-ROW from the sorted set (L is bounded by the language inventory) and
+    * a tiny pair rollup. The previous form shuffled the distinct (lang,
+    * shingle) table twice more through a sort-merge SELF-join on the shingle
+    * string; under a Heaps-growing vocabulary the distinct-shingle table
+    * grows faster than the corpus, so those extra shingle-mass shuffles are
+    * exactly the wrong place to spend them. */
   def langOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val langSh = Tables.documents(spark, dir)
+    val langSets = Tables.documents(spark, dir)
       .select(col("lang"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
       .select(col("lang"), explode(shingles).as("sh"))
-      .distinct()
-    langSh.select(col("lang").as("lang_a"), col("sh"))
-      .join(langSh.select(col("lang").as("lang_b"), col("sh")), Seq("sh"))
-      .filter(col("lang_a") < col("lang_b"))
-      .groupBy(col("lang_a"), col("lang_b"))
+      .groupBy(col("sh"))
+      .agg(array_sort(collect_set(col("lang"))).as("ls"))
+      .filter(size(col("ls")) >= 2)
+    langSets
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ls) - 1),
+          |  i -> transform(sequence(i + 1, size(ls)),
+          |    j -> named_struct('lang_a', element_at(ls, i), 'lang_b', element_at(ls, j)))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.lang_a").as("lang_a"), col("p.lang_b").as("lang_b"))
       .agg(count(lit(1)).as("n_shared_shingles"))
       .orderBy("lang_a", "lang_b")
   }

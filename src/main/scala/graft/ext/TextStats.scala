@@ -345,8 +345,17 @@ object TextStats {
     * — ln(x) is not guaranteed bit-identical across engines' libm, which
     * would poison cross-engine rank comparison; the RANKING under tf·N/df is
     * identical to tf·ln-smoothed idf for df monotone). Two shuffles: tf
-    * groupBy (map-side combinable) and the df join; the rank window is
-    * partitioned by doc — never global. */
+    * groupBy (map-side combinable) and the doc-partitioned rank window —
+    * never global.
+    *
+    * The df table joins as an EXPLICIT broadcast: it is term-vocabulary-sized
+    * (Heaps-law bounded — millions of rows at web scale, a few MB), but the
+    * planner cannot size an aggregate's output and falls back to a
+    * sort-merge join keyed on the term string — the round-8 sf10 sweep
+    * measured that join at +29 s on 20 M tf rows over a 310-term vocabulary
+    * (≤ 310 distinct shuffle keys → skewed reducers), 57× for 10× rows.
+    * The broadcast also keeps the tf stream evenly (doc, term)-partitioned
+    * into the rank window instead of term-skewed. */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
@@ -355,7 +364,7 @@ object TextStats {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs")) // 1 row — broadcast cross join
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
-    tf.join(dfreq, "term")
+    tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
       .withColumn("rank", row_number().over(w))
@@ -593,9 +602,10 @@ object TextStats {
     * sum over an unordered group would not hash-match). avg_ppm is the one
     * double (single division, then round).
     *
-    * Shuffles: two map-side-combinable counts (bigram, prefix) + two
-    * unique-key dim joins back to the positional stream + the per-doc rollup.
-    * A hot prefix ("the") is a popular dim key — 1:1 matches, no blowup. */
+    * Shuffles: two map-side-combinable counts (bigram, prefix), both joined
+    * back to the positional stream as broadcasts (see inline note) + the
+    * per-doc rollup. A hot prefix ("the") is a popular dim key — 1:1
+    * matches, no blowup, and no hot shuffle key either. */
   def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
     val bg = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
@@ -607,7 +617,14 @@ object TextStats {
       .select(col("doc_id"), col("t.w1").as("w1"), col("t.bg").as("bg"))
     val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    bg.join(c2, Seq("bg")).join(c1, Seq("w1"))
+    // both count tables join as EXPLICIT broadcasts: c1 is vocabulary-sized
+    // and c2 bigram-TYPE-sized (Heaps-bounded; tiny next to the positional
+    // stream), but the planner cannot size aggregate outputs and would SMJ
+    // the 50 M-row stream on few-valued string keys — the round-8 sf10
+    // sweep measured that at 16× for 10× rows (53 s). At a scale where
+    // bigram types outgrow the broadcast threshold, drop the hint and let
+    // AQE shuffle — the stream side is already (bg)-prepartitionable.
+    bg.join(broadcast(c2), Seq("bg")).join(broadcast(c1), Seq("w1"))
       .withColumn("ppm", expr("c2 * 1000000L div c1"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("lm_score_sum"))
