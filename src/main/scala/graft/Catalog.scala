@@ -3159,18 +3159,18 @@ object Catalog {
          |JOIN (SELECT * FROM rj WHERE rn = 1) r ON r.source = n.source
          |ORDER BY n.source""".stripMargin),
 
-    // SimHash Hamming-ball pairs via pigeonhole banding: distance <= 3 over
-    // 4 bands means >= 1 band matches exactly — equi-join candidates, exact
-    // XOR-popcount verification, zero false negatives.
-    // 60-bit SimHash Hamming ball (<= 5). The oracle is DELIBERATELY the
-    // brute-force all-pairs popcount — it shares none of the engine's
-    // pigeonhole banding, so the zero-false-negative claim is what's tested.
+    // 60-bit SimHash Hamming ball (<= 3, the Manku production k) via
+    // pigeonhole banding: distance <= 3 over 4 x 15-bit bands means >= 1
+    // band matches exactly — equi-join candidates, exact XOR-popcount
+    // verification. The oracle is DELIBERATELY the brute-force all-pairs
+    // popcount — it shares none of the engine's pigeonhole banding, so the
+    // zero-false-negative claim is what's tested.
     q("q198_simhash_hamming", (s, d) => ext.Dedup.simhashHammingPairs(s, d),
       s"""WITH $simhash60Cte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
          |FROM sim60 a JOIN sim60 b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sig, b.sig)) <= 5
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin),
 
     // Schema-evolution roundtrip: two writer generations (one without the

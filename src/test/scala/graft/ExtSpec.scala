@@ -1289,17 +1289,23 @@ class ExtSpec extends SparkSuite {
   test("simhash hamming pairs: banding equals brute-force popcount (zero false negatives)") {
     val sigs = Dedup.simhash60(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    val brute = (for {
+    def brute(k: Int) = (for {
       (a, sa) <- sigs; (b, sb) <- sigs
       if a < b
-      h = java.lang.Long.bitCount(sa ^ sb) if h <= 5
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= k
     } yield (a, b, h)).toSet
-    val banded = Dedup.simhashHammingPairs(spark, dir).collect()
+    // every derived geometry (k+1 bands of 60/(k+1) bits) must find exactly
+    // the brute-force ball — the default k=3 (4x15) and the widest k=5 (6x10)
+    for (k <- Seq(3, 5)) {
+      val banded = Dedup.simhashHammingPairs(spark, dir, maxDist = k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded == brute(k),
+        s"pigeonhole banding at maxDist=$k must find exactly the brute-force ball")
+    }
+    val capped = Dedup.simhashHammingPairs(spark, dir, maxDist = 5, maxBandBucket = 20)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(banded == brute, "pigeonhole banding must find exactly the brute-force ball")
-    val capped = Dedup.simhashHammingPairs(spark, dir, maxBandBucket = 20).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(capped.subsetOf(brute) && capped.size < brute.size,
+    assert(capped.subsetOf(brute(5)) && capped.size < brute(5).size,
       "the degenerate-band cap only removes candidates, never invents them")
   }
 
