@@ -3884,6 +3884,23 @@ object Catalog {
          |  CAST(CAST(sum(s * s) AS HUGEINT) * 1000000
          |    // (CAST(sum(s) AS HUGEINT) * sum(s)) AS BIGINT) AS expected_probe_ppm
          |FROM sz""".stripMargin),
+
+    // Semantic decontamination: every train vector's nearest held-out eval
+    // item (vec_id % 50 = 0) by cosine, with the contaminated flag at 0.4 —
+    // the embedding-space screen beside the n-gram one (q57/q74).
+    q("q234_semantic_decontaminate",
+      (s, d) => ext.Similarity.semanticDecontaminate(s, d),
+      s"""WITH $vecsCte,
+         |ev AS (SELECT vec_id AS eval_id, v AS evv, nrm AS en FROM n WHERE vec_id % 50 = 0),
+         |tr AS (SELECT * FROM n WHERE vec_id % 50 <> 0),
+         |p AS (SELECT tr.vec_id, ev.eval_id,
+         |        list_sum(list_transform(list_zip(tr.v, ev.evv), z -> z[1] * z[2])) / (tr.nrm * ev.en) AS cos
+         |      FROM tr CROSS JOIN ev),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS INT) AS rn
+         |      FROM p)
+         |SELECT vec_id, eval_id AS nearest_eval_id, round(cos, 4) AS cos_sim,
+         |  cos >= 0.4 AS contaminated
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

@@ -1013,4 +1013,56 @@ object Similarity {
         round(col("cos"), 4).as("cos_sim"))
       .orderBy("query_id", "rank")
   }
+
+  /** q234: semantic decontamination — screen the TRAIN corpus against a
+    * held-out EVAL benchmark by embedding cosine, the screen modern LLM data
+    * pipelines run beside the n-gram one (q57/q74 catch verbatim leakage;
+    * paraphrased or re-rendered benchmark items only surface in embedding
+    * space — the "semantic dedup/decontamination" step in the Phi and Llama
+    * data reports). Eval membership is content-addressed (`vec_id % evalMod
+    * == 0`, the engine's deterministic-split convention); every train vector
+    * reports its nearest eval item, the cosine, and the `contaminated` flag
+    * at `tau` — downstream release gates (q200's shape) consume the flag,
+    * auditors the margin.
+    *
+    * Scale shape — the bounded-seed pattern (same sanctioned driver-collect
+    * as the IVF/k-means seeds): a benchmark is thousands of items while the
+    * corpus is billions, so the eval set is COLLECTED and bound as a typed
+    * literal inside [[graft.functions.ArgMaxCell]] under a per-dir registered
+    * function — nearest-eval assignment is then a pure whole-stage-codegen
+    * projection over one corpus scan: no n × m candidate materialization, no
+    * shuffle of the corpus at all (the relational window/max_by forms of this
+    * argmax are the measured sf10 losers documented on the expression). The
+    * only join is the broadcast fetch of the winning eval vector (eval-sized
+    * build side) to expose the cosine itself. At 100 TB: benchmark in RAM on
+    * every executor, corpus streams through once.
+    *
+    * A loud `require` rejects an empty eval sample (a benchmark-less screen
+    * would silently pass everything — same guard contract as the IVF seeds). */
+  def semanticDecontaminate(spark: SparkSession, dir: String,
+      evalMod: Long = 50L, tau: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val all = vecs(spark, dir)
+    val evalRows = all.filter(col("vec_id") % evalMod === 0)
+      .orderBy("vec_id").collect()
+    require(evalRows.nonEmpty,
+      s"decontaminate: no eval sample (vec_id % $evalMod == 0) in the corpus")
+    val evalLits = evalRows.toSeq.map(r =>
+      IvfCentroidLit(r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    val evalLit = Literal.create(evalLits)
+    val fname = s"graft_decon_assign_${graft.engine.Fs.dirTag(dir)}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname, exprs => graft.functions.ArgMaxCell(exprs(0), exprs(1), evalLit),
+      "scala_udf")
+    import spark.implicits._
+    val evalDim = evalLits.toDF("eval_id", "ev", "en")
+    all.filter(col("vec_id") % evalMod =!= 0)
+      .withColumn("nearest_eval_id", expr(s"$fname(v, nrm)"))
+      .join(broadcast(evalDim), col("nearest_eval_id") === col("eval_id"))
+      .withColumn("cos", expr("graft_dot(v, ev)") / (col("nrm") * col("en")))
+      .select(col("vec_id"), col("nearest_eval_id"),
+        round(col("cos"), 4).as("cos_sim"),
+        (col("cos") >= tau).as("contaminated"))
+      .orderBy("vec_id")
+  }
 }

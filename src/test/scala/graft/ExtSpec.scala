@@ -1498,6 +1498,29 @@ class ExtSpec extends SparkSuite {
     assert(rank1 == Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("semantic decontamination: nearest eval item, threshold flag, cosine tie to lower eval id") {
+    val s = spark; import s.implicits._
+    // eval set (vec_id % 50 == 0): e0 = x-axis, e50 = y-axis; train vectors
+    // on the unit circle so every cosine is paper-computable
+    Seq(
+      (0L, Array(1.0f, 0.0f)),   // eval
+      (50L, Array(0.0f, 1.0f)),  // eval
+      (1L, Array(0.8f, 0.6f)),   // cos(e0)=.8, cos(e50)=.6 → e0, contaminated
+      (2L, Array(-1.0f, 0.0f)),  // cos(e0)=-1, cos(e50)=0 → e50, clean
+      (3L, Array(0.6f, 0.8f)),   // → e50 at .8, contaminated
+      (4L, Array(1.0f, 1.0f)))   // cos = 1/√2 to BOTH → tie → lower id e0
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet("/tmp/graft_test_decon/embeddings.parquet")
+    val rows = Similarity.semanticDecontaminate(spark, "/tmp/graft_test_decon")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("nearest_eval_id"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(rows == Map(
+      1L -> ((0L, true)), 2L -> ((50L, false)),
+      3L -> ((50L, true)), 4L -> ((0L, true))))
+    // eval rows themselves are never screened (they are the benchmark)
+    assert(!rows.contains(0L) && !rows.contains(50L))
+  }
+
   test("long repeat spans: arbitrary-offset repeats found, overlapping repeats merge maximally") {
     val s = spark; import s.implicits._
     val rep = (1 to 8).map(i => s"R$i").mkString(" ")     // 8-token repeat

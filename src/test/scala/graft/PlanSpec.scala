@@ -48,6 +48,19 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in the packing plan:\n$p")
   }
 
+  test("q234 semantic decontamination: projection argmax + one broadcast fetch — corpus never shuffles before the sort") {
+    val p = plan("q234_semantic_decontaminate")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the decon plan:\n$p")
+    assert(!p.contains("Window"), s"relational argmax window crept back in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval-vector fetch must broadcast the eval-sized build side:\n$p")
+    // exactly one join node: formatted explain names each node once in the
+    // tree and once as a "(n) <Node>" detail header — count the headers
+    assert(p.linesIterator.count(_.matches("""\(\d+\) BroadcastHashJoin.*""")) == 1 &&
+      !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus-side shuffle join in the decon plan:\n$p")
+  }
+
   test("q01: the shipdate filter is pushed to the parquet scan") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
