@@ -3886,13 +3886,16 @@ object Catalog {
          |FROM sz""".stripMargin),
 
     // Semantic decontamination: every train vector's nearest held-out eval
-    // item (vec_id % 50 = 0) by cosine, with the contaminated flag at 0.4 —
-    // the embedding-space screen beside the n-gram one (q57/q74).
+    // item by cosine, with the contaminated flag at 0.4 — the embedding-space
+    // screen beside the n-gram one (q57/q74). Eval sample is benchmark-
+    // bounded (mod = max(50, n/1000), ~1k items at any scale); the oracle
+    // derives the same law from COUNT(*).
     q("q234_semantic_decontaminate",
       (s, d) => ext.Similarity.semanticDecontaminate(s, d),
       s"""WITH $vecsCte,
-         |ev AS (SELECT vec_id AS eval_id, v AS evv, nrm AS en FROM n WHERE vec_id % 50 = 0),
-         |tr AS (SELECT * FROM n WHERE vec_id % 50 <> 0),
+         |m AS (SELECT greatest(CAST(50 AS BIGINT), CAST(COUNT(*) // 1000 AS BIGINT)) AS emod FROM n),
+         |ev AS (SELECT vec_id AS eval_id, v AS evv, nrm AS en FROM n WHERE vec_id % (SELECT emod FROM m) = 0),
+         |tr AS (SELECT * FROM n WHERE vec_id % (SELECT emod FROM m) <> 0),
          |p AS (SELECT tr.vec_id, ev.eval_id,
          |        list_sum(list_transform(list_zip(tr.v, ev.evv), z -> z[1] * z[2])) / (tr.nrm * ev.en) AS cos
          |      FROM tr CROSS JOIN ev),

@@ -1037,12 +1037,22 @@ object Similarity {
     * build side) to expose the cosine itself. At 100 TB: benchmark in RAM on
     * every executor, corpus streams through once.
     *
+    * The eval sample is BENCHMARK-BOUNDED: `evalMod = max(50, n/1000)` from
+    * COUNT(*), so the sample saturates at ~1,000 items as the corpus grows —
+    * real benchmarks are fixed-size, and a corpus-proportional sample (the
+    * naive `% 50`) would make the screen n·m = n²/50: the same
+    * linearly-growing-literal defect the sf10 gate caught in the IVF fixed-mod
+    * centroids (q72/q86). The oracle re-derives the identical law from
+    * COUNT(*); small fixtures (n ≤ 50,000) stay on mod 50, so sf0.01/sf0.1
+    * results are unchanged by the law.
+    *
     * A loud `require` rejects an empty eval sample (a benchmark-less screen
     * would silently pass everything — same guard contract as the IVF seeds). */
   def semanticDecontaminate(spark: SparkSession, dir: String,
-      evalMod: Long = 50L, tau: Double = 0.4): DataFrame = {
+      tau: Double = 0.4): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val all = vecs(spark, dir)
+    val evalMod = math.max(50L, all.count() / 1000L)
     val evalRows = all.filter(col("vec_id") % evalMod === 0)
       .orderBy("vec_id").collect()
     require(evalRows.nonEmpty,
