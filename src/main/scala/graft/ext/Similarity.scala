@@ -1050,6 +1050,21 @@ object Similarity {
     * would silently pass everything — same guard contract as the IVF seeds). */
   def semanticDecontaminate(spark: SparkSession, dir: String,
       tau: Double = 0.4): DataFrame = {
+    val bench = evalBenchmark(spark, dir)
+    deconScreen(vecs(spark, dir), bench, tau).orderBy("vec_id")
+  }
+
+  /** The driver-collected eval benchmark ready for screening: the registered
+    * argmax function name, the eval dimension frame for the cosine fetch, and
+    * the derived membership mod. One value object so the batch screen (q234)
+    * and the streaming ingest screen ([[graft.streaming.Streams.deconStream]])
+    * share one benchmark artifact — in deployment the benchmark is REGISTERED
+    * ONCE (a fixed artifact) and corpora/waves are screened against it. */
+  case class EvalBenchmark(fname: String, evalDim: DataFrame, evalMod: Long)
+
+  /** Collect the benchmark from `dir` and bind it (see
+    * [[semanticDecontaminate]] for the sizing law and scale argument). */
+  def evalBenchmark(spark: SparkSession, dir: String): EvalBenchmark = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val all = vecs(spark, dir)
     val evalMod = math.max(50L, all.count() / 1000L)
@@ -1065,14 +1080,20 @@ object Similarity {
       fname, exprs => graft.functions.ArgMaxCell(exprs(0), exprs(1), evalLit),
       "scala_udf")
     import spark.implicits._
-    val evalDim = evalLits.toDF("eval_id", "ev", "en")
-    all.filter(col("vec_id") % evalMod =!= 0)
-      .withColumn("nearest_eval_id", expr(s"$fname(v, nrm)"))
-      .join(broadcast(evalDim), col("nearest_eval_id") === col("eval_id"))
+    EvalBenchmark(fname, evalLits.toDF("eval_id", "ev", "en"), evalMod)
+  }
+
+  /** The screen itself over any (vec_id, v, nrm) frame — batch or streaming
+    * micro-batch alike (stateless projection + stream-static broadcast join,
+    * so the streaming form runs under the exactly-once file sink with zero
+    * state). Unordered; the batch catalog entry adds the output sort. */
+  def deconScreen(vframe: DataFrame, bench: EvalBenchmark,
+      tau: Double = 0.4): DataFrame =
+    vframe.filter(col("vec_id") % bench.evalMod =!= 0)
+      .withColumn("nearest_eval_id", expr(s"${bench.fname}(v, nrm)"))
+      .join(broadcast(bench.evalDim), col("nearest_eval_id") === col("eval_id"))
       .withColumn("cos", expr("graft_dot(v, ev)") / (col("nrm") * col("en")))
       .select(col("vec_id"), col("nearest_eval_id"),
         round(col("cos"), 4).as("cos_sim"),
         (col("cos") >= tau).as("contaminated"))
-      .orderBy("vec_id")
-  }
 }

@@ -306,6 +306,40 @@ object Streams {
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))))
 
+  /** Decontamination-on-arrival — the streaming twin of q234 and the shape
+    * production screens actually deploy as: the eval benchmark is a FIXED
+    * artifact registered once at stream start
+    * ([[graft.ext.Similarity.evalBenchmark]] — driver-collected, bound as the
+    * codegen argmax literal), and every arriving embedding wave is screened
+    * against it as a pure stateless projection plus a stream-static broadcast
+    * fetch of the winning eval vector. No state store, no watermark: the
+    * screen rides the file sink's checkpointed offsets + _spark_metadata for
+    * end-to-end exactly-once, the same zero-state contract as
+    * [[bandIndexStream]]. At 100 TB/day ingest the benchmark stays in RAM on
+    * every executor and each wave costs one linear pass. */
+  def deconStream(spark: SparkSession, srcDir: String,
+      benchmarkDir: String, tau: Double = 0.4): DataFrame = {
+    val bench = graft.ext.Similarity.evalBenchmark(spark, benchmarkDir)
+    val waves = spark.readStream.schema(vectorSchema).parquet(srcDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+    graft.ext.Similarity.deconScreen(waves, bench, tau)
+  }
+
+  /** Drain [[deconStream]] into the parquet verdicts at `outPath`
+    * (Trigger.AvailableNow; re-invoking with the same checkpoint processes
+    * only newly-landed waves). */
+  def runDeconStream(spark: SparkSession, srcDir: String, benchmarkDir: String,
+      outPath: String, checkpoint: String): Unit = {
+    val q = deconStream(spark, srcDir, benchmarkDir).writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming vector ingest — the online form of
     * [[graft.ext.Similarity.incrementalEmbeddingDedup]] (q192). Each arriving
     * micro-batch is (1) hashed with the SAME plane literals the at-rest index

@@ -67,6 +67,31 @@ class StreamsSpec extends SparkSuite {
     assert(spark.read.parquet(idxDir).count() == batch.size.toLong)
   }
 
+  test("decontamination-on-arrival over two waves == batch q234 screen of the corpus") {
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val srcDir = "/tmp/graft_stream_decon_src"
+    val outDir = "/tmp/graft_stream_decon_out"
+    val ckpt = "/tmp/graft_stream_decon_ckpt"
+    Seq(srcDir, outDir, ckpt).foreach(rmTree)
+    // the benchmark is the fixed artifact (registered from the full corpus
+    // dir); waves are the same corpus arriving in two drops
+    emb.filter(col("vec_id") % 2 === 0).write.mode("append").parquet(srcDir)
+    Streams.runDeconStream(spark, srcDir, "/root/testdata/sf0.001", outDir, ckpt)
+    emb.filter(col("vec_id") % 2 === 1).write.mode("append").parquet(srcDir)
+    Streams.runDeconStream(spark, srcDir, "/root/testdata/sf0.001", outDir, ckpt)
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[Long]("vec_id"),
+      r.getAs[Long]("nearest_eval_id"), r.getAs[Double]("cos_sim"),
+      r.getAs[Boolean]("contaminated"))
+    val streamed = spark.read.parquet(outDir).collect().map(key).toSet
+    val batch = graft.ext.Similarity
+      .semanticDecontaminate(spark, "/root/testdata/sf0.001")
+      .collect().map(key).toSet
+    assert(streamed == batch, "wave screens must equal the batch screen")
+    // exactly-once: a re-drain with no new waves emits nothing
+    Streams.runDeconStream(spark, srcDir, "/root/testdata/sf0.001", outDir, ckpt)
+    assert(spark.read.parquet(outDir).count() == batch.size.toLong)
+  }
+
   test("streaming vector ingest: wave verdicts against the growing at-rest bucket index") {
     val s = spark; import s.implicits._
     val src = "/tmp/graft_stream_vec_src"; val idx = "/tmp/graft_stream_vec_idx"
