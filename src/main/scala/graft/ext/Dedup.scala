@@ -104,23 +104,27 @@ object Dedup {
     * (doc_id, text) — the form [[minhashBandsInline]] wraps for the catalog
     * and [[graft.streaming.Streams.bandIndexStream]] applies per micro-batch
     * (a pure projection is exactly what the streaming file sink can run
-    * with end-to-end exactly-once semantics and zero state). */
+    * with end-to-end exactly-once semantics and zero state).
+    *
+    * The 12-slot signature is ONE native codegen expression
+    * ([[graft.functions.MinHashSignature]], `graft_minhash_sig`) rather than
+    * the composable `transform`-hash + 12 × `aggregate`-fold HOF pipeline the
+    * first cut used: higher-order lambdas evaluate interpreted with per-
+    * (shingle, slot) boxing, and under heap pressure that allocation rate
+    * made sf10 timings swing run-to-run (7 ↔ 36 s). The expression is
+    * bit-identical (same md5-prefix base hash, same seed family — the q150
+    * oracle recomputes q28's exhaustive form) and keeps the whole signature
+    * inside WholeStageCodegen. */
   def bandsProjection(docs: DataFrame): DataFrame = {
-    val sigCols = seedsAB.zipWithIndex.map { case ((a, b), i) =>
-      expr(s"aggregate(hs, CAST($P AS BIGINT), (acc, x) -> least(acc, (x * ${a}L + ${b}L) % ${P}L))")
-        .as(s"s$i")
-    }
+    graft.functions.VectorExpressions.register(docs.sparkSession)
     val bandCols = (0 until 6).map { j =>
-      (col(s"s${2 * j}") * P + col(s"s${2 * j + 1}")).as(s"band$j")
+      (element_at(col("sig"), 2 * j + 1) * P + element_at(col("sig"), 2 * j + 2)).as(s"band$j")
     }
     val stackExpr = (0 until 6).map(j => s"$j, band$j").mkString("stack(6, ", ", ", ") AS (band_idx, band_hash)")
     docs
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
-      .withColumn("shs", shingles)
-      .withColumn("hs", expr(
-        "transform(shs, s -> CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT))"))
-      .select(col("doc_id") +: sigCols: _*)
+      .withColumn("sig", expr("graft_minhash_sig(words)"))
       .select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"), expr(stackExpr))
   }

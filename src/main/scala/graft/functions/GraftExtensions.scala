@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_skeleton"),
       new ExpressionInfo(classOf[ConfusableSkeleton].getName, "graft_skeleton"),
       (exprs: Seq[Expression]) => ConfusableSkeleton(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs(0))))
     ext.injectOptimizerRule(_ => SpecializeFloatDot)
   }
 }

@@ -263,6 +263,8 @@ object VectorExpressions {
       "graft_nfc", exprs => NfcNormalize(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_skeleton", exprs => ConfusableSkeleton(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig", exprs => MinHashSignature(exprs(0)), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(SpecializeFloatDot))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SpecializeFloatDot

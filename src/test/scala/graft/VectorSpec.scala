@@ -184,4 +184,35 @@ class VectorSpec extends SparkSuite {
       .head().getLong(0)
     assert(picked == 4L, s"tie must break to the lower cid, got $picked")
   }
+
+  test("graft_minhash_sig equals the interpreted HOF fold; under 3 words yields null") {
+    val s = spark; import s.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c",                       // exactly one shingle
+      "dup dup dup dup",             // duplicate shingles (min is multiset-invariant)
+      "too short").toDF("text").selectExpr("split(text, ' ') AS words")
+    val hofSlots = graft.ext.Dedup.seedsAB.map { case (a, b) =>
+      s"aggregate(hs, CAST(${graft.ext.Dedup.P} AS BIGINT), (acc, x) -> least(acc, (x * ${a}L + ${b}L) % ${graft.ext.Dedup.P}L))"
+    }.mkString("array(", ", ", ")")
+    val rows = docs
+      // sequence(1, 0) is DESCENDING [1, 0], not empty — guard the short doc
+      .withColumn("shs", expr(
+        """CASE WHEN size(words) >= 3 THEN transform(sequence(1, size(words)-2),
+          |  i -> concat_ws(' ', element_at(words, i), element_at(words, i+1), element_at(words, i+2)))
+          |ELSE array() END""".stripMargin))
+      .withColumn("hs", expr(
+        "transform(shs, sh -> CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT))"))
+      .selectExpr("graft_minhash_sig(words) AS fast",
+        s"CASE WHEN size(words) >= 3 THEN $hofSlots END AS slow")
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), "null exactly when no shingle exists")
+      if (!r.isNullAt(0))
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          "codegen signature must equal the HOF fold bit-for-bit")
+    }
+    assert(rows.count(_.isNullAt(0)) == 1, "only the 2-word doc is null")
+  }
 }
