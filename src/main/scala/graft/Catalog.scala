@@ -492,9 +492,12 @@ object Catalog {
 
   /** DuckDB k-means CTE chain (mirrors Similarity.kmeansStatePath, 2 Lloyd
     * rounds unrolled): quantize to exact integers (floor of a power-of-two
-    * multiply — bit-identical across IEEE engines), seed on vec_id % 61,
-    * assign by integer squared distance with (dist, cid) tie-break, update by
-    * floor(sum/count) of exact-in-double integer sums. */
+    * multiply — bit-identical across IEEE engines), seed on
+    * vec_id % max(61, ⌊√n⌋) — the same corpus-adaptive law as the engine
+    * (cell count ≈ √n; the 61 floor keeps small fixtures on the original
+    * sample, so sf0.01 results are unchanged) — assign by integer squared
+    * distance with (dist, cid) tie-break, update by floor(sum/count) of
+    * exact-in-double integer sums. */
   private def kmAssign(prev: String, out: String): String =
     s"""$out AS (SELECT vec_id, q, cid FROM (
        |        SELECT n.vec_id, n.q, c.cid,
@@ -538,7 +541,9 @@ object Catalog {
   private val kmCte: String =
     s"""kn AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
        |       FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, q AS cq FROM kn WHERE vec_id % 61 = 0),
+       |c0 AS (SELECT vec_id AS cid, q AS cq FROM kn
+       |       WHERE vec_id % (SELECT greatest(CAST(61 AS BIGINT),
+       |         CAST(floor(sqrt(COUNT(*))) AS BIGINT)) FROM kn) = 0),
        |${kmAssign("c0", "a1")},
        |${kmUpdate("a1", "u1")},
        |c1 AS (SELECT cid, list(comp ORDER BY dim) AS cq FROM u1 GROUP BY cid),

@@ -27,10 +27,11 @@ import graft.functions.VectorExpressions
   * Dot products use the native codegen'd [[graft.functions.DotProduct]]
   * expression (`graft_dot`) — see that file for why the HOF form was replaced.
   */
-/** One centroid for the large-k typed-literal assignment path in
-  * [[Similarity.kmeansStatePath]]: quantized components `cq` plus the
-  * precomputed Σc² term. Top-level so `typedlit` gets a stable TypeTag. */
-case class CentroidLit(cid: Long, cq: Seq[Long], cc: Long)
+/** One k-means centroid for [[Similarity.kmeansStatePath]]'s per-round
+  * assignment literal: quantized integer components `cq`. Field order is the
+  * `graft_argmin_cell` struct contract: (cid, cq). Top-level so
+  * `Literal.create` gets a stable TypeTag. */
+case class CentroidLit(cid: Long, cq: Seq[Long])
 
 /** One IVF coarse centroid for [[Similarity.assignCells]]'s typed-literal
   * argmax path (q72/q86): raw double components plus the precomputed norm.
@@ -805,45 +806,56 @@ object Similarity {
     *
     * Scale shape (the Spark-MLlib KMeans pattern): each round collects the k
     * centroid rows to the driver — bounded by k·dim, INDEPENDENT of corpus
-    * size — and embeds them as an array literal, so assignment is one pure
-    * projection over the corpus (argmin over k codegen'd integer dots:
-    * no n×k join materialization, no window) and the centroid update is the
-    * round's ONE shuffle (posexplode → map-side-combinable sum/count per
+    * size — and binds them into ONE codegen expression
+    * ([[graft.functions.ArgMinCellL2]], `graft_argmin_cell`), so assignment
+    * is a pure projection over the corpus (no n×k join materialization, no
+    * window, no interpreted lambda) and the centroid update is the round's
+    * ONE shuffle (posexplode → map-side-combinable sum/count per
     * (cell, dim)). Rounds materialize to parquet, so round k's lineage never
-    * re-evaluates rounds 1..k-1.
+    * re-evaluates rounds 1..k-1. The quantized corpus is written core-spread
+    * (`defaultParallelism`) because every downstream pass over it is
+    * CPU-bound per row — the codec-feed rule, not the I/O `maxPartitionBytes`
+    * dial.
+    *
+    * Seed law (round 8, found by the sf100 gate): the modular-seed
+    * convention draws every `vec_id % seedMod == 0` vector, so a FIXED
+    * seedMod grows the centroid table linearly with the corpus and
+    * assignment becomes n²/seedMod distance evaluations — at 2 M vectors
+    * that was 32.8 k centroids and ~an hour per Lloyd round even before the
+    * interpreted-HOF tax. `k = 0` therefore derives
+    * `seedModEff = max(seedMod, ⌊√n⌋)` from COUNT(*) — cell count ≈ √n, the
+    * same FAISS-guideline sizing the IVF pair adopted in round 8
+    * ([[centroidLits]]), training work n·√n, expected cell size √n. The
+    * floor keeps small fixtures on the original sample (seedMod 61 up to
+    * n = 3721), so sf0.01/sf0.1 oracle results are unchanged; the oracle
+    * derives the same law from COUNT(*). `k > 0` takes exactly the k
+    * lowest-id eligible seeds at the LITERAL seedMod — k itself bounds the
+    * table there (round 7's parameterized-k contract, pinned in `ExtSpec`).
     *
     * Exactness: components are bounded by |v|·2^10 (≤ 2^11 for any |v| ≤ 2),
     * so squared distances fit a BIGINT up to dim 2^40 and the per-(cell,dim)
     * sums to 2^42 rows per cell. The centroid mean floor(sum/count) divides
     * exact-in-double integers (< 2^53): IEEE division + floor is identical
     * across engines even at representability edges. Ties in the argmin break
-    * to the LOWEST cid on equal distance in both engines (strict `<` fold
-    * over ascending cids here; `ORDER BY dist, cid` in the oracle).
-    *
-    * k is a real PARAMETER, not a plan-size bound (round 7): `k = 0` keeps
-    * the modular-seed convention (every vec_id % seedMod == 0 seeds a
-    * cell), `k > 0` takes exactly the k lowest-id eligible seeds. Through
-    * `maxLiteralK` centroids the matrix rides as the unrolled codegen
-    * literal below (k fused integer dots, the fastest small-k form); above
-    * it the SAME math rides as a typed literal ARRAY + HOF argmin — plan
-    * size bounded, thousands of cells fine — with identical exact-integer
-    * distances and the identical (dist, cid) lexicographic tie-break, so
-    * the two forms are output-equal by construction (pinned in
-    * `ExtSpec`). The thousands-of-cells ANN serving regime still belongs
-    * to the IVF family (q72/q86), where centroids join as a broadcast
-    * table at query time; this knob is about TRAINING at large k. */
+    * to the LOWEST cid on equal distance in both engines (strict `<` in the
+    * expression's fold; `ORDER BY dist, cid` in the oracle). */
   def kmeansStatePath(spark: SparkSession, dir: String, iters: Int = 2,
-      seedMod: Int = 61, k: Int = 0, maxLiteralK: Int = 128): String =
+      seedMod: Int = 61, k: Int = 0): String =
     graft.engine.Fs.buildOnce(
-      s"graft_km_${graft.engine.Fs.dirTag(dir)}_i${iters}_s${seedMod}_k${k}_L$maxLiteralK",
+      s"graft_km_${graft.engine.Fs.dirTag(dir)}_i${iters}_s${seedMod}_k$k",
       spark.sessionState.newHadoopConf()) { p =>
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), expr(
           s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${KmScale}D) AS BIGINT))")
           .as("q"))
+        .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$p/q")
       val qv = spark.read.parquet(s"$p/q")
-      val eligible = qv.filter(col("vec_id") % seedMod === 0)
+      val seedModEff: Long =
+        if (k > 0) seedMod.toLong
+        else math.max(seedMod.toLong,
+          math.floor(math.sqrt(qv.count().toDouble)).toLong)
+      val eligible = qv.filter(col("vec_id") % seedModEff === 0)
         .select(col("vec_id").as("cid"), col("q").as("cq"))
       (if (k > 0) eligible.orderBy("cid").limit(k) else eligible)
         .write.mode("overwrite").parquet(s"$p/c0")
@@ -856,38 +868,25 @@ object Similarity {
         // assign every vector a NULL cell while the oracle's empty-seed CTE
         // chain yields zero rows — a silent cross-engine divergence
         require(cents.nonEmpty,
-          s"kmeans: no seed vectors (vec_id % $seedMod == 0) in $dir")
-        // dist(q, c) = dqq − 2·(q·c) + Σc²: dqq is computed once per row and
-        // Σc² folds to a driver-side constant per centroid. argmin =
-        // lexicographic array_min over (dist, cid) structs: smallest
-        // distance, then smallest cid — the oracle's ORDER BY dist, cid.
-        // Small k (≤ maxLiteralK): unrolled codegen literal, k fused integer
-        // dot products ([[LongDotProduct]]), no interpreted HOF lambdas.
-        // Large k: the same centroids as ONE typed array literal + HOF —
-        // plan size stays bounded, same integers, same tie-break.
-        val base = qv.withColumn("dqq", expr("graft_dot_long(q, q)"))
-        val assigned = (if (cents.length <= maxLiteralK) {
-          val entries = cents.map { r =>
-            val cq = r.getSeq[Long](1)
-            val cc = cq.map(x => x * x).sum
-            val arr = cq.map(_.toString + "L").mkString(",")
-            s"named_struct('d', dqq - 2L * graft_dot_long(q, array($arr)) + ${cc}L, " +
-              s"'c', ${r.getLong(0)}L)"
-          }.mkString("array(", ", ", ")")
-          base.withColumn("cell", expr(s"array_min($entries).c"))
-        } else {
-          val lits = cents.toSeq.map { r =>
-            val cq = r.getSeq[Long](1)
-            CentroidLit(r.getLong(0), cq, cq.map(x => x * x).sum)
-          }
-          base
-            .withColumn("cents",
-              org.apache.spark.sql.functions.typedlit(lits))
-            .withColumn("cell", expr("array_min(transform(cents, " +
-              "c -> named_struct('d', dqq - 2L * graft_dot_long(q, c.cq) + c.cc, " +
-              "'c', c.cid))).c"))
-            .drop("cents")
-        }).drop("dqq")
+          s"kmeans: no seed vectors (vec_id % $seedModEff == 0) in $dir")
+        // ONE codegen expression per round ([[graft.functions.ArgMinCellL2]]):
+        // the driver-collected centroids ride INSIDE the expression node as a
+        // foldable literal (bound via the function registry under a
+        // per-(dir, spec, round) name — the IVF assignment's mechanism), and
+        // the exact-integer argmin with the (dist, cid) tie-break runs as one
+        // primitive loop in WholeStageCodegen. This replaced the round-7 dual
+        // path (unrolled literal small-k / typed-array HOF large-k): the HOF
+        // form paid an interpreted lambda per (row, centroid) — the sf100
+        // gate measured the 2 M × 32.8 k assignment at ~an hour per round —
+        // and the unrolled form's plan size grew with k.
+        val lits = cents.toSeq.map(r => CentroidLit(r.getLong(0), r.getSeq[Long](1)))
+        val centsLit = org.apache.spark.sql.catalyst.expressions.Literal.create(lits)
+        val fname = s"graft_km_assign_${graft.engine.Fs.dirTag(dir)}" +
+          s"_i${iters}_s${seedMod}_k${k}_r$it"
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          fname, exprs => graft.functions.ArgMinCellL2(exprs(0), centsLit),
+          "scala_udf")
+        val assigned = qv.withColumn("cell", expr(s"$fname(q)"))
         def updFrom(a: DataFrame): DataFrame = a
           .select(col("cell"), posexplode(col("q")).as(Seq("pos", "comp")))
           .groupBy(col("cell"), col("pos"))

@@ -238,6 +238,113 @@ case class ArgMaxCell(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Nearest-centroid argmin for k-means TRAINING (q188/q189's Lloyd rounds):
+  * given a quantized vector `q` (array<bigint>) and a FOLDABLE centroid table
+  * `cents` (array of structs `(cid: bigint, cq: array<bigint>)` — a
+  * `Literal.create` of the driver-collected per-round centroids), returns the
+  * cid minimizing the EXACT integer squared L2 distance Σ(qᵢ−cᵢ)², ties to
+  * the LOWEST cid — the oracle's `ORDER BY dist, cid`.
+  *
+  * The integer sibling of [[ArgMaxCell]], and it exists for the same measured
+  * reason: the round-8 sf100 gate caught the typed-array HOF form
+  * (`array_min(transform(cents, c -> named_struct(...)))`) evaluating an
+  * INTERPRETED lambda per (row, centroid) — at 2 M vectors × 32.8 k centroids
+  * that was ~10¹⁰ boxed struct allocations, ~57 minutes PER Lloyd round on 32
+  * cores. This expression runs the whole argmin as a JIT-friendly nested
+  * primitive loop inside WholeStageCodegen: the foldable table is unpacked
+  * once per executor into `long[]`/`long[][]`, one virtual call per row, zero
+  * allocation per centroid.
+  *
+  * Exactness: components are bounded by |v|·2¹⁰ (KmScale), so each diff² ≤
+  * 2²⁴ and the dim-length sum stays far inside Long — bit-identical to the
+  * oracle's `list_sum((z1-z2)²)`. Mismatched lengths truncate to the shorter
+  * (callers enforce uniform dims with fail-loud checks). An EMPTY table
+  * returns -1; callers guard with a loud `require` (a seedless corpus is a
+  * data bug, not a plan state). */
+case class ArgMinCellL2(first: Expression, second: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = first
+  override def right: Expression = second
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val qOk = first.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    val centsOk = second.dataType match {
+      case ArrayType(StructType(Array(f0, f1)), _) =>
+        f0.dataType == LongType &&
+          (f1.dataType match { case ArrayType(LongType, _) => true; case _ => false })
+      case _ => false
+    }
+    if (!qOk || !centsOk)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_argmin_cell requires (array<bigint>, " +
+          s"array<struct<bigint, array<bigint>>>), got " +
+          s"(${first.dataType}, ${second.dataType})")
+    else if (!second.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_argmin_cell requires a foldable (literal) centroid table")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_argmin_cell"
+
+  /** The literal centroid table unpacked to primitives — once per executor
+    * (@transient lazy; the serialized expression carries only the literal). */
+  @transient private lazy val table: (Array[Long], Array[Array[Long]]) = {
+    val arr = second.eval(null).asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val cids = new Array[Long](m)
+    val cqs = new Array[Array[Long]](m)
+    var i = 0
+    while (i < m) {
+      val row = arr.getStruct(i, 2)
+      cids(i) = row.getLong(0)
+      cqs(i) = row.getArray(1).toLongArray()
+      i += 1
+    }
+    (cids, cqs)
+  }
+
+  /** The primitive argmin loop shared by eval and the generated code. */
+  def argmin(q: ArrayData): Long = {
+    val (cids, cqs) = table
+    val qa = q.toLongArray()
+    var bestD = Long.MaxValue
+    var bestC = -1L
+    var found = false
+    var i = 0
+    while (i < cids.length) {
+      val c = cqs(i)
+      val n = math.min(qa.length, c.length)
+      var d = 0L
+      var j = 0
+      while (j < n) { val t = qa(j) - c(j); d += t * t; j += 1 }
+      if (!found || d < bestD || (d == bestD && cids(i) < bestC)) {
+        bestD = d; bestC = cids(i); found = true
+      }
+      i += 1
+    }
+    bestC
+  }
+
+  override def nullSafeEval(q: Any, cents: Any): Any =
+    argmin(q.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, _) => {
+      val self = ctx.addReferenceObj("argminCell", this,
+        classOf[ArgMinCellL2].getName)
+      s"${ev.value} = $self.argmin($q);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(first = newLeft, second = newRight)
+}
+
 object VectorExpressions {
   /** Register the engine's native functions (`graft_dot`,
     * `graft_bounded_lev`) in the session's function registry so plans (and

@@ -1410,32 +1410,36 @@ class ExtSpec extends SparkSuite {
       (61L, 1) -> ((3L, 85L)), (61L, 2) -> ((3L, 768L))))
   }
 
-  test("kmeans parameterized k: explicit seed counts honored; literal and typed-array paths output-equal") {
+  test("kmeans parameterized k: explicit seed counts honored; seed law only applies at k = 0") {
     val s = spark; import s.implicits._
-    // 8 eligible seeds (seedMod=1) in two tight groups around (1,0) and (0,1)
+    // 16 eligible seeds (seedMod=1) in two tight groups around (1,0) and (0,1)
     val vecs = (0L until 16L).map { i =>
       val base = if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
       (i, Array(base(0) + i * 0.015625f, base(1) + i * 0.0078125f))
     }
     vecs.toDF("vec_id", "embedding")
       .write.mode("overwrite").parquet("/tmp/graft_test_kmk/embeddings.parquet")
-    def assignAt(k: Int, maxLiteralK: Int): Map[Long, Long] = {
+    def assignAt(k: Int): Map[Long, Long] = {
       val p = Similarity.kmeansStatePath(spark, "/tmp/graft_test_kmk",
-        iters = 2, seedMod = 1, k = k, maxLiteralK = maxLiteralK)
+        iters = 2, seedMod = 1, k = k)
       spark.read.parquet(s"$p/assign").collect()
         .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
     }
     // k is a real parameter: exactly k cells may appear, seeds are the k
-    // lowest eligible ids
-    val k2 = assignAt(2, 128)
+    // lowest eligible ids AT THE LITERAL seedMod (the √n law is k = 0 only)
+    val k2 = assignAt(2)
     assert(k2.values.toSet.subsetOf(Set(0L, 1L)) && k2.values.toSet.size == 2)
-    val k4 = assignAt(4, 128)
+    val k4 = assignAt(4)
     assert(k4.values.toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
-    // forcing the typed-array HOF path (maxLiteralK = 0) is output-identical
-    // to the unrolled codegen literal at the same k — same integers, same
-    // (dist, cid) tie-break
-    assert(assignAt(4, 0) == k4, "literal vs typed-array assignment paths diverge")
-    assert(assignAt(2, 0) == k2)
+    // k = 0 on the same corpus derives seedModEff = max(1, ⌊√16⌋) = 4: the
+    // modular convention seeds ids 0,4,8,12 — NOT all 16 — so a fixed
+    // seedMod can never grow the centroid table linearly with the corpus
+    val p0 = Similarity.kmeansStatePath(spark, "/tmp/graft_test_kmk",
+      iters = 2, seedMod = 1, k = 0)
+    val cells0 = spark.read.parquet(s"$p0/assign").collect()
+      .map(_.getAs[Long]("cell")).toSet
+    assert(cells0.subsetOf(Set(0L, 4L, 8L, 12L)),
+      s"k=0 seeds must follow the √n law (ids 0,4,8,12), got $cells0")
   }
 
   test("kmeans rounds: a seed that loses every member (exact tie -> lower cid) drops out") {

@@ -185,6 +185,48 @@ class VectorSpec extends SparkSuite {
     assert(picked == 4L, s"tie must break to the lower cid, got $picked")
   }
 
+  test("graft_argmin_cell equals the relational argmin; all-way ties break to the lowest cid; empty table -1") {
+    val s = spark; import s.implicits._
+    import graft.ext.CentroidLit
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.expressions.Window
+    // deliberately NOT cid-sorted: the tie-break must come from the compare,
+    // not the input order
+    val cents = Seq(
+      CentroidLit(3L, Seq(0L, 0L)),
+      CentroidLit(1L, Seq(10L, 0L)),
+      CentroidLit(7L, Seq(0L, 10L)))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "test_km_argmin",
+      exprs => graft.functions.ArgMinCellL2(exprs(0), Literal.create(cents)),
+      "scala_udf")
+    val qs = Seq(
+      (0L, Seq(1L, 0L)),   // nearest (0,0) -> cid 3
+      (1L, Seq(9L, 1L)),   // nearest (10,0) -> cid 1
+      (2L, Seq(5L, 5L)),   // d = 50 to ALL three -> lowest cid 1
+      (3L, Seq(0L, 11L)))  // nearest (0,10) -> cid 7
+      .toDF("id", "q")
+    val fast = qs.selectExpr("id", "test_km_argmin(q) AS cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = qs.crossJoin(cents.toDF("cid", "cq"))
+      .withColumn("d", expr(
+        "aggregate(zip_with(q, cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("d"), col("cid"))))
+      .filter(col("rn") === 1).select("id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow, "codegen argmin must equal the relational (dist, cid) argmin")
+    assert(fast(2L) == 1L, "the all-way tie must resolve to the lowest cid")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "test_km_argmin_empty",
+      exprs => graft.functions.ArgMinCellL2(
+        exprs(0), Literal.create(Seq.empty[CentroidLit])),
+      "scala_udf")
+    val sentinel = qs.selectExpr("test_km_argmin_empty(q) AS cell")
+      .collect().map(_.getLong(0)).toSet
+    assert(sentinel == Set(-1L), "empty centroid table must yield the -1 sentinel")
+  }
+
   test("graft_minhash_sig equals the interpreted HOF fold; under 3 words yields null") {
     val s = spark; import s.implicits._
     graft.functions.VectorExpressions.register(spark)
