@@ -479,16 +479,23 @@ object Catalog {
   }
 
   /** Shared DuckDB CTE: embeddings as double lists + L2 norm + LSH bucket
-    * (mirrors Similarity.vecs / Similarity.lshBuckets). */
-  private val lshBucketExpr: String = (0 until 8).map { p =>
+    * (mirrors Similarity.vecs / Similarity.lshBuckets). The sum carries all
+    * 20 possible plane bits (the law's cap); masking the low `np` bits
+    * (`lshpl` in [[vecsCte]] — the same exact-integer bit_length law as
+    * `Similarity.lshPlanesFor`) is identical to bucketing with the first
+    * `np` planes, because bit p of the bucket IS plane p. */
+  private val lshBucketExpr: String = (0 until 20).map { p =>
     s"(CASE WHEN list_sum(list_transform(range(1, len(v) + 1), d -> v[d] * " +
       s"(CASE WHEN CAST(('0x' || substr(md5('$p' || ',' || CAST(d AS VARCHAR)), 32, 1)) AS BIGINT) % 2 = 1 " +
-      s"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))) > 0 THEN ${1 << p} ELSE 0 END)"
-  }.mkString(" + ")
+      s"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))) > 0 THEN ${1L << p} ELSE 0 END)"
+  }.mkString("(", " + ", ") % (SELECT CAST(1 AS BIGINT) << np FROM lshpl)")
 
   private val vecsCte =
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |lshpl AS (SELECT GREATEST(8, LEAST(20,
+      |    CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END)) AS np
+      |  FROM (SELECT CAST((COUNT(*) + 255) // 256 AS BIGINT) AS m FROM e))""".stripMargin
 
   /** DuckDB k-means CTE chain (mirrors Similarity.kmeansStatePath, 2 Lloyd
     * rounds unrolled): quantize to exact integers (floor of a power-of-two
@@ -2806,12 +2813,15 @@ object Catalog {
     // 3-table recall at 1-table index cost.
     q("q177_multiprobe_ann", (s, d) => ext.Similarity.multiprobeTopK(s, d),
       s"""WITH $vecsCte,
-         |pr AS (SELECT vec_id, v, nrm, [${(0 until 8).map(lshProjSql).mkString(", ")}] AS prj FROM n),
+         |pr AS (SELECT vec_id, v, nrm,
+         |  list_slice([${(0 until 20).map(lshProjSql).mkString(", ")}],
+         |             1, (SELECT np FROM lshpl)) AS prj FROM n),
          |bk AS (SELECT vec_id, v, nrm, prj,
-         |  CAST(${(0 until 8).map(p => s"(CASE WHEN prj[${p + 1}] > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ")} AS INT) AS bucket FROM pr),
+         |  CAST(list_sum(list_transform(range(1, len(prj) + 1),
+         |    i -> CASE WHEN prj[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS INT) AS bucket FROM pr),
          |ab AS (SELECT vec_id, v, nrm, bucket, list_transform(prj, x -> abs(x)) AS absl FROM bk),
          |a1 AS (SELECT *, CAST(list_position(absl, list_min(absl)) - 1 AS INT) AS i1 FROM ab),
-         |a2 AS (SELECT *, list_transform(range(0, 8),
+         |a2 AS (SELECT *, list_transform(range(0, len(absl)),
          |    i -> CASE WHEN i = i1 THEN CAST('inf' AS DOUBLE) ELSE absl[CAST(i + 1 AS INT)] END) AS absl2 FROM a1),
          |a3 AS (SELECT *, CAST(list_position(absl2, list_min(absl2)) - 1 AS INT) AS i2 FROM a2),
          |qp AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,

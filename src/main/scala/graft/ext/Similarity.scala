@@ -94,7 +94,7 @@ object Similarity {
     * per-row guard raises if the corpus dim disagrees, because a mismatched
     * plane literal would zip to NULL projections and silently collapse every
     * vector into bucket 0 (degrading ANN to an all-pairs join). */
-  def lshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 8,
+  def lshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 0,
       dim: Int = DefaultDim): DataFrame =
     // single source of truth: the bucket is DERIVED from the projection
     // array in [[lshProjections]] (which also owns the dim guard), so the
@@ -190,29 +190,69 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Corpus-adaptive hyperplane count (round 8, found by the sf100 gate):
+    * with a FIXED plane count the expected bucket occupancy n/2^p grows
+    * linearly with the corpus and every within-bucket pair join grows
+    * QUADRATICALLY — q53 measured 55× for 10× rows at sf100 (2 M vectors in
+    * 256 buckets ≈ 7.8 k per bucket ≈ 7.8 G candidate pairs). This is the
+    * LSH face of the fixed-parameter defect class the k-means seedMod and
+    * IVF nlist hit this round: an index parameter sized once must follow
+    * the data.
+    *
+    * Law: the smallest p with expected occupancy n/2^p ≤ 256, floored at 8
+    * (so every driver-tested fixture up to n = 65,536 keeps the original
+    * 8-plane buckets — oracle results unchanged) and capped at 20 (1 M
+    * buckets; past that a single hash table stops being the right
+    * structure). Computed in EXACT integer arithmetic — bit_length of
+    * ⌈n/256⌉ − 1 — because both engines must derive the identical count
+    * (a float log2 could round differently at exact-power boundaries; the
+    * oracle uses DuckDB's `length(bin(...))` of the same integer).
+    *
+    * The trade this dial makes is the single-table LSH trade: more planes
+    * = bounded candidate mass but lower per-pair recall (a cos-0.95 pair
+    * agrees on one plane w.p. ≈ 0.9, so recall ≈ 0.9^p). That is WHY the
+    * family ships q90 (recall monitor) and q177 (multi-probe, which buys
+    * the recall back at one table's footprint) beside the index — the
+    * production response to a too-coarse OR too-fine table is measured
+    * there, not guessed here. */
+  def lshPlanesFor(n: Long): Int = {
+    val m = (n + 255L) / 256L
+    val bits = if (m <= 1L) 0
+    else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    math.max(8, math.min(20, bits))
+  }
+
   /** The LSH projection/bucket table materialized ONCE per (source dir,
     * nPlanes, dim) per JVM — the vector family's at-rest index, the same
     * build-once cost model as [[graft.ext.Dedup.candidatePairsPath]]'s band
     * index: q33/q34/q53/q90/q144/q177 all read this table instead of each
-    * re-running the projection pass (8 × 64-element dot products per vector
-    * per consumer). At 100 TB this is exactly how a vector store deploys —
-    * buckets are computed at ingest and kept beside the embeddings; keyed on
-    * the immutable fixture dir (a mutable deployment keys on a
-    * snapshot/commit id instead). */
-  def lshProjectionsPath(spark: SparkSession, dir: String, nPlanes: Int = 8,
-      dim: Int = DefaultDim): String =
+    * re-running the projection pass (nPlanes × 64-element dot products per
+    * vector per consumer). At 100 TB this is exactly how a vector store
+    * deploys — buckets are computed at ingest and kept beside the
+    * embeddings; keyed on the immutable fixture dir (a mutable deployment
+    * keys on a snapshot/commit id instead). `nPlanes = 0` (the catalog
+    * default) derives the count from COUNT(*) via [[lshPlanesFor]]; an
+    * explicit count pins it (tests, and any deployment that froze the
+    * index geometry — a STREAM appending to an existing index must pin the
+    * count the index was built with). */
+  def lshProjectionsPath(spark: SparkSession, dir: String, nPlanes: Int = 0,
+      dim: Int = DefaultDim): String = {
+    val planes =
+      if (nPlanes > 0) nPlanes
+      else lshPlanesFor(Tables.embeddings(spark, dir).count())
     graft.engine.Fs.buildOnce(
-      s"graft_lshprj_${graft.engine.Fs.dirTag(dir)}_p${nPlanes}_d$dim",
+      s"graft_lshprj_${graft.engine.Fs.dirTag(dir)}_p${planes}_d$dim",
       spark.sessionState.newHadoopConf()) { p =>
-      lshProjectionsCompute(spark, dir, nPlanes, dim)
+      lshProjectionsCompute(spark, dir, planes, dim)
         .write.mode("overwrite").parquet(p)
     }
+  }
 
   /** [[lshBuckets]] plus the raw per-plane projection array — the margin
     * information multi-probe needs. Served from the at-rest index
     * ([[lshProjectionsPath]]); same guard, same plane literals; the bucket is
     * derived FROM the projections so the two can never disagree. */
-  private def lshProjections(spark: SparkSession, dir: String, nPlanes: Int = 8,
+  private def lshProjections(spark: SparkSession, dir: String, nPlanes: Int = 0,
       dim: Int = DefaultDim): DataFrame =
     spark.read.parquet(lshProjectionsPath(spark, dir, nPlanes, dim))
 
@@ -226,7 +266,11 @@ object Similarity {
     * plane literals — the index-build projection exposed on its own, because
     * a streaming ingest (StreamsSpec) must hash an arriving micro-batch with
     * exactly the planes the at-rest index was built with, or its candidate
-    * join is garbage. Output: vec_id, v (double), nrm, prj, bucket. */
+    * join is garbage. The plane count is EXPLICIT here (not the
+    * [[lshPlanesFor]] law): an index's geometry is frozen at creation, and
+    * a stream appending to it must pin that frozen count — deriving from a
+    * growing corpus mid-stream would silently re-bucket later waves.
+    * Output: vec_id, v (double), nrm, prj, bucket. */
   def bucketizeVectors(df: DataFrame, nPlanes: Int = 8,
       dim: Int = DefaultDim): DataFrame = {
     VectorExpressions.register(df.sparkSession)
