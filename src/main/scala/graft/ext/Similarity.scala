@@ -235,11 +235,20 @@ object Similarity {
     * explicit count pins it (tests, and any deployment that froze the
     * index geometry — a STREAM appending to an existing index must pin the
     * count the index was built with). */
+  /** Per-dir memo of the derived plane count: deriving it runs a COUNT(*)
+    * job, and every consumer of the at-rest index (q33/q34/q53/q90/q144/q177,
+    * each invocation) would otherwise pay that count just to NAME an index
+    * already on disk. Same JVM-level, immutable-fixture-dir keying discipline
+    * as [[graft.engine.Fs.buildOnce]]; a mutable-source deployment keys on a
+    * snapshot/commit id instead. */
+  private val planesMemo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   def lshProjectionsPath(spark: SparkSession, dir: String, nPlanes: Int = 0,
       dim: Int = DefaultDim): String = {
-    val planes =
+    val planes: Int =
       if (nPlanes > 0) nPlanes
-      else lshPlanesFor(Tables.embeddings(spark, dir).count())
+      else planesMemo.computeIfAbsent(dir,
+        d => Int.box(lshPlanesFor(Tables.embeddings(spark, d).count())))
     graft.engine.Fs.buildOnce(
       s"graft_lshprj_${graft.engine.Fs.dirTag(dir)}_p${planes}_d$dim",
       spark.sessionState.newHadoopConf()) { p =>
@@ -1094,7 +1103,15 @@ object Similarity {
   def semanticDecontaminate(spark: SparkSession, dir: String,
       tau: Double = 0.4): DataFrame = {
     val bench = evalBenchmark(spark, dir)
-    deconScreen(vecs(spark, dir), bench, tau).orderBy("vec_id")
+    // the eval members themselves are excluded HERE, not inside the screen:
+    // this batch form screens the same corpus the benchmark was sampled
+    // from (eval rows would trivially self-match at cos 1.0), but a
+    // streaming ingest screens a DIFFERENT corpus against a registered
+    // benchmark — an arriving vector whose id merely aliases the
+    // benchmark's membership mod must still be screened
+    // ([[graft.streaming.Streams.deconStream]] screens every wave row).
+    deconScreen(vecs(spark, dir).filter(col("vec_id") % bench.evalMod =!= 0),
+      bench, tau).orderBy("vec_id")
   }
 
   /** The driver-collected eval benchmark ready for screening: the registered
@@ -1129,10 +1146,14 @@ object Similarity {
   /** The screen itself over any (vec_id, v, nrm) frame — batch or streaming
     * micro-batch alike (stateless projection + stream-static broadcast join,
     * so the streaming form runs under the exactly-once file sink with zero
-    * state). Unordered; the batch catalog entry adds the output sort. */
+    * state). Screens EVERY input row — corpus-membership exclusions (the
+    * batch same-corpus case drops the eval rows themselves) belong to the
+    * caller, so a stream screening a foreign corpus can never silently skip
+    * an arriving vector whose id aliases the benchmark's membership mod.
+    * Unordered; the batch catalog entry adds the output sort. */
   def deconScreen(vframe: DataFrame, bench: EvalBenchmark,
       tau: Double = 0.4): DataFrame =
-    vframe.filter(col("vec_id") % bench.evalMod =!= 0)
+    vframe
       .withColumn("nearest_eval_id", expr(s"${bench.fname}(v, nrm)"))
       .join(broadcast(bench.evalDim), col("nearest_eval_id") === col("eval_id"))
       .withColumn("cos", expr("graft_dot(v, ev)") / (col("nrm") * col("en")))
