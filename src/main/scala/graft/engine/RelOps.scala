@@ -22,6 +22,26 @@ import Dec._
   */
 object RelOps {
 
+  /** Size-guarded broadcast for AGGREGATE outputs the planner cannot size
+    * (vocabulary tables, n-gram type tables, per-key degree tables): the
+    * round-8 sf10 sweep measured corpus-mass sort-merge joins on few-valued
+    * string keys at 16-57× for 10× rows, so these dims must broadcast — but
+    * a Heaps-bounded type table is still corpus-DEPENDENT, and an
+    * unconditional `broadcast()` hint of a table that outgrew executor
+    * memory is an OOM at some scale (ADVICE r8). This helper persists the
+    * aggregate (its consumer join was about to materialize it anyway),
+    * counts it driver-side — a metadata-cheap pass over the cached frame —
+    * and applies the hint only under `maxRows`; past the guard it falls
+    * through to the shuffle join, whose stream side AQE can then lay out.
+    * Default 10 M rows ≈ a few hundred MB of short strings per executor:
+    * comfortably inside a production executor budget, far above every
+    * fixture's type-table sizes (the hint never drops on the test ladder —
+    * the guard is the 1000× insurance, not a behavior change). */
+  def guardedBroadcast(df: DataFrame, maxRows: Long = 10000000L): DataFrame = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (cached.count() <= maxRows) broadcast(cached) else cached
+  }
+
   /** Distributed deterministic ROW_NUMBER over a TOTAL order — the
     * scale-safe replacement for `row_number().over(Window.orderBy(...))`,
     * which moves the whole input to ONE partition (Spark's WindowExec

@@ -744,8 +744,11 @@ object Dedup {
     * naive segment-pigeonhole blocking here) rank last and never join.
     * Per-record cost: one gram explode (≤ |name| rows), one df lookup
     * (broadcast), a kq+1-row prefix — candidate volume rides gram rarity,
-    * LINEAR in records. Records with ≤ k·q distinct grams keep their whole
-    * gram set as prefix (the lemma's degenerate case). q = 3 is measured,
+    * LINEAR in records. Records with ≤ k·q distinct grams are OUTSIDE the
+    * lemma (k edits can destroy their whole gram set — two short disjoint
+    * names share no gram yet may match): they fall back to direct pairing
+    * within their attribute block (see the degenerate-case branch in
+    * [[recordLinkageOn]]). q = 3 is measured,
     * not guessed: q = 4 (bigger prefix, 9 grams) ran 3× SLOWER at sf10 —
     * zero-padded ids leave most 4-grams zero-heavy, so the wider prefix
     * adds candidates faster than the longer gram removes them.
@@ -760,12 +763,21 @@ object Dedup {
     * names) are sparse in their string space and stay match-linear. The
     * verifier stays budgeted either way. */
   def recordLinkage(spark: SparkSession, dir: String, k: Int = 2,
-      q: Int = 3): DataFrame = {
+      q: Int = 3): DataFrame =
+    recordLinkageOn(
+      Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey").as("nk"),
+          col("c_mktsegment").as("seg")),
+      k, q)
+
+  /** [[recordLinkage]]'s core over ANY (c_custkey, c_name, nk, seg) frame —
+    * split out so the short-string degenerate path can be pinned on
+    * synthetic records (the fixture's 18-char names never exercise it). */
+  def recordLinkageOn(recs: DataFrame, k: Int = 2, q: Int = 3): DataFrame = {
+    val spark = recs.sparkSession
     graft.functions.VectorExpressions.register(spark)
     val pfx = k * q + 1
-    val c = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey").as("nk"),
-        col("c_mktsegment").as("seg"))
+    val c = recs
       .withColumn("grams", expr(
         s"array_distinct(transform(sequence(1, greatest(length(c_name) - $q + 1, 1)), i -> substring(c_name, i, $q)))"))
     // global gram rarity — one small aggregate (gram space is bounded by
@@ -786,10 +798,34 @@ object Dedup {
       col("c_name").as("name_a"), col("nk"), col("seg"), col("gram"))
     val b = prefix.select(col("c_custkey").as("custkey_b"),
       col("c_name").as("name_b"), col("nk"), col("seg"), col("gram"))
-    a.join(b, Seq("nk", "seg", "gram"))
+    val prefixCands = a.join(b, Seq("nk", "seg", "gram"))
       .filter(col("custkey_a") < col("custkey_b"))
       .select(col("nk"), col("seg"), col("custkey_a"), col("custkey_b"),
         col("name_a"), col("name_b"))
+    // Degenerate-case fallback: the kq+1 prefix lemma only guarantees a
+    // shared prefix gram when a record has MORE than k·q distinct grams —
+    // k edits can destroy a short record's entire gram set (e.g. 'ab' vs
+    // 'cd': zero shared grams, edit distance 2). Any pair INVOLVING such a
+    // record must therefore be verified directly: short records pair with
+    // every record in their attribute block. Cost is |short| × block size —
+    // zero when the corpus has no sub-(k·q+q−1)-char keys (this fixture:
+    // names are 18 chars, the frame below is empty and the union free), and
+    // linear while short keys are rare; a corpus that is MOSTLY short
+    // strings is outside Ed-Join's regime and should block on length
+    // instead (ADVICE r8).
+    val shortSide = c.filter(size(col("grams")) <= k * q)
+      .select(col("c_custkey").as("key_s"), col("c_name").as("name_s"),
+        col("nk"), col("seg"))
+    val shortCands = shortSide
+      .join(c.select(col("c_custkey").as("key_o"), col("c_name").as("name_o"),
+        col("nk"), col("seg")), Seq("nk", "seg"))
+      .filter(col("key_s") =!= col("key_o"))
+      .select(col("nk"), col("seg"),
+        least(col("key_s"), col("key_o")).as("custkey_a"),
+        greatest(col("key_s"), col("key_o")).as("custkey_b"),
+        when(col("key_s") < col("key_o"), col("name_s")).otherwise(col("name_o")).as("name_a"),
+        when(col("key_s") < col("key_o"), col("name_o")).otherwise(col("name_s")).as("name_b"))
+    prefixCands.unionByName(shortCands)
       .distinct()
       // Catalyst pushes this filter BELOW the distinct (lev's inputs are
       // grouping keys) — so the 0.5µs codegen verifier runs per candidate
@@ -1820,7 +1856,12 @@ object Dedup {
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("gram"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("p"))
-    grams.join(dup, Seq("gram"), "left_semi")
+    // the repeated-gram TYPE set is Heaps-bounded while `grams` is the
+    // corpus's full posting mass — a shuffled semi-join moves that mass on
+    // Zipf-hot gram strings (the 14.5×/decade the sf100 gate flagged).
+    // Size-guarded broadcast keeps the posting stream in place; only the
+    // doc-partitioned islands window below shuffles, evenly keyed on doc_id.
+    grams.join(graft.engine.RelOps.guardedBroadcast(dup), Seq("gram"), "left_semi")
       .select(col("doc_id"), col("p"))
       // gap-merge islands: a new run starts when the previous covered gram
       // start is more than k back (its token window no longer touches ours)

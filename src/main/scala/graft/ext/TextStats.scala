@@ -147,7 +147,12 @@ object TextStats {
     val benchmark = docs.filter(col("doc_id") % 50 === 0)
       .select(col("sh")).distinct()
     val corpus = docs.filter(col("doc_id") % 50 =!= 0)
-    corpus.join(benchmark, Seq("sh"))
+    // the benchmark shingle set is benchmark-sized (distinct types of 2% of
+    // docs — Heaps-bounded), the corpus stream is the whole corpus: a plain
+    // equi-join would shuffle the corpus's shingle mass on Zipf-hot string
+    // keys. Size-guarded broadcast keeps the corpus side shuffle-free (the
+    // only shuffle left is the map-side-combinable per-doc count).
+    corpus.join(graft.engine.RelOps.guardedBroadcast(benchmark), Seq("sh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated_shingles"))
       .orderBy("doc_id")
@@ -364,7 +369,7 @@ object TextStats {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs")) // 1 row — broadcast cross join
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
-    tf.join(broadcast(dfreq), "term")
+    tf.join(graft.engine.RelOps.guardedBroadcast(dfreq), "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
       .withColumn("rank", row_number().over(w))
@@ -617,14 +622,15 @@ object TextStats {
       .select(col("doc_id"), col("t.w1").as("w1"), col("t.bg").as("bg"))
     val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    // both count tables join as EXPLICIT broadcasts: c1 is vocabulary-sized
-    // and c2 bigram-TYPE-sized (Heaps-bounded; tiny next to the positional
-    // stream), but the planner cannot size aggregate outputs and would SMJ
-    // the 50 M-row stream on few-valued string keys — the round-8 sf10
-    // sweep measured that at 16× for 10× rows (53 s). At a scale where
-    // bigram types outgrow the broadcast threshold, drop the hint and let
-    // AQE shuffle — the stream side is already (bg)-prepartitionable.
-    bg.join(broadcast(c2), Seq("bg")).join(broadcast(c1), Seq("w1"))
+    // both count tables join as SIZE-GUARDED broadcasts: c1 is
+    // vocabulary-sized and c2 bigram-TYPE-sized (Heaps-bounded; tiny next
+    // to the positional stream), but the planner cannot size aggregate
+    // outputs and would SMJ the 50 M-row stream on few-valued string keys —
+    // the round-8 sf10 sweep measured that at 16× for 10× rows (53 s).
+    // Past the guard (a corpus whose bigram types outgrow executor memory)
+    // the hint drops automatically and AQE lays out the shuffle join.
+    bg.join(graft.engine.RelOps.guardedBroadcast(c2), Seq("bg"))
+      .join(graft.engine.RelOps.guardedBroadcast(c1), Seq("w1"))
       .withColumn("ppm", expr("c2 * 1000000L div c1"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("lm_score_sum"))
@@ -1336,7 +1342,10 @@ object TextStats {
     val weighted = perBigram.select(col("bg"),
       (expr(s"c_t * 1000000 div ${mt}L") - expr(s"c_r * 1000000 div ${mr}L"))
         .as("w_ppm"))
-    docBigrams.join(weighted, Seq("bg"))
+    // weighted is bigram-TYPE-sized (Heaps-bounded) against the corpus-mass
+    // positional stream — the broadcast side of the re-join, size-guarded
+    // (the sf100 gate read this join's type-table shuffle at 12.2×/decade)
+    docBigrams.join(graft.engine.RelOps.guardedBroadcast(weighted), Seq("bg"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("w_ppm")).as("importance_ppm"))
       .orderBy(col("importance_ppm").desc, col("doc_id").asc)

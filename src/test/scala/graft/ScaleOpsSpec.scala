@@ -896,6 +896,26 @@ class ScaleOpsSpec extends SparkSuite {
       s"missed=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
   }
 
+  test("q155 short-string degenerate case: disjoint-gram pairs below the kq+1 lemma still match") {
+    // 'ab' vs 'cd' share ZERO q-grams at edit distance 2 — the prefix
+    // lemma's guarantee needs > k·q distinct grams, so these pairs only
+    // surface through the direct-pairing fallback (ADVICE r8). The long
+    // names check the prefix path still runs beside it, and the cross
+    // short↔long pair ('ab' vs 'abc', lev 1, disjoint single grams) checks
+    // the fallback pairs short records against the WHOLE block.
+    val s = spark; import s.implicits._
+    val recs = Seq(
+      (1L, "ab", 1, "SEG"), (2L, "cd", 1, "SEG"), (3L, "abc", 1, "SEG"),
+      (4L, "Customer#000000004", 1, "SEG"), (5L, "Customer#000000005", 1, "SEG"),
+      (6L, "zz", 2, "SEG") // different block: must never pair with 1/2/3
+    ).toDF("c_custkey", "c_name", "nk", "seg")
+    val got = ext.Dedup.recordLinkageOn(recs).collect()
+      .map(r => (r.getAs[Long]("custkey_a"), r.getAs[Long]("custkey_b"),
+        r.getAs[Long]("lev"))).toSet
+    // lev(cd,abc)=3 > k: generated by the fallback, rejected by the verifier
+    assert(got == Set((1L, 2L, 2L), (1L, 3L, 1L), (4L, 5L, 1L)))
+  }
+
   test("q156 decayed engagement: decayed never exceeds raw and never goes negative") {
     val rows = Events.decayedEngagement(spark, dir).collect()
     assert(rows.nonEmpty)
