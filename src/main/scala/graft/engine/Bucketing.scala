@@ -57,17 +57,49 @@ object Bucketing {
     * the one-time layout cost to every query. The source dirs here are
     * immutable test fixtures, so dir-keyed reuse cannot serve stale data; a
     * mutable-source deployment would key on a snapshot/commit id instead. */
+  /** Corpus-adaptive bucket count (round 9, flagged by the round-8 sf100
+    * gate at 20.9×/decade): a FIXED 32-bucket layout makes per-bucket
+    * sort/join state grow linearly with the corpus — the write-time
+    * `sortBy` sorts n/32 rows per bucket (spilling past memory), and every
+    * co-located join task then streams a linearly-growing bucket. Same
+    * fixed-parameter defect class as the k-means seedMod / IVF nlist / LSH
+    * plane count: the layout parameter must follow the data.
+    *
+    * Law: one bucket per `targetRows` (≈4 M rows ≈ 128 MB of (key, value)
+    * parquet — the shuffle-partition sizing rule applied to the at-rest
+    * layout), floored at 32 so every fixture up to 128 M rows keeps the
+    * round-8 layout (bucket count changes NO results — the floor preserves
+    * bench comparability and the PlanSpec exchange-free pin's geometry),
+    * capped at 4096 (past that, per-bucket files at the target size imply
+    * a >0.5 TB table per drop — a deployment raises targetRows/partitions
+    * the layout by date instead of widening one flat bucket space). */
+  def bucketCountFor(nRows: Long, targetRows: Long = 4000000L): Int =
+    math.min(4096L, math.max(32L, (nRows + targetRows - 1) / targetRows)).toInt
+
+  /** Derived-count memo per immutable fixture dir (the COUNT(*) that sizes
+    * the layout should not rerun per invocation — same discipline as the
+    * LSH plane-count memo). */
+  private val bucketsMemo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** `numBuckets = 0` (the catalog default) derives the count from the
+    * larger (fact) side's COUNT(*) via [[bucketCountFor]] — both tables get
+    * the SAME count, the co-located-join requirement. An explicit count
+    * pins it (tests, and any deployment that froze a layout). */
   def bucketedOrderRevenue(spark: SparkSession, dir: String,
-      numBuckets: Int = 32, tablePrefix: String = "graft_bk"): DataFrame = {
-    val prefix = s"${tablePrefix}_${Fs.dirTag(dir)}_b$numBuckets"
+      numBuckets: Int = 0, tablePrefix: String = "graft_bk"): DataFrame = {
+    val buckets: Int =
+      if (numBuckets > 0) numBuckets
+      else bucketsMemo.computeIfAbsent(dir,
+        d => Int.box(bucketCountFor(Tables.lineitem(spark, d).count())))
+    val prefix = s"${tablePrefix}_${Fs.dirTag(dir)}_b$buckets"
     Fs.withPrefixLock(prefix) { // serialize the build-or-reuse decision
       if (!spark.catalog.tableExists(s"${prefix}_orders") ||
           !spark.catalog.tableExists(s"${prefix}_lineitem")) {
         writeBucketed(Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
-          s"${prefix}_orders", "o_orderkey", numBuckets)
+          s"${prefix}_orders", "o_orderkey", buckets)
         writeBucketed(
           Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
-          s"${prefix}_lineitem", "l_orderkey", numBuckets)
+          s"${prefix}_lineitem", "l_orderkey", buckets)
       }
     }
     bucketedJoinFrame(spark, prefix)

@@ -33,6 +33,21 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("bucket-count law: floor below 128M rows, one bucket per 4M rows above, capped") {
+    // floor region — every driver fixture and the sf1/sf10 gates keep the
+    // round-8 32-bucket layout (layout changes no results; the floor
+    // preserves bench comparability)
+    assert(Bucketing.bucketCountFor(60000L) == 32)
+    assert(Bucketing.bucketCountFor(60000000L) == 32)
+    assert(Bucketing.bucketCountFor(128000000L) == 32)
+    // law region — the sf100 fixture (600M lineitem rows) gets 150 buckets:
+    // per-bucket sort state stays ~4M rows at every scale
+    assert(Bucketing.bucketCountFor(600000000L) == 150)
+    assert(Bucketing.bucketCountFor(600000001L) == 151)
+    // cap region
+    assert(Bucketing.bucketCountFor(Long.MaxValue / 4L) == 4096)
+  }
+
   test("year-partitioned fact write gives partition pruning on date-range filters") {
     val s = spark; import s.implicits._
     val fact = Seq((1L, 20170301, 10.0), (2L, 20180401, 20.0), (3L, 20190501, 30.0))
