@@ -147,6 +147,19 @@ object Bench {
     val growthBase = sys.env.get("SPARK_GRAFT_GROWTH_BASE_DIR")
     val growthBound = sys.env.getOrElse("SPARK_GRAFT_GROWTH_BOUND", "12.0").toDouble
     val growthFloor = sys.env.getOrElse("SPARK_GRAFT_GROWTH_FLOOR_SEC", "0.5").toDouble
+    // Documented DESIGN-LAW bounds (SURVEY §8, BENCH.md): queries whose work
+    // curve is superlinear BY CONSTRUCTION get their law's per-decade ratio
+    // (plus headroom) instead of the linear bound — gating them at 12 would
+    // re-flag mathematics the design already chose. The √n-cell family (IVF
+    // nlist, k-means seeding, SemDeDup within-cell pairs) does Θ(n^1.5)
+    // total work = 10·√10 ≈ 31.6× per 10× decade at the asymptote; measured
+    // sf100 ratios are 11.7-12.6 (constants keep them below the law's
+    // ceiling). Bound 40 still catches a REAL defect in these queries — the
+    // round-8 fixed-mod bug measured 103-160× on exactly this family.
+    val lawBounds: Map[String, Double] = Map(
+      "q72_ivf_ann" -> 40.0, // n^1.5: √n centroid scan per probe
+      "q188_kmeans_rounds" -> 40.0, // n^1.5: √n centroids × n assignment
+      "q189_semdedup" -> 40.0) // n^1.5: Σ cell² pair mass at √n cells
     val growth: Option[(Map[String, Double], Seq[String])] = growthBase.map { bDir =>
       // only queries the gate can act on pay a base-SF run: sub-floor
       // queries are exempt by contract (millisecond ratios are scheduler
@@ -181,12 +194,14 @@ object Bench {
       val baseFailed = gated.collect {
         case (name, _) if bBest.getOrElse(name, 0.0) <= 0 => s"$name (base failed)" }
       val flags = (ratios.collect {
-        case (name, r) if r > growthBound => name }.toSeq ++ baseFailed).sorted
+        case (name, r) if r > lawBounds.getOrElse(name, growthBound) => name
+      }.toSeq ++ baseFailed).sorted
       flags.foreach { name =>
         val detail = ratios.get(name.takeWhile(_ != ' '))
           .map(r => f"$r%.1fx").getOrElse("no base timing")
+        val bound = lawBounds.getOrElse(name.takeWhile(_ != ' '), growthBound)
         System.err.println(s"[bench] GROWTH FLAG $name: $detail " +
-          f"($bDir -> $sfDir, bound $growthBound%.1fx)")
+          f"($bDir -> $sfDir, bound $bound%.1fx)")
       }
       (ratios, flags)
     }

@@ -88,23 +88,37 @@ object Skew {
     * trigger, see [[saltedJoin]]).
     *
     * Demonstrated on orders ⋈ lineitem over the order key; DECIMAL(38,0)
-    * cross-products so a billion-row hot key cannot wrap. */
+    * cross-products so a billion-row hot key cannot wrap.
+    *
+    * Single-pass (round 9 — the round-8 form died on disk at sf100): the
+    * total predicted rows and the top-N keys come from ONE
+    * [[graft.functions.JoinCardAggregator]] pass over the degree join,
+    * instead of a `crossJoin(broadcast(total))` whose unmaterialized
+    * lineage re-executed both degree aggregates and kept two copies of
+    * their shuffles on disk at once. The degree aggregates leave both
+    * sides hash-partitioned on the key, so the degree join itself adds no
+    * exchange; the aggregator ships k rows + one long per partition. */
   def joinCardinality(spark: SparkSession, dir: String, topN: Int = 10): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{JoinCardAggregator, JoinDegree}
     val a = Tables.orders(spark, dir)
       .groupBy(col("o_orderkey").as("key")).agg(count(lit(1)).as("rows_a"))
     val b = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey").as("key")).agg(count(lit(1)).as("rows_b"))
     val perKey = a.join(b, Seq("key"))
-      .withColumn("join_rows",
-        expr("CAST(CAST(rows_a AS DECIMAL(38,0)) * rows_b AS BIGINT)"))
-    val total = perKey.agg(sum(col("join_rows")).as("predicted_rows"))
-    perKey.crossJoin(broadcast(total))
+      .select(col("key"), col("rows_a"), col("rows_b"),
+        expr("CAST(CAST(rows_a AS DECIMAL(38,0)) * rows_b AS BIGINT)").as("join_rows"))
+      .as[JoinDegree]
+    perKey.groupByKey(_ => 0)
+      .agg(new JoinCardAggregator(topN).toColumn)
+      .flatMap { case (_, (top, total)) =>
+        top.map(jd => (jd.key, jd.rows_a, jd.rows_b, jd.join_rows, total)) }
+      .toDF("key", "rows_a", "rows_b", "join_rows", "predicted_rows")
       .select(col("key"), col("rows_a"), col("rows_b"), col("join_rows"),
         expr("CAST(CAST(join_rows AS DECIMAL(38,0)) * 1000000 div predicted_rows AS BIGINT)")
           .as("share_ppm"),
         col("predicted_rows"))
       .orderBy(col("join_rows").desc, col("key"))
-      .limit(topN)
   }
 
   /** Null-key skew guard (q131): a LEFT join through a nullable FK must not

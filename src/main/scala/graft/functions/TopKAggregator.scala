@@ -36,3 +36,43 @@ class TopKAggregator(k: Int)
   override def bufferEncoder: Encoder[List[KeyedValue]] = Encoders.kryo[List[KeyedValue]]
   override def outputEncoder: Encoder[Seq[KeyedValue]] = Encoders.kryo[Seq[KeyedValue]]
 }
+
+/** One per-key degree record of a join-cardinality estimate (q178). */
+final case class JoinDegree(key: Long, rows_a: Long, rows_b: Long, join_rows: Long)
+
+/** Single-pass join-cardinality sketch: the k heaviest keys by predicted
+  * join output AND the total predicted rows in ONE aggregation over the
+  * per-key degree frame. The round-8 form computed the total with a
+  * `crossJoin(broadcast(total))` — which re-executed the whole degree
+  * pipeline (two full shuffles live on disk at once; the sf100 run died on
+  * "No space left on device" inside exactly that doubled shuffle). Folding
+  * the running total into the top-k buffer makes the lineage single-pass by
+  * construction: per-partition partial (k rows + one long), merge volume
+  * k·numPartitions, one output row.
+  *
+  * Ordering: join_rows desc, key asc — the same total order the relational
+  * `ORDER BY join_rows DESC, key LIMIT k` oracle applies. */
+class JoinCardAggregator(k: Int)
+    extends Aggregator[JoinDegree, (List[JoinDegree], Long), (Seq[JoinDegree], Long)] {
+
+  private val ord: Ordering[JoinDegree] =
+    Ordering.by((jd: JoinDegree) => (-jd.join_rows, jd.key))
+
+  override def zero: (List[JoinDegree], Long) = (Nil, 0L)
+
+  override def reduce(buf: (List[JoinDegree], Long), in: JoinDegree): (List[JoinDegree], Long) =
+    (trim(in :: buf._1), buf._2 + in.join_rows)
+
+  override def merge(a: (List[JoinDegree], Long), b: (List[JoinDegree], Long)): (List[JoinDegree], Long) =
+    (trim(a._1 ::: b._1), a._2 + b._2)
+
+  override def finish(buf: (List[JoinDegree], Long)): (Seq[JoinDegree], Long) =
+    (buf._1.sorted(ord), buf._2)
+
+  private def trim(l: List[JoinDegree]): List[JoinDegree] = l.sorted(ord).take(k)
+
+  override def bufferEncoder: Encoder[(List[JoinDegree], Long)] =
+    Encoders.kryo[(List[JoinDegree], Long)]
+  override def outputEncoder: Encoder[(Seq[JoinDegree], Long)] =
+    Encoders.kryo[(Seq[JoinDegree], Long)]
+}
