@@ -116,6 +116,11 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/graft_sf1")
     val mult = if (args.length > 1) args(1).toDouble else 10.0
+    // optional third arg: comma-separated table subset (e.g.
+    // "documents,embeddings") — a deep-decade probe of the text/vector
+    // families doesn't need the 25× heavier fact tables on disk
+    val tables: Set[String] =
+      if (args.length > 2) args(2).split(',').map(_.trim).toSet else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -124,14 +129,18 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    gen(spark, out, mult)
+    gen(spark, out, mult, tables)
     spark.stop()
   }
 
   /** Generate every table at `mult`× sf0.1 under `out` (callable from specs
-    * with an existing session). */
-  def gen(spark: SparkSession, out: String, mult: Double): Unit = {
+    * with an existing session). `tables` empty = all; otherwise only the
+    * named tables are written (same laws, same contents — hash-addressed
+    * rows don't depend on which sibling tables exist). */
+  def gen(spark: SparkSession, out: String, mult: Double,
+      tables: Set[String] = Set.empty): Unit = {
     import spark.implicits._
+    def want(t: String): Boolean = tables.isEmpty || tables.contains(t)
     def n(base: Long): Long = math.max(1L, (base * mult).toLong)
 
     val nCust = n(15000); val nSupp = n(1000); val nPart = n(20000)
@@ -143,15 +152,15 @@ object GenData {
     def rng(rows: Long) = spark.range(0L, rows, 1L, cpus)
     val id = col("id")
 
-    Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"), (4, "MIDDLE EAST"))
+    if (want("region")) Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"), (4, "MIDDLE EAST"))
       .toDF("r_regionkey", "r_name")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/region.parquet")
 
-    (0 until 25).map(i => (i, s"NATION_$i", i % 5))
+    if (want("nation")) (0 until 25).map(i => (i, s"NATION_$i", i % 5))
       .toDF("n_nationkey", "n_name", "n_regionkey")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/nation.parquet")
 
-    rng(nCust).select(
+    if (want("customer")) rng(nCust).select(
       id.as("c_custkey"),
       format_string("Customer#%09d", id).as("c_name"),
       ui(id, "cnat", 25).as("c_nationkey"),
@@ -160,14 +169,14 @@ object GenData {
         "MACHINERY")).as("c_mktsegment"))
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
 
-    rng(nSupp).select(
+    if (want("supplier")) rng(nSupp).select(
       id.as("s_suppkey"),
       format_string("Supplier#%09d", id).as("s_name"),
       ui(id, "snat", 25).as("s_nationkey"),
       round(lit(-1000.0) + u(id, "sbal") * 11000.0, 2).as("s_acctbal"))
       .write.mode("overwrite").parquet(s"$out/supplier.parquet")
 
-    rng(nPart).select(
+    if (want("part")) rng(nPart).select(
       id.as("p_partkey"),
       concat(pick(id, "padj", Seq("blue", "cold", "hot", "large", "new", "old",
         "red", "small")), lit(" "),
@@ -180,7 +189,7 @@ object GenData {
       round(lit(900.0) + (id % 1000).cast("double") / 10.0, 2).as("p_retailprice"))
       .write.mode("overwrite").parquet(s"$out/part.parquet")
 
-    rng(nOrders)
+    if (want("orders")) rng(nOrders)
       .withColumn("od", pmod(xxhash64(id, lit("odate")), lit(2404L)).cast("int"))
       .select(
       id.as("o_orderkey"),
@@ -192,7 +201,7 @@ object GenData {
         "5-LOW")).as("o_orderpriority"))
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
-    rng(nLine)
+    if (want("lineitem")) rng(nLine)
       .withColumn("qty", (ui(id, "lqty", 50) + 1).cast("double"))
       .withColumn("sd", (pmod(xxhash64(id, lit("lship")), lit(2499L)) + 1).cast("int"))
       .select(
@@ -210,7 +219,7 @@ object GenData {
         expr("timestampadd(DAY, sd, TIMESTAMP'1995-01-01 00:00:00')").as("l_shipdate"))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    rng(nEvents)
+    if (want("events")) rng(nEvents)
       .withColumn("us", pmod(xxhash64(id, lit("ets")), lit(30L * 86400L * 1000000L)))
       .select(
       id.as("event_id"),
@@ -229,7 +238,7 @@ object GenData {
     // never exactly 1 (lengths differ), so near-dups can't leak into the
     // exact-dup census.
     val mutated = expr("slice(base_toks, 1, size(base_toks) - 1)")
-    rng(nDocs)
+    if (want("documents")) rng(nDocs)
       .withColumn("base_toks", toksOf(id - 90, vocab))
       .withColumn("toks",
         when(id % 625 === 89, toksOf(id - 84, vocab))
@@ -243,7 +252,7 @@ object GenData {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    rng(nEmb).select(
+    if (want("embeddings")) rng(nEmb).select(
       id.as("vec_id"),
       array((0 until 64).map(d =>
         (normal(id, s"emb$d") * 0.125).cast("float")): _*).as("embedding"),

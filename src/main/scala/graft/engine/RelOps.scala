@@ -36,9 +36,18 @@ object RelOps {
     * Default 10 M rows ≈ a few hundred MB of short strings per executor:
     * comfortably inside a production executor budget, far above every
     * fixture's type-table sizes (the hint never drops on the test ladder —
-    * the guard is the 1000× insurance, not a behavior change). */
+    * the guard is the 1000× insurance, not a behavior change).
+    *
+    * DISK_ONLY, deliberately: these caches live for the whole session (a
+    * lazily-consumed frame has no safe unpersist point), and unified memory
+    * PROTECTS in-memory cached blocks from execution-side eviction up to
+    * `spark.memory.storageFraction` — six MEMORY_AND_DISK type tables
+    * accumulated across a bench session pinned enough of the pool that an
+    * unrelated sort-merge join died with UNABLE_TO_ACQUIRE_MEMORY at sf100.
+    * A small on-disk table costs one local read per reuse and pins ZERO
+    * execution memory. */
   def guardedBroadcast(df: DataFrame, maxRows: Long = 10000000L): DataFrame = {
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     if (cached.count() <= maxRows) broadcast(cached) else cached
   }
 
