@@ -108,7 +108,26 @@ object Bench {
     }
     val best = scala.collection.mutable.Map[String, Double]()
     val errs = scala.collection.mutable.Map[String, String]()
+    // Shuffle-file backpressure: Spark's ContextCleaner releases a query's
+    // shuffle files only after the shuffle dependency is GARBAGE-COLLECTED —
+    // on a 64 g heap a full GC can be an hour away while a deep-SF run
+    // accumulates tens of GB of dead shuffle under spark.local.dir (the
+    // round-9 sf100 run reached 34 GB of blockmgr, all but 15 GB of it
+    // dead; an external jcmd GC.run freed 19 GB instantly). Between
+    // queries — never inside a timed pass — force a GC when free disk on
+    // the scratch volume drops under SPARK_GRAFT_GC_FREE_GB (default 20).
+    // This is the one legitimate home for the reference pipeline's mocked
+    // System.gc()-between-writes habit (SURVEY §2.11 O6): same JVM-level
+    // mechanism, but tied to measured disk pressure and kept out of the
+    // timings instead of sprinkled unconditionally through the hot path.
+    val gcFreeGb = sys.env.getOrElse("SPARK_GRAFT_GC_FREE_GB", "20").toLong
+    def gcIfDiskTight(): Unit = {
+      val free = new java.io.File(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")).getUsableSpace
+      if (free < gcFreeGb * (1L << 30)) System.gc()
+    }
     for (_ <- 1 to passes; (name, fn) <- names if !errs.contains(name)) {
+      gcIfDiskTight()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
