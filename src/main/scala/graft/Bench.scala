@@ -120,11 +120,38 @@ object Bench {
     // System.gc()-between-writes habit (SURVEY §2.11 O6): same JVM-level
     // mechanism, but tied to measured disk pressure and kept out of the
     // timings instead of sprinkled unconditionally through the hot path.
+    //
+    // Round-10 hardening (VERDICT r9 #1 — the gate must be redo-free):
+    //  - the free-space probe reads spark.local.dir's FIRST entry (where the
+    //    shuffle files actually live), falling back to java.io.tmpdir only
+    //    when unset — a diverging tmpdir made the guard fire never/spuriously;
+    //  - System.gc() only STARTS the reclamation: the ContextCleaner deletes
+    //    shuffle files ASYNCHRONOUSLY on its own thread, so the round-9 run's
+    //    deletion I/O landed INSIDE the next timed pass and minted two
+    //    phantom sf100 flags (q109 22.7× vs 10.8× clean). After a forced GC,
+    //    poll free space until it stops rising (two stable 250 ms reads, 15 s
+    //    cap) so the cleaner's I/O completes before the next clock starts;
+    //  - firings are counted and reported ("gc_fires") so the artifact itself
+    //    says whether any pass ran adjacent to disk-pressure reclamation.
     val gcFreeGb = sys.env.getOrElse("SPARK_GRAFT_GC_FREE_GB", "20").toLong
+    val scratchDir = new java.io.File(
+      spark.conf.getOption("spark.local.dir")
+        .map(_.split(',').head.trim).filter(_.nonEmpty)
+        .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp")))
+    var gcFires = 0
     def gcIfDiskTight(): Unit = {
-      val free = new java.io.File(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp")).getUsableSpace
-      if (free < gcFreeGb * (1L << 30)) System.gc()
+      if (scratchDir.getUsableSpace < gcFreeGb * (1L << 30)) {
+        gcFires += 1
+        System.gc()
+        val deadline = System.nanoTime() + 15L * 1000000000L
+        var prev = -1L; var stable = 0
+        while (stable < 2 && System.nanoTime() < deadline) {
+          Thread.sleep(250)
+          val now = scratchDir.getUsableSpace
+          if (now <= prev) stable += 1 else stable = 0
+          prev = now
+        }
+      }
     }
     for (_ <- 1 to passes; (name, fn) <- names if !errs.contains(name)) {
       gcIfDiskTight()
@@ -194,6 +221,7 @@ object Bench {
       }
       val bBest = scala.collection.mutable.Map[String, Double]()
       for (_ <- 1 to passes; (name, fn) <- gated) {
+        gcIfDiskTight() // base-side passes deserve the same clean clock
         val t0 = System.nanoTime()
         try {
           fn(spark, bDir).count()
@@ -250,7 +278,7 @@ object Bench {
       val fl = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
       s""","growth":{"base_dir":"${growthBase.get}","bound":$growthBound,"floor_sec":$growthFloor,"ratios":$rs,"flags":$fl}"""
     }.getOrElse("")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","passes":$passes,"errors":$errList,"calibration_before_sec":$calBefore,"calibration_after_sec":$calAfter$growthJson}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","passes":$passes,"errors":$errList,"calibration_before_sec":$calBefore,"calibration_after_sec":$calAfter,"gc_fires":$gcFires$growthJson}"""
     // a FILTERED local run must not clobber the committed full-catalog map —
     // partial results go to a sibling file the repo never tracks
     val fullPath = if (only.isEmpty) "bench_full.json" else "bench_partial.json"
@@ -265,7 +293,7 @@ object Bench {
     val flagsJson = growth.map { case (_, flags) =>
       ""","growth_flags":""" + flags.map("\"" + _ + "\"").mkString("[", ",", "]")
     }.getOrElse("")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_reported":${slowestSeq.size},"sf":"$sfDir","passes":$passes,"errors":$errListCapped,"calibration_before_sec":${f3(calBefore)},"calibration_after_sec":${f3(calAfter)}$flagsJson,"full":"$fullPath"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_reported":${slowestSeq.size},"sf":"$sfDir","passes":$passes,"errors":$errListCapped,"calibration_before_sec":${f3(calBefore)},"calibration_after_sec":${f3(calAfter)},"gc_fires":$gcFires$flagsJson,"full":"$fullPath"}"""
     println(line)
     spark.stop()
     // the loud half of the gate: a superlinear regression fails the run

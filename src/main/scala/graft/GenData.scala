@@ -121,6 +121,11 @@ object GenData {
     // families doesn't need the 25× heavier fact tables on disk
     val tables: Set[String] =
       if (args.length > 2) args(2).split(',').map(_.trim).toSet else Set.empty
+    val known = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val unknown = tables -- known
+    require(unknown.isEmpty,
+      s"unknown table(s) ${unknown.mkString(",")}; known: ${known.toSeq.sorted.mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -73,8 +73,13 @@ object Bucketing {
     * capped at 4096 (past that, per-bucket files at the target size imply
     * a >0.5 TB table per drop — a deployment raises targetRows/partitions
     * the layout by date instead of widening one flat bucket space). */
-  def bucketCountFor(nRows: Long, targetRows: Long = 4000000L): Int =
-    math.min(4096L, math.max(32L, (nRows + targetRows - 1) / targetRows)).toInt
+  def bucketCountFor(nRows: Long, targetRows: Long = 4000000L): Int = {
+    // overflow-safe ceil-divide: (nRows + targetRows - 1) wraps negative for
+    // nRows near Long.MaxValue and the max(32,·) floor would silently hand an
+    // astronomically large table the minimum layout
+    val ceilDiv = nRows / targetRows + (if (nRows % targetRows == 0L) 0L else 1L)
+    math.min(4096L, math.max(32L, ceilDiv)).toInt
+  }
 
   /** Derived-count memo per immutable fixture dir (the COUNT(*) that sizes
     * the layout should not rerun per invocation — same discipline as the

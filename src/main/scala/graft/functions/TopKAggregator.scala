@@ -37,6 +37,44 @@ class TopKAggregator(k: Int)
   override def outputEncoder: Encoder[Seq[KeyedValue]] = Encoders.kryo[Seq[KeyedValue]]
 }
 
+/** One per-key row-count record ([[graft.engine.Skew.keyShares]], q102). */
+final case class KeyedCount(key: Long, n: Long)
+
+/** Single-pass key-share sketch: the k heaviest keys by row count AND the
+  * grand total in ONE aggregation over the per-key count frame — the
+  * [[JoinCardAggregator]] shape (q178's sf100 fix) applied to the generic
+  * top-N-with-share profile, retiring the `crossJoin(broadcast(total))`
+  * form whose total branch re-ran the fact-scale count lineage as a
+  * separate broadcast job (VERDICT r9 #4 sweep). Partial state is k rows +
+  * one long per partition; merge volume k·numPartitions.
+  *
+  * Ordering: n desc, key asc — the total order the relational
+  * `ORDER BY n_rows DESC, key LIMIT k` oracle applies. */
+class TopKCountAggregator(k: Int)
+    extends Aggregator[KeyedCount, (List[KeyedCount], Long), (Seq[KeyedCount], Long)] {
+
+  private val ord: Ordering[KeyedCount] =
+    Ordering.by((kc: KeyedCount) => (-kc.n, kc.key))
+
+  override def zero: (List[KeyedCount], Long) = (Nil, 0L)
+
+  override def reduce(buf: (List[KeyedCount], Long), in: KeyedCount): (List[KeyedCount], Long) =
+    (trim(in :: buf._1), buf._2 + in.n)
+
+  override def merge(a: (List[KeyedCount], Long), b: (List[KeyedCount], Long)): (List[KeyedCount], Long) =
+    (trim(a._1 ::: b._1), a._2 + b._2)
+
+  override def finish(buf: (List[KeyedCount], Long)): (Seq[KeyedCount], Long) =
+    (buf._1.sorted(ord), buf._2)
+
+  private def trim(l: List[KeyedCount]): List[KeyedCount] = l.sorted(ord).take(k)
+
+  override def bufferEncoder: Encoder[(List[KeyedCount], Long)] =
+    Encoders.kryo[(List[KeyedCount], Long)]
+  override def outputEncoder: Encoder[(Seq[KeyedCount], Long)] =
+    Encoders.kryo[(Seq[KeyedCount], Long)]
+}
+
 /** One per-key degree record of a join-cardinality estimate (q178). */
 final case class JoinDegree(key: Long, rows_a: Long, rows_b: Long, join_rows: Long)
 

@@ -210,10 +210,21 @@ class PlanSpec extends SparkSuite {
     assert(!out.columns.contains("__salt"))
   }
 
-  test("q102 key shares: broadcast scalar total + TakeOrderedAndProject top-N") {
-    val p = plan("q102_key_shares")
-    assert(p.contains("TakeOrderedAndProject"), s"top-N lost its per-partition trim:\n$p")
-    assert(p.contains("Broadcast"), s"the 1-row total must broadcast, not shuffle:\n$p")
+  test("q102 key shares: single-pass top-N+total aggregation, no scalar-total branch") {
+    // round 10 (VERDICT r9 #4): top-N and total come from ONE TopKCountAggregator
+    // pass — the plan must hold exactly one fact scan and no broadcast/cross
+    // branch re-running the count lineage for the total
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("q102_key_shares")
+      val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"top-N and total must share ONE pass, found $scans scans:\n$p")
+      assert(!p.contains("BroadcastExchange") && !p.contains("CartesianProduct"),
+        s"the broadcast-scalar total branch is retired:\n$p")
+      assert(p.contains("ObjectHashAggregate"),
+        s"typed top-k+total aggregator missing from the plan:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("q106 vector ops: pure projection — no explode, no row-count blowup") {
