@@ -724,4 +724,39 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"),
       s"order restoration must be the in-row array_sort, not a window:\n$p")
   }
+
+  test("every unpartitioned window in the catalog sits above an aggregate/limit (dimension-bounded input)") {
+    // VERDICT r9 #5: `WindowExec: No Partition Defined` warnings flood the
+    // bench log; every current site is fine because its input is an
+    // aggregate (histogram / per-group rollup) or a limit — row counts
+    // bounded by a VALUE DOMAIN, not the fact table. Nothing asserted that,
+    // so a future window over raw fact rows would hide in the same warning
+    // noise until it walled at scale. This pin walks EVERY catalog query's
+    // optimized logical plan: an unpartitioned Window whose subtree holds no
+    // Aggregate/Limit is an unbounded single-partition sort — fail loudly.
+    // Self-maintaining: new catalog entries are covered automatically.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, Window => LWindow, Deduplicate}
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    for ((name, fn) <- Catalog.queries.toSeq.sortBy(_._1)) {
+      try {
+        val lp = fn(spark, dir).queryExecution.optimizedPlan
+        lp.foreach {
+          case w: LWindow if w.partitionSpec.isEmpty =>
+            val bounded = w.child.collectFirst {
+              case _: Aggregate => ()
+              case _: GlobalLimit => ()
+              case _: LocalLimit => ()
+              case _: Deduplicate => ()
+            }.isDefined
+            if (!bounded) offenders += name
+          case _ => ()
+        }
+      } catch {
+        case t: Throwable => offenders += s"$name (plan build failed: ${t.getMessage})"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over un-aggregated input (single-partition sort " +
+        s"over fact-scale rows at 100 TB): ${offenders.mkString(", ")}")
+  }
 }
