@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming-state soak benchmark (round 10, VERDICT r9 #3): the streaming
+  * twins are replay-parity tested at sf0.1, but state-store size and
+  * per-wave cost had no decade ladder — this main exercises the three
+  * families whose state model differs, at any SF dir, and emits one JSON
+  * artifact with per-wave telemetry plus loud flags when a boundedness law
+  * breaks (exit 3, like Bench's growth gate):
+  *
+  *  - `dedup` ([[graft.streaming.Streams.dedupSoak]]): watermarked
+  *    dedup-by-key. Law: state is O(wave) — FLAT as waves accumulate —
+  *    and the sink emits every event exactly once despite planted
+  *    duplicate feeds.
+  *  - `text_ingest` ([[graft.streaming.Streams.runTextIngest]]):
+  *    dedup-on-arrival against a growing at-rest fp/band index. Law: state
+  *    is the INDEX (linear in corpus, at rest, by design); per-wave wall
+  *    grows at most linearly with the index (the wave side broadcasts),
+  *    never superlinearly. Planted exact copies in wave 2 must be flagged
+  *    against wave 1's slice.
+  *  - `packing` ([[graft.streaming.Streams.runPackingStream]]): sequence
+  *    packing with a 1-ROW carry. Law: state is ONE scalar regardless of
+  *    corpus; per-wave wall is flat; token totals conserve exactly.
+  *
+  * Wave slicing is contiguous and deterministic (dense doc ids → equal
+  * ranges; events split at event-time percentiles inside dedupSoak), so a
+  * run is reproducible at any SF. Staging writes are untimed; only each
+  * wave's stream drain is on the clock.
+  */
+object SoakBench {
+
+  private def ms(t0: Long): Long = (System.nanoTime() - t0) / 1000000L
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val waves = sys.env.getOrElse("SPARK_GRAFT_SOAK_WAVES", "4").toInt
+    val scratch = args.headOption.getOrElse("/tmp/graft_soak_bench")
+    val outPath = if (args.length > 1) args(1) else "soak_result.json"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.engine.Fs.rmTree(scratch)
+
+    val flags = scala.collection.mutable.ListBuffer[String]()
+
+    // ---------------- family 1: watermarked dedup state ----------------
+    val dedup = graft.streaming.Streams.dedupSoak(
+      spark, sfDir, s"$scratch/dedup", waves = waves)
+    val nEvents = graft.engine.Tables.events(spark, sfDir).count()
+    if (dedup.last.nEmittedTotal != nEvents)
+      flags += s"dedup: emitted ${dedup.last.nEmittedTotal} != $nEvents events (exactly-once broken)"
+    if (dedup.map(_.nInput).sum <= nEvents)
+      flags += "dedup: planted duplicates were not fed"
+    val s1 = dedup.head.stateRows
+    dedup.foreach { w =>
+      // same law the sf0.1 spec pins: state is O(wave) with 1.5x headroom
+      // for the sub-watermark carry-over between waves
+      if (s1 > 0 && w.stateRows > (s1 * 3) / 2)
+        flags += s"dedup: state grew across waves (wave ${w.wave}: ${w.stateRows} vs first $s1)"
+      if (w.stateRows >= nEvents / 2)
+        flags += s"dedup: state tracks the corpus, not the wave (wave ${w.wave}: ${w.stateRows})"
+    }
+
+    // shared doc slicing: dense ids -> `waves` equal contiguous ranges
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    def slice(i: Int): DataFrame = {
+      val lo = (maxId + 1) * (i - 1) / waves
+      val hi = if (i == waves) maxId + 1 else (maxId + 1) * i / waves
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    }
+
+    // ---------------- family 2: dedup-on-arrival text ingest ----------------
+    val tSrc = s"$scratch/text/src"; val tIdx = s"$scratch/text/idx"
+    val tVer = s"$scratch/text/ver"; val tCkpt = s"$scratch/text/ckpt"
+    // planted exact copies: 1 in 200 of wave 1's docs re-arrives in wave 2
+    // under a fresh id — the screen must catch every one via the fp index
+    val planted = slice(1).filter(pmod(col("doc_id"), lit(200)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000000000L))
+    val nPlanted = planted.count()
+    val textWaves = (1 to waves).map { i =>
+      val fed = if (i == 2) slice(i).unionByName(planted) else slice(i)
+      val nDocs = fed.count()
+      fed.write.mode("append").parquet(tSrc)
+      val t0 = System.nanoTime()
+      graft.streaming.Streams.runTextIngest(spark, tSrc, tIdx, tVer, tCkpt)
+      val wall = ms(t0)
+      val v = spark.read.option("recursiveFileLookup", "true").parquet(tVer)
+      val agg = v.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("exact_dup_of").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("exact_dup_of").isNull && col("n_near_candidates") > 0, 1L)
+          .otherwise(0L)).as("n_near")).head()
+      val idxRows = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$tIdx/fp").count()
+      (i, nDocs, agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3),
+        idxRows, wall)
+    }
+    val nDocsTotal = docs.count()
+    if (textWaves.last._3 != nDocsTotal + nPlanted)
+      flags += s"text_ingest: ${textWaves.last._3} verdicts != ${nDocsTotal + nPlanted} fed docs"
+    val exactAfterW2 = textWaves(1)._5 - textWaves(0)._5
+    if (exactAfterW2 < nPlanted)
+      flags += s"text_ingest: wave 2 flagged $exactAfterW2 exact dups < $nPlanted planted"
+    // per-wave wall may grow LINEARLY with the at-rest index (wave k joins
+    // against k-1 slices); flag superlinear blowup with jitter floor
+    val tw1 = textWaves.head._8; val twL = textWaves.last._8
+    if (twL >= 2000 && tw1 > 0 && twL > tw1 * (2L * waves))
+      flags += s"text_ingest: wave wall grew ${twL}ms vs first ${tw1}ms (> ${2 * waves}x, index join superlinear)"
+
+    // ---------------- family 3: sequence packing (1-row carry) ----------------
+    val pSrc = s"$scratch/pack/src"; val pMan = s"$scratch/pack/man"
+    val pCkpt = s"$scratch/pack/ckpt"
+    val packWaves = (1 to waves).map { i =>
+      val fed = slice(i)
+      val nDocs = fed.count()
+      fed.write.mode("append").parquet(pSrc)
+      val t0 = System.nanoTime()
+      graft.streaming.Streams.runPackingStream(spark, pSrc, pMan, pCkpt)
+      val wall = ms(t0)
+      // every committed carry slice must hold exactly ONE row (the scalar
+      // high-water mark) — scan all slices so a multi-batch drain still
+      // checks out; the running total is the max across slices (monotone)
+      val slices = Option(new java.io.File(s"$pMan/_carry").listFiles())
+        .getOrElse(Array.empty[java.io.File]).filter(_.getName.startsWith("b"))
+      val perSlice = slices.map(d => spark.read.parquet(d.getPath))
+      val maxSliceRows = perSlice.map(_.count()).foldLeft(0L)(math.max)
+      val corpusTokens = perSlice
+        .map(_.agg(max(col("corpus_tokens"))).head().getLong(0))
+        .foldLeft(0L)(math.max)
+      (i, nDocs, corpusTokens, maxSliceRows, wall)
+    }
+    packWaves.foreach { w =>
+      if (w._4 != 1L)
+        flags += s"packing: wave ${w._1} carry slice has ${w._4} rows (state must be ONE scalar)"
+    }
+    val tokTotal = docs.select(sum(size(split(col("text"), " ")).cast("long")))
+      .head().getLong(0)
+    val manTokens = spark.read.option("recursiveFileLookup", "true").parquet(pMan)
+      .where(col("n_tokens").isNotNull)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    if (manTokens != tokTotal)
+      flags += s"packing: manifest tokens $manTokens != corpus tokens $tokTotal"
+    // packing's per-wave work is wave-sized + a 1-row carry read: FLAT walls
+    val pw1 = packWaves.head._5; val pwL = packWaves.last._5
+    if (pwL >= 2000 && pw1 > 0 && pwL > pw1 * 3)
+      flags += s"packing: wave wall grew ${pwL}ms vs first ${pw1}ms (carry state is not flat)"
+
+    // ---------------- artifact ----------------
+    val dedupJson = dedup.map(w =>
+      s"""{"wave":${w.wave},"n_input":${w.nInput},"n_emitted_total":${w.nEmittedTotal},"state_rows":${w.stateRows},"wall_ms":${w.wallMs}}""")
+      .mkString("[", ",", "]")
+    val textJson = textWaves.map(w =>
+      s"""{"wave":${w._1},"n_docs_fed":${w._2},"n_verdicts_total":${w._3},"n_new_total":${w._4},"n_exact_total":${w._5},"n_near_total":${w._6},"index_fp_rows":${w._7},"wall_ms":${w._8}}""")
+      .mkString("[", ",", "]")
+    val packJson = packWaves.map(w =>
+      s"""{"wave":${w._1},"n_docs_fed":${w._2},"corpus_tokens":${w._3},"carry_rows":${w._4},"wall_ms":${w._5}}""")
+      .mkString("[", ",", "]")
+    val flagsJson = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"soak","sf":"$sfDir","waves":$waves,"n_events":$nEvents,"n_docs":$nDocsTotal,"n_planted_dups":$nPlanted,"dedup":$dedupJson,"text_ingest":$textJson,"packing":$packJson,"flags":$flagsJson}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case t: Throwable =>
+      System.err.println(s"[soak] $outPath write failed: ${t.getMessage}") }
+    println(json)
+    spark.stop()
+    if (flags.nonEmpty) {
+      flags.foreach(f => System.err.println(s"[soak] FLAG $f"))
+      sys.exit(3)
+    }
+  }
+}
