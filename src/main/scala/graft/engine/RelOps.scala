@@ -53,11 +53,35 @@ object RelOps {
     *
     * Streaming frames pass through un-hinted: `persist`/`count` are
     * batch-only actions, and a stream side of a stream-static join takes
-    * its build strategy from the static side anyway. */
-  def guardedBroadcast(df: DataFrame, maxRows: Long = 10000000L): DataFrame = {
+    * its build strategy from the static side anyway.
+    *
+    * The guard is TWO-DIMENSIONAL (round 10): row count alone is blind to
+    * row width — 10 M rows of 64-float embedding arrays is ~3 GB, an OOM
+    * as a broadcast copy on every executor even though it clears the row
+    * guard. After `count()` materializes the cache, the plan's
+    * `InMemoryRelation.computeStats` reports the MEASURED cached size
+    * (its size accumulator is populated during batch build, any storage
+    * level), not an estimate — so the bytes law costs nothing extra.
+    * 256 MB default: each executor holds a full copy next to its
+    * execution pool, and the driver assembles it first; a fixed fraction
+    * of the SMALLEST memory party in a production topology, not of this
+    * box's 64 g heap. Before materialization (or if the cache entry is
+    * not found) the measured size is a planner estimate that can run
+    * orders of magnitude high on string-heavy plans — the guard treats
+    * "no measured size" as "don't broadcast" only when the estimate ALSO
+    * exceeds the bound, which keeps tiny type tables hinted even when
+    * estimation is unavailable (the row guard still caps the failure
+    * mode: an unmeasured frame under maxRows broadcasts at most
+    * maxRows-row collect cost, the pre-round-10 contract). */
+  def guardedBroadcast(df: DataFrame, maxRows: Long = 10000000L,
+      maxBytes: Long = 256L << 20): DataFrame = {
     if (df.isStreaming) return df
     val cached = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    if (cached.count() <= maxRows) broadcast(cached) else cached
+    val n = cached.count()
+    // post-materialization this resolves through the CacheManager to the
+    // InMemoryRelation whose stats carry the measured batch bytes
+    val bytes = cached.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (n <= maxRows && bytes <= BigInt(maxBytes)) broadcast(cached) else cached
   }
 
   /** Distributed deterministic ROW_NUMBER over a TOTAL order — the

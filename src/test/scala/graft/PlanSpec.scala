@@ -767,4 +767,40 @@ class PlanSpec extends SparkSuite {
       s"unpartitioned windows over un-aggregated input (single-partition sort " +
         s"over fact-scale rows at 100 TB): ${offenders.mkString(", ")}")
   }
+
+  test("guardedBroadcast: bytes law — measured cached size vetoes the hint " +
+      "even under the row guard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // isolate the HINT: with auto-broadcast off, a BroadcastHashJoin in the
+    // plan can only come from guardedBroadcast's decision
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = (1 to 1000).toDF("k")
+
+      // small + narrow: inside both guards -> hinted
+      val hinted = graft.engine.RelOps.guardedBroadcast((1 to 100).toDF("k"))
+      val p1 = probe.join(hinted, "k").queryExecution.executedPlan.toString
+      assert(p1.contains("BroadcastHashJoin"),
+        s"a 100-row table must keep the broadcast hint:\n$p1")
+
+      // few rows but WIDE: 2k rows x 8 KB pad ≈ 16 MB measured, over a 1 MB
+      // bytes bound — the pre-round-10 row guard alone would have hinted it
+      val wide = (1 to 2000).toDF("k").withColumn("pad", lit("x" * 8192))
+      val unhinted = graft.engine.RelOps.guardedBroadcast(wide,
+        maxBytes = 1L << 20)
+      val p2 = probe.join(unhinted, "k").queryExecution.executedPlan.toString
+      assert(!p2.contains("BroadcastHashJoin") &&
+             !p2.contains("BroadcastNestedLoopJoin"),
+        s"a wide table past maxBytes must fall through to the shuffle join:\n$p2")
+
+      // row guard still applies independently of bytes
+      val many = (1 to 5000).toDF("k")
+      val rowCapped = graft.engine.RelOps.guardedBroadcast(many, maxRows = 10L)
+      val p3 = probe.join(rowCapped, "k").queryExecution.executedPlan.toString
+      assert(!p3.contains("BroadcastHashJoin"),
+        s"a table past maxRows must fall through to the shuffle join:\n$p3")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
