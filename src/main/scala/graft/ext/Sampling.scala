@@ -122,11 +122,24 @@ object Sampling {
     * Content-addressed like [[hashSample]]: the 28-bit md5 prefix of the key
     * is compared against the length ratio IN INTEGERS (u * max < n * 2²⁸),
     * so membership is exact, reproducible on any engine, and independent of
-    * partitioning. One corpus scan + a broadcast 1-row max. */
+    * partitioning.
+    *
+    * ONE text scan (round 10): the 1-row max branch is a separate broadcast
+    * job, and an unpersisted lineage would re-read the TEXT column to
+    * recompute n_tokens — doubling the scan of the corpus's heaviest column.
+    * Persisting the (doc_id, n_tokens) projection (16 bytes/row, DISK_ONLY
+    * for the same unified-memory reasons as
+    * [[graft.engine.RelOps.guardedBroadcast]]) makes both the max branch and
+    * the filter read the narrow cache; text is decoded exactly once. The
+    * pruned-scan scalar branches elsewhere (decayedEngagement's ref day,
+    * temporalSplit's cut) stay unpersisted by design — their re-executed
+    * branch reads a NARROW column, so a corpus-sized cache would cost more
+    * than it saves (BENCH.md, scalar-lineage exemption). */
   def lengthBiasedSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val mx = docs.agg(max(col("n_tokens")).as("max_tokens"))
     docs.crossJoin(broadcast(mx))
       .withColumn("sample_key", u28("doc_id"))

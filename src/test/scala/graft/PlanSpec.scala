@@ -227,6 +227,18 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("q115 length-biased sample: text decoded once — both branches read the cache") {
+    // round 10: the 1-row max branch re-ran the (doc_id, n_tokens) lineage,
+    // re-reading the TEXT column — the corpus's heaviest — a second time.
+    // With the narrow projection persisted, the max branch and the filter
+    // must both be InMemoryTableScans; the parquet text scan appears only
+    // inside the cached relation's build plan.
+    val p = plan("q115_length_biased_sample")
+    val inMem = "InMemoryTableScan".r.findAllIn(p).size
+    assert(inMem >= 2,
+      s"both the max branch and the filter must read the cached projection:\n$p")
+  }
+
   test("q106 vector ops: pure projection — no explode, no row-count blowup") {
     val p = plan("q106_vector_ops")
     assert(!p.contains("Generate"), s"higher-order fns must not explode the array:\n$p")
