@@ -23,6 +23,21 @@ import org.apache.spark.sql.functions._
   *  - `packing` ([[graft.streaming.Streams.runPackingStream]]): sequence
   *    packing with a 1-ROW carry. Law: state is ONE scalar regardless of
   *    corpus; per-wave wall is flat; token totals conserve exactly.
+  *  - `sessions` ([[graft.streaming.Streams.sessionizeStream]]):
+  *    flatMapGroupsWithState sessionization with event-time timeout. Law:
+  *    state is OPEN SESSIONS (users active inside the watermark horizon) —
+  *    bounded by the user population and flat across waves, never
+  *    event-volume-shaped; emitted session event-counts stay within the
+  *    events fed and grow monotonically as the watermark closes sessions.
+  *  - `heavy_hitters` ([[graft.streaming.Streams.heavyHitterCandidatesStream]]):
+  *    Misra-Gries top-k over the token stream. Law: state is ONE sketch row
+  *    (k slots) regardless of corpus — the strongest bound in the set — and
+  *    the sketch's running total equals the tokens fed EXACTLY at every
+  *    wave (eviction never loses the count).
+  *  - `decon` ([[graft.streaming.Streams.runDeconStream]]): semantic
+  *    decontamination screen. Law: ZERO state rows (stateless projection +
+  *    broadcast benchmark fetch); verdicts equal vectors fed exactly;
+  *    per-wave wall flat (wave × fixed benchmark).
   *
   * Wave slicing is contiguous and deterministic (dense doc ids → equal
   * ranges; events split at event-time percentiles inside dedupSoak), so a
@@ -157,6 +172,122 @@ object SoakBench {
     if (pwL >= 2000 && pw1 > 0 && pwL > pw1 * 3)
       flags += s"packing: wave wall grew ${pwL}ms vs first ${pw1}ms (carry state is not flat)"
 
+    // ---------------- family 4: sessionization (open-session state) ----------------
+    // same event-time percentile slicing as dedupSoak, no planted dups (a
+    // real pipeline dedups upstream of sessionization)
+    val ev = graft.engine.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    val nUsers = ev.select("user_id").distinct().count()
+    val probs = (1 until waves).map(i => i.toDouble / waves)
+      .mkString("array(", ", ", ")")
+    val cuts = ev.agg(expr(s"percentile(unix_micros(ts), $probs)"))
+      .head().getSeq[Double](0).map(_.toLong)
+    def evWave(i: Int): DataFrame = {
+      val t = unix_micros(col("ts"))
+      val lo = if (i == 1) lit(Long.MinValue) else lit(cuts(i - 2))
+      val hi = if (i == waves) lit(Long.MaxValue) else lit(cuts(i - 1))
+      ev.filter(t > lo && t <= hi)
+    }
+    val sSrc = s"$scratch/sess/src"; val sOut = s"$scratch/sess/out"
+    val sCkpt = s"$scratch/sess/ckpt"
+    val sessWaves = (1 to waves).map { i =>
+      val fed = evWave(i)
+      val nEv = fed.count()
+      fed.write.mode("append").parquet(sSrc)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Streams.sessionizeStream(spark, sSrc).toDF()
+        .writeStream.format("parquet").option("path", sOut)
+        .option("checkpointLocation", sCkpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val wall = ms(t0)
+      val stateRows = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal).foldLeft(0L)(math.max)
+      val emitted = spark.read.parquet(sOut)
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_ev"))
+        .head()
+      (i, nEv, emitted.getLong(0), emitted.getLong(1), stateRows, wall)
+    }
+    val nEvFed = sessWaves.map(_._2).sum
+    sessWaves.foreach { w =>
+      if (w._5 > nUsers)
+        flags += s"sessions: wave ${w._1} state ${w._5} exceeds the user population $nUsers"
+    }
+    val ss1 = math.max(sessWaves.head._5, 1L)
+    if (sessWaves.last._5 > ss1 * 3)
+      flags += s"sessions: open-session state grew across waves (${sessWaves.last._5} vs first ${sessWaves.head._5})"
+    if (sessWaves.last._4 > nEvFed)
+      flags += s"sessions: emitted event count ${sessWaves.last._4} exceeds events fed $nEvFed"
+    if (sessWaves.last._4 <= sessWaves.head._4)
+      flags += "sessions: the watermark never closed later sessions (no emission growth)"
+
+    // ---------------- family 5: heavy hitters (one sketch row) ----------------
+    val hSrc = s"$scratch/hh/src"; val hOut = s"$scratch/hh/out"
+    val hCkpt = s"$scratch/hh/ckpt"
+    val hhWaves = (1 to waves).map { i =>
+      val fed = slice(i)
+      val nToks = fed.select(sum(size(split(col("text"), " ")).cast("long")))
+        .head().getLong(0)
+      fed.write.mode("append").parquet(hSrc)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Streams
+        .heavyHitterCandidatesStream(spark, hSrc, k = 64)
+        .toDF("candidates", "n")
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(hOut); () }
+        .option("checkpointLocation", hCkpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val wall = ms(t0)
+      val stateRows = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal).foldLeft(0L)(math.max)
+      val snap = spark.read.parquet(hOut)
+        .agg(max(col("n")).as("n_total")).head().getLong(0)
+      val slots = spark.read.parquet(hOut).orderBy(col("n").desc)
+        .head().getString(0).split(" ").length
+      (i, nToks, snap, slots, stateRows, wall)
+    }
+    val tokCum = hhWaves.map(_._2).scanLeft(0L)(_ + _).tail
+    hhWaves.zip(tokCum).foreach { case (w, cum) =>
+      if (w._3 != cum)
+        flags += s"heavy_hitters: wave ${w._1} running total ${w._3} != $cum tokens fed (eviction lost the count)"
+      if (w._4 > 64)
+        flags += s"heavy_hitters: wave ${w._1} sketch holds ${w._4} slots > k=64"
+      if (w._5 > 8)
+        flags += s"heavy_hitters: wave ${w._1} state store holds ${w._5} rows (sketch must be O(1) rows)"
+    }
+
+    // ---------------- family 6: decon screen (zero state) ----------------
+    val vecs = graft.engine.Tables.embeddings(spark, sfDir)
+    val maxVid = vecs.agg(max(col("vec_id"))).head().getLong(0)
+    def vecSlice(i: Int): DataFrame = {
+      val lo = (maxVid + 1) * (i - 1) / waves
+      val hi = if (i == waves) maxVid + 1 else (maxVid + 1) * i / waves
+      vecs.filter(col("vec_id") >= lo && col("vec_id") < hi)
+    }
+    val dSrc = s"$scratch/decon/src"; val dOut = s"$scratch/decon/out"
+    val dCkpt = s"$scratch/decon/ckpt"
+    val deconWaves = (1 to waves).map { i =>
+      val fed = vecSlice(i)
+      val nVec = fed.count()
+      fed.write.mode("append").parquet(dSrc)
+      val t0 = System.nanoTime()
+      graft.streaming.Streams.runDeconStream(spark, dSrc, sfDir, dOut, dCkpt)
+      val wall = ms(t0)
+      val verdicts = spark.read.parquet(dOut).count()
+      (i, nVec, verdicts, wall)
+    }
+    val nVecFed = deconWaves.map(_._2).sum
+    if (deconWaves.last._3 != nVecFed)
+      flags += s"decon: ${deconWaves.last._3} verdicts != $nVecFed vectors fed"
+    val dw1 = deconWaves.head._4; val dwL = deconWaves.last._4
+    if (dwL >= 2000 && dw1 > 0 && dwL > dw1 * 3)
+      flags += s"decon: wave wall grew ${dwL}ms vs first ${dw1}ms (screen is not wave-bounded)"
+
     // ---------------- artifact ----------------
     val dedupJson = dedup.map(w =>
       s"""{"wave":${w.wave},"n_input":${w.nInput},"n_emitted_total":${w.nEmittedTotal},"state_rows":${w.stateRows},"wall_ms":${w.wallMs}}""")
@@ -167,8 +298,17 @@ object SoakBench {
     val packJson = packWaves.map(w =>
       s"""{"wave":${w._1},"n_docs_fed":${w._2},"corpus_tokens":${w._3},"carry_rows":${w._4},"wall_ms":${w._5}}""")
       .mkString("[", ",", "]")
+    val sessJson = sessWaves.map(w =>
+      s"""{"wave":${w._1},"n_events_fed":${w._2},"n_sessions_total":${w._3},"n_session_events_total":${w._4},"state_rows":${w._5},"wall_ms":${w._6}}""")
+      .mkString("[", ",", "]")
+    val hhJson = hhWaves.map(w =>
+      s"""{"wave":${w._1},"n_tokens_fed":${w._2},"running_total":${w._3},"sketch_slots":${w._4},"state_rows":${w._5},"wall_ms":${w._6}}""")
+      .mkString("[", ",", "]")
+    val deconJson = deconWaves.map(w =>
+      s"""{"wave":${w._1},"n_vectors_fed":${w._2},"n_verdicts_total":${w._3},"wall_ms":${w._4}}""")
+      .mkString("[", ",", "]")
     val flagsJson = flags.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"soak","sf":"$sfDir","waves":$waves,"n_events":$nEvents,"n_docs":$nDocsTotal,"n_planted_dups":$nPlanted,"dedup":$dedupJson,"text_ingest":$textJson,"packing":$packJson,"flags":$flagsJson}"""
+    val json = s"""{"metric":"soak","sf":"$sfDir","waves":$waves,"n_events":$nEvents,"n_docs":$nDocsTotal,"n_users":$nUsers,"n_vectors":$nVecFed,"n_planted_dups":$nPlanted,"dedup":$dedupJson,"text_ingest":$textJson,"packing":$packJson,"sessions":$sessJson,"heavy_hitters":$hhJson,"decon":$deconJson,"flags":$flagsJson}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes("UTF-8"))
