@@ -358,9 +358,17 @@ object Similarity {
     * of `round`: floor on identical IEEE doubles is bit-deterministic across
     * engines, with no rounding-mode semantics to match. A flat vector
     * (mx = mn) quantizes to all-zero codes. */
-  private val sq8CodesExpr =
-    "transform(v, x -> CASE WHEN mx = mn THEN 0 " +
-      "ELSE CAST(least(floor((x - mn) * 255D / (mx - mn)), 255D) AS INT) END)"
+  /** Round 10: the HOF form —
+    * `transform(v, x -> CASE WHEN mx = mn THEN 0 ELSE
+    * CAST(least(floor((x - mn) * 255D / (mx - mn)), 255D) AS INT) END)` —
+    * was replaced by the codegen expression
+    * [[graft.functions.Sq8Codes]] (`graft_sq8`). CollapseProject inlined the
+    * mn/mx aliases into the interpreted lambda, which then re-evaluated
+    * array_min/array_max PER ELEMENT: an O(dim²) per-row tax the sf1000
+    * probe surfaced as 20-minute q86 tasks parked in ArrayMin.nullSafeEval.
+    * Identical double arithmetic order inside the expression → codes are
+    * bit-for-bit the old values; every oracle unchanged. */
+  private val sq8CodesExpr = "graft_sq8(v)"
 
   /** SQ8 scalar quantization of the embedding column — the compression step a
     * 100 TB vector store applies before indexing (4x smaller than float32,

@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),
       (exprs: Seq[Expression]) => MinHashSignature(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sq8"),
+      new ExpressionInfo(classOf[Sq8Codes].getName, "graft_sq8"),
+      (exprs: Seq[Expression]) => Sq8Codes(exprs(0))))
     ext.injectOptimizerRule(_ => SpecializeFloatDot)
   }
 }

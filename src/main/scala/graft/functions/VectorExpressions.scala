@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructType}
 
 /** Native Catalyst expression for the vector-similarity hot path.
   *
@@ -119,6 +119,95 @@ case class LongDotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** SQ8 scalar quantization (q86/q98/q106/q144/q148 and the SemDeDup SQ8
+  * family): codes[i] = 0 when max(v) = min(v), else
+  * CAST(least(floor((v[i] − mn) · 255 / (mx − mn)), 255) AS INT) — the exact
+  * integer semantics of the HOF form it replaces
+  * (`transform(v, x -> CASE WHEN mx = mn THEN 0 ELSE ...)` with
+  * mn = array_min(v), mx = array_max(v)).
+  *
+  * Why an expression: CollapseProject inlines the mn/mx aliases INTO the
+  * transform lambda, and the interpreted lambda then re-evaluates
+  * array_min(v)/array_max(v) PER ELEMENT — an O(dim²) per-row tax on top of
+  * the interpreted-HOF overhead. The round-10 sf1000 probe caught exactly
+  * this: executor stacks parked in ArrayTransform→CaseWhen→ArrayMin with
+  * 20-minute tasks. This loop is O(dim) per row, primitive, and stays in
+  * WholeStageCodegen. Double arithmetic order matches the HOF form
+  * (((x − mn) · 255) / (mx − mn), floor, then the 255 clamp), so codes are
+  * bit-identical and every oracle is unchanged.
+  *
+  * Null handling: null array → null (UnaryExpression default); null
+  * ELEMENTS are not expected (embeddings are dense — the [[DotProduct]]
+  * contract) and read as 0.0 per ArrayData. Empty array → empty codes,
+  * matching transform-over-empty. */
+case class Sq8Codes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_sq8 requires array<double> input, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_sq8"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      i += 1
+    }
+    val out = new Array[Int](n)
+    if (mx != mn) {
+      val range = mx - mn
+      i = 0
+      while (i < n) {
+        val c = math.floor((v.getDouble(i) - mn) * 255d / range)
+        out(i) = (if (c < 255d) c else 255d).toInt
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val mn = ctx.freshName("mn")
+      val mx = ctx.freshName("mx")
+      val x = ctx.freshName("x")
+      val c = ctx.freshName("c")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double $mn = Double.POSITIVE_INFINITY;
+         |double $mx = Double.NEGATIVE_INFINITY;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  if ($x < $mn) $mn = $x;
+         |  if ($x > $mx) $mx = $x;
+         |}
+         |int[] $out = new int[$n];
+         |if ($mx != $mn) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $c = java.lang.Math.floor(($a.getDouble($i) - $mn) * 255D / ($mx - $mn));
+         |    $out[$i] = (int) ($c < 255D ? $c : 255D);
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Nearest-centroid argmax for the IVF family (q72/q86): given a vector `v`
@@ -372,6 +461,8 @@ object VectorExpressions {
       "graft_skeleton", exprs => ConfusableSkeleton(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_sig", exprs => MinHashSignature(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sq8", exprs => Sq8Codes(exprs(0)), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(SpecializeFloatDot))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SpecializeFloatDot

@@ -257,4 +257,33 @@ class VectorSpec extends SparkSuite {
     }
     assert(rows.count(_.isNullAt(0)) == 1, "only the 2-word doc is null")
   }
+
+  test("graft_sq8 equals the transform/CASE HOF quantizer bit-for-bit") {
+    val s = spark; import s.implicits._
+    VectorExpressions.register(spark)
+    // flat vector (mx = mn -> all zero), negatives, a boundary value at mx,
+    // a single-element vector, an empty vector, and irregular doubles whose
+    // (x-mn)*255/(mx-mn) lands near the 255 clamp
+    val df = Seq(
+      Seq(0.5, 0.5, 0.5, 0.5),
+      Seq(-1.25, 0.0, 0.75, 2.0),
+      Seq(1e-9, -1e-9, 0.3333333333333333, 0.9999999999),
+      Seq(42.0),
+      Seq.empty[Double],
+      Seq(-0.0, 0.0, 1.0)
+    ).toDF("v")
+    val out = df.select(
+      expr("graft_sq8(v)").as("native"),
+      expr("""transform(v, x -> CASE WHEN array_max(v) = array_min(v) THEN 0
+        ELSE CAST(least(floor((x - array_min(v)) * 255D / (array_max(v) - array_min(v))), 255D) AS INT) END)""").as("hof"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+        s"codes diverge: native=${r.getSeq[Int](0)} hof=${r.getSeq[Int](1)}")
+    }
+    // null array -> null, matching transform-over-null
+    val nr = df.sparkSession.sql(
+      "SELECT graft_sq8(CAST(NULL AS ARRAY<DOUBLE>))").head()
+    assert(nr.isNullAt(0))
+  }
 }
