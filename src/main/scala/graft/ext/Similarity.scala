@@ -141,7 +141,41 @@ object Similarity {
     *   oracle. */
   def embeddingNearDupPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.95, maxBucketSize: Long = 0L): DataFrame =
-    nearDupPairsFromBuckets(lshBuckets(spark, dir), threshold, maxBucketSize)
+    nearDupPairsFromBuckets(
+      spark.table(lshBucketedTable(spark, dir)).hint("merge"),
+      threshold, maxBucketSize)
+
+  /** Bucket-CLUSTERED at-rest form of the LSH index, for the consumers that
+    * self-join it on `bucket` (q53). The flat parquet form
+    * ([[lshProjectionsPath]]) leaves the pair join to exchange both sides at
+    * query time, and each side carries the 64-double vector — the round-10
+    * sf1000 probe measured that as q53's breach (37× for 10× rows): pair
+    * mass grew only 8.4× (the plane law held — occupancy stayed ≤ 256), but
+    * the 2 × 11 GB vector-payload shuffle + sort spill made the per-pair
+    * cost grow 4.4× on top. Clustering the index on its bucket key at WRITE
+    * time (Spark native bucketBy + sortBy via [[graft.engine.Bucketing]],
+    * bucket count from the corpus-adaptive row law) makes the self-join
+    * exchange-free at every later read — the once-per-drop cost model every
+    * at-rest structure in this engine uses, and exactly how a production
+    * vector store lays out its index (clustered by posting/cell key).
+    * Results unchanged: layout is not semantics, the oracle agrees row for
+    * row. Built once per (dir, layout) per session; the memo only skips the
+    * tableExists probe. */
+  private val lshTableMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def lshBucketedTable(spark: SparkSession, dir: String): String =
+    lshTableMemo.computeIfAbsent(dir, { d =>
+      val idx = spark.read.parquet(lshProjectionsPath(spark, d))
+        .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+      // parquet metadata count — no full scan; sizes the file-bucket layout
+      val buckets = graft.engine.Bucketing.bucketCountFor(idx.count())
+      val table = s"graft_lshbk_${graft.engine.Fs.dirTag(d)}_b$buckets"
+      graft.engine.Fs.withPrefixLock(table) {
+        if (!spark.catalog.tableExists(table))
+          graft.engine.Bucketing.writeBucketed(idx, table, "bucket", buckets)
+      }
+      table
+    })
 
   /** [[embeddingNearDupPairs]]'s pair machinery over any pre-bucketed frame
     * with (vec_id, v, nrm, bucket) — also the planted-degenerate-bucket test

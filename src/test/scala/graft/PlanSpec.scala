@@ -227,6 +227,20 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("q53 embedding dedup: bucket self-join is exchange-free over the clustered index") {
+    // round 10 (sf1000 probe): the flat-index self-join exchanged both
+    // sides WITH the 64-double vector payload — 22 GB of shuffle+sort at
+    // 20 M vectors. The index is now written bucket-clustered
+    // (bucketBy+sortBy), so pair generation must read co-located: no hash
+    // exchange anywhere in the plan (the final orderBy's range exchange is
+    // the only allowed shuffle).
+    val p = plan("q53_embedding_dedup")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the pair join must consume the bucket-clustered index in place:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected a co-located join over the bucketed scans:\n$p")
+  }
+
   test("q115 length-biased sample: text decoded once — both branches read the cache") {
     // round 10: the 1-row max branch re-ran the (doc_id, n_tokens) lineage,
     // re-reading the TEXT column — the corpus's heaviest — a second time.
