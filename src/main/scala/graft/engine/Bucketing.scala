@@ -16,21 +16,45 @@ object Bucketing {
 
   /** Write `df` as a bucketed, bucket-sorted table on `key`. Drops any stale
     * table/location first (an orphan warehouse dir from a previous JVM would
-    * otherwise fail CREATE with LOCATION_ALREADY_EXISTS). */
+    * otherwise fail CREATE with LOCATION_ALREADY_EXISTS).
+    *
+    * The pre-write `repartition(numBuckets, key)` matters as much as the
+    * bucket spec (round 10, q53 sf1000 redo): `bucketBy` assigns FILES with
+    * the same HashPartitioning the repartition produces, so after it each
+    * write task holds exactly one bucket's rows and writes exactly ONE file
+    * per bucket — and FileSourceScanExec reports a bucketed scan's
+    * `sortBy` ordering ONLY for single-file buckets. Multi-file buckets
+    * (the default: one file per input partition per bucket) silently put a
+    * per-task SORT back under every "co-located" join — at 20 M vectors
+    * that sort spilled and was the residual 2× in q53's decade ratio. With
+    * one file per bucket the join consumes the scans truly in place: no
+    * exchange, no sort, at any scale. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       numBuckets: Int = 32): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
     Fs.rmTree(new java.io.File(warehouse, table).getPath)
-    df.write.mode(SaveMode.Overwrite)
+    df.repartition(numBuckets, org.apache.spark.sql.functions.col(key))
+      .write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .saveAsTable(table)
   }
 
-  def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+  /** Reads a bucketed table with sorted-scan metadata enabled.
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` (default false
+    * since 3.1) gates whether a bucketed scan REPORTS its `sortBy` order;
+    * without it EnsureRequirements parks a per-partition Sort under every
+    * "co-located" join, and that sort spills once a bucket outgrows
+    * executor memory (q53's residual 2× at 20 M vectors). The flag is safe
+    * here because it only claims ordering for single-file buckets — exactly
+    * the layout [[writeBucketed]]'s pre-write repartition guarantees. */
+  def readTable(spark: SparkSession, table: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    spark.table(table)
+  }
 
   /** True iff the physical plan of `df` contains a shuffle exchange —
     * the assertion hook for "this join is co-located". */

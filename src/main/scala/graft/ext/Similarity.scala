@@ -142,7 +142,8 @@ object Similarity {
   def embeddingNearDupPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.95, maxBucketSize: Long = 0L): DataFrame =
     nearDupPairsFromBuckets(
-      spark.table(lshBucketedTable(spark, dir)).hint("merge"),
+      graft.engine.Bucketing.readTable(spark, lshBucketedTable(spark, dir))
+        .hint("merge"),
       threshold, maxBucketSize)
 
   /** Bucket-CLUSTERED at-rest form of the LSH index, for the consumers that

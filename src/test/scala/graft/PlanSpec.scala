@@ -239,6 +239,12 @@ class PlanSpec extends SparkSuite {
       s"the pair join must consume the bucket-clustered index in place:\n$p")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
       s"expected a co-located join over the bucketed scans:\n$p")
+    // single-file buckets (writeBucketed's pre-write repartition) make the
+    // scan report its sortBy ordering, so the ONLY Sort left is the final
+    // orderBy — a second Sort means the read-side sort crept back (at 20 M
+    // vectors it spilled and doubled the decade ratio)
+    val sorts = "(?m)^\\(\\d+\\) Sort\\b".r.findAllIn(p).size
+    assert(sorts <= 1, s"read-side sort crept back under the pair join:\n$p")
   }
 
   test("q115 length-biased sample: text decoded once — both branches read the cache") {
