@@ -204,6 +204,12 @@ object Bench {
     // round-8 fixed-mod bug measured 103-160× on exactly this family.
     val lawBounds: Map[String, Double] = Map(
       "q72_ivf_ann" -> 40.0, // n^1.5: √n centroid scan per probe
+      "q86_ivf_centroids" -> 40.0, // n^1.5: n × √n-cell argmax assignment
+      // (round 10: membership EXPOSED, not introduced, by the Sq8Codes fix —
+      // the interpreted-HOF O(dim²) LINEAR tax had dominated q86's cost and
+      // hid the designed assignment law; sf100 measured 9.9× before the fix,
+      // 23.6× after, both of the SAME plan whose assignment work is n·nlist
+      // = n^1.5 by the FAISS sizing, exactly q72/q188's argument)
       "q188_kmeans_rounds" -> 40.0, // n^1.5: √n centroids × n assignment
       "q189_semdedup" -> 40.0) // n^1.5: Σ cell² pair mass at √n cells
     val growth: Option[(Map[String, Double], Seq[String])] = growthBase.map { bDir =>
