@@ -357,13 +357,18 @@ object Dedup {
     * the same corpus verifies in a few seconds with near-perfect filter
     * selectivity.
     *
-    * The two classic filters, in exact integer arithmetic (t in ppm):
+    * The three classic filters, in exact integer arithmetic (t in ppm):
     *  - prefix filter: order each doc's shingles by ascending global document
     *    frequency (rarest first, ties by shingle); if J(a,b) ≥ t, the first
     *    |s| − ceil(t·|s|) + 1 shingles of BOTH docs must intersect, so only
     *    prefix shingles are joined.
     *  - length filter: J(a,b) ≥ t ⟹ t·max(|a|,|b|) ≤ min(|a|,|b|), applied
     *    as least·10⁶ ≥ t_ppm·greatest before verification.
+    *  - position filter (round 10): a candidate row generated at prefix
+    *    positions (i, j) bounds the overlap by 1 + min(m_a − i, m_b − j),
+    *    which must reach α = ⌈t·(m_a+m_b)/(1+t)⌉ — pruned BEFORE the
+    *    pair-distinct exchange, where the Zipf head's Σ posting² mass lives
+    *    (the sf300 probe filled the disk in exactly that exchange).
     *
     * Verification joins each candidate pair to the two docs' DISTINCT token
     * ARRAYS (one row per doc) and counts the overlap with a codegen'd
@@ -406,16 +411,39 @@ object Dedup {
       .withColumn("m", size(col("ordd")).cast("long"))
       .withColumn("plen",
         col("m") - expr(s"($thresholdPpm * m + 999999) div 1000000") + 1)
-      .select(col("doc_id"), col("n"),
-        explode(expr("slice(ordd, 1, CAST(plen AS INT))")).as("p"))
-      .select(col("doc_id"), col("n"), col("p.tok_h").as("tok_h"))
-    val cand = prefix.select(col("tok_h"), col("doc_id").as("doc_a"), col("n").as("n_a"))
-      .join(prefix.select(col("tok_h"), col("doc_id").as("doc_b"), col("n").as("n_b")),
+      .selectExpr("doc_id", "n", "m",
+        "posexplode(slice(ordd, 1, CAST(plen AS INT))) AS (i, p)")
+      .select(col("doc_id"), col("n"), col("m"),
+        (col("i") + 1).cast("long").as("pos"), col("p.tok_h").as("tok_h"))
+    // POSITION filter (the third classic PPJoin filter — round 10, after the
+    // sf300 probe ENOSPC'd in exactly this stage): a candidate generated at
+    // prefix positions (pos_a, pos_b) can reach overlap at most
+    // 1 + min(m_a − pos_a, m_b − pos_b) (the match itself plus the shorter
+    // remaining suffix — both prefixes are sorted by ONE global order), and
+    // J_class ≥ t needs overlap ≥ α = ⌈t·(m_a+m_b)/(1+t)⌉. Soundness with
+    // the pair-distinct below: a true pair's FIRST common token in the
+    // global order lies within both prefixes (any shared prefix token is
+    // common, and the first common token precedes it in both docs) and
+    // bounds the TRUE overlap, so that generating row always survives —
+    // rows the filter drops are duplicates distinct() would discard anyway.
+    // Effect is on the distinct's INPUT: the raw pair stream (Σ posting²
+    // over prefix postings — the Zipf head's quadratic mass) is pruned
+    // before the exchange, which is what filled the disk at 15 M docs.
+    val alphaDen = 1000000L + thresholdPpm
+    val cand = prefix.select(col("tok_h"), col("doc_id").as("doc_a"),
+        col("n").as("n_a"), col("m").as("m_a"), col("pos").as("pos_a"))
+      .join(prefix.select(col("tok_h"), col("doc_id").as("doc_b"),
+        col("n").as("n_b"), col("m").as("m_b"), col("pos").as("pos_b")),
         Seq("tok_h"))
       .filter(col("doc_a") < col("doc_b") &&
         least(col("n_a"), col("n_b")) * 1000000L >=
-          lit(thresholdPpm) * greatest(col("n_a"), col("n_b")))
-      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b")).distinct()
+          lit(thresholdPpm) * greatest(col("n_a"), col("n_b")) &&
+        lit(1L) + least(col("m_a") - col("pos_a"), col("m_b") - col("pos_b")) >=
+          expr(s"($thresholdPpm * (m_a + m_b) + ${alphaDen - 1L}) div $alphaDen"))
+      // narrow the distinct to the pair itself: n_a/n_b were dead weight in
+      // the exchange (verification re-derives sizes from the arrays) — half
+      // the per-row shuffle bytes of the heaviest stage on the path
+      .select(col("doc_a"), col("doc_b")).distinct()
     verifyPairs(cand, docToks, thresholdPpm)
   }
 
