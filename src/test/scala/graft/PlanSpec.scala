@@ -577,6 +577,20 @@ class PlanSpec extends SparkSuite {
     // was measured 4x slower on a template-heavy corpus
     assert(p.contains("array_intersect"),
       s"verify stage lost its array-intersect form:\n$p")
+    // the POSITION filter must sit in the prefix self-join's condition: the
+    // raw pair stream (sum of posting^2 over the Zipf head) filled the disk
+    // at 15 M docs when only prefix+length gated it — the overlap upper
+    // bound 1 + min(m_a - pos_a, m_b - pos_b) >= ceil-div(alpha) prunes it
+    // BEFORE the pair-distinct exchange (alphaDen = 1e6 + t_ppm = 1800000)
+    assert(p.contains("pos_a") && p.contains("1800000"),
+      s"prefix self-join lost the position filter:\n$p")
+    // and the pair-distinct must shuffle ONLY the pair — sizes ride along
+    // nowhere (they are re-derived from the arrays at verification)
+    val distinctKeys = p.linesIterator
+      .filter(l => l.contains("Keys") && l.contains("doc_a") && l.contains("doc_b"))
+      .toSeq
+    assert(distinctKeys.nonEmpty && distinctKeys.forall(!_.contains("n_a")),
+      s"pair-distinct carries dead weight through its exchange:\n$p")
   }
 
   test("q176 heavy hitters: candidate INSET filter runs below the partial aggregate") {
