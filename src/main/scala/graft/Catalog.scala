@@ -829,9 +829,12 @@ object Catalog {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     q("q57_decontaminate", ext.TextStats.decontaminate,
+      // benchmark mod re-derived from COUNT(*) exactly like the engine
+      // (max(50, nDocs/1000) — the fixed-benchmark law; = 50 at shipped SFs)
       s"""WITH $shingleCte,
-         |bench AS (SELECT DISTINCT sh FROM sh WHERE sh.doc_id % 50 = 0),
-         |corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0)
+         |m AS (SELECT GREATEST(50, COUNT(*) // 1000) AS md FROM documents),
+         |bench AS (SELECT DISTINCT sh FROM sh, m WHERE sh.doc_id % m.md = 0),
+         |corpus AS (SELECT sh.* FROM sh, m WHERE sh.doc_id % m.md <> 0)
          |SELECT doc_id, COUNT(*) AS n_contaminated_shingles
          |FROM corpus JOIN bench USING (sh)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin),

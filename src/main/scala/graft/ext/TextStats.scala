@@ -144,19 +144,38 @@ object TextStats {
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(sequence(1, size(words)-2),
           |  i -> concat_ws(' ', element_at(words, i), element_at(words, i+1), element_at(words, i+2))))""".stripMargin)).as("sh"))
-    val benchmark = docs.filter(col("doc_id") % 50 === 0)
+    // FIXED-SIZE benchmark law (round 10): membership mod derives from
+    // COUNT(*) — max(50, nDocs/1000) ≈ a ~1000-doc eval set at every corpus
+    // size, the same registered-artifact sizing q234's semantic twin uses
+    // (a deployed decon benchmark is a FIXED eval suite; it does not grow
+    // with the corpus). The previous fixed mod 50 made the benchmark 2% OF
+    // THE CORPUS: at 50 M docs its shingle-type set outgrew both broadcast
+    // guards, the join fell back to shuffling the corpus's full shingle
+    // mass on Zipf-hot string keys, and the sf1000 probe filled the disk.
+    // With the law, the broadcast fits BY CONSTRUCTION at any scale and the
+    // corpus side stays shuffle-free (the only shuffle left is the
+    // map-side-combinable per-doc count). The oracle re-derives the same
+    // mod from COUNT(*) (the q72/q86 discipline).
+    val mod = benchModFor(spark, dir)
+    val benchmark = docs.filter(col("doc_id") % mod === 0)
       .select(col("sh")).distinct()
-    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
-    // the benchmark shingle set is benchmark-sized (distinct types of 2% of
-    // docs — Heaps-bounded), the corpus stream is the whole corpus: a plain
-    // equi-join would shuffle the corpus's shingle mass on Zipf-hot string
-    // keys. Size-guarded broadcast keeps the corpus side shuffle-free (the
-    // only shuffle left is the map-side-combinable per-doc count).
+    val corpus = docs.filter(col("doc_id") % mod =!= 0)
     corpus.join(graft.engine.RelOps.guardedBroadcast(benchmark), Seq("sh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated_shingles"))
       .orderBy("doc_id")
   }
+
+  /** Benchmark membership mod for [[decontaminate]] — max(50, nDocs/1000),
+    * memoized per immutable fixture dir (the [[graft.ext.Similarity]]
+    * planesMemo discipline; a mutable-source deployment keys on a snapshot
+    * id). At the shipped SFs (≤ 50 k docs) this is exactly the historical
+    * mod 50, so small-SF oracles are numerically unchanged. */
+  private val benchModMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def benchModFor(spark: SparkSession, dir: String): Long =
+    benchModMemo.computeIfAbsent(dir,
+      d => Long.box(math.max(50L, Tables.documents(spark, d).count() / 1000L)))
 
   /** Token co-occurrence matrix (q119): document-frequency counts for pairs
     * of top-vocabulary tokens appearing in the same document — the input
@@ -359,21 +378,40 @@ object TextStats {
     * sort-merge join keyed on the term string — the round-8 sf10 sweep
     * measured that join at +29 s on 20 M tf rows over a 310-term vocabulary
     * (≤ 310 distinct shuffle keys → skewed reducers), 57× for 10× rows.
-    * The broadcast also keeps the tf stream evenly (doc, term)-partitioned
-    * into the rank window instead of term-skewed. */
+    *
+    * Round 10 (the sf1000 probe ENOSPC'd here): the previous form shuffled
+    * the full (doc, term) stream TWICE — into the tf groupBy and again into
+    * the per-doc rank window (~125 GB of exchange at 50 M docs). A doc's
+    * exploded rows never leave their input partition, so everything per-doc
+    * can stay in-partition: tf comes from the doc's own words array IN-ROW
+    * (`filter(words, w -> w = term)` over the distinct-term stream), df from
+    * a vocab-sized aggregate (partial combine collapses each partition to
+    * ≤ |vocab| rows before its exchange), and the per-doc top-k from a
+    * trimming typed aggregate ([[graft.functions.TfIdfTopKAggregator]])
+    * whose map-side partials already hold ≤ k structs — the only doc-keyed
+    * exchange carries k rows per doc. Same output, bit-identical ranks
+    * (identical double arithmetic and tie-break). */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    import graft.functions.{DocTermScore, TfIdfTopKAggregator}
     val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val words = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
+    val dterms = words.select(col("doc_id"), col("words"),
+      explode(array_distinct(col("words"))).as("term"))
+    val dfreq = dterms.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs")) // 1 row — broadcast cross join
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
-    tf.join(graft.engine.RelOps.guardedBroadcast(dfreq), "term")
+    dterms.join(graft.engine.RelOps.guardedBroadcast(dfreq), "term")
       .crossJoin(broadcast(nDocs))
+      .withColumn("tf",
+        size(filter(col("words"), w => w === col("term"))).cast("long"))
       .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+      .as[DocTermScore]
+      .groupByKey(_.doc_id)
+      .agg(new TfIdfTopKAggregator(k).toColumn)
+      .flatMap { case (id, top) => top.zipWithIndex.map { case (t, i) =>
+        (id, i + 1, t.term, t.tf, t.df, t.score) } }
+      .toDF("doc_id", "rank", "term", "tf", "df", "score")
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
         round(col("score"), 6).as("score"))
       .orderBy("doc_id", "rank")

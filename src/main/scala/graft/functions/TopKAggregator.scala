@@ -114,3 +114,43 @@ class JoinCardAggregator(k: Int)
   override def outputEncoder: Encoder[(Seq[JoinDegree], Long)] =
     Encoders.kryo[(Seq[JoinDegree], Long)]
 }
+
+/** One scored term of one document ([[graft.ext.TextStats.tfidfTopTerms]],
+  * q63). */
+final case class DocTermScore(doc_id: Long, term: String, tf: Long, df: Long,
+    score: Double)
+
+/** Per-document top-k TF-IDF terms in ONE aggregation (q63, round 10). The
+  * window form shuffled the full (doc, term) stream TWICE — once into the
+  * tf groupBy, once into the per-doc rank window — ~125 GB of exchange at
+  * 50 M docs, which is what filled the disk in the sf1000 probe. Exploded
+  * doc rows are PARTITION-LOCAL (explode never crosses partitions), so a
+  * trimming partial aggregate reduces each doc to k structs map-side and
+  * the per-doc exchange carries k rows per doc instead of the doc's whole
+  * vocabulary — ~100× less exchange mass, and the shape a 100 TB corpus
+  * needs (per-doc state never exceeds k).
+  *
+  * Ordering: score desc, term asc — the exact total order of the window
+  * form (`row_number over (partition by doc order by score desc, term)`),
+  * on the UNROUNDED double score, so ranks are bit-identical. */
+class TfIdfTopKAggregator(k: Int)
+    extends Aggregator[DocTermScore, List[DocTermScore], Seq[DocTermScore]] {
+
+  private val ord: Ordering[DocTermScore] =
+    Ordering.by((t: DocTermScore) => (-t.score, t.term))
+
+  override def zero: List[DocTermScore] = Nil
+
+  override def reduce(buf: List[DocTermScore], in: DocTermScore): List[DocTermScore] =
+    trim(in :: buf)
+
+  override def merge(a: List[DocTermScore], b: List[DocTermScore]): List[DocTermScore] =
+    trim(a ::: b)
+
+  override def finish(buf: List[DocTermScore]): Seq[DocTermScore] = buf.sorted(ord)
+
+  private def trim(l: List[DocTermScore]): List[DocTermScore] = l.sorted(ord).take(k)
+
+  override def bufferEncoder: Encoder[List[DocTermScore]] = Encoders.kryo[List[DocTermScore]]
+  override def outputEncoder: Encoder[Seq[DocTermScore]] = Encoders.kryo[Seq[DocTermScore]]
+}

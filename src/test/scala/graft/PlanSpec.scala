@@ -86,9 +86,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k lost its per-partition trim:\n$p")
   }
 
-  test("q63 tfidf: per-doc rank window gets the WindowGroupLimit pushdown") {
+  test("q63 tfidf: trimming per-doc top-k aggregate, no window, df broadcast") {
+    // round 10: the window form shuffled the (doc, term) stream twice (tf
+    // groupBy + rank window) and filled the disk at 50 M docs; the typed
+    // TfIdfTopKAggregator trims to k structs in its map-side partial, so
+    // the only doc-keyed exchange carries k rows per doc
     val p = plan("q63_tfidf_topterms")
-    assert(p.contains("WindowGroupLimit"), s"rank<=k pushdown missing:\n$p")
+    assert(!p.contains("Window"), s"per-doc window is back (double shuffle):\n$p")
+    assert(p.contains("TfIdfTopKAggregator") || p.contains("tfidftopkaggregator"),
+      s"per-doc top-k must be the trimming typed aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab-sized df table must broadcast:\n$p")
   }
 
   test("q31/q61 shingle intersections join on composite keys (skew immunity)") {
