@@ -1568,6 +1568,53 @@ object Dedup {
     * grows faster than the corpus, so those extra shingle-mass shuffles are
     * exactly the wrong place to spend them. */
   def langOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Round 10 (the sf1000 probe ENOSPC'd in the shingle aggregate): the
+    // language INVENTORY is a bounded corpus statistic (a corpus card lists
+    // tens of languages, not thousands) — collect it once from a lang-only
+    // pruned scan (the q234 eval / centroidLits driver-seed discipline) and
+    // aggregate a LANG BITMASK per shingle with `bit_or`. collect_set kept
+    // an array-of-strings ObjectAggregate state: the per-shingle agg fell
+    // out of whole-stage codegen into the sort-based fallback, spilling raw
+    // object buffers for the full distinct-shingle mass (~2.5 G types at
+    // 50 M docs). An 8-byte primitive state stays in the codegen hash map,
+    // partial-combines map-side, and shuffles a long instead of an array.
+    // Pairs expand in-row from the mask bits against the sorted inventory,
+    // so output order matches the collect_set form exactly. EXACT semantics,
+    // same oracle; >62 languages falls back to the wide form.
+    val langs: Seq[String] = Tables.documents(spark, dir)
+      .filter(col("lang").isNotNull)
+      .select(col("lang")).distinct().orderBy("lang").as[String].collect().toSeq
+    if (langs.length > 62) return langOverlapMatrixWide(spark, dir)
+    val bitOf: Column = langs.zipWithIndex.foldLeft(lit(0L): Column) {
+      case (acc, (l, i)) => when(col("lang") === l, lit(1L << i)).otherwise(acc) }
+    val n = langs.length
+    val masks = Tables.documents(spark, dir)
+      .select(col("lang"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(bitOf.as("lb"), explode(shingles).as("sh"))
+      .groupBy(col("sh"))
+      .agg(bit_or(col("lb")).as("mask"))
+      .filter(bit_count(col("mask")) >= 2)
+    masks
+      .select(col("mask"), array(langs.map(lit(_)): _*).as("la"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, ${math.max(n - 2, 0)}), i ->
+           |  filter(transform(sequence(i + 1, ${math.max(n - 1, 1)}), j ->
+           |    IF((shiftright(mask, i) & 1) = 1 AND (shiftright(mask, j) & 1) = 1,
+           |       named_struct('lang_a', element_at(la, i + 1),
+           |                    'lang_b', element_at(la, j + 1)),
+           |       CAST(NULL AS STRUCT<lang_a: STRING, lang_b: STRING>))),
+           |    s -> s IS NOT NULL)))""".stripMargin)).as("p"))
+      .groupBy(col("p.lang_a").as("lang_a"), col("p.lang_b").as("lang_b"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  /** The pre-round-10 collect_set form of [[langOverlapMatrix]] — kept as
+    * the fallback for inventories past the 62-bit mask (and as the
+    * reference formulation the bitmask form is spec-checked against). */
+  private[graft] def langOverlapMatrixWide(spark: SparkSession, dir: String): DataFrame = {
     val langSets = Tables.documents(spark, dir)
       .select(col("lang"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)

@@ -974,6 +974,18 @@ class ExtSpec extends SparkSuite {
     assert(rows == Map(("en", "fr") -> 1L), s"unexpected matrix: $rows")
   }
 
+  test("lang overlap: bitmask form equals the collect_set reference on the real fixture") {
+    // the round-10 bitmask rewrite (primitive bit_or state instead of an
+    // object collect_set buffer) must be row-identical to the wide form —
+    // checked on the driver fixture, where all 5 languages and every pair
+    // cell are populated
+    val dir = "/root/testdata/sf0.001"
+    val fast = Dedup.langOverlapMatrix(spark, dir).collect().toSeq
+    val wide = Dedup.langOverlapMatrixWide(spark, dir).collect().toSeq
+    assert(fast.map(_.toSeq) == wide.map(_.toSeq),
+      s"bitmask form diverged from collect_set reference:\nfast=$fast\nwide=$wide")
+  }
+
   test("simpson diversity: all-same text scores 0 ppm, all-distinct scores (n-1)/n") {
     val s = spark; import s.implicits._
     Seq((1L, "a a a"), (2L, "a b c"))

@@ -99,6 +99,17 @@ class PlanSpec extends SparkSuite {
       s"vocab-sized df table must broadcast:\n$p")
   }
 
+  test("q93 lang overlap: primitive bitmask aggregate — no object collect_set state") {
+    // round 10: collect_set kept an array-of-strings ObjectAggregate buffer
+    // whose sort-based fallback spilled raw objects for the full
+    // distinct-shingle mass (ENOSPC at 50 M docs); the bit_or form stays a
+    // codegen HashAggregate with an 8-byte state
+    val p = plan("q93_lang_overlap")
+    assert(!p.contains("collect_set") && !p.contains("ObjectHashAggregate"),
+      s"per-shingle lang set is an object aggregate again:\n$p")
+    assert(p.contains("bit_or"), s"lang bitmask aggregate missing:\n$p")
+  }
+
   test("q31/q61 shingle intersections join on composite keys (skew immunity)") {
     // a hot boilerplate shingle must never be a join key on its own —
     // the doc id must be part of the hash key
