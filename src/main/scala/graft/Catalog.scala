@@ -1085,12 +1085,13 @@ object Catalog {
          |posh AS (SELECT doc_id, sh,
          |    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || sh), 1, 7)) AS BIGINT) % 65536 AS pos
          |  FROM (SELECT doc_id, sh, unnest(range(0, 3)) AS j FROM sh)),
-         |bits AS (SELECT DISTINCT pos FROM posh WHERE doc_id % 50 = 0),
-         |corpus AS (SELECT * FROM posh WHERE doc_id % 50 <> 0),
+         |m AS (SELECT GREATEST(50, COUNT(*) // 1000) AS md FROM documents),
+         |bits AS (SELECT DISTINCT pos FROM posh, m WHERE doc_id % m.md = 0),
+         |corpus AS (SELECT posh.* FROM posh, m WHERE doc_id % m.md <> 0),
          |hits AS (SELECT doc_id, sh FROM corpus JOIN bits USING (pos)
          |         GROUP BY doc_id, sh HAVING COUNT(*) = 3),
          |hc AS (SELECT doc_id, COUNT(*) AS n_bloom_positive FROM hits GROUP BY doc_id),
-         |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh WHERE doc_id % 50 <> 0 GROUP BY doc_id)
+         |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh, m WHERE doc_id % m.md <> 0 GROUP BY doc_id)
          |SELECT t.doc_id, t.n_shingles, COALESCE(h.n_bloom_positive, 0) AS n_bloom_positive
          |FROM tot t LEFT JOIN hc h USING (doc_id) ORDER BY doc_id""".stripMargin),
 
@@ -3433,12 +3434,13 @@ object Catalog {
         |segs AS (SELECT doc_id, CAST(t.i AS INT) AS idx,
         |    array_to_string(words[(t.i*10+1):(t.i*10+10)], ' ') AS seg
         |  FROM d, LATERAL (SELECT unnest(range(0, len(words) // 10)) AS i) t),
-        |bench AS (SELECT DISTINCT seg FROM segs WHERE doc_id % 50 = 0)
+        |m AS (SELECT GREATEST(50, COUNT(*) // 1000) AS md FROM documents),
+        |bench AS (SELECT DISTINCT seg FROM segs, m WHERE doc_id % m.md = 0)
         |SELECT s.doc_id, COUNT(*) AS n_segments,
         |  CAST(SUM(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
         |  COALESCE(string_agg(CASE WHEN b.seg IS NULL THEN s.seg END, ' ' ORDER BY idx), '') AS clean_text
-        |FROM segs s LEFT JOIN bench b ON s.seg = b.seg
-        |WHERE s.doc_id % 50 <> 0
+        |FROM segs s LEFT JOIN bench b ON s.seg = b.seg, m
+        |WHERE s.doc_id % m.md <> 0
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
 
     // Window-level code-switching audit: 20-token windows classified with

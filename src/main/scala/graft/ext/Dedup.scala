@@ -1343,7 +1343,8 @@ object Dedup {
   /** Benchmark decontamination REWRITE (q212) — the span-level removal the
     * doc-level flag (q57) and bloom screen (q74) feed: every 10-token
     * segment that appears VERBATIM among the benchmark docs' segments
-    * (doc_id % 50 = 0, the q57/q74 convention) is dropped from each corpus
+    * (doc_id % benchModFor(dir) = 0 — the shared q57/q74 fixed-benchmark
+    * law, = 50 at shipped SFs) is dropped from each corpus
     * doc and the surviving text REASSEMBLED in original order — what
     * contamination-sensitive pipelines actually ship (flagging a 10k-token
     * doc for one leaked question wastes the doc; cutting the span keeps it).
@@ -1360,9 +1361,14 @@ object Dedup {
         s"""transform(sequence(0, size(words) div $segTokens - 1),
            |  i -> concat_ws(' ', slice(words, i * $segTokens + 1, $segTokens)))""".stripMargin))
         .as(Seq("idx", "seg")))
-    val bench = segs.filter(col("doc_id") % 50 === 0)
+    // benchmark membership follows the fixed-benchmark law
+    // ([[graft.ext.TextStats.benchModFor]], round 10) — the bench segment
+    // set is ~1000 docs' segments at ANY corpus size, so this broadcast is
+    // bounded by construction (the old fixed % 50 grew it with the corpus)
+    val mod = TextStats.benchModFor(spark, dir)
+    val bench = segs.filter(col("doc_id") % mod === 0)
       .select(col("seg")).distinct().withColumn("hit", lit(1))
-    segs.filter(col("doc_id") % 50 =!= 0)
+    segs.filter(col("doc_id") % mod =!= 0)
       .join(broadcast(bench), Seq("seg"), "left")
       .groupBy(col("doc_id"))
       .agg(

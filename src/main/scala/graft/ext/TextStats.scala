@@ -603,9 +603,14 @@ object TextStats {
       df.columns.map(col) :+ explode(array((0 until kHashes).map(j =>
         conv(substring(md5(concat(lit(s"$j:"), col("sh"))), 1, 7), 16, 10)
           .cast("long") % mBits): _*)).as("pos"): _*)
-    val bits = positions(sh.filter(col("doc_id") % 50 === 0).select(col("sh")).distinct())
+    // benchmark membership follows the fixed-benchmark law ([[benchModFor]],
+    // round 10): a corpus-proportional bench (the old fixed % 50) would both
+    // saturate the fixed mBits filter and outgrow the bits broadcast; a
+    // ~1000-doc bench keeps the bit table bounded at every corpus scale
+    val mod = benchModFor(spark, dir)
+    val bits = positions(sh.filter(col("doc_id") % mod === 0).select(col("sh")).distinct())
       .select(col("pos")).distinct()
-    val corpusSh = sh.filter(col("doc_id") % 50 =!= 0)
+    val corpusSh = sh.filter(col("doc_id") % mod =!= 0)
     val hits = positions(corpusSh)
       .join(broadcast(bits), Seq("pos"))
       .groupBy(col("doc_id"), col("sh"))
