@@ -19,6 +19,19 @@ import org.apache.spark.sql.SparkSession
   *    are environment noise, not plan cost.
   */
 object Bench {
+  /** Execute a query's OWN physical plan to exhaustion and return its row
+    * count. `df.count()` re-optimizes the plan UNDER the count: column
+    * pruning strips a trailing global aggregate's expressions entirely and
+    * the scan collapses to a parquet metadata row count — the round-10
+    * sf300 probe "measured" q194's four 450 M-row aggregation passes at
+    * 0.53 s while DuckDB needs ~6 s for one (every query ENDING in a
+    * global/union-of-global aggregate, e.g. q17/q194, had this hole).
+    * `queryExecution.toRdd` executes exactly the plan the user would
+    * consume — no count-specific rewrite — and counting the InternalRows
+    * is strictly cheaper than count()'s extra aggregate exchange. */
+  private def materialize(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -73,7 +86,7 @@ object Bench {
         if (new java.io.File(w).isDirectory) w else sfDir
       }
     SparkEntry.queries.toSeq.filter(kv => selected(kv._1)).sortBy(_._1).foreach { case (name, fn) =>
-      try { fn(spark, warmDir).count() } catch {
+      try { materialize(fn(spark, warmDir)) } catch {
         case t: Throwable =>
           System.err.println(s"[bench] warm-up $name failed: ${t.getMessage}")
       }
@@ -101,7 +114,7 @@ object Bench {
     val prime = sys.env.get("SPARK_GRAFT_PRIME").map(_.toBoolean)
       .getOrElse(only.isEmpty)
     if (prime) names.foreach { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch {
+      try { materialize(fn(spark, sfDir)) } catch {
         case t: Throwable =>
           System.err.println(s"[bench] prime $name failed: ${t.getMessage}")
       }
@@ -157,7 +170,7 @@ object Bench {
       gcIfDiskTight()
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        materialize(fn(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
         if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
       } catch {
@@ -220,7 +233,7 @@ object Bench {
         !errs.contains(name) && best.getOrElse(name, -1.0) >= growthFloor }
       // base-side ratios deserve the same warm determinism as the large side
       if (prime) gated.foreach { case (name, fn) =>
-        try { fn(spark, bDir).count() } catch {
+        try { materialize(fn(spark, bDir)) } catch {
           case t: Throwable =>
             System.err.println(s"[bench] prime-base $name failed: ${t.getMessage}")
         }
@@ -230,7 +243,7 @@ object Bench {
         gcIfDiskTight() // base-side passes deserve the same clean clock
         val t0 = System.nanoTime()
         try {
-          fn(spark, bDir).count()
+          materialize(fn(spark, bDir))
           val dt = (System.nanoTime() - t0) / 1e9
           if (dt < bBest.getOrElse(name, Double.MaxValue)) bBest(name) = dt
         } catch { case t: Throwable =>

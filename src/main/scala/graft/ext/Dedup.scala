@@ -380,41 +380,16 @@ object Dedup {
     * becomes a join key. The final predicate keeps floor(o·10⁶/u) ≥ t_ppm,
     * which for integer t_ppm is exactly o/u ≥ t.
     *
-    * Scale shape: corpus-sized stages are the df aggregate (map-side
-    * combinable), one window per doc_id (the per-doc frame), and the prefix
-    * equi-join whose keys are by construction the RAREST tokens. */
+    * Scale shape (round 10): the prefix set lives AT REST, bucket-clustered
+    * on tok_h ([[prefixIndexTable]] — built once per (drop, threshold) like
+    * every other index here), so the query itself is a co-located self-join
+    * over sorted bucket scans (zero exchange, zero sort) + the position/
+    * length filters + the pair-distinct + array verification. */
   def prefixFilterJoin(spark: SparkSession, dir: String,
       thresholdPpm: Long = 800000L): DataFrame = {
     val docToks = spark.read.parquet(shingleTokensPath(spark, dir))
-    // the entire filter machinery runs on xxhash64 of the shingle, not the
-    // string: the df aggregate, the ordering, and the prefix self-join all
-    // shuffle/compare 8-byte longs instead of ~25-byte strings. Collision
-    // soundness: work on the hash-CLASS domain — each doc's hash multiset is
-    // deduplicated before prefixing, and the prefix length derives from the
-    // CLASS-set size m (J_class ≥ J_element ≥ t, since merging classes can
-    // only grow the intersection and shrink the union, so the lemma on class
-    // sets covers every true pair). A cross-doc collision can only ADD
-    // candidates (same join key), which exact string-level verification
-    // removes; a within-doc collision shrinks m and lengthens nothing it
-    // shouldn't — the prefix is computed on exactly the deduped class set.
-    val toks = docToks
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
-        explode(col("toks")).as("tok"))
-      .select(col("doc_id"), col("n"), xxhash64(col("tok")).as("tok_h"))
-    val freq = toks.groupBy(col("tok_h")).agg(count(lit(1)).as("df"))
-    // per-doc rarest-first order via an array sort (38-element in-row sorts),
-    // not a row_number window (which range-sorts every exploded row)
-    val prefix = toks.join(freq, Seq("tok_h"))
-      .groupBy(col("doc_id"), col("n"))
-      .agg(sort_array(collect_list(struct(col("df"), col("tok_h")))).as("ord"))
-      .withColumn("ordd", array_distinct(col("ord")))
-      .withColumn("m", size(col("ordd")).cast("long"))
-      .withColumn("plen",
-        col("m") - expr(s"($thresholdPpm * m + 999999) div 1000000") + 1)
-      .selectExpr("doc_id", "n", "m",
-        "posexplode(slice(ordd, 1, CAST(plen AS INT))) AS (i, p)")
-      .select(col("doc_id"), col("n"), col("m"),
-        (col("i") + 1).cast("long").as("pos"), col("p.tok_h").as("tok_h"))
+    val prefix = graft.engine.Bucketing.readTable(
+      spark, prefixIndexTable(spark, dir, thresholdPpm)).hint("merge")
     // POSITION filter (the third classic PPJoin filter — round 10, after the
     // sf300 probe ENOSPC'd in exactly this stage): a candidate generated at
     // prefix positions (pos_a, pos_b) can reach overlap at most
@@ -446,6 +421,73 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
     verifyPairs(cand, docToks, thresholdPpm)
   }
+
+  /** Bucket-clustered at-rest PREFIX INDEX for [[prefixFilterJoin]] —
+    * (doc_id, n, m, pos, tok_h), one row per prefix token, CLUSTERED on the
+    * join key tok_h (native bucketBy + sortBy via [[graft.engine.Bucketing]],
+    * corpus-adaptive bucket count).
+    *
+    * Round 10, second sf300 ENOSPC: building the prefix INLINE re-ran the
+    * full token-stream df join + per-doc aggregate for BOTH self-join sides
+    * (the lineage is not shared across a self-join), ~80 GB of transient
+    * shuffle at 15 M docs, then exchanged both sides AGAIN on tok_h at query
+    * time. The prefix set is a once-per-(drop, threshold) artifact exactly
+    * like the shingle postings ([[shingleTokensPath]]) and the LSH index
+    * ([[graft.ext.Similarity.lshBucketedTable]]): pay the token-stream
+    * shuffle once at write time, and every later self-join consumes
+    * co-located sorted scans with zero exchange and zero sort.
+    *
+    * The filter machinery runs on xxhash64 of the shingle, not the string:
+    * the df aggregate, the ordering, and the prefix self-join all
+    * shuffle/compare 8-byte longs instead of ~25-byte strings. Collision
+    * soundness: work on the hash-CLASS domain — each doc's hash multiset is
+    * deduplicated before prefixing, and the prefix length derives from the
+    * CLASS-set size m (J_class ≥ J_element ≥ t, since merging classes can
+    * only grow the intersection and shrink the union, so the lemma on class
+    * sets covers every true pair). A cross-doc collision can only ADD
+    * candidates (same join key), which exact string-level verification
+    * removes; a within-doc collision shrinks m and lengthens nothing it
+    * shouldn't — the prefix is computed on exactly the deduped class set.
+    * Per-doc rarest-first order via an array sort (38-element in-row
+    * sorts), not a row_number window (which range-sorts every exploded
+    * row). */
+  private val prefixTableMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def prefixIndexTable(spark: SparkSession, dir: String,
+      thresholdPpm: Long): String =
+    prefixTableMemo.computeIfAbsent(s"$dir#$thresholdPpm", { _ =>
+      val docToks = spark.read.parquet(shingleTokensPath(spark, dir))
+      // layout sizing: ~13 prefix rows per doc at t = 0.8 (plen ≈ 0.2·m + 1,
+      // E[m] ≈ 38 on 10-100-token docs) — a heuristic is fine for LAYOUT
+      // (bucket count changes no results), and the doc count is a parquet
+      // metadata read, not a scan
+      val buckets = graft.engine.Bucketing.bucketCountFor(docToks.count() * 13L)
+      val table =
+        s"graft_ppfx_${graft.engine.Fs.dirTag(dir)}_t${thresholdPpm}_b$buckets"
+      graft.engine.Fs.withPrefixLock(table) {
+        if (!spark.catalog.tableExists(table)) {
+          val toks = docToks
+            .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+              explode(col("toks")).as("tok"))
+            .select(col("doc_id"), col("n"), xxhash64(col("tok")).as("tok_h"))
+          val freq = toks.groupBy(col("tok_h")).agg(count(lit(1)).as("df"))
+          val prefix = toks.join(freq, Seq("tok_h"))
+            .groupBy(col("doc_id"), col("n"))
+            .agg(sort_array(collect_list(struct(col("df"), col("tok_h")))).as("ord"))
+            .withColumn("ordd", array_distinct(col("ord")))
+            .withColumn("m", size(col("ordd")).cast("long"))
+            .withColumn("plen",
+              col("m") - expr(s"($thresholdPpm * m + 999999) div 1000000") + 1)
+            .selectExpr("doc_id", "n", "m",
+              "posexplode(slice(ordd, 1, CAST(plen AS INT))) AS (i, p)")
+            .select(col("doc_id"), col("n"), col("m"),
+              (col("i") + 1).cast("long").as("pos"), col("p.tok_h").as("tok_h"))
+          graft.engine.Bucketing.writeBucketed(prefix, table, "tok_h", buckets)
+        }
+      }
+      table
+    })
 
   /** The shared EXACT-verification tail of every candidate-then-verify
     * pipeline over the shingle-array index ([[prefixFilterJoin]],
