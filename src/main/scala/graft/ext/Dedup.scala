@@ -41,6 +41,14 @@ object Dedup {
   /** Universal-hash modulus (2³¹ − 1, prime). */
   val P: Long = 2147483647L
 
+  /** Default Jaccard threshold (ppm) for the exact-similarity families
+    * (q173 prefix-filter join, q204 recall audit, incremental dedup). Named
+    * so the PlanSpec position-filter pin derives its expected ceil-div
+    * denominator from the SAME constant the operator uses, instead of a
+    * hard-coded literal that silently desyncs when the default moves
+    * (round-10 ADVICE low). */
+  val DefaultJaccardPpm: Long = 800000L
+
   /** 12 fixed (a, b) seed pairs → 6 bands × 2 rows. Arbitrary odd constants
     * < 2³¹; the oracle SQL embeds the same values. */
   val seedsAB: Seq[(Long, Long)] = Seq(
@@ -386,7 +394,7 @@ object Dedup {
     * over sorted bucket scans (zero exchange, zero sort) + the position/
     * length filters + the pair-distinct + array verification. */
   def prefixFilterJoin(spark: SparkSession, dir: String,
-      thresholdPpm: Long = 800000L): DataFrame = {
+      thresholdPpm: Long = DefaultJaccardPpm): DataFrame = {
     val docToks = spark.read.parquet(shingleTokensPath(spark, dir))
     val prefix = graft.engine.Bucketing.readTable(
       spark, prefixIndexTable(spark, dir, thresholdPpm)).hint("merge")
@@ -612,7 +620,7 @@ object Dedup {
     * verdict stream an ingest pipeline turns into drop/keep decisions
     * (q85's is_new column is this table's emptiness per doc). */
   def incrementalPrefixJoin(spark: SparkSession, dir: String,
-      thresholdPpm: Long = 800000L, mod: Int = 10, rem: Int = 7): DataFrame = {
+      thresholdPpm: Long = DefaultJaccardPpm, mod: Int = 10, rem: Int = 7): DataFrame = {
     val docToks = spark.read.parquet(shingleTokensPath(spark, dir))
     val corpusDf = spark.read.parquet(corpusDfPath(spark, dir, mod, rem))
     // batch side ONLY is computed per wave: explode, look up the at-rest df
@@ -1494,7 +1502,7 @@ object Dedup {
     * three share the at-rest shingle/band indexes, so the marginal cost of
     * the comparison is the aggregates. */
   def dedupMethodRecall(spark: SparkSession, dir: String,
-      thresholdPpm: Long = 800000L): DataFrame = {
+      thresholdPpm: Long = DefaultJaccardPpm): DataFrame = {
     // truth is the most expensive pipeline here — counted ONCE (a 1-row
     // driver seed, the A1 pattern); the prefix_filter row IS that count, so
     // the pipeline never runs a second time for its own method row
@@ -1530,7 +1538,7 @@ object Dedup {
     * lexicographic). The release-gate (q200) says IF a source is dirty;
     * this says WITH WHOM. */
   def crossSourceDupMatrix(spark: SparkSession, dir: String,
-      thresholdPpm: Long = 800000L): DataFrame = {
+      thresholdPpm: Long = DefaultJaccardPpm): DataFrame = {
     val pairs = minhashJaccard(spark, dir)
       .filter(expr(s"n_common * 1000000 div (n_a + n_b - n_common) >= $thresholdPpm"))
       .select(col("doc_a"), col("doc_b"))
@@ -1615,6 +1623,9 @@ object Dedup {
     * string; under a Heaps-growing vocabulary the distinct-shingle table
     * grows faster than the corpus, so those extra shingle-mass shuffles are
     * exactly the wrong place to spend them. */
+  private val langsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
   def langOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // Round 10 (the sf1000 probe ENOSPC'd in the shingle aggregate): the
@@ -1629,10 +1640,14 @@ object Dedup {
     // partial-combines map-side, and shuffles a long instead of an array.
     // Pairs expand in-row from the mask bits against the sorted inventory,
     // so output order matches the collect_set form exactly. EXACT semantics,
-    // same oracle; >62 languages falls back to the wide form.
-    val langs: Seq[String] = Tables.documents(spark, dir)
-      .filter(col("lang").isNotNull)
-      .select(col("lang")).distinct().orderBy("lang").as[String].collect().toSeq
+    // same oracle; >62 languages falls back to the wide form. The inventory
+    // is memoized per dir (the benchModFor / planesMemo discipline —
+    // round-10 ADVICE low): it is a corpus constant, and re-collecting it
+    // per invocation added a full lang-column scan to every call.
+    val langs: Seq[String] = langsMemo.computeIfAbsent(dir, _ =>
+      Tables.documents(spark, dir)
+        .filter(col("lang").isNotNull)
+        .select(col("lang")).distinct().orderBy("lang").as[String].collect().toSeq)
     if (langs.length > 62) return langOverlapMatrixWide(spark, dir)
     val bitOf: Column = langs.zipWithIndex.foldLeft(lit(0L): Column) {
       case (acc, (l, i)) => when(col("lang") === l, lit(1L << i)).otherwise(acc) }

@@ -395,15 +395,29 @@ object TextStats {
     import spark.implicits._
     import graft.functions.{DocTermScore, TfIdfTopKAggregator}
     val docs = Tables.documents(spark, dir)
-    val words = docs.select(col("doc_id"), split(col("text"), " ").as("words"))
-    val dterms = words.select(col("doc_id"), col("words"),
-      explode(array_distinct(col("words"))).as("term"))
-    val dfreq = dterms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // (doc_id, term, tf) derived ONCE per row by run-length over the SORTED
+    // token array — O(L log L) per doc. The round-10 form re-scanned the
+    // words array per distinct term (`size(filter(words, w = term))`),
+    // O(L · distinct) ≈ quadratic on long documents (round-10 ADVICE low).
+    // The sorted array and its run-starts index are bound as LAMBDA
+    // variables (single-element transform), never projected aliases:
+    // CollapseProject inlines aliases into HOF lambdas (the q86 Sq8Codes
+    // lesson), which would re-run array_sort per element. tf of the run
+    // starting at s is (next run start − s); a bonus of the in-row form is
+    // that the words array itself no longer rides through the df join.
+    val termTf = docs
+      .select(col("doc_id"), explode(expr(
+        """flatten(transform(array(array_sort(split(text, ' '))), ws ->
+          |  flatten(transform(array(filter(sequence(1, size(ws)),
+          |      i -> i = 1 OR element_at(ws, i) != element_at(ws, i - 1))), starts ->
+          |    transform(starts, (s, j) -> named_struct(
+          |      'term', element_at(ws, s),
+          |      'tf', CAST(coalesce(try_element_at(starts, j + 2), size(ws) + 1) - s AS BIGINT)))))))""".stripMargin)).as("tt"))
+      .select(col("doc_id"), col("tt.term").as("term"), col("tt.tf").as("tf"))
+    val dfreq = termTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs")) // 1 row — broadcast cross join
-    dterms.join(graft.engine.RelOps.guardedBroadcast(dfreq), "term")
+    termTf.join(graft.engine.RelOps.guardedBroadcast(dfreq), "term")
       .crossJoin(broadcast(nDocs))
-      .withColumn("tf",
-        size(filter(col("words"), w => w === col("term"))).cast("long"))
       .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
       .as[DocTermScore]

@@ -132,12 +132,25 @@ final case class DocTermScore(doc_id: Long, term: String, tf: Long, df: Long,
   *
   * Ordering: score desc, term asc — the exact total order of the window
   * form (`row_number over (partition by doc order by score desc, term)`),
-  * on the UNROUNDED double score, so ranks are bit-identical. */
+  * on the UNROUNDED double score, so ranks are bit-identical. Term ties
+  * compare UTF-8 BYTES (unsigned), not JVM chars: Spark's UTF8String and
+  * DuckDB's varchar both order strings by UTF-8 code points, while String's
+  * natural order is UTF-16 code-unit order — the two disagree exactly on
+  * supplementary (non-BMP) characters, where surrogates (0xD800-0xDFFF)
+  * sort BELOW later BMP chars in UTF-16 but their UTF-8 encoding (0xF0+)
+  * sorts above (round-10 ADVICE). */
 class TfIdfTopKAggregator(k: Int)
     extends Aggregator[DocTermScore, List[DocTermScore], Seq[DocTermScore]] {
 
-  private val ord: Ordering[DocTermScore] =
-    Ordering.by((t: DocTermScore) => (-t.score, t.term))
+  private val ord: Ordering[DocTermScore] = new Ordering[DocTermScore] {
+    override def compare(a: DocTermScore, b: DocTermScore): Int = {
+      val c = java.lang.Double.compare(b.score, a.score) // desc
+      if (c != 0) c
+      else java.util.Arrays.compareUnsigned(
+        a.term.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
 
   override def zero: List[DocTermScore] = Nil
 

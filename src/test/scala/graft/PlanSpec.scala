@@ -596,13 +596,21 @@ class PlanSpec extends SparkSuite {
     // was measured 4x slower on a template-heavy corpus
     assert(p.contains("array_intersect"),
       s"verify stage lost its array-intersect form:\n$p")
-    // the POSITION filter must sit in the prefix self-join's condition: the
+    // the POSITION filter must sit in the prefix self-join's CONDITION: the
     // raw pair stream (sum of posting^2 over the Zipf head) filled the disk
     // at 15 M docs when only prefix+length gated it — the overlap upper
     // bound 1 + min(m_a - pos_a, m_b - pos_b) >= ceil-div(alpha) prunes it
-    // BEFORE the pair-distinct exchange (alphaDen = 1e6 + t_ppm = 1800000)
-    assert(p.contains("pos_a") && p.contains("1800000"),
-      s"prefix self-join lost the position filter:\n$p")
+    // BEFORE the pair-distinct exchange. The expected ceil-div denominator
+    // alphaDen = 1e6 + t_ppm derives from the SAME constant the operator
+    // defaults to (round-10 ADVICE: a hard-coded literal desyncs silently
+    // when the default moves), and the predicate must appear on a join-
+    // condition line — a filter parked above the distinct would pass a bare
+    // substring check while pruning nothing.
+    val alphaDen = 1000000L + ext.Dedup.DefaultJaccardPpm
+    assert(p.linesIterator.exists(l => l.contains("Join condition:") &&
+      l.contains("pos_a") && l.contains("pos_b") && l.contains(s"div $alphaDen")),
+      s"prefix self-join lost the position filter (ceil-div by $alphaDen " +
+        s"on pos_a/pos_b must sit in the join condition):\n$p")
     // and the pair-distinct must shuffle ONLY the pair — sizes ride along
     // nowhere (they are re-derived from the arrays at verification)
     val distinctKeys = p.linesIterator
