@@ -1970,36 +1970,76 @@ object Dedup {
     * the union of all repeated substrings of length ≥ k is EXACTLY the union
     * of covered gram windows, and the outputs here are its maximal runs
     * (start, token length). That equivalence is what lets a groupBy replace
-    * the suffix array: one shuffle on the gram (map-side partial agg), one
-    * semi-join back, one per-doc islands window — no corpus self-join, no
-    * global sort, no driver state. Grouping is on the exact gram string
-    * (oracle-exact); at 100 TB the shuffle key would be a 128-bit
-    * fingerprint of the gram (collisions only ADD coverage) to cut shuffle
-    * bytes — a transport optimization, not a semantics change.
+    * the suffix array: one shuffle on the gram's 64-bit HASH (map-side
+    * partial agg over 8-byte keys), exact string verification confined to
+    * the candidate hash classes, one per-doc islands window — no corpus
+    * self-join, no global sort, no driver state.
+    *
+    * Hash-class shape (round 11 — VERDICT r10 #3, the q173 treatment; the
+    * string-keyed groupBy shuffled 2-3× CORPUS MASS of 5-gram strings and
+    * ENOSPC'd the sf300 probe): the counting exchange carries a 64-bit
+    * gram hash (the codegen [[graft.functions.GramHashes]] primitive), so
+    * no gram string is even materialized on that path. Exactness is restored in two
+    * broadcast-gated stages over the candidate classes only: positions
+    * whose hash-class count ≥ 2 (a superset of covered — equal-gram
+    * occurrences always share a class, so every truly repeated gram's FULL
+    * occurrence list is candidate) re-derive their gram strings in-row from
+    * their doc's token array and re-count per exact string; a gram with
+    * global count ≥ 2 has candidate count = global count, and a singleton
+    * gram never survives — so the surviving positions are EXACTLY the
+    * string-keyed form's, collisions or not. Every join is a size-guarded
+    * broadcast whose FALLBACK is also cheap by construction (8-byte-key
+    * reshuffle / one doc-keyed pass of the corpus text), so the corpus-mass
+    * exchanges are the hash count and the doc-keyed islands window below —
+    * gram strings never cross an exchange on any path.
     *
     * Output: (doc_id, span_start 1-based, span_len_tokens), one row per
     * maximal run of covered TOKENS — two covered gram starts p1 < p2 merge
     * iff p2 ≤ p1 + k (their token windows overlap or touch), so spans never
     * overlap and each is the maximal contiguous covered stretch. */
   def longRepeatSpans(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val grams = Tables.documents(spark, dir)
+    def docGrams = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= k)
-      // grams are built INSIDE the array before the explode, so the row
-      // explosion never duplicates the full token array per position
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(w) - $k + 1), i -> concat_ws(' ', slice(w, i, $k)))")))
-      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("gram"))
-    val dup = grams.groupBy(col("gram"))
+    // hash-only posting stream via the codegen GramHashes primitive (no
+    // gram string is ever materialized on this path, even transiently) —
+    // no string ever rides this stream, so even a guard FALLBACK below
+    // reshuffles 20-byte rows, never gram strings
+    graft.functions.VectorExpressions.register(spark)
+    val hashes = docGrams
+      .select(col("doc_id"), posexplode(expr(s"graft_gram_hashes(w, $k)")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("gh"))
+    // repeated hash CLASSES — every truly repeated gram lands here; hash
+    // collisions can only ADD classes, never hide one
+    val dupH = hashes.groupBy(col("gh"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("gh"))
+    val candPos = hashes
+      .join(graft.engine.RelOps.guardedBroadcast(dupH), Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("p"))
+    // candidate positions return to their doc AS A LIST (≤ doc length ints;
+    // the object-agg state is per-doc-bounded, unlike q93's shingle-mass
+    // collect_set) and the gram strings are re-derived IN-ROW from the
+    // doc's own token array — when the per-doc list broadcasts, strings
+    // appear without any exchange at all; the fallback is one doc-keyed
+    // join that moves the corpus TEXT once, still ~5× less than the gram
+    // stream the round-10 form shuffled
+    val candByDoc = candPos.groupBy(col("doc_id"))
+      .agg(collect_list(col("p")).as("ps"))
+    val cand = docGrams
+      .join(graft.engine.RelOps.guardedBroadcast(candByDoc), Seq("doc_id"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(ps, p -> named_struct('p', p, 'gram', concat_ws(' ', slice(w, p, $k))))")).as("pg"))
+      .select(col("doc_id"), col("pg.p").as("p"), col("pg.gram").as("gram"))
+    // exact verification: within the candidate stream, a gram's count equals
+    // its GLOBAL count whenever that is ≥ 2 (all occurrences of a repeated
+    // gram share its hash class), so this recovers exactly the string-keyed
+    // dup set; the groupBy's exchange is map-side-combined over candidate
+    // (dup-mass) strings only
+    val dupG = cand.groupBy(col("gram"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("gram"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("p"))
-    // the repeated-gram TYPE set is Heaps-bounded while `grams` is the
-    // corpus's full posting mass — a shuffled semi-join moves that mass on
-    // Zipf-hot gram strings (the 14.5×/decade the sf100 gate flagged).
-    // Size-guarded broadcast keeps the posting stream in place; only the
-    // doc-partitioned islands window below shuffles, evenly keyed on doc_id.
-    grams.join(graft.engine.RelOps.guardedBroadcast(dup), Seq("gram"), "left_semi")
+    cand.join(graft.engine.RelOps.guardedBroadcast(dupG), Seq("gram"), "left_semi")
       .select(col("doc_id"), col("p"))
       // gap-merge islands: a new run starts when the previous covered gram
       // start is more than k back (its token window no longer touches ours)

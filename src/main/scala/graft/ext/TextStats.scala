@@ -278,15 +278,31 @@ object TextStats {
     * doc whose every shingle was seen earlier left-joins to a 0 credit.
     * Never all-pairs; integer ppm output. */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    // Round 11 (VERDICT r10 #4): the groupBy key is the 64-bit SHINGLE HASH
+    // (xxhash64 applied IN-ROW inside the shingle transform), not the raw
+    // shingle string — the min-doc aggregate was the heaviest honest sf0.1
+    // exchange (4.3 s) because every distinct shingle per partition crossed
+    // it as a ~40-60-byte string; a long is 8 bytes and stays in the
+    // codegen hash map. Distinctness moves to the hash domain everywhere at
+    // once (array_distinct over a LONG array — also far cheaper in-row than
+    // string dedup), so per-doc n_shingles and the credit counts use the
+    // SAME domain and the ppm ratio stays internally consistent. Collision
+    // note (the q198 discipline): a cross-doc 64-bit collision merges two
+    // shingles' first-occurrence credit (one ±1 in one doc's count);
+    // expected colliding pairs ≈ D²/2⁶⁵ ≈ 0.03 at D = 10⁹ distinct
+    // shingles (50 M docs). The oracle groups by the exact string, so the
+    // gate itself re-verifies collision-freedom on every checked run. The
+    // hash array comes from the codegen [[graft.functions.GramHashes]]
+    // primitive — the interpreted transform/concat_ws form was the dominant
+    // per-row cost once the exchange was keyed on longs.
+    graft.functions.VectorExpressions.register(spark)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
-      .withColumn("shs", expr(
-        """array_distinct(transform(sequence(1, size(words)-2),
-          |  i -> concat_ws(' ', element_at(words, i), element_at(words, i+1), element_at(words, i+2))))""".stripMargin))
+      .withColumn("shs", expr("array_distinct(graft_gram_hashes(words, 3))"))
     val perDoc = docs.select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
     val novel = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
-      .groupBy("sh").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("sh")).agg(min(col("doc_id")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_novel_raw"))
     perDoc.join(novel, Seq("doc_id"), "left")
       .withColumn("n_novel", coalesce(col("n_novel_raw"), lit(0L)))
@@ -306,14 +322,24 @@ object TextStats {
     * integers against a broadcast 1-row corpus count — no driver collect. */
   def boilerplateShare(spark: SparkSession, dir: String,
       dfPpm: Long = 10000L): DataFrame = {
+    // Round 11 (VERDICT r10 #4, the q103 treatment): the df aggregate — the
+    // only corpus-mass exchange here — groups on the 64-bit in-row shingle
+    // hash instead of the raw string, and the boilerplate set broadcasts as
+    // 8-byte keys. The per-doc probe side computes the same hashes in-row,
+    // so shingle strings never leave their input row anywhere in the plan.
+    // Collision note as in [[ngramNovelty]] (expected colliding pairs
+    // ≈ 0.03 at 10⁹ distinct shingles): a merge could only pool two
+    // shingles' df counts; the string-exact oracle re-verifies
+    // collision-freedom on every checked run. Hashing via the codegen
+    // [[graft.functions.GramHashes]] primitive.
+    graft.functions.VectorExpressions.register(spark)
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(1, size(words)-2),
-          |  i -> concat_ws(' ', element_at(words, i), element_at(words, i+1), element_at(words, i+2))))""".stripMargin)).as("sh"))
+      .select(col("doc_id"),
+        explode(expr("array_distinct(graft_gram_hashes(words, 3))")).as("sh"))
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_total"))
-    val boiler = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val boiler = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") * lit(1000000L) >= lit(dfPpm) * col("n_total"))
       .select(col("sh"), lit(1L).as("is_boiler"))
@@ -433,41 +459,49 @@ object TextStats {
 
   /** Gopher-style repetition statistics — the quality gates a pretraining
     * pipeline applies to catch low-quality/templated text (duplicate n-gram
-    * fractions, dominance of the most frequent bigram). One explode + two
-    * map-side-combinable aggregates per doc; no joins, no global shuffle
-    * beyond the per-doc groupBy. Integers + 6-dp rounded ratios so the
-    * oracle hash-matches. */
+    * fractions, dominance of the most frequent bigram). Integers + 6-dp
+    * rounded ratios so the oracle hash-matches.
+    *
+    * Round 11: a PURE PROJECTION — every statistic is a function of one
+    * doc's own n-grams, so nothing needs an explode or a groupBy at all:
+    * distinct/max-count come from run-length over the SORTED per-doc array
+    * of 64-bit n-gram HASHES (the q63 trick on the q103 key domain; sort
+    * and run-starts bound as lambda variables so CollapseProject cannot
+    * inline a re-sort per element), shingle counts from array_distinct over
+    * longs in-row. The round-10 form exploded both n-gram streams into
+    * doc-keyed string aggregates — the same strings-through-an-exchange
+    * shape as q103/q130 (VERDICT r10 #4), just doc-scoped; now the only
+    * exchange is the output orderBy. Collision note: hashes only ever
+    * compare WITHIN one document here, so a merge needs two of a doc's
+    * ≤ ~100 n-grams to collide in 64 bits — P ≈ L²/2⁶⁵ ≈ 3·10⁻¹⁶ per doc;
+    * the string-exact oracle re-verifies on every checked run. Hash arrays
+    * come from the codegen [[graft.functions.GramHashes]] primitive. */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    graft.functions.VectorExpressions.register(spark)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
-    val bigrams = docs.select(col("doc_id"), size(col("words")).cast("long").as("n_tokens"),
-      explode(expr(
-        """transform(sequence(1, size(words)-1),
-          |  i -> concat_ws(' ', element_at(words, i), element_at(words, i+1)))""".stripMargin)).as("bg"))
-    val bigramStats = bigrams
-      .groupBy(col("doc_id"), col("n_tokens"), col("bg"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n_tokens"))
-      .agg(
-        count(lit(1)).as("n_distinct_bigrams"),
-        sum(col("c")).as("n_bigrams"),
-        max(col("c")).as("max_bigram_count"))
-    val shingleStats = docs
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(words)-2),
-          |  i -> concat_ws(' ', element_at(words, i), element_at(words, i+1), element_at(words, i+2)))""".stripMargin)).as("sh"))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        countDistinct(col("sh")).as("n_distinct_shingles"))
-    bigramStats.join(shingleStats, "doc_id")
+      .withColumn("bst", expr(
+        """element_at(transform(array(array_sort(graft_gram_hashes(words, 2))), bs ->
+          |  element_at(transform(array(filter(sequence(1, size(bs)),
+          |      i -> i = 1 OR element_at(bs, i) != element_at(bs, i - 1))), starts ->
+          |    named_struct(
+          |      'nb', CAST(size(bs) AS BIGINT),
+          |      'nd', CAST(size(starts) AS BIGINT),
+          |      'mx', CAST(array_max(transform(starts,
+          |        (s, j) -> coalesce(try_element_at(starts, j + 2), size(bs) + 1) - s)) AS BIGINT))), 1)), 1)""".stripMargin))
+      .withColumn("shst", expr(
+        """element_at(transform(array(graft_gram_hashes(words, 3)), shs ->
+          |  named_struct(
+          |    'ns', CAST(size(shs) AS BIGINT),
+          |    'nds', CAST(size(array_distinct(shs)) AS BIGINT))), 1)""".stripMargin))
       .select(
-        col("doc_id"), col("n_tokens"),
-        col("n_bigrams"), col("n_distinct_bigrams"), col("max_bigram_count"),
-        round(col("max_bigram_count") * 2.0 / col("n_tokens"), 6).as("top_bigram_token_frac"),
-        col("n_shingles"), col("n_distinct_shingles"),
-        round(lit(1.0) - col("n_distinct_shingles").cast("double") / col("n_shingles"), 6)
+        col("doc_id"), size(col("words")).cast("long").as("n_tokens"),
+        col("bst.nb").as("n_bigrams"), col("bst.nd").as("n_distinct_bigrams"),
+        col("bst.mx").as("max_bigram_count"),
+        round(col("bst.mx") * 2.0 / size(col("words")), 6).as("top_bigram_token_frac"),
+        col("shst.ns").as("n_shingles"), col("shst.nds").as("n_distinct_shingles"),
+        round(lit(1.0) - col("shst.nds").cast("double") / col("shst.ns"), 6)
           .as("dup_shingle_frac"))
       .orderBy("doc_id")
   }

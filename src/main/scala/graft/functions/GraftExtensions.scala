@@ -40,6 +40,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sq8"),
       new ExpressionInfo(classOf[Sq8Codes].getName, "graft_sq8"),
       (exprs: Seq[Expression]) => Sq8Codes(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "graft_gram_hashes"),
+      // n must be a foldable int literal — the gram width is a plan-time
+      // constant everywhere (2/3/5), never data
+      (exprs: Seq[Expression]) => GramHashes(exprs(0), exprs(1).eval() match {
+        case i: Int => i
+        case other => throw new IllegalArgumentException(
+          s"graft_gram_hashes(words, n): n must be an int literal, got $other")
+      })))
     ext.injectOptimizerRule(_ => SpecializeFloatDot)
   }
 }

@@ -463,6 +463,12 @@ object VectorExpressions {
       "graft_minhash_sig", exprs => MinHashSignature(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sq8", exprs => Sq8Codes(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gram_hashes", exprs => GramHashes(exprs(0), exprs(1).eval() match {
+        case i: Int => i
+        case other => throw new IllegalArgumentException(
+          s"graft_gram_hashes(words, n): n must be an int literal, got $other")
+      }), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(SpecializeFloatDot))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SpecializeFloatDot

@@ -34,6 +34,32 @@ class PlanSpec extends SparkSuite {
     val p = plan("q227_long_repeat_spans")
     assert(!p.contains("CartesianProduct"), s"cartesian in the repeat-span plan:\n$p")
     assert(p.contains("LeftSemi"), s"dup-gram membership is not a semi join:\n$p")
+    // round 11 (VERDICT r10 #3): the corpus-mass counting exchange must be
+    // keyed on the 8-byte gram HASH — the string-keyed count shuffled 2-3×
+    // corpus mass of 5-gram strings and ENOSPC'd the sf300 probe. The
+    // string-keyed aggregate that remains (exact verification) runs over
+    // the candidate stream only, AFTER the hash-class membership join.
+    assert(p.linesIterator.exists(_.matches("""Keys \[1\]: \[gh#\d+L\]""")),
+      s"gram-count aggregate is not keyed on the 64-bit gram hash:\n$p")
+    assert(p.contains("graft_gram_hashes"),
+      s"in-row codegen gram hashing missing from the posting stream:\n$p")
+  }
+
+  test("q103/q130 shingle aggregates: grouping keys are hashed longs, strings never cross an exchange") {
+    // round 11 (VERDICT r10 #4): the min-doc / df aggregates were the
+    // heaviest honest sf0.1 exchanges because every distinct shingle per
+    // partition crossed them as a ~40-60-byte string; the 128-bit in-row
+    // hash pair keeps the key 16 bytes. EVERY grouping key in both plans
+    // must be a long (#..L) — a string shingle key would end bare.
+    for (q <- Seq("q103_ngram_novelty", "q130_boilerplate")) {
+      val p = plan(q)
+      assert(p.contains("graft_gram_hashes"),
+        s"$q lost its in-row codegen shingle hashing:\n$p")
+      val keyCols = p.linesIterator.filter(_.matches("""Keys \[\d+\]: \[.*"""))
+        .flatMap(l => """#\d+[A-Za-z]*""".r.findAllIn(l)).toSeq
+      assert(keyCols.nonEmpty && keyCols.forall(_.endsWith("L")),
+        s"$q groups on a non-long key (shingle string back in an exchange?): $keyCols\n$p")
+    }
   }
 
   test("q230 occupancy audit: aggregate-only plan — predicts the candidate join without paying one") {

@@ -258,6 +258,33 @@ class VectorSpec extends SparkSuite {
     assert(rows.count(_.isNullAt(0)) == 1, "only the 2-word doc is null")
   }
 
+  test("graft_gram_hashes: window equality, boundary safety, short docs empty") {
+    val s = spark; import s.implicits._
+    VectorExpressions.register(spark)
+    // identical 3-word windows hash identically; all others differ
+    val h = Seq("a b c d a b c").toDF("text")
+      .selectExpr("graft_gram_hashes(split(text, ' '), 3) AS h")
+      .collect()(0).getSeq[Long](0)
+    assert(h.length == 5, "7 words -> 5 trigram positions")
+    assert(h(0) == h(4), "equal word windows must hash equal")
+    assert(h.distinct.length == 4, "the four distinct windows must differ")
+    // word boundaries are hashed per word — the concat form's aliasing
+    // (["a b","c"] vs ["a","b c"] both join to "a b c") cannot occur
+    val alias = Seq(Tuple1(Seq("a b", "c")), Tuple1(Seq("a", "b c")))
+      .toDF("arr").selectExpr("graft_gram_hashes(arr, 2)[0] AS g")
+      .collect().map(_.getLong(0))
+    assert(alias(0) != alias(1), "per-word hashing must see the boundary")
+    // fewer than n words -> empty array (explodes to nothing), never null
+    val short = Seq("a b").toDF("text")
+      .selectExpr("graft_gram_hashes(split(text, ' '), 3) AS h").collect()(0)
+    assert(!short.isNullAt(0) && short.getSeq[Long](0).isEmpty)
+    // n = 1 degenerates to per-word hashes: repeated word -> repeated hash
+    val uni = Seq("x y x").toDF("text")
+      .selectExpr("graft_gram_hashes(split(text, ' '), 1) AS h")
+      .collect()(0).getSeq[Long](0)
+    assert(uni.length == 3 && uni(0) == uni(2) && uni(0) != uni(1))
+  }
+
   test("graft_sq8 equals the transform/CASE HOF quantizer bit-for-bit") {
     val s = spark; import s.implicits._
     VectorExpressions.register(spark)
