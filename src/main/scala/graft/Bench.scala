@@ -215,6 +215,24 @@ object Bench {
     // sf100 ratios are 11.7-12.6 (constants keep them below the law's
     // ceiling). Bound 40 still catches a REAL defect in these queries — the
     // round-8 fixed-mod bug measured 103-160× on exactly this family.
+    //
+    // Why 40 HOLDS for sf1000+ bases rather than tightening to ~36 (round
+    // 11, VERDICT r10 #5 — the sf1000 probe measured the family AT its
+    // asymptote for the first time: 33.2× / 33.3× / 37.2×): past the
+    // asymptote the LAW contributes exactly 31.6× per further decade, so
+    // the residual 1.05-1.18× is the per-decade CONSTANT drift — the
+    // working set outgrowing successive cache/memory tiers, measured on
+    // this box at ≤ 1.2×/decade across every linear family too. 40/31.6 =
+    // 1.27× headroom covers that drift plus run-to-run jitter; tightening
+    // to 36 (1.14× headroom) sits INSIDE the honest drift band already
+    // measured (q86's 37.2×) and would flag clean runs — the round-9
+    // lesson in reverse. The bound still separates unambiguously: a real
+    // defect in this family has never measured below 103× (a defect must
+    // add at least one extra Θ(√n) or Θ(n) factor, i.e. ≥ 3.2× the law
+    // ratio = ≥ 100×, not a constant slip). Expected trajectory for the
+    // NEXT decade (sf10000): 31.6× · drift ≤ 38; a reading in (40, 100)
+    // would mean a constant-factor regression compounding per decade —
+    // investigate the plan diff; ≥ 100× means a law breach (new factor).
     val lawBounds: Map[String, Double] = Map(
       "q72_ivf_ann" -> 40.0, // n^1.5: √n centroid scan per probe
       "q86_ivf_centroids" -> 40.0, // n^1.5: n × √n-cell argmax assignment

@@ -84,6 +84,66 @@ object RelOps {
     if (n <= maxRows && bytes <= BigInt(maxBytes)) broadcast(cached) else cached
   }
 
+  /** Approximate-membership PREDICATE on a long key set: builds a Bloom
+    * sketch over `keys` (one DISK_ONLY materialization pays for count +
+    * sketch, the guardedBroadcast discipline), broadcasts it, and returns a
+    * registry HANDLE the caller embeds as
+    * `graft_bloom_contains(<long expr>, '<handle>')` — anywhere an
+    * expression can go, including INSIDE a higher-order-function lambda
+    * over an in-row array.
+    *
+    * That last placement is the point (q227's repeat spans, round 11): the
+    * membership test runs per POSITION against the row's own gram-hash
+    * array, so candidate gram strings are only ever BUILT for positions
+    * that survive — a semi-join (even a broadcast one) needs the probe
+    * exploded and its strings materialized first, which at sf100 cost ~2
+    * full interpreted concat passes over the corpus. No false negatives:
+    * every true member survives; callers must tolerate false positives
+    * (here: extra candidates that exact downstream verification discards).
+    *
+    * Sketch sizing: optimal bits for `fpp` (~1.8 bytes/key at 0.1%),
+    * CAPPED at `maxBytes` — past the cap the fpp degrades gracefully
+    * (more verification work, same exactness) instead of the helper
+    * failing or falling back to a probe-mass reshuffle. Returns None for
+    * an empty key set (caller should emit a constant-false filter).
+    *
+    * The caller must `BloomRegistry.remove(handle)` once its DataFrame is
+    * built (analysis resolves the handle eagerly; the expression keeps the
+    * broadcast, not the registry entry). */
+  def bloomPredicate(keys: DataFrame, keyCol: String, fpp: Double = 0.001,
+      maxBytes: Long = 384L << 20): Option[String] = {
+    val spark = keys.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val cached = keys.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val n = cached.count()
+    if (n == 0L) return None
+    // optimal bit count for (n, fpp), capped. Built with a treeAggregate
+    // over util.sketch.BloomFilter directly — NOT stat.bloomFilter, whose
+    // BloomFilterAggregate path silently CLAMPS the sketch to
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (default 2²⁶ bits
+    // = 8 MB): at 13 M keys that clamp realized a 29% fpp where 0.1% was
+    // requested, and the q227 candidate stream carried 3.5× its true mass
+    // (measured round 11; the sized sketch brings candidates back to
+    // dup mass + 0.1%).
+    val bits = math.min(
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp),
+      maxBytes * 8L)
+    val bf = cached.select(col(keyCol)).rdd
+      .map(_.getLong(0))
+      .treeAggregate(
+        org.apache.spark.util.sketch.BloomFilter.create(n, bits))(
+        (f, v) => { f.putLong(v); f },
+        (a, b) => { a.mergeInPlace(b); a })
+    cached.unpersist()
+    val sketchBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    Some(graft.functions.BloomRegistry.put(
+      spark.sparkContext.broadcast(sketchBytes)))
+  }
+
   /** Distributed deterministic ROW_NUMBER over a TOTAL order — the
     * scale-safe replacement for `row_number().over(Window.orderBy(...))`,
     * which moves the whole input to ONE partition (Spark's WindowExec

@@ -1652,10 +1652,21 @@ object Dedup {
     val bitOf: Column = langs.zipWithIndex.foldLeft(lit(0L): Column) {
       case (acc, (l, i)) => when(col("lang") === l, lit(1L << i)).otherwise(acc) }
     val n = langs.length
+    // Round 11 (the q103/q130 treatment, VERDICT r10 #4): the mask
+    // aggregate groups on the 64-bit in-row shingle hash (codegen
+    // [[graft.functions.GramHashes]]), not the raw string — round 10 fixed
+    // this exchange's STATE (8-byte bitmask vs collect_set objects) but the
+    // KEY still shipped every distinct shingle string; 16-byte rows cut the
+    // remaining exchange mass ~3-4×. Shingle identity is internal (only
+    // lang-pair counts leave), collision note as in ngramNovelty: a merge
+    // ORs two shingles' masks — expected colliding pairs ≈ 0.03 at 10⁹
+    // distinct shingles; the string-keyed oracle re-verifies per run.
+    graft.functions.VectorExpressions.register(spark)
     val masks = Tables.documents(spark, dir)
       .select(col("lang"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
-      .select(bitOf.as("lb"), explode(shingles).as("sh"))
+      .select(bitOf.as("lb"),
+        explode(expr("array_distinct(graft_gram_hashes(words, 3))")).as("sh"))
       .groupBy(col("sh"))
       .agg(bit_or(col("lb")).as("mask"))
       .filter(bit_count(col("mask")) >= 2)
@@ -1979,19 +1990,24 @@ object Dedup {
     * string-keyed groupBy shuffled 2-3× CORPUS MASS of 5-gram strings and
     * ENOSPC'd the sf300 probe): the counting exchange carries a 64-bit
     * gram hash (the codegen [[graft.functions.GramHashes]] primitive), so
-    * no gram string is even materialized on that path. Exactness is restored in two
-    * broadcast-gated stages over the candidate classes only: positions
-    * whose hash-class count ≥ 2 (a superset of covered — equal-gram
-    * occurrences always share a class, so every truly repeated gram's FULL
-    * occurrence list is candidate) re-derive their gram strings in-row from
-    * their doc's token array and re-count per exact string; a gram with
-    * global count ≥ 2 has candidate count = global count, and a singleton
-    * gram never survives — so the surviving positions are EXACTLY the
-    * string-keyed form's, collisions or not. Every join is a size-guarded
-    * broadcast whose FALLBACK is also cheap by construction (8-byte-key
-    * reshuffle / one doc-keyed pass of the corpus text), so the corpus-mass
-    * exchanges are the hash count and the doc-keyed islands window below —
-    * gram strings never cross an exchange on any path.
+    * no gram string is even materialized on that path. Dup-class
+    * MEMBERSHIP is a Bloom semi-filter ([[graft.engine.RelOps
+    * .bloomSemiFilter]]) — the class set outgrows any broadcast guard at
+    * probe scale, and an exact semi-join's fallback would re-shuffle the
+    * whole hash stream (the first round-11 sf300 attempt filled the disk
+    * in exactly that second exchange); the sketch broadcasts at ~1.8
+    * bytes/key and the stream never moves. Exactness is restored by an
+    * exact per-STRING re-count over the candidate positions only: a truly
+    * repeated gram's FULL occurrence list is always candidate (equal grams
+    * share a class; Bloom has no false negatives), so its candidate count
+    * equals its global count, while singleton grams — hash-collided or
+    * Bloom false positives — never reach 2 and are discarded. The
+    * surviving positions are EXACTLY the string-keyed form's. Gram strings
+    * live only inside candidate rows (built in-row, zipped with their
+    * hashes, pruned by the sketch before any exchange), so the corpus-mass
+    * exchanges are the hash count and the doc-keyed islands window below;
+    * the only string exchanges are candidate-mass (the re-count and its
+    * guarded membership join).
     *
     * Output: (doc_id, span_start 1-based, span_len_tokens), one row per
     * maximal run of covered TOKENS — two covered gram starts p1 < p2 merge
@@ -2010,26 +2026,38 @@ object Dedup {
       .select(col("doc_id"), posexplode(expr(s"graft_gram_hashes(w, $k)")))
       .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("gh"))
     // repeated hash CLASSES — every truly repeated gram lands here; hash
-    // collisions can only ADD classes, never hide one
+    // collisions can only ADD classes, never hide one. Membership is a
+    // BLOOM SEMI-FILTER (round 11, after the first sf300 attempt of this
+    // rewrite filled the disk): the dup-class set outgrows the broadcast
+    // guard long before sf300, and the semi-join fallback re-shuffled the
+    // whole hash stream — the sketch broadcasts at ~1.8 bytes/key and the
+    // stream never moves. False positives just become candidate positions;
+    // the exact per-string re-count below discards them (false negatives
+    // cannot occur), so the output is still exactly the string-keyed form's.
     val dupH = hashes.groupBy(col("gh"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("gh"))
-    val candPos = hashes
-      .join(graft.engine.RelOps.guardedBroadcast(dupH), Seq("gh"), "left_semi")
-      .select(col("doc_id"), col("p"))
-    // candidate positions return to their doc AS A LIST (≤ doc length ints;
-    // the object-agg state is per-doc-bounded, unlike q93's shingle-mass
-    // collect_set) and the gram strings are re-derived IN-ROW from the
-    // doc's own token array — when the per-doc list broadcasts, strings
-    // appear without any exchange at all; the fallback is one doc-keyed
-    // join that moves the corpus TEXT once, still ~5× less than the gram
-    // stream the round-10 form shuffled
-    val candByDoc = candPos.groupBy(col("doc_id"))
-      .agg(collect_list(col("p")).as("ps"))
-    val cand = docGrams
-      .join(graft.engine.RelOps.guardedBroadcast(candByDoc), Seq("doc_id"))
-      .select(col("doc_id"), explode(expr(
-        s"transform(ps, p -> named_struct('p', p, 'gram', concat_ws(' ', slice(w, p, $k))))")).as("pg"))
-      .select(col("doc_id"), col("pg.p").as("p"), col("pg.gram").as("gram"))
+    // candidate stream WITH strings: positions are bloom-tested IN-ROW
+    // against the row's own gram-hash array, so gram strings are only ever
+    // BUILT for the ~ dup-mass survivors — never for the whole corpus (the
+    // arrays_zip form materialized every gram string before filtering and
+    // measured ~2.5× the round-10 wall at sf100), and nothing on this path
+    // has crossed an exchange when the strings appear
+    val cand = graft.engine.RelOps.bloomPredicate(dupH, "gh") match {
+      case None => // no repeated class anywhere -> no candidates
+        docGrams.select(col("doc_id"), lit(1).as("p"), lit("").as("gram"))
+          .filter(lit(false))
+      case Some(handle) =>
+        // survivors come from ONE codegen loop over the hash array
+        // (graft_bloom_positions); only they get a gram string built
+        val c = docGrams
+          .withColumn("ghs", expr(s"graft_gram_hashes(w, $k)"))
+          .select(col("doc_id"), explode(expr(
+            s"""transform(graft_bloom_positions(ghs, '$handle'),
+               |  i -> named_struct('p', i, 'gram', concat_ws(' ', slice(w, i, $k))))""".stripMargin)).as("pg"))
+          .select(col("doc_id"), col("pg.p").as("p"), col("pg.gram").as("gram"))
+        graft.functions.BloomRegistry.remove(handle)
+        c
+    }
     // exact verification: within the candidate stream, a gram's count equals
     // its GLOBAL count whenever that is ≥ 2 (all occurrences of a repeated
     // gram share its hash class), so this recovers exactly the string-keyed
@@ -2064,9 +2092,17 @@ object Dedup {
     * array (spans per doc are few — they are maximal, hence disjoint), and
     * the cut is a pure array expression (filter over token positions), so
     * after the span computation the rewrite is shuffle-free per doc: no
-    * position-level range join, no explode of the corpus text. */
+    * position-level range join, no explode of the corpus text.
+    *
+    * Round 11: the spans come from the AT-REST table ([[spansPath]], built
+    * once per (dir, k) per JVM) — the q62/clustersPath discipline: q227
+    * runs the span computation live (it IS that query's operator); the
+    * CONSUMER reads the materialized table. Recomputing the whole span
+    * pipeline inside the rewrite doubled the probe's transient shuffle
+    * mass and is what actually ENOSPC'd the round-11 sf300 attempt after
+    * q227 itself fit. */
   def repeatCutRewrite(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val spans = longRepeatSpans(spark, dir, k)
+    val spans = spark.read.parquet(spansPath(spark, dir, k))
       .withColumn("span_end", col("span_start") + col("span_len_tokens") - 1)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
@@ -2097,5 +2133,18 @@ object Dedup {
       s"graft_cc_${graft.engine.Fs.dirTag(dir)}_i${maxIters}_m$maxBucketSize",
       spark.sessionState.newHadoopConf())(p =>
       duplicateClusters(spark, dir, maxIters, maxBucketSize)
+        .write.mode("overwrite").parquet(p))
+
+  /** The repeat-span table materialized once per (dir, k) per JVM — the
+    * dedup stack's third at-rest index (after [[candidatePairsPath]] and
+    * [[clustersPath]]): in production the ExactSubstr span table is
+    * computed once per corpus snapshot and consumed by every rewrite/audit
+    * pass. q227 still computes the spans live (that IS its operator); the
+    * CONSUMERS (q228's cut rewrite) read this table. */
+  def spansPath(spark: SparkSession, dir: String, k: Int = 5): String =
+    graft.engine.Fs.buildOnce(
+      s"graft_lrs_${graft.engine.Fs.dirTag(dir)}_k$k",
+      spark.sessionState.newHadoopConf())(p =>
+      longRepeatSpans(spark, dir, k)
         .write.mode("overwrite").parquet(p))
 }

@@ -50,6 +50,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"graft_gram_hashes(words, n): n must be an int literal, got $other")
       })))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContainLong].getName, "graft_bloom_contains"),
+      // the handle resolves to a broadcast sketch at analysis time, on the
+      // driver — see BloomRegistry
+      (exprs: Seq[Expression]) => BloomMightContainLong(exprs(0),
+        BloomRegistry.resolve(exprs(1).eval().toString))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_positions"),
+      new ExpressionInfo(classOf[BloomPositions].getName, "graft_bloom_positions"),
+      (exprs: Seq[Expression]) => BloomPositions(exprs(0),
+        BloomRegistry.resolve(exprs(1).eval().toString))))
     ext.injectOptimizerRule(_ => SpecializeFloatDot)
   }
 }

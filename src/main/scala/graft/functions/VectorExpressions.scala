@@ -469,6 +469,12 @@ object VectorExpressions {
         case other => throw new IllegalArgumentException(
           s"graft_gram_hashes(words, n): n must be an int literal, got $other")
       }), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains", exprs => BloomMightContainLong(exprs(0),
+        BloomRegistry.resolve(exprs(1).eval().toString)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_positions", exprs => BloomPositions(exprs(0),
+        BloomRegistry.resolve(exprs(1).eval().toString)), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(SpecializeFloatDot))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SpecializeFloatDot

@@ -34,15 +34,23 @@ class PlanSpec extends SparkSuite {
     val p = plan("q227_long_repeat_spans")
     assert(!p.contains("CartesianProduct"), s"cartesian in the repeat-span plan:\n$p")
     assert(p.contains("LeftSemi"), s"dup-gram membership is not a semi join:\n$p")
-    // round 11 (VERDICT r10 #3): the corpus-mass counting exchange must be
-    // keyed on the 8-byte gram HASH — the string-keyed count shuffled 2-3×
-    // corpus mass of 5-gram strings and ENOSPC'd the sf300 probe. The
-    // string-keyed aggregate that remains (exact verification) runs over
-    // the candidate stream only, AFTER the hash-class membership join.
-    assert(p.linesIterator.exists(_.matches("""Keys \[1\]: \[gh#\d+L\]""")),
-      s"gram-count aggregate is not keyed on the 64-bit gram hash:\n$p")
+    // round 11 (VERDICT r10 #3): dup-class membership must be the bloom
+    // SEMI-FILTER over the in-row gram hashes — the string-keyed count
+    // shuffled 2-3× corpus mass of 5-gram strings and ENOSPC'd the sf300
+    // probe, and an exact semi-join's guard fallback re-shuffled the whole
+    // hash stream (the second disk-filler). The gh-keyed counting aggregate
+    // itself runs inside the eager bloom build (bloomSemiFilter), so it is
+    // not part of THIS plan; what must hold here is that candidates are
+    // pruned by the sketch before any exchange and the only string-keyed
+    // aggregate left is the candidate-mass exact re-count.
     assert(p.contains("graft_gram_hashes"),
       s"in-row codegen gram hashing missing from the posting stream:\n$p")
+    // membership is the in-row codegen bloom position filter — NEVER a
+    // shuffled membership join over the posting stream
+    assert(p.contains("graft_bloom_positions"),
+      s"candidate membership lost the in-row bloom position filter:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a membership join shuffles the posting/candidate stream:\n$p")
   }
 
   test("q103/q130 shingle aggregates: grouping keys are hashed longs, strings never cross an exchange") {
@@ -134,6 +142,10 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("collect_set") && !p.contains("ObjectHashAggregate"),
       s"per-shingle lang set is an object aggregate again:\n$p")
     assert(p.contains("bit_or"), s"lang bitmask aggregate missing:\n$p")
+    // round 11: the group KEY must be the 64-bit gram hash too — round 10
+    // fixed the aggregate state but still shipped distinct-shingle STRINGS
+    assert(p.contains("graft_gram_hashes"),
+      s"mask aggregate lost its in-row codegen shingle hashing:\n$p")
   }
 
   test("q31/q61 shingle intersections join on composite keys (skew immunity)") {
