@@ -1626,6 +1626,15 @@ object Dedup {
   private val langsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
+  /** Corpus row count memoized per dir (parquet metadata read, the
+    * benchModFor discipline) — sizes corpus-proportional exchanges. */
+  private val docsCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def docCount(spark: SparkSession, dir: String): Long =
+    docsCountMemo.computeIfAbsent(dir, _ =>
+      Tables.documents(spark, dir).count())
+
   def langOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // Round 10 (the sf1000 probe ENOSPC'd in the shingle aggregate): the
@@ -1662,11 +1671,24 @@ object Dedup {
     // ORs two shingles' masks — expected colliding pairs ≈ 0.03 at 10⁹
     // distinct shingles; the string-keyed oracle re-verifies per run.
     graft.functions.VectorExpressions.register(spark)
+    // the mask aggregate's reduce side holds one (hash, mask) entry per
+    // distinct shingle IN ITS PARTITION: at the session default of
+    // #cores partitions the per-task hash map crosses its memory cliff
+    // around ~10 M docs and HashAggregate falls into sort-based spilling
+    // — the round-11 sf300 probe measured 5.2× for 3× rows from exactly
+    // that fallback I/O, on an aggregate that is otherwise linear. Scale
+    // the exchange's partition count with the corpus (~1 partition per
+    // 100k docs ≈ 5M distinct shingles ≈ 80 MB of map per task) so the
+    // per-task state stays hash-resident at any SF — on a real cluster
+    // this is just "more reducers", the map-side cost is unchanged.
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      (docCount(spark, dir) / 100000L).toInt)
     val masks = Tables.documents(spark, dir)
       .select(col("lang"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
       .select(bitOf.as("lb"),
         explode(expr("array_distinct(graft_gram_hashes(words, 3))")).as("sh"))
+      .repartition(parts, col("sh"))
       .groupBy(col("sh"))
       .agg(bit_or(col("lb")).as("mask"))
       .filter(bit_count(col("mask")) >= 2)
