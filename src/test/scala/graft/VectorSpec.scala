@@ -285,6 +285,31 @@ class VectorSpec extends SparkSuite {
     assert(uni.length == 3 && uni(0) == uni(2) && uni(0) != uni(1))
   }
 
+  test("bloom predicate: no false negatives, empty keys -> None, positions match scalar") {
+    val s = spark; import s.implicits._
+    VectorExpressions.register(spark)
+    val keys = Seq(11L, 22L, 33L).toDF("gh")
+    val handle = graft.engine.RelOps.bloomPredicate(keys, "gh").get
+    val probe = Seq(
+      (1L, Seq(11L, 5L, 22L)), // positions 1 and 3 are members
+      (2L, Seq(7L, 8L)), // no members (modulo fpp, ~0 at this size)
+      (3L, Seq(33L))).toDF("id", "hs")
+    val pos = probe.selectExpr("id", s"graft_bloom_positions(hs, '$handle') AS p")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // every true member MUST survive (no false negatives)
+    assert(pos(1L).contains(1) && pos(1L).contains(3))
+    assert(pos(3L) == Seq(1))
+    // the scalar form agrees with the array form position-by-position
+    val scal = probe.selectExpr("id",
+      s"filter(sequence(1, size(hs)), i -> graft_bloom_contains(element_at(hs, i), '$handle')) AS p")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(pos == scal, "array and scalar bloom forms disagree")
+    graft.functions.BloomRegistry.remove(handle)
+    // empty key set -> None (caller emits a constant-false filter)
+    assert(graft.engine.RelOps.bloomPredicate(
+      keys.filter("gh < 0"), "gh").isEmpty)
+  }
+
   test("graft_sq8 equals the transform/CASE HOF quantizer bit-for-bit") {
     val s = spark; import s.implicits._
     VectorExpressions.register(spark)
