@@ -3924,6 +3924,42 @@ object Catalog {
          |SELECT vec_id, eval_id AS nearest_eval_id, round(cos, 4) AS cos_sim,
          |  cos >= 0.4 AS contaminated
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+
+    // Keep-one-copy repeat cut: the conservative ExactSubstr removal policy
+    // (q228's wholesale cut is the aggressive one) — each distinct repeated
+    // span CONTENT survives in its corpus-first occurrence (min doc_id,
+    // span_start) and is cut everywhere else. The oracle recomputes spans
+    // from first principles (q227's islands rule), elects keepers with a
+    // row_number over (doc_id, s), and rebuilds the text token-by-token.
+    q("q235_repeat_cut_keep_one", (s, d) => ext.Dedup.repeatCutKeepOne(s, d),
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, i AS p, array_to_string(w[i:i+4], ' ') AS gram
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i)
+        |  WHERE len(w) >= 5),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |c AS (SELECT doc_id, p FROM g JOIN d USING (gram)),
+        |r AS (SELECT doc_id, p, CASE WHEN p - lag(p)
+        |      OVER (PARTITION BY doc_id ORDER BY p) <= 5 THEN 0 ELSE 1 END AS nr
+        |  FROM c),
+        |r2 AS (SELECT doc_id, p,
+        |    sum(nr) OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM r),
+        |sp AS (SELECT doc_id, min(p) AS s, max(p) + 4 AS e
+        |  FROM r2 GROUP BY doc_id, grp),
+        |spc AS (SELECT sp.doc_id, s, e, array_to_string(w.w[s:e], ' ') AS content
+        |  FROM sp JOIN w ON sp.doc_id = w.doc_id),
+        |cutsp AS (SELECT doc_id, s, e FROM (SELECT doc_id, s, e,
+        |    row_number() OVER (PARTITION BY content ORDER BY doc_id, s) AS rn
+        |  FROM spc) WHERE rn > 1),
+        |tok AS (SELECT doc_id, len(w) AS nt, t.i AS i, w[t.i] AS word
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) t),
+        |k2 AS (SELECT tok.*, EXISTS (SELECT 1 FROM cutsp
+        |    WHERE cutsp.doc_id = tok.doc_id
+        |    AND tok.i >= cutsp.s AND tok.i <= cutsp.e) AS cov FROM tok)
+        |SELECT doc_id, CAST(max(nt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  COALESCE(string_agg(CASE WHEN NOT cov THEN word END, ' ' ORDER BY i), '')
+        |    AS clean_text
+        |FROM k2 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
   )
 
   val all: Seq[QueryDef] = relational ++ extension ++ scaleOps

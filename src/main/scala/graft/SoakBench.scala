@@ -59,6 +59,8 @@ object SoakBench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // data-sized reducer counts for corpus-mass aggregates (see Bench)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "2048")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

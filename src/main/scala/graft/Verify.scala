@@ -26,6 +26,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // data-sized reducer counts for corpus-mass aggregates (see Bench)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "2048")
       .config("spark.sql.autoBroadcastJoinThreshold", "52428800")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

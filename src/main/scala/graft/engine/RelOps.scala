@@ -114,7 +114,16 @@ object RelOps {
       maxBytes: Long = 384L << 20): Option[String] = {
     val spark = keys.sparkSession
     graft.functions.VectorExpressions.register(spark)
-    val cached = keys.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // NULL keys are dropped here, not trusted away: this is a generic
+    // helper, and a null reaching the `getLong(0)` below would surface as
+    // an opaque task-level NPE inside treeAggregate (round-11 ADVICE). A
+    // NULL key also has no meaningful membership semantics — SQL `IN`
+    // yields NULL, a semi-join drops the row — so "never a member" is the
+    // conservative contract (callers test concrete values, and a dropped
+    // NULL can only suppress candidates that exact verification would
+    // discard anyway).
+    val cached = keys.where(col(keyCol).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val n = cached.count()
     if (n == 0L) return None
     // optimal bit count for (n, fpp), capped. Built with a treeAggregate

@@ -1622,18 +1622,19 @@ object Dedup {
     * shingle) table twice more through a sort-merge SELF-join on the shingle
     * string; under a Heaps-growing vocabulary the distinct-shingle table
     * grows faster than the corpus, so those extra shingle-mass shuffles are
-    * exactly the wrong place to spend them. */
+    * exactly the wrong place to spend them.
+    *
+    * IMMUTABLE-SNAPSHOT CONTRACT (round-11 ADVICE): the memo is keyed by
+    * `dir` and never invalidated — the engine-wide assumption
+    * (Fs.buildOnce at-rest indexes, benchModFor, planesMemo) is that a
+    * corpus directory is an immutable snapshot for the life of the JVM; a
+    * new corpus version lands at a NEW path (the lakehouse snapshot-id
+    * convention). Regenerating data in place under a memoized dir would
+    * leave a language added later mapped to bitmask 0 (its pairs silently
+    * vanish) — same failure class as reading any at-rest index after
+    * in-place mutation. */
   private val langsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
-
-  /** Corpus row count memoized per dir (parquet metadata read, the
-    * benchModFor discipline) — sizes corpus-proportional exchanges. */
-  private val docsCountMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-
-  private[graft] def docCount(spark: SparkSession, dir: String): Long =
-    docsCountMemo.computeIfAbsent(dir, _ =>
-      Tables.documents(spark, dir).count())
 
   def langOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1676,19 +1677,29 @@ object Dedup {
     // #cores partitions the per-task hash map crosses its memory cliff
     // around ~10 M docs and HashAggregate falls into sort-based spilling
     // — the round-11 sf300 probe measured 5.2× for 3× rows from exactly
-    // that fallback I/O, on an aggregate that is otherwise linear. Scale
-    // the exchange's partition count with the corpus (~1 partition per
-    // 100k docs ≈ 5M distinct shingles ≈ 80 MB of map per task) so the
-    // per-task state stays hash-resident at any SF — on a real cluster
-    // this is just "more reducers", the map-side cost is unchanged.
-    val parts = math.max(spark.sparkContext.defaultParallelism,
-      (docCount(spark, dir) / 100000L).toInt)
+    // that fallback I/O, on an aggregate that is otherwise linear.
+    //
+    // Round 12 (round-11 ADVICE): round 11 sized the exchange with an
+    // explicit repartition(sh) BELOW the aggregate — that kept the reduce
+    // side hash-resident but SACRIFICED the map-side partial combine (the
+    // pre-partitioned child satisfies the aggregate's distribution, so the
+    // exchange carried the raw exploded posting stream, one 16-byte row
+    // per doc-distinct shingle occurrence; a real cluster pays that extra
+    // network mass). The right mechanism is AQE partition-count sizing:
+    // runner sessions set spark.sql.adaptive.coalescePartitions
+    // .initialPartitionNum high (2048) and let AQE coalesce every exchange
+    // to ~advisory-sized (64 MB) reducer inputs measured from the ACTUAL
+    // post-combine map output — the aggregate keeps its own exchange
+    // (partial bit_or combines map-side; head shingles collapse before the
+    // wire), and the final-agg hash map stays memory-resident at any SF
+    // because its input bytes, not its partition COUNT, are what AQE holds
+    // constant. On a cluster this is exactly "more reducers", with the
+    // map-side combine intact. (Cliff mechanics + A/B in BENCH.md q93.)
     val masks = Tables.documents(spark, dir)
       .select(col("lang"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
       .select(bitOf.as("lb"),
         explode(expr("array_distinct(graft_gram_hashes(words, 3))")).as("sh"))
-      .repartition(parts, col("sh"))
       .groupBy(col("sh"))
       .agg(bit_or(col("lb")).as("mask"))
       .filter(bit_count(col("mask")) >= 2)
@@ -2013,8 +2024,9 @@ object Dedup {
     * ENOSPC'd the sf300 probe): the counting exchange carries a 64-bit
     * gram hash (the codegen [[graft.functions.GramHashes]] primitive), so
     * no gram string is even materialized on that path. Dup-class
-    * MEMBERSHIP is a Bloom semi-filter ([[graft.engine.RelOps
-    * .bloomSemiFilter]]) — the class set outgrows any broadcast guard at
+    * MEMBERSHIP is a Bloom predicate ([[graft.engine.RelOps
+    * .bloomPredicate]] + `graft_bloom_positions`) — the class set outgrows
+    * any broadcast guard at
     * probe scale, and an exact semi-join's fallback would re-shuffle the
     * whole hash stream (the first round-11 sf300 attempt filled the disk
     * in exactly that second exchange); the sketch broadcasts at ~1.8
@@ -2106,9 +2118,10 @@ object Dedup {
   /** Repeat-cut rewrite (q228) — the removal half of ExactSubstr dedup:
     * every token inside a [[longRepeatSpans]] span is dropped from EVERY
     * occurrence (Lee et al. §4.2 note boilerplate repeats are safe to cut
-    * wholesale; the conservative keep-one-copy variant is a policy choice on
-    * top of the same span table). Docs shorter than k tokens, and docs with
-    * no repeated span, pass through verbatim.
+    * wholesale; the conservative keep-one-copy variant is
+    * [[repeatCutKeepOne]], a policy choice on top of the same span table).
+    * Docs shorter than k tokens, and docs with no repeated span, pass
+    * through verbatim.
     *
     * Scale shape: the span table is joined back per doc as a collected
     * array (spans per doc are few — they are maximal, hence disjoint), and
@@ -2131,6 +2144,60 @@ object Dedup {
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .join(spans, Seq("doc_id"), "left")
+      .withColumn("keep", expr(
+        """filter(sequence(1, size(w)),
+          |  i -> sp IS NULL OR NOT exists(sp,
+          |    s -> i >= s.span_start AND i <= s.span_end))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("keep"))).cast("long").as("n_dropped"),
+        concat_ws(" ", expr("transform(keep, i -> element_at(w, i))")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Conservative keep-one-copy repeat cut (q235) — the policy variant of
+    * [[repeatCutRewrite]] noted there and in Lee et al. §4.2: instead of
+    * dropping a repeated span from EVERY occurrence, the corpus keeps
+    * exactly one copy of each distinct span CONTENT — the corpus-first
+    * occurrence (min (doc_id, span_start)) survives, every other span with
+    * the same token content is cut. Training-data motivation: wholesale
+    * cutting deletes the text itself from the corpus; keep-one preserves
+    * one natural context for the repeated passage while still collapsing
+    * its duplicated mass.
+    *
+    * Same at-rest span table ([[spansPath]]) as q228 — the policy is a
+    * choice on TOP of the spans, so both variants share the expensive
+    * computation. Scale shape: span content is sliced IN-ROW from the
+    * doc's own token array (spans per doc are few, maximal, disjoint — no
+    * position explode), the keeper election is one window over the span
+    * table partitioned by content (span-mass, not corpus-mass: only
+    * repeated stretches have rows here; the q227 sf300 span table is ~2%
+    * of corpus tokens), and the cut itself is the same shuffle-free per-doc
+    * array filter as q228. Content is compared as the exact string — the
+    * election must pick the same keeper the oracle does, and span strings
+    * never ride a corpus-mass exchange (hash-keying would save span-mass
+    * bytes at the cost of a collision electing a wrong-content keeper). */
+  def repeatCutKeepOne(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docsW = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val spans = spark.read.parquet(spansPath(spark, dir, k))
+    val withContent = spans.join(docsW, Seq("doc_id"))
+      .select(col("doc_id"), col("span_start"),
+        (col("span_start") + col("span_len_tokens") - 1).as("span_end"),
+        concat_ws(" ", expr(
+          "slice(w, CAST(span_start AS INT), CAST(span_len_tokens AS INT))"))
+          .as("content"))
+    // keeper election: min (doc_id, span_start) struct per distinct content
+    // (struct ordering = lexicographic over fields, matching the oracle's
+    // ORDER BY doc_id, span_start); everything that is not the keeper is cut
+    val keepW = org.apache.spark.sql.expressions.Window.partitionBy(col("content"))
+    val cutSpans = withContent
+      .withColumn("kp", min(struct(col("doc_id"), col("span_start"))).over(keepW))
+      .filter(col("doc_id") =!= col("kp.doc_id") ||
+        col("span_start") =!= col("kp.span_start"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+    docsW.join(cutSpans, Seq("doc_id"), "left")
       .withColumn("keep", expr(
         """filter(sequence(1, size(w)),
           |  i -> sp IS NULL OR NOT exists(sp,

@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
   * the key set the sketch was built from — no false negatives, tunable false
   * positives.
   *
-  * This is the scale lever behind [[graft.engine.RelOps.bloomSemiFilter]]:
+  * This is the scale lever behind [[graft.engine.RelOps.bloomPredicate]]:
   * a semi-join whose build side outgrows the broadcast guard otherwise falls
   * back to a shuffled join that moves the ENTIRE probe stream — for q227's
   * repeat-span candidates that fallback re-shuffled the full corpus gram

@@ -1575,6 +1575,38 @@ class ExtSpec extends SparkSuite {
       "untouched docs pass through verbatim")
   }
 
+  test("keep-one repeat cut: corpus-first span content survives, later copies cut") {
+    val s = spark; import s.implicits._
+    val rep = (1 to 8).map(i => s"R$i").mkString(" ")
+    Seq(
+      (0L, (1 to 7).map(i => s"a$i").mkString(" ") + " " + rep), // keeper (min doc_id)
+      (1L, rep + " " + (1 to 9).map(i => s"b$i").mkString(" ")), // later copy -> cut
+      (2L, "c1 c2 " + rep + " c3"),                              // later copy -> cut
+      (3L, (1 to 6).map(i => s"u$i").mkString(" ")),             // unique — untouched
+      (4L, rep + " x1 x2 x3 x4 x5 x6 " + rep))                   // two same-content spans, both cut
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("/tmp/graft_test_keepone/documents.parquet")
+    val out = graft.ext.Dedup.repeatCutKeepOne(spark, "/tmp/graft_test_keepone")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) == ((15L, 0L,
+      (1 to 7).map(i => s"a$i").mkString(" ") + " " + rep)),
+      "the corpus-first occurrence keeps its copy verbatim")
+    assert(out(1L) == ((17L, 8L, (1 to 9).map(i => s"b$i").mkString(" "))))
+    assert(out(2L) == ((11L, 8L, "c1 c2 c3")))
+    assert(out(3L) == ((6L, 0L, (1 to 6).map(i => s"u$i").mkString(" "))),
+      "untouched docs pass through verbatim")
+    assert(out(4L) == ((22L, 16L, "x1 x2 x3 x4 x5 x6")),
+      "both same-content spans in a later doc are cut")
+    // conservation vs the wholesale cut (q228): keep-one never drops MORE
+    val whole = graft.ext.Dedup.repeatCutRewrite(spark, "/tmp/graft_test_keepone")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach { case (id, (_, dropped, _)) =>
+      assert(dropped <= whole(id), s"doc $id: keep-one dropped more than wholesale") }
+    assert(out.values.map(_._2).sum < whole.values.sum,
+      "keep-one preserved at least one copy somewhere")
+  }
+
   test("dedup rewrite: corpus-shared segment dropped, survivors reassembled in order") {
     val s = spark; import s.implicits._
     def seg(p: String) = (1 to 10).map(i => s"$p$i").mkString(" ")

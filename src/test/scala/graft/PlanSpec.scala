@@ -39,7 +39,8 @@ class PlanSpec extends SparkSuite {
     // shuffled 2-3× corpus mass of 5-gram strings and ENOSPC'd the sf300
     // probe, and an exact semi-join's guard fallback re-shuffled the whole
     // hash stream (the second disk-filler). The gh-keyed counting aggregate
-    // itself runs inside the eager bloom build (bloomSemiFilter), so it is
+    // itself runs inside the eager bloom build (RelOps.bloomPredicate +
+    // graft_bloom_positions), so it is
     // not part of THIS plan; what must hold here is that candidates are
     // pruned by the sketch before any exchange and the only string-keyed
     // aggregate left is the candidate-mass exact re-count.
