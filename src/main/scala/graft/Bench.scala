@@ -68,23 +68,40 @@ object Bench {
     // as Verify's third arg.
     val only: Option[Seq[String]] = args.headOption.map(_.split(',').toSeq)
     def selected(name: String): Boolean = only.forall(_.exists(name.contains))
+    val fixtureBytes = treeBytes(new java.io.File(sfDir))
+    val initParts = sys.env.get("SPARK_GRAFT_INITIAL_PARTS").map(_.toInt)
+      .getOrElse(math.min(4096L,
+        math.max(cpus.toLong, fixtureBytes / (8L << 20))).toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // every exchange STARTS at 2048 partitions and AQE coalesces it to
-      // ~advisory-sized reducer inputs measured from the actual map output.
-      // This is what keeps corpus-mass aggregates' final-agg hash maps
-      // memory-resident at ANY SF (the q93 sf300 partition cliff:
+      // every exchange STARTS at initParts partitions and AQE coalesces it
+      // to ~advisory-sized reducer inputs measured from the actual map
+      // output. This is what keeps corpus-mass aggregates' final-agg hash
+      // maps memory-resident at ANY SF (the q93 sf300 partition cliff:
       // HashAggregate falls into sort-based spilling when distinct-key mass
       // / #reducers outgrows the task's map) WITHOUT sacrificing map-side
       // partial combine the way an explicit pre-aggregate repartition did
       // (round-11 ADVICE) — the aggregate keeps its own exchange, so
-      // partial states collapse before the wire. Small queries coalesce
-      // right back down; the knob only moves the STARTING count.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "2048")
+      // partial states collapse before the wire.
+      //
+      // The starting count is DATA-SIZED, not a constant: a fixed 2048 was
+      // measured at sf0.1 to cost the catalog +33 s (q227 1.1→6.9 s, the
+      // text aggregates +1-3 s each) — every map task pays per-bucket
+      // writer overhead on every shuffle, coalesced or not, so the start
+      // count must scale with the run's data like the reducer count it
+      // feeds. fixture/8 MB ≈ one initial partition per ~32 MB of exploded
+      // exchange mass (the n-gram streams run ~4× the at-rest corpus):
+      // sf0.1 (17 MB) stays at #cores — baseline behavior unchanged —
+      // while sf1000 (9.4 GB documents) starts at ~1200 and AQE settles
+      // the real corpus-mass exchanges near the advisory size. On a real
+      // cluster this is just "size shuffle.partitions to the input", the
+      // standing deployment practice this local knob stands in for.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initParts.toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "52428800")
       .config("spark.sql.session.timeZone", "UTC")
@@ -405,7 +422,6 @@ object Bench {
       Seq("MemTotal", "MemAvailable", "Buffers", "Cached")
         .flatMap(k => m.get(k).map(v => "\"" + k + "_kb\":" + v))
         .mkString("{", ",", "}")
-    val fixtureBytes = treeBytes(new java.io.File(sfDir))
     val bcJson = names.flatMap { case (k, _) =>
       bestBc.get(k).map(v => "\"" + k + "\":" + v) }.mkString("{", ",", "}")
     val envJson = s""","env":{"meminfo_before":${memJson(memBefore)},"meminfo_after":${memJson(memAfter)},"fixture_bytes":$fixtureBytes,"buff_cache_kb_at_min_pass":$bcJson}"""

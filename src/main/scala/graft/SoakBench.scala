@@ -59,8 +59,11 @@ object SoakBench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // data-sized reducer counts for corpus-mass aggregates (see Bench)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "2048")
+      // overridable initial exchange partitioning (see Bench) — the soak
+      // corpus is generated into scratch, so there is no fixture to size
+      // from up front; default keeps the session's #cores behavior
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS", cpus.toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -26,8 +26,17 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // data-sized reducer counts for corpus-mass aggregates (see Bench)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "2048")
+      // data-sized reducer counts for corpus-mass aggregates (see Bench):
+      // initial partitions scale with the fixture so AQE can settle big
+      // exchanges near the advisory size without taxing small runs
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        math.min(4096L, math.max(cpus.toLong, {
+          def sz(f: java.io.File): Long =
+            if (f.isDirectory)
+              Option(f.listFiles()).map(_.map(sz).sum).getOrElse(0L)
+            else f.length()
+          sz(new java.io.File(sfDir)) / (8L << 20)
+        })).toString)
       .config("spark.sql.autoBroadcastJoinThreshold", "52428800")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -1624,8 +1624,9 @@ object Dedup {
     * grows faster than the corpus, so those extra shingle-mass shuffles are
     * exactly the wrong place to spend them.
     *
-    * IMMUTABLE-SNAPSHOT CONTRACT (round-11 ADVICE): the memo is keyed by
-    * `dir` and never invalidated — the engine-wide assumption
+    * IMMUTABLE-SNAPSHOT CONTRACT (round-11 ADVICE; also [[docsCountMemo]]
+    * below): the memo is keyed by `dir` and never invalidated — the
+    * engine-wide assumption
     * (Fs.buildOnce at-rest indexes, benchModFor, planesMemo) is that a
     * corpus directory is an immutable snapshot for the life of the JVM; a
     * new corpus version lands at a NEW path (the lakehouse snapshot-id
@@ -1635,6 +1636,16 @@ object Dedup {
     * in-place mutation. */
   private val langsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** Corpus row count memoized per dir (parquet metadata read, the
+    * benchModFor discipline; immutable-snapshot contract above) — sizes
+    * corpus-proportional exchanges. */
+  private val docsCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def docCount(spark: SparkSession, dir: String): Long =
+    docsCountMemo.computeIfAbsent(dir, _ =>
+      Tables.documents(spark, dir).count())
 
   def langOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1677,29 +1688,37 @@ object Dedup {
     // #cores partitions the per-task hash map crosses its memory cliff
     // around ~10 M docs and HashAggregate falls into sort-based spilling
     // — the round-11 sf300 probe measured 5.2× for 3× rows from exactly
-    // that fallback I/O, on an aggregate that is otherwise linear.
+    // that fallback I/O, on an aggregate that is otherwise linear. Scale
+    // the exchange's partition count with the corpus (~1 partition per
+    // 100k docs ≈ 5M distinct shingles ≈ 80 MB of map per task) so the
+    // per-task state stays hash-resident at any SF — on a real cluster
+    // this is just "more reducers".
     //
-    // Round 12 (round-11 ADVICE): round 11 sized the exchange with an
-    // explicit repartition(sh) BELOW the aggregate — that kept the reduce
-    // side hash-resident but SACRIFICED the map-side partial combine (the
-    // pre-partitioned child satisfies the aggregate's distribution, so the
-    // exchange carried the raw exploded posting stream, one 16-byte row
-    // per doc-distinct shingle occurrence; a real cluster pays that extra
-    // network mass). The right mechanism is AQE partition-count sizing:
-    // runner sessions set spark.sql.adaptive.coalescePartitions
-    // .initialPartitionNum high (2048) and let AQE coalesce every exchange
-    // to ~advisory-sized (64 MB) reducer inputs measured from the ACTUAL
-    // post-combine map output — the aggregate keeps its own exchange
-    // (partial bit_or combines map-side; head shingles collapse before the
-    // wire), and the final-agg hash map stays memory-resident at any SF
-    // because its input bytes, not its partition COUNT, are what AQE holds
-    // constant. On a cluster this is exactly "more reducers", with the
-    // map-side combine intact. (Cliff mechanics + A/B in BENCH.md q93.)
+    // DELIBERATE TRADEOFF, measured (round 12, round-11 ADVICE #1): the
+    // repartition below the aggregate suppresses MAP-SIDE partial combine
+    // — the exchange carries the raw doc-distinct posting stream (16-byte
+    // rows), not partition-distinct (sh, mask) states. That is the FASTER
+    // shape for this key profile: trigram hashes are mostly DISTINCT
+    // (Heaps vocabulary — key count ~ row count), so a map-side partial
+    // agg buys almost no combining yet must sort-spill its overflowing
+    // hash map on every map task. The A/B at sf300 (15 M docs): this form
+    // 58.1 s; the partial-combine form (aggregate keeps its own exchange,
+    // AQE data-sized reducers) 152.1 s — 2.6× worse, all of it map-side
+    // UnsafeKVExternalSorter I/O for ~zero exchange-mass savings. On a
+    // real cluster the same math holds: partial combine pays sort I/O
+    // proportional to corpus mass to remove a fraction of exchange bytes
+    // bounded by the (low) in-partition key duplication rate. For
+    // LOW-cardinality aggregates the opposite holds — and those keep
+    // their natural partial-combining groupBy everywhere else in the
+    // engine.
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      (docCount(spark, dir) / 100000L).toInt)
     val masks = Tables.documents(spark, dir)
       .select(col("lang"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
       .select(bitOf.as("lb"),
         explode(expr("array_distinct(graft_gram_hashes(words, 3))")).as("sh"))
+      .repartition(parts, col("sh"))
       .groupBy(col("sh"))
       .agg(bit_or(col("lb")).as("mask"))
       .filter(bit_count(col("mask")) >= 2)
