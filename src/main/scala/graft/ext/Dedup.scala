@@ -2087,7 +2087,17 @@ object Dedup {
     // stream never moves. False positives just become candidate positions;
     // the exact per-string re-count below discards them (false negatives
     // cannot occur), so the output is still exactly the string-keyed form's.
-    val dupH = hashes.groupBy(col("gh"))
+    // Distinct-heavy aggregate law (round 12, the q93 A/B generalized):
+    // 5-gram hashes are mostly unique (key count ~ gram count), so the
+    // count aggregate's map-side partial combine sort-spills corpus mass
+    // for near-zero exchange savings; shipping the raw 8-byte stream into
+    // corpus-scaled hash-resident reducers (the repartition suppresses the
+    // partial agg before the exchange) measured 165.7 s vs 244.7 s at
+    // sf300 — 1.48× — same sizing law as langOverlapMatrix (~100k docs ≈
+    // 5M gram hashes ≈ 80 MB of count map per task at any SF).
+    val dupParts = math.max(spark.sparkContext.defaultParallelism,
+      (docCount(spark, dir) / 100000L).toInt)
+    val dupH = hashes.repartition(dupParts, col("gh")).groupBy(col("gh"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("gh"))
     // candidate stream WITH strings: positions are bloom-tested IN-ROW
     // against the row's own gram-hash array, so gram strings are only ever
