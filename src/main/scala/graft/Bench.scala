@@ -54,10 +54,72 @@ object Bench {
     m.getOrElse("Buffers", 0L) + m.getOrElse("Cached", 0L)
   }
 
-  /** Recursive on-disk bytes of a directory (the fixture working set). */
+  /** Recursive on-disk bytes of a directory (the fixture working set).
+    * Symlinks contribute 0 and are NOT followed — a link loop in the
+    * fixture dir must not hang the bench before any query runs, and a link
+    * to a larger tree must not inflate the working-set evidence
+    * (round-12 ADVICE). */
   private def treeBytes(f: java.io.File): Long =
-    if (f.isDirectory) Option(f.listFiles()).map(_.map(treeBytes).sum).getOrElse(0L)
+    if (java.nio.file.Files.isSymbolicLink(f.toPath)) 0L
+    else if (f.isDirectory) Option(f.listFiles()).map(_.map(treeBytes).sum).getOrElse(0L)
     else f.length()
+
+  /** Attribution governance (VERDICT r12 #3): an environmental attribution
+    * for a growth flag is ACCEPTED — moved to `attributed_flags` instead of
+    * failing the run — only when the artifact's OWN evidence supports it.
+    * Self-certification by env var alone is not enough: as shipped in
+    * round 12, a genuine 12× plan regression could be waved through with
+    * any free-text reason. Two machine checks close that:
+    *
+    *  1. CAP: ratio ≤ 1.5 × bound. Past that margin the run fails
+    *     regardless of reason — the box's measured I/O swing is ≤ 2× on a
+    *     near-bound query, so a reading beyond 1.5× bound cannot be pure
+    *     environment on a plan that was near bound when healthy.
+    *  2. CORROBORATION: the reason must carry a machine-readable working-set
+    *     claim, `io(exchange_gb=<N>) <free text>`, and the claim must be
+    *     consistent with the artifact's env block:
+    *     exchange bytes + fixture bytes > the page cache recorded at the
+    *     pass that produced the query's reported minimum. An I/O
+    *     attribution whose claimed working set FITS the recorded cache is
+    *     rejected — the mechanism it names could not have been operating.
+    *     (The fixture alone is the wrong test: q93's sf1000 mechanism is a
+    *     35 GB shuffle exchange against a 33 GB cache line, with the
+    *     15 GB fixture resident — fixture-only would reject the one
+    *     attribution round 12 validated by hand.)
+    *
+    * Pure and spec-tested both directions (`BenchAttributionSpec`). */
+  private[graft] final case class AttributionVerdict(
+      accepted: Boolean, exchangeGb: Double, note: String)
+
+  private[graft] val AttributionCapFactor = 1.5
+
+  private[graft] def checkAttribution(reason: String, ratio: Option[Double],
+      bound: Double, fixtureBytes: Long,
+      buffCacheKbAtMin: Option[Long]): AttributionVerdict = {
+    val cap = bound * AttributionCapFactor
+    val ioPat = "^io\\(exchange_gb=([0-9]+(?:\\.[0-9]+)?)\\)\\s*(.*)".r
+    ratio match {
+      case None => AttributionVerdict(false, 0,
+        "no base ratio recorded — a '(base failed)' flag is never attributable")
+      case Some(r) if r > cap => AttributionVerdict(false, 0,
+        f"ratio $r%.2fx exceeds the attribution cap $cap%.1fx " +
+          f"(${AttributionCapFactor}x bound $bound%.1fx) — fails regardless of reason")
+      case Some(_) => reason match {
+        case ioPat(gb, _) =>
+          val exBytes = (gb.toDouble * (1L << 30)).toLong
+          buffCacheKbAtMin match {
+            case None => AttributionVerdict(false, gb.toDouble,
+              "no buff/cache reading at the query's min pass — the artifact cannot corroborate an I/O mechanism")
+            case Some(bc) if exBytes + fixtureBytes <= bc * 1024L =>
+              AttributionVerdict(false, gb.toDouble,
+                f"claimed working set (${gb}GB exchange + ${fixtureBytes / (1L << 30)}GB fixture) fits the recorded page cache (${bc / (1L << 20)}GB) — the named mechanism could not have been operating")
+            case Some(_) => AttributionVerdict(true, gb.toDouble, "corroborated")
+          }
+        case _ => AttributionVerdict(false, 0,
+          "reason lacks a machine-readable evidence claim — expected 'io(exchange_gb=<N>) <text>'")
+      }
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -69,13 +131,24 @@ object Bench {
     val only: Option[Seq[String]] = args.headOption.map(_.split(',').toSeq)
     def selected(name: String): Boolean = only.forall(_.exists(name.contains))
     val fixtureBytes = treeBytes(new java.io.File(sfDir))
-    val initParts = sys.env.get("SPARK_GRAFT_INITIAL_PARTS").map(_.toInt)
+    // malformed override falls back to the data-sized default (with a
+    // stderr note) instead of crashing before any query runs
+    val initParts = sys.env.get("SPARK_GRAFT_INITIAL_PARTS")
+      .flatMap { v =>
+        val p = scala.util.Try(v.trim.toInt).toOption.filter(_ > 0)
+        if (p.isEmpty) System.err.println(
+          s"[bench] ignoring malformed SPARK_GRAFT_INITIAL_PARTS='$v'")
+        p
+      }
       .getOrElse(math.min(4096L,
         math.max(cpus.toLong, fixtureBytes / (8L << 20))).toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      // belt-and-braces for bloomPredicate's two ≤384 MB sketch partials
+      // (RelOps.scala) — the default 1g leaves no headroom at the cap
+      .config("spark.driver.maxResultSize", "2g")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // every exchange STARTS at initParts partitions and AQE coalesces it
@@ -306,17 +379,18 @@ object Bench {
       // = n^1.5 by the FAISS sizing, exactly q72/q188's argument)
       "q188_kmeans_rounds" -> 40.0, // n^1.5: √n centroids × n assignment
       "q189_semdedup" -> 40.0) // n^1.5: Σ cell² pair mass at √n cells
-    // Environmental-flag attribution (VERDICT r11 #2): a flag that is
-    // measured, diagnosed, and traced to BOX state (the page-cache line, a
-    // co-scheduled burst) rather than the plan must be recorded IN the
-    // artifact, not in prose. SPARK_GRAFT_ATTRIBUTED_FLAGS carries
-    // "query=reason;query=reason"; a growth flag with an attribution entry
-    // moves to "attributed_flags" (with its ratio, bound, and reason next
-    // to the run's recorded cache condition) and does not fail the run —
-    // an UNattributed flag still exits 3. The attribution is falsifiable
-    // from the artifact: the recorded buff/cache + fixture bytes must
-    // actually support the claimed mechanism, and the reason text is
-    // expected to cite them.
+    // Environmental-flag attribution (VERDICT r11 #2, governed r13 per
+    // VERDICT r12 #3): a flag that is measured, diagnosed, and traced to
+    // BOX state (the page-cache line, a co-scheduled burst) rather than the
+    // plan must be recorded IN the artifact, not in prose.
+    // SPARK_GRAFT_ATTRIBUTED_FLAGS carries "query=reason;query=reason"
+    // where reason MUST be "io(exchange_gb=<N>) <free text>"; the
+    // attribution is VALIDATED by checkAttribution (cap at 1.5x bound +
+    // working-set-vs-recorded-cache corroboration — see its scaladoc). An
+    // accepted attribution moves the flag to "attributed_flags" (ratio,
+    // bound, reason, AND the corroborating env values in-file) and does not
+    // fail the run; a rejected or missing attribution still exits 3, with
+    // the rejection note on stderr.
     val attributions: Map[String, String] =
       sys.env.get("SPARK_GRAFT_ATTRIBUTED_FLAGS").map(_.split(';').toSeq.flatMap { e =>
         val i = e.indexOf('=')
@@ -360,17 +434,36 @@ object Bench {
         case (name, r) if r > lawBounds.getOrElse(name, growthBound) => name
       }.toSeq ++ baseFailed).sorted
       // a "name (base failed)" flag is never attributable — the gate had no
-      // measurement to attribute; only ratio flags can carry an attribution
+      // measurement to attribute; only ratio flags can carry an attribution,
+      // and every attribution is VALIDATED against the run's own evidence
+      // (checkAttribution: 1.5x-bound cap + working-set corroboration)
+      val verdicts: Map[String, AttributionVerdict] = flags.flatMap { f =>
+        val key = f.takeWhile(_ != ' ')
+        if (f.endsWith("(base failed)")) None
+        else attributions.get(key).map { reason =>
+          key -> checkAttribution(reason, ratios.get(key),
+            lawBounds.getOrElse(key, growthBound), fixtureBytes, bestBc.get(key))
+        }
+      }.toMap
       val (attributed, live) = flags.partition(f =>
-        !f.endsWith("(base failed)") && attributions.contains(f.takeWhile(_ != ' ')))
+        verdicts.get(f.takeWhile(_ != ' ')).exists(_.accepted))
       (live.map(_ -> false) ++ attributed.map(_ -> true)).foreach { case (name, isAttr) =>
         val key = name.takeWhile(_ != ' ')
         val detail = ratios.get(key).map(r => f"$r%.1fx").getOrElse("no base timing")
         val bound = lawBounds.getOrElse(key, growthBound)
-        val tag = if (isAttr) "GROWTH FLAG (attributed)" else "GROWTH FLAG"
+        val rejected = verdicts.get(key).filterNot(_.accepted)
+        val tag =
+          if (isAttr) "GROWTH FLAG (attributed)"
+          else if (rejected.isDefined) "GROWTH FLAG (attribution REJECTED)"
+          else "GROWTH FLAG"
+        // env-block values printed NEXT TO the reason so the stderr line is
+        // checkable without opening the artifact (round-12 ADVICE)
+        val env = f"[fixture ${fixtureBytes / (1L << 30)}GB, buff/cache@min " +
+          bestBc.get(key).map(v => s"${v / (1L << 20)}GB").getOrElse("n/a") + "]"
         System.err.println(s"[bench] $tag $name: $detail " +
-          f"($bDir -> $sfDir, bound $bound%.1fx)" +
-          (if (isAttr) s" — ${attributions(key)}" else ""))
+          f"($bDir -> $sfDir, bound $bound%.1fx) $env" +
+          (if (isAttr) s" — ${attributions(key)}"
+           else rejected.map(v => s" — ${v.note}").getOrElse("")))
       }
       (ratios, live, attributed)
     }
@@ -410,7 +503,12 @@ object Bench {
         val key = name.takeWhile(_ != ' ')
         val r = ratios.get(key).map(f3).getOrElse("null")
         val bound = lawBounds.getOrElse(key, growthBound)
-        s""""$key":{"ratio":$r,"bound":$bound,"reason":${jesc(attributions(key))}}"""
+        // corroborating evidence IN the entry (VERDICT r12 #3): the reason
+        // carries the machine-readable exchange_gb claim; cap and the env
+        // values checkAttribution validated against sit next to it so the
+        // acceptance is re-checkable from the artifact alone
+        val bc = bestBc.get(key).map(_.toString).getOrElse("null")
+        s""""$key":{"ratio":$r,"bound":$bound,"cap":${bound * AttributionCapFactor},"fixture_bytes":$fixtureBytes,"buff_cache_kb_at_min_pass":$bc,"reason":${jesc(attributions(key))}}"""
       }.mkString("{", ",", "}")
       s""","growth":{"base_dir":"${growthBase.get}","bound":$growthBound,"floor_sec":$growthFloor,"ratios":$rs,"flags":$fl,"attributed_flags":$af}"""
     }.getOrElse("")

@@ -40,6 +40,9 @@ object Verify {
       .config("spark.sql.autoBroadcastJoinThreshold", "52428800")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // belt-and-braces for bloomPredicate's two ≤384 MB sketch partials
+      // (RelOps.scala) — the default 1g leaves no headroom at the cap
+      .config("spark.driver.maxResultSize", "2g")
       .config("spark.sql.codegen.cache.maxEntries", "5000") // 61 plans > default 100
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -137,17 +137,24 @@ object RelOps {
     val bits = math.min(
       org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp),
       maxBytes * 8L)
-    // Bound the helper's OWN driver-ward fan-in (round 12): treeAggregate's
-    // final level collects the REMAINING per-partition SKETCHES — each up
-    // to `maxBytes` (235 MB at 130 M sf1000 dup classes) — so its result
-    // volume scales with the caller's partition count. With AQE data-sized
-    // exchanges upstream, ~17 × 67 MB sketches blew
-    // spark.driver.maxResultSize at sf300, and even √32 ≈ 6 remaining
-    // partitions shipped 5 × 223 MB > 1 GB at sf1000. coalesce(8) (no
-    // shuffle — map-local unions of the DISK_ONLY cache) plus depth 3
-    // (scale 2: 8 → 4 → 2) makes the final collect exactly TWO sketches ≤
-    // 768 MB even at the 384 MB cap — a property of this helper, not of
-    // whatever exchange produced the keys. The 8-way build pass is hashing
+    // Bound the helper's OWN driver-ward fan-in (round 12, corrected round
+    // 13): treeAggregate's final level collects the REMAINING per-partition
+    // SKETCHES — each up to `maxBytes` (235 MB at 130 M sf1000 dup
+    // classes) — so its result volume scales with the caller's partition
+    // count. With AQE data-sized exchanges upstream, ~17 × 67 MB sketches
+    // blew spark.driver.maxResultSize at sf300. coalesce(8) (no shuffle —
+    // map-local unions of the DISK_ONLY cache) plus depth 2 makes the
+    // final collect exactly TWO sketches ≤ 768 MB even at the 384 MB cap:
+    // Spark's tree loop uses scale = max(ceil(8^(1/depth)), 2), and its
+    // stop condition `numPartitions > scale + ceil(numPartitions/scale)`
+    // means depth=2 → scale=3 → one 8→2 level (final collect = 2
+    // sketches), whereas depth=3 → scale=2 STOPS at 8→4 (4 × 384 MB =
+    // 1.5 GB > the default 1g maxResultSize — the round-12 depth-3 choice
+    // re-created the failure it meant to bound; round-12 ADVICE). This is
+    // a property of this helper, not of whatever exchange produced the
+    // keys; runner sessions also raise spark.driver.maxResultSize to 2g as
+    // belt-and-braces (Bench/Verify/SoakBench builders). The 8-way build
+    // pass is hashing
     // 8-byte keys; it is bandwidth-bound, not core-bound.
     val bf = cached.select(col(keyCol)).rdd
       .map(_.getLong(0))
@@ -156,7 +163,7 @@ object RelOps {
         org.apache.spark.util.sketch.BloomFilter.create(n, bits))(
         (f, v) => { f.putLong(v); f },
         (a, b) => { a.mergeInPlace(b); a },
-        depth = 3)
+        depth = 2)
     cached.unpersist()
     val sketchBytes = {
       val bos = new java.io.ByteArrayOutputStream()

@@ -1701,10 +1701,13 @@ object Dedup {
     // shape for this key profile: trigram hashes are mostly DISTINCT
     // (Heaps vocabulary — key count ~ row count), so a map-side partial
     // agg buys almost no combining yet must sort-spill its overflowing
-    // hash map on every map task. The A/B at sf300 (15 M docs): this form
-    // 58.1 s; the partial-combine form (aggregate keeps its own exchange,
-    // AQE data-sized reducers) 152.1 s — 2.6× worse, all of it map-side
-    // UnsafeKVExternalSorter I/O for ~zero exchange-mass savings. On a
+    // hash map on every map task. The MATCHED-CONDITION A/B at sf300
+    // (15 M docs, same day, same 64 g heap — BENCH.md round-12 table):
+    // this form 91.7 s; the partial-combine form (aggregate keeps its own
+    // exchange, AQE data-sized reducers) 302.6 s — 3.3× worse, and the
+    // gap is near-insensitive to executor memory (at a matched 8 g heap:
+    // 94-107 s vs 152.1 s), all of it map-side UnsafeKVExternalSorter
+    // I/O for ~zero exchange-mass savings. On a
     // real cluster the same math holds: partial combine pays sort I/O
     // proportional to corpus mass to remove a fraction of exchange bytes
     // bounded by the (low) in-partition key duplication rate. For
@@ -2198,10 +2201,18 @@ object Dedup {
     * choice on TOP of the spans, so both variants share the expensive
     * computation. Scale shape: span content is sliced IN-ROW from the
     * doc's own token array (spans per doc are few, maximal, disjoint — no
-    * position explode), the keeper election is one window over the span
-    * table partitioned by content (span-mass, not corpus-mass: only
-    * repeated stretches have rows here; the q227 sf300 span table is ~2%
-    * of corpus tokens), and the cut itself is the same shuffle-free per-doc
+    * position explode), the keeper election is a partial-aggregating
+    * `groupBy(content).agg(min(struct(doc_id, span_start)))` joined back —
+    * NOT a window over `partitionBy(content)`: a window never
+    * partial-aggregates, so all occurrences of one span content land in a
+    * single task, and span content is exactly what goes pathologically hot
+    * in real corpora (boilerplate repeated across millions of documents).
+    * The groupBy form lets every map task contribute ONE candidate per hot
+    * content (map-side combine), and the join-back is AQE-skew-splittable;
+    * the result is identical by construction (min over a set is
+    * associative). The span table is span-mass, not corpus-mass (only
+    * repeated stretches have rows; the q227 sf300 span table is ~2% of
+    * corpus tokens), and the cut itself is the same shuffle-free per-doc
     * array filter as q228. Content is compared as the exact string — the
     * election must pick the same keeper the oracle does, and span strings
     * never ride a corpus-mass exchange (hash-keying would save span-mass
@@ -2218,10 +2229,15 @@ object Dedup {
           .as("content"))
     // keeper election: min (doc_id, span_start) struct per distinct content
     // (struct ordering = lexicographic over fields, matching the oracle's
-    // ORDER BY doc_id, span_start); everything that is not the keeper is cut
-    val keepW = org.apache.spark.sql.expressions.Window.partitionBy(col("content"))
-    val cutSpans = withContent
-      .withColumn("kp", min(struct(col("doc_id"), col("span_start"))).over(keepW))
+    // ORDER BY doc_id, span_start); everything that is not the keeper is
+    // cut. groupBy + join-back, NOT min().over(Window.partitionBy(content)):
+    // the aggregate partial-combines map-side so a hot boilerplate content
+    // never funnels all its occurrences into one task (see scaladoc above);
+    // PlanSpec pins the partial HashAggregate / no-Window shape.
+    val keepers = withContent
+      .groupBy(col("content"))
+      .agg(min(struct(col("doc_id"), col("span_start"))).as("kp"))
+    val cutSpans = withContent.join(keepers, Seq("content"))
       .filter(col("doc_id") =!= col("kp.doc_id") ||
         col("span_start") =!= col("kp.span_start"))
       .groupBy(col("doc_id"))

