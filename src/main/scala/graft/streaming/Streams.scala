@@ -408,8 +408,19 @@ object Streams {
     * writer wins, later waves are flagged. Exactly-once under foreachBatch's
     * at-least-once contract: verdict and index slices land in per-batchId
     * subdirs with OVERWRITE and the corpus read excludes the batch's own
-    * slice ([[batchSlices]]). The batch side is wave-sized → broadcast into
-    * the index passes; the index is only ever APPENDED, never recomputed. */
+    * slice ([[batchSlices]]). The batch-side hint follows the
+    * guardedBroadcast law (rows AND measured bytes — see
+    * [[graft.engine.RelOps.guardedBroadcast]]): a production wave is
+    * usually broadcast-sized, but the operator must not ASSUME it — an
+    * oversized wave (the sf1000 soak feeds 12.5 M docs per wave, whose
+    * band projection alone is 9.1 GiB, past Spark's hard 8 GiB broadcast
+    * ceiling) falls back to shuffle joins, keeping the per-wave cost
+    * linear in wave + index mass (the documented per-wave law) instead of
+    * failing the stream. The wave projections are DISK_ONLY-persisted for
+    * the micro-batch's lifetime regardless — each is consumed twice (the
+    * verdict join and the index-slice append), so the guard's count pass
+    * is not an extra scan, it replaces a recomputation. The index is only
+    * ever APPENDED, never recomputed. */
   def runTextIngest(spark: SparkSession, srcDir: String, indexPath: String,
       verdictPath: String, checkpoint: String): Unit = {
     val q = spark.readStream.schema(documentSchema).parquet(srcDir).writeStream
@@ -417,7 +428,18 @@ object Streams {
         val ss = batch.sparkSession
         val fps = batch.select(col("doc_id"),
           graft.ext.TextStats.fingerprint(col("text")).as("fp"))
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         val bands = graft.ext.Dedup.bandsProjection(batch)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        // the guardedBroadcast law, inlined (the helper would persist a
+        // second copy): count() materializes the cache, after which the
+        // optimized plan's stats carry MEASURED bytes, not estimates
+        def guarded(df: DataFrame): DataFrame = {
+          val n = df.count()
+          val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+          if (n <= 10000000L && bytes <= BigInt(256L << 20)) broadcast(df)
+          else df
+        }
         val fpSlices = batchSlices(ss, s"$indexPath/fp", batchId)
         val bandSlices = batchSlices(ss, s"$indexPath/bands", batchId)
         val corpusFp =
@@ -431,10 +453,10 @@ object Streams {
         // would silently shuffle the whole at-rest index per wave; matchless
         // batch docs get their null exact_dup_of from the left join-back
         // below, so inner semantics lose nothing and BuildLeft stays legal
-        val exact = broadcast(fps)
+        val exact = guarded(fps)
           .join(corpusFp.select(col("fp"), col("doc_id").as("c_id")), Seq("fp"))
           .groupBy(col("doc_id")).agg(min(col("c_id")).as("exact_dup_of"))
-        val near = broadcast(bands)
+        val near = guarded(bands)
           .join(corpusBands.select(col("band_idx"), col("band_hash"),
             col("doc_id").as("cand_id")), Seq("band_idx", "band_hash"))
           .groupBy(col("doc_id"))
@@ -449,6 +471,8 @@ object Streams {
           .write.mode("overwrite").parquet(s"$verdictPath/b$batchId")
         fps.write.mode("overwrite").parquet(s"$indexPath/fp/b$batchId")
         bands.write.mode("overwrite").parquet(s"$indexPath/bands/b$batchId")
+        fps.unpersist()
+        bands.unpersist()
         ()
       }
       .option("checkpointLocation", checkpoint)
