@@ -11,6 +11,62 @@ package graft.engine
   */
 object Fs {
 
+  /** Per-(session, path) memo of a RESOLVED parquet-read DataFrame.
+    * `spark.read.parquet` pays driver-side source resolution on every call —
+    * file listing plus a footer read for schema inference — and the
+    * bench/verify drivers construct every query fresh on every pass, so the
+    * same immutable table was being re-resolved hundreds of times per run
+    * (measured: 40-85 ms of the per-query plan-construction time at sf0.1;
+    * guide §6 file listing / §7.3 driver-side work — PlanTime probe,
+    * OPTIMIZATION_r13.md). Memoizing the resolution is the catalog-table
+    * discipline (Spark's own `filesourcePartitionFileCacheSize` caches
+    * listings per session for catalog tables): NO data is cached — every
+    * execution still scans the parquet bytes — only the logical read plan
+    * (schema + file index) is reused, exactly as if the path had been
+    * registered as an external table once at session start.
+    *
+    * Staleness guard: the memo entry carries a one-level directory
+    * SIGNATURE (root mtime + child names/mtimes) and is re-resolved when it
+    * changes — a caller that overwrites the path (test fixtures regenerated
+    * under one scratch dir; a deployment republishing a snapshot in place)
+    * gets a fresh file index instead of FILE_NOT_EXIST on the old part
+    * files. The signature is a directory-entry scan (microseconds), ~1000×
+    * cheaper than the full resolution it guards; between bench passes over
+    * immutable fixtures it never changes and the memo always hits. Non-local
+    * paths (a URI scheme) skip the memo — java.io.File cannot stat them.
+    * Per-round iteration scratch (`$tmp/labels$i`, [[overwriteVersioned]]
+    * paths) keeps calling `spark.read.parquet` directly anyway: their file
+    * sets change every invocation, so a memo would never hit. Keyed on the
+    * session so a test suite's stopped sessions never leak a stale plan
+    * into a new one. */
+  private val readMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String),
+    (Long, org.apache.spark.sql.DataFrame)]
+
+  private def pathSig(path: String): Long = {
+    val f = new java.io.File(path)
+    var h = f.lastModified ^ (if (f.exists) 1L else 0L)
+    val kids = f.listFiles
+    if (kids != null) {
+      var i = 0
+      while (i < kids.length) {
+        h = h * 31 + kids(i).getName.hashCode * 17 + kids(i).lastModified
+        i += 1
+      }
+    }
+    h
+  }
+
+  def readParquet(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.DataFrame =
+    if (path.contains("://")) spark.read.parquet(path)
+    else {
+      val sig = pathSig(path)
+      readMemo.compute((spark, path), (k, cur) =>
+        if (cur != null && cur._1 == sig) cur
+        else (sig, k._1.read.parquet(k._2)))._2
+    }
+
   private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val stableDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -79,7 +79,7 @@ object Layout {
     // once-per-drop layout cost, the OPERATOR under test is the pruned read.
     // Fixture dirs are immutable, so dir-keyed reuse cannot serve stale data
     // (a mutable source would key on a snapshot id).
-    prunedYearRollup(spark.read.parquet(partitionedOrdersPath(spark, dir)))
+    prunedYearRollup(Fs.readParquet(spark, partitionedOrdersPath(spark, dir)))
 
   /** The partitioned-layout writer behind [[partitionPrunedScan]], callable
     * on its own so a test can build the layout once and explain the pruned
@@ -130,8 +130,8 @@ object Layout {
     * star-join scan guard: a date-dim filter ("fiscal Q4", "promo weeks")
     * prunes the fact to the matching partitions without the user naming them. */
   def dynamicPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val fact = spark.read.parquet(partitionedOrdersPath(spark, dir))
-    val dim = spark.read.parquet(shipYearDimPath(spark, dir))
+    val fact = Fs.readParquet(spark, partitionedOrdersPath(spark, dir))
+    val dim = Fs.readParquet(spark, shipYearDimPath(spark, dir))
       .filter(col("return_ppm") >= 200000L)
       .select(col("o_year"), col("return_ppm"))
     fact.join(broadcast(dim), Seq("o_year"))
@@ -254,13 +254,14 @@ object Layout {
     * map-side-combinable pass; the rollup frame is file-count-sized. All
     * arithmetic is integer days/ppm — engine-exact. */
   def zoneMapAudit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     val o = Tables.orders(spark, dir).select(col("o_orderkey"),
       expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)")
         .as("day"))
     val files = o
       .select(col("day"),
         expr("day div 30").as("clustered"),
-        expr("CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 7), 16, 10) AS BIGINT) % 64")
+        expr("graft_md5_prefix(CAST(o_orderkey AS STRING), 7) % 64")
           .as("hashed"))
       .select(col("day"), explode(map(
         lit("clustered"), col("clustered"),
@@ -344,16 +345,18 @@ object Layout {
   /** [[rendezvousShards]]'s per-document stage — (doc_id, shard under N,
     * shard under N+1); the LayoutSpec surface for the steal-only invariant
     * (shard_before ≠ shard_after ⟹ shard_after = N). */
-  def rendezvousAssignments(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
+  def rendezvousAssignments(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     Tables.documents(spark, dir).select(col("doc_id"))
       // s as BIGINT end-to-end so the output shard ids match the oracle dtype
       .select(col("doc_id"), explode(expr(s"sequence(0, ${n}L)")).as("s"))
       .withColumn("h", expr(
-        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(s AS STRING))), 1, 7), 16, 10) AS BIGINT)"))
+        "graft_md5_prefix(concat(CAST(doc_id AS STRING), ':', CAST(s AS STRING)), 7)"))
       .groupBy(col("doc_id"))
       .agg(
         max(when(col("s") < n, struct(col("h"), col("s")))).as("before"),
         max(struct(col("h"), col("s"))).as("after"))
       .select(col("doc_id"),
         col("before.s").as("shard_before"), col("after.s").as("shard_after"))
+  }
 }

@@ -81,19 +81,21 @@ object Quality {
     * exact DECIMAL(18,2) rendering and timestamps via the DATE rendering, the
     * two canonical forms both engines print identically; NULLs via a sentinel
     * (concat_ws would silently drop them, aliasing (NULL,'x') with ('x',NULL)). */
-  def tableFingerprint(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+  def tableFingerprint(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     Tables.orders(spark, dir)
       .select(col("o_orderpriority"),
-        conv(substring(md5(concat_ws("|",
+        call_function("graft_md5_prefix", concat_ws("|",
           coalesce(col("o_orderkey").cast("string"), lit("\\N")),
           coalesce(col("o_custkey").cast("string"), lit("\\N")),
           coalesce(col("o_orderstatus"), lit("\\N")),
           coalesce(col("o_totalprice").cast(Dec.D18_2).cast("string"), lit("\\N")),
-          coalesce(col("o_orderdate").cast("date").cast("string"), lit("\\N")))),
-          1, 15), 16, 10).cast("long").as("fp"))
+          coalesce(col("o_orderdate").cast("date").cast("string"), lit("\\N"))),
+          lit(15)).as("fp"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(fp)").as("fingerprint"))
       .orderBy("o_orderpriority")
+  }
 
   /** Merkle RANGE diff (q208) — [[tableFingerprint]]'s flat checksum upgraded
     * to the hierarchical anti-entropy protocol two 100 TB replicas actually
@@ -114,9 +116,10 @@ object Quality {
     * fixture corpus is verified non-degenerate by the oracle, which computes
     * the leaf diff DIRECTLY with no hierarchy). */
   def merkleRangeDiff(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     def rowHash(text: Column): Column =
-      conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"), text)),
-        1, 15), 16, 10).cast("long")
+      call_function("graft_md5_prefix",
+        concat(col("doc_id").cast("string"), lit("|"), text), lit(15))
     val mutated = when(col("doc_id") % 97 === 13,
       concat(col("text"), lit(" replica-corruption"))).otherwise(col("text"))
     // the leaf table feeds THREE consumers (top summary, mid summary, final

@@ -83,11 +83,13 @@ object Dedup {
     * minima folded in a single aggregate. Shared by the band construction
     * and the sketch-quality monitor (q120). */
   private def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     val sigCols = seedsAB.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % P).as(s"s$i")
     }
     docShingles(spark, dir)
-      .select(col("doc_id"), conv(substring(md5(col("sh")), 1, 7), 16, 10).cast("long").as("h"))
+      .select(col("doc_id"),
+        call_function("graft_md5_prefix", col("sh"), lit(7)).as("h"))
       .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
   }
@@ -202,9 +204,11 @@ object Dedup {
   /** 16-bit SimHash per document from the first 4 md5 hex digits of each token
     * (with multiplicity — standard frequency-weighted SimHash). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h16", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
+      .withColumn("h16",
+        call_function("graft_md5_prefix", col("tok"), lit(4)).cast("int"))
     val bitSums = (0 until 16).map { b =>
       sum(when(shiftright(col("h16"), b).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as(s"bit$b")
     }
@@ -224,9 +228,10 @@ object Dedup {
     * the 16-bit [[simhash]] stays as the cheap bucket-label/audit form
     * (q30/q167/q168), where its tiny space is the point, not a defect. */
   def simhash60(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      .withColumn("h", call_function("graft_md5_prefix", col("tok"), lit(15)))
     val bitSums = (0 until 60).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
         .as(s"bit$b")
@@ -292,26 +297,34 @@ object Dedup {
           .as("band"))
       .select(col("doc_id"), col("simhash60"),
         col("band.bidx").as("bidx"), col("band.bval").as("bval"))
-    val kept =
-      if (maxBandBucket <= 0) bands
-      else bands.join(
-        broadcast(bands.groupBy(col("bidx"), col("bval"))
-          .agg(count(lit(1)).as("n"))
-          .filter(col("n") <= maxBandBucket)
-          .select(col("bidx"), col("bval"))),
-        Seq("bidx", "bval"), "left_semi")
-    kept.select(col("bidx"), col("bval"),
-        col("doc_id").as("doc_a"), col("simhash60").as("sig_a"))
-      .join(kept.select(col("bidx"), col("bval"),
-          col("doc_id").as("doc_b"), col("simhash60").as("sig_b")),
-        Seq("bidx", "bval"))
-      .filter(col("doc_a") < col("doc_b"))
+    // Per-bucket sorted (doc_id, sig) lists + in-row pair explosion — the
+    // [[minhashCandidatePairs]] shape — instead of the band-keyed SELF-JOIN
+    // (r13 optimization pass, guide §2.4/§1.2): a self-join does not share
+    // lineage, so the 60-column signature aggregate (the query's dominant
+    // stage) EXECUTED TWICE per pass, and both sides paid a band-keyed
+    // exchange. One groupBy now runs the signature pipeline once and one
+    // exchange carries (band, doc_id, sig) — identical pairs by
+    // construction (the list is doc_id-sorted, i < j ⟺ doc_a < doc_b).
+    // The bucket cap folds into the same aggregate (size(ms)), replacing
+    // the separate occupancy pre-join of the capped variant outright.
+    val bucketOk =
+      if (maxBandBucket <= 0) lit(true)
+      else size(col("ms")) <= maxBandBucket
+    bands
+      .groupBy(col("bidx"), col("bval"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash60")))).as("ms"))
+      .filter(size(col("ms")) >= 2 && bucketOk)
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+          |  transform(slice(ms, i + 2, size(ms) - i - 1),
+          |    y -> named_struct('doc_a', x.doc_id, 'doc_b', y.doc_id,
+          |                      'hamming', CAST(bit_count(x.simhash60 ^ y.simhash60) AS INT)))))""".stripMargin)).as("p"))
       // verify BEFORE deduplicating: the popcount is a codegen'd per-row op
       // while distinct is a shuffle — filtering first shrinks the exchange
       // from every banded candidate to only the pairs inside the ball
-      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("int"))
-      .filter(col("hamming") <= maxDist)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .filter(col("p.hamming") <= maxDist)
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.hamming").as("hamming"))
       .distinct() // a pair may agree on several bands
       .orderBy("doc_a", "doc_b")
   }
@@ -395,7 +408,7 @@ object Dedup {
     * length filters + the pair-distinct + array verification. */
   def prefixFilterJoin(spark: SparkSession, dir: String,
       thresholdPpm: Long = DefaultJaccardPpm): DataFrame = {
-    val docToks = spark.read.parquet(shingleTokensPath(spark, dir))
+    val docToks = graft.engine.Fs.readParquet(spark, shingleTokensPath(spark, dir))
     val prefix = graft.engine.Bucketing.readTable(
       spark, prefixIndexTable(spark, dir, thresholdPpm)).hint("merge")
     // POSITION filter (the third classic PPJoin filter — round 10, after the
@@ -465,7 +478,7 @@ object Dedup {
   def prefixIndexTable(spark: SparkSession, dir: String,
       thresholdPpm: Long): String =
     prefixTableMemo.computeIfAbsent(s"$dir#$thresholdPpm", { _ =>
-      val docToks = spark.read.parquet(shingleTokensPath(spark, dir))
+      val docToks = graft.engine.Fs.readParquet(spark, shingleTokensPath(spark, dir))
       // layout sizing: ~13 prefix rows per doc at t = 0.8 (plen ≈ 0.2·m + 1,
       // E[m] ≈ 38 on 10-100-token docs) — a heuristic is fine for LAYOUT
       // (bucket count changes no results), and the doc count is a parquet
@@ -549,7 +562,7 @@ object Dedup {
     graft.engine.Fs.buildOnce(
       s"graft_ppjdf_${graft.engine.Fs.dirTag(dir)}_${mod}_$rem",
       spark.sessionState.newHadoopConf()) { p =>
-      spark.read.parquet(shingleTokensPath(spark, dir))
+      graft.engine.Fs.readParquet(spark, shingleTokensPath(spark, dir))
         .filter(!(col("doc_id") % mod === rem))
         .select(explode(col("toks")).as("tok"))
         .groupBy(xxhash64(col("tok")).as("tok_h"))
@@ -583,8 +596,8 @@ object Dedup {
     graft.engine.Fs.buildOnce(
       s"graft_ppjpre_${graft.engine.Fs.dirTag(dir)}_${thresholdPpm}_${mod}_$rem",
       spark.sessionState.newHadoopConf()) { p =>
-      val dfTab = spark.read.parquet(corpusDfPath(spark, dir, mod, rem))
-      val toks = spark.read.parquet(shingleTokensPath(spark, dir))
+      val dfTab = graft.engine.Fs.readParquet(spark, corpusDfPath(spark, dir, mod, rem))
+      val toks = graft.engine.Fs.readParquet(spark, shingleTokensPath(spark, dir))
         .filter(!(col("doc_id") % mod === rem))
         .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
           explode(col("toks")).as("tok"))
@@ -621,8 +634,8 @@ object Dedup {
     * (q85's is_new column is this table's emptiness per doc). */
   def incrementalPrefixJoin(spark: SparkSession, dir: String,
       thresholdPpm: Long = DefaultJaccardPpm, mod: Int = 10, rem: Int = 7): DataFrame = {
-    val docToks = spark.read.parquet(shingleTokensPath(spark, dir))
-    val corpusDf = spark.read.parquet(corpusDfPath(spark, dir, mod, rem))
+    val docToks = graft.engine.Fs.readParquet(spark, shingleTokensPath(spark, dir))
+    val corpusDf = graft.engine.Fs.readParquet(spark, corpusDfPath(spark, dir, mod, rem))
     // batch side ONLY is computed per wave: explode, look up the at-rest df
     // (left join — unseen tokens coalesce to df 0), take the prefix head
     val batchToks = docToks.filter(col("doc_id") % mod === rem)
@@ -636,7 +649,7 @@ object Dedup {
     // ingest-wave sizes)
     val cand = prefixHeads(batchToks, thresholdPpm)
       .select(col("tok_h"), col("doc_id").as("doc_a"), col("n").as("n_a"))
-      .join(spark.read.parquet(
+      .join(graft.engine.Fs.readParquet(spark,
           corpusPrefixPath(spark, dir, thresholdPpm, mod, rem))
           .select(col("tok_h"), col("doc_id").as("doc_b"), col("n").as("n_b")),
         Seq("tok_h"))
@@ -672,7 +685,7 @@ object Dedup {
     graft.engine.Fs.buildOnce(
       s"graft_candsh_${graft.engine.Fs.dirTag(dir)}",
       spark.sessionState.newHadoopConf()) { p =>
-      val cand = spark.read.parquet(candidatePairsPath(spark, dir))
+      val cand = graft.engine.Fs.readParquet(spark, candidatePairsPath(spark, dir))
       val candIds = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
       docShingles(spark, dir).join(candIds, Seq("doc_id"), "left_semi")
@@ -715,8 +728,8 @@ object Dedup {
     * without materialization the whole MinHash pipeline would re-evaluate
     * per path (PLANS.md exchange counts exposed the duplication). */
   private def candidateOverlapCounts(spark: SparkSession, dir: String): DataFrame = {
-    val cand = spark.read.parquet(candidatePairsPath(spark, dir))
-    val candSh = spark.read.parquet(candidateShinglesPath(spark, dir))
+    val cand = graft.engine.Fs.readParquet(spark, candidatePairsPath(spark, dir))
+    val candSh = graft.engine.Fs.readParquet(spark, candidateShinglesPath(spark, dir))
     val counts = candSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = cand.select(col("doc_a"), col("doc_b"))
       .join(candSh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
@@ -749,7 +762,7 @@ object Dedup {
       .select(col("doc_id"),
         substring(regexp_replace(col("text"), "[ \\t\\n\\f\\r\\x0B]+", " "),
           1, prefixLen).as("head"))
-    spark.read.parquet(candidatePairsPath(spark, dir))
+    graft.engine.Fs.readParquet(spark, candidatePairsPath(spark, dir))
       .select(col("doc_a"), col("doc_b"))
       .join(heads.select(col("doc_id").as("doc_a"), col("head").as("head_a")), Seq("doc_a"))
       .join(heads.select(col("doc_id").as("doc_b"), col("head").as("head_b")), Seq("doc_b"))
@@ -775,7 +788,7 @@ object Dedup {
       .select(col("doc_id"),
         substring(regexp_replace(col("text"), "[ \\t\\n\\f\\r\\x0B]+", " "),
           1, prefixLen).as("head"))
-    spark.read.parquet(candidatePairsPath(spark, dir))
+    graft.engine.Fs.readParquet(spark, candidatePairsPath(spark, dir))
       .select(col("doc_a"), col("doc_b"))
       .join(heads.select(col("doc_id").as("doc_a"), col("head").as("head_a")), Seq("doc_a"))
       .join(heads.select(col("doc_id").as("doc_b"), col("head").as("head_b")), Seq("doc_b"))
@@ -933,7 +946,7 @@ object Dedup {
     * paths). Output: per-doc triangle membership counts. */
   def candidateTriangles(spark: SparkSession, dir: String): DataFrame = {
     val tmp = Scratch.dir("graft_tri")
-    val pairs = spark.read.parquet(candidatePairsPath(spark, dir))
+    val pairs = graft.engine.Fs.readParquet(spark, candidatePairsPath(spark, dir))
       .select(col("doc_a"), col("doc_b"))
     val deg = pairs.select(col("doc_a").as("v"))
       .unionAll(pairs.select(col("doc_b").as("v")))
@@ -973,7 +986,7 @@ object Dedup {
     * which the LSH bucket cap bounds in turn (that cap exists precisely so
     * degree-squared terms stay manageable at 100 TB). */
   def twoHopNeighbors(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = spark.read.parquet(candidatePairsPath(spark, dir))
+    val pairs = graft.engine.Fs.readParquet(spark, candidatePairsPath(spark, dir))
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs.unionAll(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
@@ -1008,7 +1021,7 @@ object Dedup {
     * iteration-k lineage blowup (single step; the iterated form would
     * materialize per round exactly like [[dupClusters]]). */
   def pagerankIteration(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = spark.read.parquet(candidatePairsPath(spark, dir))
+    val pairs = graft.engine.Fs.readParquet(spark, candidatePairsPath(spark, dir))
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs.unionAll(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
@@ -1040,7 +1053,7 @@ object Dedup {
     * oracle unrolls the same three rounds as chained CTEs. */
   def pagerankConverged(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
     pagerankRounds(spark,
-      spark.read.parquet(candidatePairsPath(spark, dir))
+      graft.engine.Fs.readParquet(spark, candidatePairsPath(spark, dir))
         .select(col("doc_a"), col("doc_b")),
       iters)
 
@@ -1123,7 +1136,7 @@ object Dedup {
   def duplicateClusters(spark: SparkSession, dir: String, maxIters: Int = 0,
       maxBucketSize: Int = 0): DataFrame =
     clustersFromPairs(spark,
-      spark.read.parquet(candidatePairsPath(spark, dir, maxBucketSize))
+      graft.engine.Fs.readParquet(spark, candidatePairsPath(spark, dir, maxBucketSize))
         .select(col("doc_a"), col("doc_b")),
       maxIters)
 
@@ -1140,15 +1153,16 @@ object Dedup {
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
     // auto budget: log2(nodes) + 4 rounds always suffices for pointer
-    // jumping (diameter <= nodes, reach doubles per round); one cheap
-    // distinct-count job, paid once, keeps the budget scale-correct
-    val iterBudget =
-      if (maxIters > 0) maxIters
-      else {
-        val nodes = edges.select(col("src")).distinct().count()
-        math.max(10, (64 - java.lang.Long.numberOfLeadingZeros(
-          math.max(1L, nodes))) + 4)
-      }
+    // jumping (diameter <= nodes, reach doubles per round) — so a CONSTANT
+    // 68 (= log2(2^63) + 4 + 1) suffices for any graph whose node ids fit a
+    // BIGINT. The budget is a fail-loud BACKSTOP, never the exit condition
+    // (the label-sum fixed point is), so the previous distinct+count pass
+    // over the edge list that tightened 68 down to log2(n)+4 bought nothing
+    // a correct run could observe — a full per-invocation scan spent on a
+    // number the loop never reaches (guide §1.2: don't compute things you
+    // throw away; removed in the r13 optimization pass, one fewer job per
+    // CC invocation at every scale).
+    val iterBudget = if (maxIters > 0) maxIters else 68
     // round 0 folded into the init: label0 = min(id, min neighbor) — one
     // aggregate instead of a full propagation iteration
     // convergence metric rides ON the snapshot write via CollectMetrics
@@ -1257,7 +1271,7 @@ object Dedup {
   def incrementalClusters(spark: SparkSession, dir: String, mod: Int = 10,
       rem: Int = 7, maxIters: Int = 0): DataFrame =
     incrementalClustersFrom(spark,
-      spark.read.parquet(candidatePairsPath(spark, dir))
+      graft.engine.Fs.readParquet(spark, candidatePairsPath(spark, dir))
         .select(col("doc_a"), col("doc_b")),
       s"graft_ccbase_${graft.engine.Fs.dirTag(dir)}_m${mod}r$rem",
       mod, rem, maxIters)
@@ -1275,7 +1289,7 @@ object Dedup {
       clustersFromPairs(spark, corpusPairs, maxIters)
         .write.mode("overwrite").parquet(p)
     }
-    val base = spark.read.parquet(basePath)
+    val base = graft.engine.Fs.readParquet(spark, basePath)
     val touched = batchPairs.select(col("doc_a").as("doc_id"))
       .union(batchPairs.select(col("doc_b").as("doc_id"))).distinct()
     val affected = base.join(touched, Seq("doc_id"), "left_semi")
@@ -1284,8 +1298,22 @@ object Dedup {
       .select(col("doc_id"))
     val subCorpus = corpusPairs.join(
       affectedNodes.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+    // Materialize the recompute subgraph ONCE before the CC loop (r13
+    // optimization pass, guide §1.2 / §5 lineage-truncation): the loop
+    // re-executes its input lineage on every round (labels0 aggregate +
+    // each round's propagation join), which is fine when the input is a
+    // parquet scan (q62) but here the input is the whole affected-subgraph
+    // pipeline — batch split + two semi-joins against the base labels —
+    // and was re-running per round (profiled: 67 jobs per q195 pass vs
+    // q62's 34 for the same loop). One scratch write truncates that to a
+    // scan; versioned-overwrite so N bench passes hold one copy
+    // (the pagerank-rounds lifecycle).
+    val subPath = graft.engine.Fs.overwriteVersioned("graft_ccinc") { p =>
+      subCorpus.unionAll(batchPairs)
+        .write.mode("overwrite").parquet(s"$p/pairs")
+    }
     val recomputed = clustersFromPairs(
-      spark, subCorpus.unionAll(batchPairs), maxIters)
+      spark, spark.read.parquet(s"$subPath/pairs"), maxIters)
     base.join(affectedNodes, Seq("doc_id"), "left_anti")
       .unionAll(recomputed.select(col("doc_id"), col("cluster_id")))
       .orderBy("doc_id")
@@ -1332,6 +1360,7 @@ object Dedup {
   }
 
   def segmentDedup(spark: SparkSession, dir: String, segTokens: Int = 10): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     val segs = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= segTokens)
@@ -1339,7 +1368,7 @@ object Dedup {
         s"""transform(sequence(0, size(words) div $segTokens - 1),
            |  i -> concat_ws(' ', slice(words, i * $segTokens + 1, $segTokens)))""".stripMargin)).as("seg"))
       .select(col("doc_id"),
-        conv(substring(md5(col("seg")), 1, 7), 16, 10).cast("long").as("h"),
+        call_function("graft_md5_prefix", col("seg"), lit(7)).as("h"),
         col("seg"))
     val freq = segs.groupBy(col("seg"))
       .agg(countDistinct(col("doc_id")).as("n_docs_with_seg"))
@@ -1457,7 +1486,7 @@ object Dedup {
     * to a longer prefix — the same escape hatch q184 documents. */
   def sortedNeighborhoodPairs(spark: SparkSession, dir: String,
       windowSize: Int = 4, thresholdPpm: Long = 500000L): DataFrame = {
-    val docToks = spark.read.parquet(shingleTokensPath(spark, dir))
+    val docToks = graft.engine.Fs.readParquet(spark, shingleTokensPath(spark, dir))
     val keyed = Tables.documents(spark, dir)
       .select(col("doc_id"),
         lower(concat_ws(" ", slice(split(col("text"), " "), 1, 3))).as("k"))
@@ -1566,7 +1595,7 @@ object Dedup {
     * remove just themselves via the label fallback. */
   def takedownExpansion(spark: SparkSession, dir: String, mod: Int = 83,
       rem: Int = 11): DataFrame = {
-    val labels = spark.read.parquet(clustersPath(spark, dir))
+    val labels = graft.engine.Fs.readParquet(spark, clustersPath(spark, dir))
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     // every doc gets a label: clustered docs their component id, singletons
     // themselves (clustersPath only covers docs in the candidate graph)
@@ -1593,7 +1622,7 @@ object Dedup {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val losers = spark.read.parquet(clustersPath(spark, dir))
+    val losers = graft.engine.Fs.readParquet(spark, clustersPath(spark, dir))
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id")).withColumn("lost", lit(1))
     toks.join(broadcast(losers), Seq("doc_id"), "left")
@@ -1795,7 +1824,7 @@ object Dedup {
       s"graft_bands_${graft.engine.Fs.dirTag(dir)}",
       spark.sessionState.newHadoopConf())(p =>
       bandsUnordered(spark, dir).write.mode("overwrite").parquet(p))
-    val bands = spark.read.parquet(bandsPath)
+    val bands = graft.engine.Fs.readParquet(spark, bandsPath)
     val near = bands.filter(isBatch)
       .join(bands.filter(!isBatch)
           .select(col("band_idx"), col("band_hash"), col("doc_id").as("cand_id")),
@@ -1820,14 +1849,14 @@ object Dedup {
     * broadcastable at any realistic duplicate rate.
     *
     * `maxIters`/`maxBucketSize` pass through to [[duplicateClusters]] /
-    * [[minhashCandidatePairs]]: the auto iteration budget
-    * (ceil(log2(nodes)) + 4, see [[clustersFromPairs]]) covers any component
+    * [[minhashCandidatePairs]]: the auto iteration budget (constant fail-loud
+    * backstop, see [[clustersFromPairs]]) covers any component
     * the graph can contain, and the bucket cap bounds candidate-pair blowup
     * on boilerplate-heavy corpora — the knobs a 100 TB run tunes instead of
     * editing this file. */
   def dedupSurvivors(spark: SparkSession, dir: String, maxIters: Int = 0,
       maxBucketSize: Int = 0): DataFrame = {
-    val losers = spark.read.parquet(clustersPath(spark, dir, maxIters, maxBucketSize))
+    val losers = graft.engine.Fs.readParquet(spark, clustersPath(spark, dir, maxIters, maxBucketSize))
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     Tables.documents(spark, dir)
@@ -1845,7 +1874,7 @@ object Dedup {
     * component-size cap the LSH bucket cap implies, never corpus-wide. */
   def canonicalSelection(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = spark.read.parquet(clustersPath(spark, dir))
+    val clusters = graft.engine.Fs.readParquet(spark, clustersPath(spark, dir))
     val quality = TextStats.qualityScore(spark, dir)
       .select(col("doc_id"), col("n_chars"), col("passes_quality"))
     val w = Window.partitionBy(col("cluster_id"))
@@ -1873,7 +1902,7 @@ object Dedup {
     * (computed-in-place) split column, one cluster-keyed hash aggregate —
     * map-side combinable, no window, no all-pairs anything. */
   def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = spark.read.parquet(clustersPath(spark, dir))
+    val clusters = graft.engine.Fs.readParquet(spark, clustersPath(spark, dir))
     val splits = TextStats.splitAssign(spark, dir).select(col("doc_id"), col("split"))
     clusters.join(splits, Seq("doc_id"))
       .groupBy(col("cluster_id"))
@@ -1902,9 +1931,10 @@ object Dedup {
     * second join against a split lookup, no shuffle beyond the cluster join
     * (broadcast at dim scale, shuffled-hash at corpus scale). */
   def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     def splitOf(idCol: Column): Column =
       TextStats.splitBand(TextStats.splitBucket(idCol))
-    val clusters = spark.read.parquet(clustersPath(spark, dir))
+    val clusters = graft.engine.Fs.readParquet(spark, clustersPath(spark, dir))
     // effective_key (never null) instead of a nullable cluster_id column:
     // NULL integers round-trip differently through the two engines' pandas
     // frames (float64/NaN), which would poison the hash compare
@@ -1964,7 +1994,7 @@ object Dedup {
     * the audit that justifies (or rejects) routing/sharding by SimHash
     * prefix before any pairwise stage runs at 100 TB. */
   def simhashModularity(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = spark.read.parquet(candidatePairsPath(spark, dir))
+    val pairs = graft.engine.Fs.readParquet(spark, candidatePairsPath(spark, dir))
       .select(col("doc_a"), col("doc_b"))
     val parts = simhash(spark, dir)
       .select(col("doc_id"), expr("CAST(simhash16 div 256 AS BIGINT)").as("bucket"))
@@ -2014,7 +2044,7 @@ object Dedup {
     * agreement. Chance correction matters exactly here: both labelings are
     * mostly singletons, so raw Rand would read ≈ 1 regardless. */
   def clusteringAgreement(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = spark.read.parquet(clustersPath(spark, dir))
+    val clusters = graft.engine.Fs.readParquet(spark, clustersPath(spark, dir))
       .select(col("doc_id"), col("cluster_id").as("label_a"))
     val buckets = simhash(spark, dir)
       .select(col("doc_id"), expr("CAST(simhash16 div 256 AS BIGINT)").as("label_b"))
@@ -2169,7 +2199,7 @@ object Dedup {
     * mass and is what actually ENOSPC'd the round-11 sf300 attempt after
     * q227 itself fit. */
   def repeatCutRewrite(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val spans = spark.read.parquet(spansPath(spark, dir, k))
+    val spans = graft.engine.Fs.readParquet(spark, spansPath(spark, dir, k))
       .withColumn("span_end", col("span_start") + col("span_len_tokens") - 1)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
@@ -2220,7 +2250,7 @@ object Dedup {
   def repeatCutKeepOne(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val docsW = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-    val spans = spark.read.parquet(spansPath(spark, dir, k))
+    val spans = graft.engine.Fs.readParquet(spark, spansPath(spark, dir, k))
     val withContent = spans.join(docsW, Seq("doc_id"))
       .select(col("doc_id"), col("span_start"),
         (col("span_start") + col("span_len_tokens") - 1).as("span_end"),

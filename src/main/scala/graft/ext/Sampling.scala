@@ -21,7 +21,7 @@ object Sampling {
     * content-addressed randomness primitive every sampler here derives from;
     * md5-based so any engine can recompute membership. */
   private def u28(keyCol: String) =
-    conv(substring(md5(col(keyCol).cast("string")), 1, 7), 16, 10).cast("long")
+    call_function("graft_md5_prefix", col(keyCol).cast("string"), lit(7))
 
   /** [[u28]]'s range: 2²⁸. */
   private val U28Range = 268435456L
@@ -30,12 +30,14 @@ object Sampling {
   private def pctBucket(keyCol: String) = u28(keyCol) % 100
 
   /** ~pct% deterministic sample of documents by doc_id hash. */
-  def hashSample(spark: SparkSession, dir: String, pct: Int = 10): DataFrame =
+  def hashSample(spark: SparkSession, dir: String, pct: Int = 10): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     Tables.documents(spark, dir)
       .withColumn("hash_bucket", pctBucket("doc_id"))
       .filter(col("hash_bucket") < pct)
       .select(col("doc_id"), col("lang"), col("source"), col("hash_bucket"))
       .orderBy("doc_id")
+  }
 
   /** Stratified deterministic sample: `perStratum` docs per language, chosen
     * by hash order (reproducible "random" choice within each stratum). */
@@ -56,11 +58,14 @@ object Sampling {
     * TakeOrderedAndProject (PlanSpec asserts): each partition forwards at
     * most k rows, so no global sort materializes — the scale-safe fixed-size
     * draw. Full tie-break via doc_id for the (never observed) equal-key case. */
-  def fixedSizeSample(spark: SparkSession, dir: String, k: Int = 200): DataFrame =
+  // (u28 consumers below register graft_md5_prefix via their spark handle)
+  def fixedSizeSample(spark: SparkSession, dir: String, k: Int = 200): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), u28("doc_id").as("sample_key"))
       .orderBy(col("sample_key"), col("doc_id"))
       .limit(k)
+  }
 
   /** Fixed-size WEIGHTED sample (q180) via sequential Poisson sampling
     * (Ohlsson 1998): each document draws priority u/w — the content-addressed
@@ -74,7 +79,8 @@ object Sampling {
     * Exact integer priorities (u·10⁶ div w, w floored at 1) with a doc_id
     * tie-break; plans as TakeOrderedAndProject — each partition forwards at
     * most k rows, never a global sort (the q122 scale shape, weighted). */
-  def weightedPrioritySample(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+  def weightedPrioritySample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     Tables.documents(spark, dir)
       // coalesce BEFORE split: on NULL text Spark's size(split(NULL)) is -1
       // (clamped to 1) while DuckDB's len(string_split(NULL)) is NULL — the
@@ -87,6 +93,7 @@ object Sampling {
       .select(col("doc_id"), col("n_tokens"), col("priority"))
       .orderBy(col("priority"), col("doc_id"))
       .limit(k)
+  }
 
   /** Temperature-weighted mixture (q127): per-source sampling weights
     * proportional to n_docs^0.5 — the standard temperature reweighting
@@ -136,6 +143,7 @@ object Sampling {
     * branch reads a NARROW column, so a corpus-sized cache would cost more
     * than it saves (BENCH.md, scalar-lineage exemption). */
   def lengthBiasedSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))

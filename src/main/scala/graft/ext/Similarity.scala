@@ -298,7 +298,7 @@ object Similarity {
     * derived FROM the projections so the two can never disagree. */
   private def lshProjections(spark: SparkSession, dir: String, nPlanes: Int = 0,
       dim: Int = DefaultDim): DataFrame =
-    spark.read.parquet(lshProjectionsPath(spark, dir, nPlanes, dim))
+    graft.engine.Fs.readParquet(spark, lshProjectionsPath(spark, dir, nPlanes, dim))
 
   /** The projection pass itself (the index BUILD — one corpus scan, pure
     * codegen'd projection, no shuffle). */
@@ -1022,7 +1022,7 @@ object Similarity {
     * both engines. */
   def kmeansCentroidStats(spark: SparkSession, dir: String, iters: Int = 2,
       seedMod: Int = 61): DataFrame =
-    spark.read.parquet(s"${kmeansStatePath(spark, dir, iters, seedMod)}/stats")
+    graft.engine.Fs.readParquet(spark, s"${kmeansStatePath(spark, dir, iters, seedMod)}/stats")
       .select(col("cell"), col("dim"), col("n_vecs"), col("comp"))
       .orderBy("cell", "dim")
 
@@ -1040,7 +1040,7 @@ object Similarity {
       seedMod: Int = 61, tauNum: Long = 2, tauDen: Long = 5,
       maxCellSize: Long = 0L): DataFrame = {
     val p = kmeansStatePath(spark, dir, iters, seedMod)
-    semDedupPairsFrom(spark.read.parquet(s"$p/assign"), tauNum, tauDen, maxCellSize)
+    semDedupPairsFrom(graft.engine.Fs.readParquet(spark, s"$p/assign"), tauNum, tauDen, maxCellSize)
   }
 
   /** [[semDedupPairs]]'s pair machinery over any (vec_id, q, cell) frame —

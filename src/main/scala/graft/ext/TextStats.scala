@@ -366,6 +366,7 @@ object TextStats {
     * sketch summary per doc (distinct-minima count + checksum), integers only
     * so the oracle hash-matches. */
   def winnowingFingerprint(spark: SparkSession, dir: String, w: Int = 4): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     import org.apache.spark.sql.expressions.Window
     val shingled = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
@@ -377,7 +378,7 @@ object TextStats {
         col("doc_id"),
         (col("n_words") - 2).as("m"),
         (col("pos") + 1).as("p"), // 1-based to mirror DuckDB subscripts
-        conv(substring(md5(col("col")), 1, 7), 16, 10).cast("long").as("h"))
+        call_function("graft_md5_prefix", col("col"), lit(7)).as("h"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("p"))
       .rowsBetween(Window.currentRow, w - 1)
     shingled
@@ -571,7 +572,7 @@ object TextStats {
     * [[graft.ext.Dedup.clusterSafeSplit]]) and the Catalog's `splitCaseSql`
     * oracle fragment must agree with this definition. */
   def splitBucket(idCol: Column): Column =
-    conv(substring(md5(idCol.cast("string")), 1, 7), 16, 10).cast("long") % 100
+    call_function("graft_md5_prefix", idCol.cast("string"), lit(7)) % 100
 
   /** Split band over a [[splitBucket]] value: train < TrainUpper ≤ val <
     * ValUpper ≤ test. */
@@ -586,12 +587,14 @@ object TextStats {
     * the same split, on any cluster at any parallelism) — the property a
     * random() split lacks. Same md5-bucket primitive as
     * [[graft.ext.Sampling.hashSample]]. */
-  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), splitBucket(col("doc_id")).as("bucket"))
       .select(col("doc_id"), col("source"), col("bucket"),
         splitBand(col("bucket")).as("split"))
       .orderBy("doc_id")
+  }
 
   /** Capstone composition — the end-to-end corpus-export flow a training run
     * consumes, in one declarative plan: C4-style quality gates
@@ -602,6 +605,7 @@ object TextStats {
     * partitioned by (split, source); everything upstream is a linear scan. */
   def corpusExport(spark: SparkSession, dir: String,
       budgetTokens: Int = 2048): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     import org.apache.spark.sql.expressions.Window
     val gated = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"),
@@ -641,36 +645,53 @@ object TextStats {
     * statistically characterized. */
   def bloomDecontaminate(spark: SparkSession, dir: String, mBits: Int = 65536,
       kHashes: Int = 3): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(sequence(1, size(words)-2),
           |  i -> concat_ws(' ', element_at(words, i), element_at(words, i+1), element_at(words, i+2))))""".stripMargin)).as("sh"))
-    def positions(df: DataFrame): DataFrame = df.select(
-      df.columns.map(col) :+ explode(array((0 until kHashes).map(j =>
-        conv(substring(md5(concat(lit(s"$j:"), col("sh"))), 1, 7), 16, 10)
-          .cast("long") % mBits): _*)).as("pos"): _*)
+    def posCols: Seq[Column] = (0 until kHashes).map(j =>
+      call_function("graft_md5_prefix",
+        concat(lit(s"$j:"), col("sh")), lit(7)) % mBits)
     // benchmark membership follows the fixed-benchmark law ([[benchModFor]],
     // round 10): a corpus-proportional bench (the old fixed % 50) would both
     // saturate the fixed mBits filter and outgrow the bits broadcast; a
-    // ~1000-doc bench keeps the bit table bounded at every corpus scale
+    // ~1000-doc bench keeps the bit table bounded at every corpus scale.
     val mod = benchModFor(spark, dir)
-    val bits = positions(sh.filter(col("doc_id") % mod === 0).select(col("sh")).distinct())
-      .select(col("pos")).distinct()
-    val corpusSh = sh.filter(col("doc_id") % mod =!= 0)
-    val hits = positions(corpusSh)
-      .join(broadcast(bits), Seq("pos"))
-      .groupBy(col("doc_id"), col("sh"))
-      .agg(count(lit(1)).as("n_pos_set"))
-      .filter(col("n_pos_set") === kHashes)
+    // The filter itself is mBits BITS by construction (8 KB at the default
+    // 65536) no matter how large corpus or benchmark grow — so it is
+    // collected into an EXACT driver-side bitmap and tested per row via the
+    // broadcast `graft_bitmap_contains` probe (r13 optimization pass). The
+    // previous shape exploded every corpus shingle into kHashes position
+    // rows, broadcast-JOINED them against the set-position table, and
+    // re-aggregated on the (doc_id, 25-char shingle) string key to count
+    // survivors — 3× the corpus stream plus a string-keyed exchange, all to
+    // recover per-row information a bit probe answers in place (guide §2.3
+    // / §2.4). Bit semantics are IDENTICAL (same md5 positions, exact
+    // bitmap, no approximation): the collect is the A1 driver-seed pattern,
+    // bounded by mBits, and the oracle is unchanged.
+    val bytes = new Array[Byte]((mBits + 7) / 8)
+    sh.filter(col("doc_id") % mod === 0).select(col("sh")).distinct()
+      .select(explode(array(posCols: _*)).as("pos")).distinct()
+      .collect().foreach { r =>
+        val p = r.getLong(0).toInt
+        bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte
+      }
+    val handle = graft.functions.BloomRegistry.put(
+      spark.sparkContext.broadcast(bytes))
+    val allSet = posCols.map(p =>
+      call_function("graft_bitmap_contains", p, lit(handle))).reduce(_ && _)
+    val out = sh.filter(col("doc_id") % mod =!= 0)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bloom_positive"))
-    corpusSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_bloom_positive"), lit(0L)).as("n_bloom_positive"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(allSet, 1L).otherwise(0L)).as("n_bloom_positive"))
       .orderBy("doc_id")
+    // analysis resolved the handle eagerly; the expression keeps the
+    // broadcast, not the registry entry (the bloomPredicate contract)
+    graft.functions.BloomRegistry.remove(handle)
+    out
   }
 
   /** Per-language length-decile band filter — quantile-based corpus filtering
@@ -1155,14 +1176,15 @@ object TextStats {
     * arithmetic: the "estimate" is deterministic because the hash family is
     * (md5 of row:term), not a seeded RNG. */
   def countMinSketch(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     val rows = 4
     val width = 512
     val counts = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("exact_count"))
     def bucket(r: Int): Column =
-      (conv(substring(md5(concat(lit(s"$r:"), col("term"))), 1, 7), 16, 10)
-        .cast("long") % width).as(s"b$r")
+      (call_function("graft_md5_prefix",
+        concat(lit(s"$r:"), col("term")), lit(7)) % width).as(s"b$r")
     val withBuckets = counts.select(
       col("term") +: col("exact_count") +: (0 until rows).map(bucket): _*)
     // (term, row, bucket, count) — the sketch update stream, one row per hash
@@ -1420,7 +1442,7 @@ object TextStats {
           .as("bg"))
         .write.mode("overwrite").parquet(p)
     }
-    val docBigrams = spark.read.parquet(bgPath)
+    val docBigrams = graft.engine.Fs.readParquet(spark, bgPath)
     val perBigram = docBigrams.groupBy(col("bg")).agg(
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"),
       sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("c_r"))
@@ -1534,7 +1556,7 @@ object TextStats {
     * round k never re-derives rounds 1..k−1. */
   def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"${bpeStatePath(spark, dir, rounds)}/merges")
+    graft.engine.Fs.readParquet(spark, s"${bpeStatePath(spark, dir, rounds)}/merges")
       .select(col("merge_idx").cast("int").as("merge_idx"), col("pair"), col("freq"))
       .orderBy("merge_idx")
   }
@@ -1705,7 +1727,7 @@ object TextStats {
           .as("corpus_tokens"))
         .write.mode("overwrite").parquet(p)
     }
-    val corpusTokens = spark.read.parquet(base).head().getLong(0)
+    val corpusTokens = graft.engine.Fs.readParquet(spark, base).head().getLong(0)
     // sealed-shard alignment: the wave starts at the next sequence boundary
     val offset = ((corpusTokens + seqLen - 1) / seqLen) * seqLen
     val wave = Tables.documents(spark, dir)
@@ -1774,9 +1796,9 @@ object TextStats {
     * Integer ppm end to end. */
   def bpeFertility(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
     val p = bpeStatePath(spark, dir, rounds)
-    val lastRound = spark.read.parquet(s"$p/merges")
+    val lastRound = graft.engine.Fs.readParquet(spark, s"$p/merges")
       .agg(coalesce(max(col("merge_idx")), lit(0)).cast("int")).head().getInt(0)
-    val dict = spark.read.parquet(s"$p/w$lastRound")
+    val dict = graft.engine.Fs.readParquet(spark, s"$p/w$lastRound")
       .select(regexp_replace(trim(col("sp")), "  ", "").as("w"),
         size(split(trim(col("sp")), "  ")).cast("long").as("n_syms"))
     val langWords = Tables.documents(spark, dir)
@@ -1872,10 +1894,10 @@ object TextStats {
     * matching the oracle's empty-merge fallback CTEs. One row out. */
   def bpeCompression(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
     val p = bpeStatePath(spark, dir, rounds)
-    val lastRound = spark.read.parquet(s"$p/merges")
+    val lastRound = graft.engine.Fs.readParquet(spark, s"$p/merges")
       .agg(coalesce(max(col("merge_idx")), lit(0)).cast("int")).head().getInt(0)
     def symCount(path: String) =
-      spark.read.parquet(path).agg(
+      graft.engine.Fs.readParquet(spark, path).agg(
         count(lit(1)).as("n_word_types"),
         sum(col("cnt")).as("n_words"),
         sum(col("cnt") * size(split(trim(col("sp")), "  "))).as("syms"))

@@ -119,6 +119,53 @@ case class BloomPositions(child: Expression,
     copy(child = newChild)
 }
 
+/** EXACT bitmap membership test over a broadcast bit array
+  * (`graft_bitmap_contains(pos, 'handle')`): true iff bit `pos` is set.
+  *
+  * The exact-filter sibling of [[BloomMightContainLong]] for the case where
+  * the filter's bit space is FIXED and small by construction — q74's
+  * Bloom-decontamination filter is `mBits` bits (8 KB at the default 65536)
+  * no matter how large the corpus or benchmark grows, so the set-position
+  * table can ride an ordinary broadcast and the membership test becomes a
+  * per-row bit probe instead of a positions-explode + broadcast JOIN + a
+  * (doc, shingle)-keyed re-aggregation (r13 optimization pass; guide §2.3
+  * "shuffle fewer bytes" / §2.4 "remove shuffles outright" — the explode
+  * tripled the corpus shingle stream and the re-aggregation exchanged it on
+  * a 25-char string key, all to recover per-row information a bit test
+  * yields in place). Unlike the Bloom sketch this is EXACT — the bitmap IS
+  * the filter the oracle recomputes, bit for bit.
+  *
+  * Same [[BloomRegistry]] handoff and analysis-time resolution as the
+  * sketch expressions. */
+case class BitmapContainsLong(child: Expression,
+    bc: Broadcast[Array[Byte]]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bitmap_contains requires a bigint position, got $t")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bitmap_contains"
+
+  def test(v: Long): Boolean = {
+    val bytes = bc.value
+    val p = v.toInt
+    p >= 0 && (p >> 3) < bytes.length && ((bytes(p >> 3) >> (p & 7)) & 1) == 1
+  }
+
+  override def nullSafeEval(v: Any): Any = test(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bitmapContains", this,
+      classOf[BitmapContainsLong].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.test($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Driver-side handoff from [[graft.engine.RelOps.bloomPredicate]] to the
   * `graft_bloom_contains` / `graft_bloom_positions` function builders (a
   * SQL call cannot carry bytes). Entries are removed as soon as the

@@ -51,6 +51,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_gram_hashes(words, n): n must be an int literal, got $other")
       })))
     ext.injectFunction((
+      FunctionIdentifier("graft_md5_prefix"),
+      new ExpressionInfo(classOf[Md5Prefix].getName, "graft_md5_prefix"),
+      // n must be a foldable int literal — the hex-prefix width is a
+      // plan-time constant everywhere (4/7/15), never data
+      (exprs: Seq[Expression]) => Md5Prefix(exprs(0), exprs(1).eval() match {
+        case i: Int => i
+        case other => throw new IllegalArgumentException(
+          s"graft_md5_prefix(s, n): n must be an int literal, got $other")
+      })))
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomMightContainLong].getName, "graft_bloom_contains"),
       // the handle resolves to a broadcast sketch at analysis time, on the
@@ -61,6 +71,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bloom_positions"),
       new ExpressionInfo(classOf[BloomPositions].getName, "graft_bloom_positions"),
       (exprs: Seq[Expression]) => BloomPositions(exprs(0),
+        BloomRegistry.resolve(exprs(1).eval().toString))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bitmap_contains"),
+      new ExpressionInfo(classOf[BitmapContainsLong].getName, "graft_bitmap_contains"),
+      (exprs: Seq[Expression]) => BitmapContainsLong(exprs(0),
         BloomRegistry.resolve(exprs(1).eval().toString))))
     ext.injectOptimizerRule(_ => SpecializeFloatDot)
   }

@@ -470,10 +470,19 @@ object VectorExpressions {
           s"graft_gram_hashes(words, n): n must be an int literal, got $other")
       }), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5_prefix", exprs => Md5Prefix(exprs(0), exprs(1).eval() match {
+        case i: Int => i
+        case other => throw new IllegalArgumentException(
+          s"graft_md5_prefix(s, n): n must be an int literal, got $other")
+      }), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_contains", exprs => BloomMightContainLong(exprs(0),
         BloomRegistry.resolve(exprs(1).eval().toString)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_positions", exprs => BloomPositions(exprs(0),
+        BloomRegistry.resolve(exprs(1).eval().toString)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bitmap_contains", exprs => BitmapContainsLong(exprs(0),
         BloomRegistry.resolve(exprs(1).eval().toString)), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(SpecializeFloatDot))
       spark.experimental.extraOptimizations =

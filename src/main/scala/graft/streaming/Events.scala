@@ -458,9 +458,10 @@ object Events {
     * micro-batches); the batch form passes Long.MinValue (nothing before). */
   def arrivalLateness(events: DataFrame,
       carryInUs: Long = Long.MinValue): DataFrame = {
+    graft.functions.VectorExpressions.register(events.sparkSession)
     val chunked = events
       .withColumn("arrival_us", expr(
-        "us + (CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 7), 16, 10) AS BIGINT) % 7200) * 1000000"))
+        "us + (graft_md5_prefix(CAST(event_id AS STRING), 7) % 7200) * 1000000"))
       .withColumn("chunk", expr("arrival_us div 60000000"))
     val wIn = Window.partitionBy(col("chunk"))
       .orderBy(col("arrival_us"), col("event_id"))

@@ -186,11 +186,16 @@ class PlanSpec extends SparkSuite {
       s"corpus x centroids must never be a shuffled cartesian:\n$p")
   }
 
-  test("q74 bloom: the bit-position table is the broadcast side of the membership join") {
+  test("q74 bloom: membership is an in-row bitmap probe — no join, no position explode") {
     val p = plan("q74_bloom_decontaminate")
-    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in the plan:\n$p")
-    assert(p.linesIterator.exists(l => l.contains("keys [1]: [pos#")),
-      s"membership join must key on the bloom position:\n$p")
+    // r13 shape: the mBits-bounded filter rides a broadcast inside
+    // graft_bitmap_contains; the corpus shingle stream is aggregated ONCE on
+    // doc_id — no positions explode (3× row mass), no membership join, no
+    // (doc_id, shingle)-keyed re-aggregation
+    assert(p.contains("graft_bitmap_contains"),
+      s"membership must be the broadcast bitmap probe:\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"bitmap probe must not join:\n$p")
   }
 
   test("q77 outliers: per-source stats join is broadcast (source is a tiny dim)") {

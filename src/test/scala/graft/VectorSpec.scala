@@ -338,4 +338,28 @@ class VectorSpec extends SparkSuite {
       "SELECT graft_sq8(CAST(NULL AS ARRAY<DOUBLE>))").head()
     assert(nr.isNullAt(0))
   }
+  test("graft_md5_prefix equals conv(substring(md5, 1, n), 16, 10) bit-for-bit") {
+    val s = spark; import s.implicits._
+    VectorExpressions.register(spark)
+    val rows = Seq("", "a", "hello world", "Customer#000000001",
+      "élève café", "日本語 テスト",
+      "j:three word shingle", "0:x", "a b c d e f g")
+    val df = rows.toDF("t")
+    Seq(1, 4, 7, 15).foreach { n =>
+      val bad = df.filter(
+        expr(s"graft_md5_prefix(t, $n) != CAST(conv(substring(md5(t), 1, $n), 16, 10) AS BIGINT)"))
+        .count()
+      assert(bad == 0, s"mismatch at nHex=$n")
+    }
+    // random strings, wider sweep through codegen
+    val rand = spark.range(5000).selectExpr(
+      "concat('s', CAST(id * 2654435761 % 1000003 AS STRING), repeat('x', CAST(id % 7 AS INT))) AS t")
+    val bad = rand.filter(
+      "graft_md5_prefix(t, 7) != CAST(conv(substring(md5(t), 1, 7), 16, 10) AS BIGINT)").count()
+    assert(bad == 0)
+    // null propagation
+    val nul = spark.sql("SELECT graft_md5_prefix(CAST(NULL AS STRING), 7)").collect()
+    assert(nul.head.isNullAt(0))
+  }
+
 }
