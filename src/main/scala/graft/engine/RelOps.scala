@@ -588,14 +588,26 @@ object RelOps {
 
   /** ROLLUP grouping sets with an explicit grouping id — subtotals + grand
     * total in one pass (multi-level agg the reference delegates to Power BI). */
-  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .rollup(col("l_returnflag"), col("l_linestatus"))
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    // TWO-LEVEL grouping-set aggregation (r13 optimization pass, guide
+    // §2.3 "aggregate before you shuffle"): a direct rollup EXPANDs every
+    // fact row once per grouping set (3× the scan feeding the partial
+    // aggregate) — the finest set (returnflag, linestatus) already
+    // determines every coarser set, so aggregate to it FIRST (plain
+    // map-side-combinable groupBy, no Expand) and roll up the few-row
+    // intermediate. Identical output (sums re-associate exactly in decimal;
+    // grouping() bits come from the outer rollup), 1/3 the aggregate-update
+    // work and the Expand now triples ~6 rows, not the corpus.
+    val base = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n0"), sum(Dec.d2(col("l_quantity"))).as("q0"))
+    base.rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus"))).cast("long").as("gid"),
-        count(lit(1)).as("n"),
-        sum2(col("l_quantity")).as("qty"))
+        sum(col("n0")).as("n"),
+        sum(col("q0")).cast("double").as("qty"))
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
 
   /** Pivot: order counts per year x status, fixed pivot values so the output
     * schema is static (F/O/P columns). */
@@ -779,14 +791,19 @@ object RelOps {
       .orderBy("c_nationkey")
 
   /** CUBE grouping sets: all 4 grouping combinations in one pass. */
-  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .cube(col("o_orderstatus"), col("o_orderpriority"))
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    // two-level cube — the [[rollupAgg]] rewrite (Expand over the few-row
+    // finest-set aggregate, not over the fact scan)
+    val base = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n0"), sum(Dec.d2(col("o_totalprice"))).as("t0"))
+    base.cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(
         (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority"))).cast("long").as("gid"),
-        count(lit(1)).as("n"),
-        sum2(col("o_totalprice")).as("total"))
+        sum(col("n0")).as("n"),
+        sum(col("t0")).cast("double").as("total"))
       .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+  }
 
   /** SQL-API entry with correlated + uncorrelated scalar subqueries — Catalyst
     * decorrelates the per-customer COUNT into a join; exercised via
@@ -812,11 +829,18 @@ object RelOps {
     * not one scan per set. */
   def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    // two-level grouping sets — the [[rollupAgg]] rewrite in SQL: the
+    // finest base (returnflag, linestatus) is aggregated without Expand,
+    // the three requested sets roll up the few-row intermediate
     spark.sql(
-      """SELECT CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
-        |  l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
-        |FROM lineitem_v
+      """WITH base AS (
+        |  SELECT l_returnflag, l_linestatus, COUNT(*) AS n0,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q0
+        |  FROM lineitem_v GROUP BY l_returnflag, l_linestatus)
+        |SELECT CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |  l_returnflag, l_linestatus, SUM(n0) AS n,
+        |  CAST(SUM(q0) AS DOUBLE) AS qty
+        |FROM base
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
   }
