@@ -43,14 +43,45 @@ object Fs {
     (org.apache.spark.sql.SparkSession, String),
     (Long, org.apache.spark.sql.DataFrame)]
 
-  private def pathSig(path: String): Long = {
+  /** Eviction on context end (round-13 ADVICE): without it, entries for
+    * stopped sessions retain the SparkSession and its resolved plans
+    * forever — an unbounded leak in a long-lived process that creates many
+    * sessions (test suites, services). One listener per SparkContext; on
+    * ApplicationEnd every entry whose session rides that context drops. */
+  private val evictHooked = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[org.apache.spark.SparkContext]()
+
+  private[graft] def evictFor(sc: org.apache.spark.SparkContext): Unit = {
+    readMemo.keySet.removeIf(k => k._1.sparkContext eq sc)
+    evictHooked.remove(sc): Unit
+  }
+
+  private def hookEviction(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (evictHooked.add(sc))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          evictFor(sc)
+      })
+  }
+
+  /** One-level directory signature: root mtime + child names, mtimes AND
+    * sizes. Child sizes close the same-second in-place rewrite hole
+    * (round-13 ADVICE): File.lastModified is millisecond-granular and some
+    * filesystems coarser, so an overwrite that keeps names and lands inside
+    * the granularity window would otherwise serve a stale file index. A
+    * same-name same-mtime same-size rewrite remains undetectable — Spark
+    * writers never produce one (fresh UUID part names per write). */
+  private[graft] def pathSig(path: String): Long = {
     val f = new java.io.File(path)
     var h = f.lastModified ^ (if (f.exists) 1L else 0L)
     val kids = f.listFiles
     if (kids != null) {
       var i = 0
       while (i < kids.length) {
-        h = h * 31 + kids(i).getName.hashCode * 17 + kids(i).lastModified
+        h = h * 31 + kids(i).getName.hashCode * 17 + kids(i).lastModified +
+          kids(i).length * 13
         i += 1
       }
     }
@@ -61,11 +92,14 @@ object Fs {
       path: String): org.apache.spark.sql.DataFrame =
     if (path.contains("://")) spark.read.parquet(path)
     else {
+      hookEviction(spark)
       val sig = pathSig(path)
       readMemo.compute((spark, path), (k, cur) =>
         if (cur != null && cur._1 == sig) cur
         else (sig, k._1.read.parquet(k._2)))._2
     }
+
+  private[graft] def readMemoSize: Int = readMemo.size
 
   private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val stableDirs =

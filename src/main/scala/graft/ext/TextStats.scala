@@ -642,7 +642,25 @@ object TextStats {
     * Hash positions are md5-derived (position j of shingle s =
     * int(md5("j:" || s)[0:7]) mod mBits), so the DuckDB oracle reproduces the
     * filter bit-for-bit — the bloom decision itself is deterministic, not just
-    * statistically characterized. */
+    * statistically characterized.
+    *
+    * CONTRACT (round-13 ADVICE): unlike the lazy builders elsewhere, this
+    * builder runs an EAGER driver-side job at DataFrame-construction time —
+    * the benchmark-side bitmap collect (bounded by mBits = 8 KB at the
+    * default; the fixed-benchmark law bounds the scanned side to ~1000
+    * docs). Callers that only want the plan (plan dumps, PlanTime probes)
+    * pay that job on first construction. The bitmap and its broadcast are
+    * MEMOIZED per (documents signature, mBits, kHashes, mod) — the at-rest
+    * index discipline ([[graft.ext.Dedup.prefixIndexTable]]): the benchmark
+    * set is immutable within a run, so later constructions reuse the
+    * broadcast instead of re-collecting and leaking one broadcast per
+    * construction. The signature key re-builds on fixture change. */
+  private val bloomBitmapMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, Long, String, Int, Int, Long),
+    org.apache.spark.broadcast.Broadcast[Array[Byte]]]()
+
+  private[graft] def bloomBitmapMemoSize: Int = bloomBitmapMemo.size
+
   def bloomDecontaminate(spark: SparkSession, dir: String, mBits: Int = 65536,
       kHashes: Int = 3): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
@@ -672,15 +690,20 @@ object TextStats {
     // / §2.4). Bit semantics are IDENTICAL (same md5 positions, exact
     // bitmap, no approximation): the collect is the A1 driver-seed pattern,
     // bounded by mBits, and the oracle is unchanged.
-    val bytes = new Array[Byte]((mBits + 7) / 8)
-    sh.filter(col("doc_id") % mod === 0).select(col("sh")).distinct()
-      .select(explode(array(posCols: _*)).as("pos")).distinct()
-      .collect().foreach { r =>
-        val p = r.getLong(0).toInt
-        bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte
-      }
-    val handle = graft.functions.BloomRegistry.put(
-      spark.sparkContext.broadcast(bytes))
+    val bc = bloomBitmapMemo.computeIfAbsent(
+      (spark.sparkContext,
+        graft.engine.Fs.pathSig(s"$dir/documents.parquet"), dir, mBits, kHashes,
+        mod), { _ =>
+        val bytes = new Array[Byte]((mBits + 7) / 8)
+        sh.filter(col("doc_id") % mod === 0).select(col("sh")).distinct()
+          .select(explode(array(posCols: _*)).as("pos")).distinct()
+          .collect().foreach { r =>
+            val p = r.getLong(0).toInt
+            bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte
+          }
+        spark.sparkContext.broadcast(bytes)
+      })
+    val handle = graft.functions.BloomRegistry.put(bc)
     val allSet = posCols.map(p =>
       call_function("graft_bitmap_contains", p, lit(handle))).reduce(_ && _)
     val out = sh.filter(col("doc_id") % mod =!= 0)

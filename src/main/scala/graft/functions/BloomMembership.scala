@@ -150,8 +150,14 @@ case class BitmapContainsLong(child: Expression,
 
   def test(v: Long): Boolean = {
     val bytes = bc.value
-    val p = v.toInt
-    p >= 0 && (p >> 3) < bytes.length && ((bytes(p >> 3) >> (p & 7)) & 1) == 1
+    // range-check on the LONG before truncating: the function is
+    // session-registered (callable with any bigint), and `v.toInt` first
+    // would alias positions >= 2^32 into the valid range — a false
+    // positive for out-of-range input (round-13 ADVICE)
+    v >= 0L && v < bytes.length.toLong * 8L && {
+      val p = v.toInt
+      ((bytes(p >> 3) >> (p & 7)) & 1) == 1
+    }
   }
 
   override def nullSafeEval(v: Any): Any = test(v.asInstanceOf[Long])

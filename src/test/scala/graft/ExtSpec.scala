@@ -737,6 +737,27 @@ class ExtSpec extends SparkSuite {
     assert(bloom(2L) >= 0 && !exact.contains(2L))
   }
 
+  test("bloom decontamination: bitmap broadcast memoized per fixture signature, rebuilt on change") {
+    val s = spark; import s.implicits._
+    val dir = "/tmp/graft_test_docs14b"
+    Seq((0L, "a b c d e"), (1L, "a b c x y"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r1 = TextStats.bloomDecontaminate(spark, dir).collect()
+    val n1 = TextStats.bloomBitmapMemoSize
+    val r2 = TextStats.bloomDecontaminate(spark, dir).collect()
+    assert(TextStats.bloomBitmapMemoSize == n1,
+      "second construction over the unchanged fixture reuses the memoized broadcast")
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+    // fixture rewrite → new signature → a fresh bitmap entry
+    Seq((0L, "p q r s t"), (1L, "p q r x y"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    TextStats.bloomDecontaminate(spark, dir).collect(): Unit
+    assert(TextStats.bloomBitmapMemoSize == n1 + 1,
+      "a changed fixture re-collects under a new signature key")
+  }
+
   test("length deciles: tails dropped per language, interior bands kept") {
     val s = spark; import s.implicits._
     val docs = (1 to 100).map(i => (i.toLong, "en", i.toLong)) ++

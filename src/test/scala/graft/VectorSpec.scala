@@ -362,4 +362,18 @@ class VectorSpec extends SparkSuite {
     assert(nul.head.isNullAt(0))
   }
 
+  test("bitmap contains: long positions are range-checked before truncation") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // one byte, all 8 bits set: valid positions are exactly 0..7
+    val bc = spark.sparkContext.broadcast(Array[Byte](0xFF.toByte))
+    val e = graft.functions.BitmapContainsLong(Literal(0L), bc)
+    assert(e.test(0L) && e.test(7L))
+    assert(!e.test(8L) && !e.test(-1L))
+    // positions >= 2^32 must NOT alias into range via int truncation
+    // (v.toInt of 2^32 is 0, of 2^32+3 is 3 — both would falsely hit)
+    assert(!e.test(1L << 32))
+    assert(!e.test((1L << 32) + 3L))
+    assert(!e.test(Long.MaxValue))
+  }
+
 }
