@@ -124,9 +124,10 @@ object Quality {
       concat(col("text"), lit(" replica-corruption"))).otherwise(col("text"))
     // the leaf table feeds THREE consumers (top summary, mid summary, final
     // leaf filter) — materialized once per call so the corpus scan+aggregate
-    // runs once, not per lineage path (the importanceWeights round-trip
-    // discipline); in the deployed protocol this table IS the at-rest
-    // per-replica fingerprint artifact
+    // runs once, not per lineage path (the clustersFromPairs round-trip
+    // discipline; importanceWeights dropped its round-trip in r14 when its
+    // consumer count fell to two); in the deployed protocol this table IS
+    // the at-rest per-replica fingerprint artifact
     val leavesPath = graft.engine.Fs.overwriteVersioned(
       s"graft_merkle_${graft.engine.Fs.dirTag(dir)}") { p =>
       Tables.documents(spark, dir)

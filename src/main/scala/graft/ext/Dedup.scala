@@ -519,6 +519,12 @@ object Dedup {
     * discipline cannot drift between blocking methods. */
   private def verifyPairs(cand: DataFrame, docToks: DataFrame,
       thresholdPpm: Long): DataFrame =
+    // NOTE (r14, checked and left alone): the rename-below-the-join shape
+    // here LOOKS like it would build the token-table broadcast twice, but
+    // plan canonicalization normalizes the aliases and the second build is
+    // already a ReusedExchange (plans/r14/q173_prefix_filter_join_before
+    // .txt:132) — an aliased-self-join rewrite measured plan-identical and
+    // was reverted.
     cand.select(col("doc_a"), col("doc_b"))
       .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
         size(col("toks")).cast("long").as("n_a")), Seq("doc_a"))
@@ -893,6 +899,15 @@ object Dedup {
         1, pfx).as("pg"))
       .select(col("c_custkey"), col("c_name"), col("nk"), col("seg"),
         explode(col("pg.gram")).as("gram"))
+    // NOTE (r14, measured and reverted): rewriting this self-join with
+    // dataset aliases so the two sides share one ReusedExchange ran 3.20 →
+    // 4.55 s (min-of-3, clean canaries). Mechanism: the shared exchange
+    // serializes the two per-record aggregate finals behind the broadcast
+    // build, while the rename-below form runs both cheap side pipelines
+    // CONCURRENTLY on idle cores — same one-sided trade the r13 negative
+    // result recorded for the bucket-explosion rewrite. The duplicated
+    // work here is the cheap prefix projection, not the verify domain
+    // (contrast verifyPairs, where sharing the token-table build won).
     val a = prefix.select(col("c_custkey").as("custkey_a"),
       col("c_name").as("name_a"), col("nk"), col("seg"), col("gram"))
     val b = prefix.select(col("c_custkey").as("custkey_b"),
@@ -1540,10 +1555,17 @@ object Dedup {
     * the comparison is the aggregates. */
   def dedupMethodRecall(spark: SparkSession, dir: String,
       thresholdPpm: Long = DefaultJaccardPpm): DataFrame = {
-    // truth is the most expensive pipeline here — counted ONCE (a 1-row
-    // driver seed, the A1 pattern); the prefix_filter row IS that count, so
-    // the pipeline never runs a second time for its own method row
-    val nTruth: Long = prefixFilterJoin(spark, dir, thresholdPpm).count()
+    // truth is the most expensive pipeline here — aggregated ONCE, IN-PLAN
+    // (r14; previously an eager `.count()` at construction time): the
+    // 1-row count subtree appears twice (its method row and the n_truth
+    // broadcast), but both sit above the SAME canonical aggregate exchange,
+    // which exchange reuse collapses to one execution. In-plan, the truth
+    // pipeline's stages overlap the lsh/snm aggregates inside one job
+    // instead of serializing a driver round-trip before them, and the
+    // builder is lazy like every other catalog builder. Measured (solo
+    // bench, min-of-N, same day): 2.38 → 1.54 s.
+    val truthCount = prefixFilterJoin(spark, dir, thresholdPpm)
+      .agg(count(lit(1)).as("n_truth"))
     val lsh = minhashJaccard(spark, dir)
       .filter(expr(s"n_common * 1000000 div (n_a + n_b - n_common) >= $thresholdPpm"))
       .select(col("doc_a"), col("doc_b"))
@@ -1551,12 +1573,11 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     def counted(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_found")).select(lit(name).as("method"), col("n_found"))
-    val spark0 = spark
-    import spark0.implicits._
     counted("lsh_bands", lsh)
-      .unionByName(Seq(("prefix_filter", nTruth)).toDF("method", "n_found"))
+      .unionByName(truthCount.select(lit("prefix_filter").as("method"),
+        col("n_truth").as("n_found")))
       .unionByName(counted("sorted_neighborhood", snm))
-      .withColumn("n_truth", lit(nTruth))
+      .crossJoin(broadcast(truthCount))
       .select(col("method"), col("n_truth"), col("n_found"),
         // nullif mirrors the DuckDB oracle: an empty truth set (no near-dup
         // pairs at the threshold) yields NULL recall, not ANSI div-by-zero

@@ -1452,36 +1452,54 @@ object TextStats {
     * a broadcast of the two scalar masses, one shuffle to re-join bigram
     * weights to documents, and a TakeOrdered top-k. */
   def importanceWeights(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
-    // the bigram explode feeds three lineage paths (per-bigram counts, the
-    // mass scalars, and the doc re-join) — materialized once per call, the
-    // same round-trip discipline as bpeMerges/clustersFromPairs
-    val bgPath = graft.engine.Fs.overwriteVersioned("graft_dsir") { p =>
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
-        .filter(size(col("words")) >= 2)
-        .select(col("doc_id"), col("lang"), explode(expr(
-          """transform(sequence(1, size(words) - 1),
-            |  i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))""".stripMargin))
-          .as("bg"))
-        .write.mode("overwrite").parquet(p)
-    }
-    val docBigrams = graft.engine.Fs.readParquet(spark, bgPath)
+    // The bigram explode previously fed THREE lineage paths (per-bigram
+    // counts, the mass scalars, the doc re-join) and was materialized to
+    // parquet per call. With the masses folded into the weights plan (r14,
+    // below) only TWO paths remain, and the round-trip lost its case: the
+    // write was a full positional-bigram stream (≈ 2× the at-rest corpus
+    // bytes) written AND re-read twice per pass, versus re-running a cheap
+    // explode over the smaller documents scan on each path (guide §1.2 —
+    // the materialization itself had become the thing computed and thrown
+    // away; the two explode paths also overlap on idle cores where the
+    // write serialized). Measured (solo bench, min-of-N, same day): 1.62 s
+    // with write + eager masses → 1.03 s in-plan without the write;
+    // profile jobs 11 → 7.
+    val docBigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """transform(sequence(1, size(words) - 1),
+          |  i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))""".stripMargin))
+        .as("bg"))
     val perBigram = docBigrams.groupBy(col("bg")).agg(
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"),
       sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("c_r"))
+    // masses ride IN-PLAN as a broadcast 1-row cross join (r14; guide §1.2
+    // "don't compute things you throw away" / §2.4): the previous
+    // `.head()` was an EAGER driver job per construction that re-executed
+    // the perBigram aggregate a second time per pass — in-plan, both the
+    // mass scalar and the weights read ONE perBigram subtree and exchange
+    // reuse collapses them (the broadcast-scalar-total pattern, q12).
+    // greatest(·, 1) keeps the integer div total and NULL-free exactly as
+    // the driver-side max(·, 1) did on an empty or single-class corpus.
     val masses = perBigram.agg(
-      sum(col("c_t")).as("m_t"), sum(col("c_r")).as("m_r")).head()
-    // a bigram-less corpus sums to NULL: the output below is empty either
-    // way, but getLong on the NULL would NPE where the oracle returns empty
-    def mass(i: Int) = if (masses.isNullAt(i)) 1L else math.max(masses.getLong(i), 1L)
-    val (mt, mr) = (mass(0), mass(1))
-    val weighted = perBigram.select(col("bg"),
-      (expr(s"c_t * 1000000 div ${mt}L") - expr(s"c_r * 1000000 div ${mr}L"))
+      greatest(coalesce(sum(col("c_t")), lit(0L)), lit(1L)).as("m_t"),
+      greatest(coalesce(sum(col("c_r")), lit(0L)), lit(1L)).as("m_r"))
+    val weighted = perBigram.crossJoin(broadcast(masses)).select(col("bg"),
+      (expr("c_t * 1000000 div m_t") - expr("c_r * 1000000 div m_r"))
         .as("w_ppm"))
     // weighted is bigram-TYPE-sized (Heaps-bounded) against the corpus-mass
-    // positional stream — the broadcast side of the re-join, size-guarded
-    // (the sf100 gate read this join's type-table shuffle at 12.2×/decade)
-    docBigrams.join(graft.engine.RelOps.guardedBroadcast(weighted), Seq("bg"))
+    // positional stream; the broadcast-vs-shuffle decision is left to AQE's
+    // RUNTIME stats of the aggregate stage (guide §3.1 — AQE rewrites to a
+    // broadcast join when the materialized side fits, and keeps SMJ when
+    // the type table outgrows it, the same bound guardedBroadcast enforced
+    // from a DISK_ONLY persist + count). r14: the persist/count pair was an
+    // eager full materialization of the type table per construction — one
+    // extra execution and a disk cache round-trip per pass here, a full
+    // type-table disk write at 100 TB — for a decision AQE takes from
+    // stats it already has (the sf100 gate's 12.2×/decade type-table
+    // reading is guarded the same way at any scale).
+    docBigrams.join(weighted, Seq("bg"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("w_ppm")).as("importance_ppm"))
       .orderBy(col("importance_ppm").desc, col("doc_id").asc)
