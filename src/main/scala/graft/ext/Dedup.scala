@@ -899,6 +899,22 @@ object Dedup {
         1, pfx).as("pg"))
       .select(col("c_custkey"), col("c_name"), col("nk"), col("seg"),
         explode(col("pg.gram")).as("gram"))
+      // EXPLICIT join-key partitioning at cluster parallelism (r14; guide
+      // §2.2/§2.5): the candidate join below fans out ~23× (2.44 M rows
+      // from a 105 k-row prefix stream at sf0.1) and the verifier +
+      // pair-distinct partials run INSIDE the join stage — but AQE sizes
+      // that stage from its INPUT bytes (~6 MB → coalesced to ~6
+      // partitions), so the whole verify phase ran on a fraction of the
+      // cores. AQE cannot see fan-out; an explicit-N repartition is the
+      // documented way to keep it from coalescing a stage whose output,
+      // not input, is the cost. defaultParallelism is cluster-adaptive
+      // (total cores), not a local constant; the join inherits this
+      // distribution (same keys), so no extra exchange is added — the
+      // prefix exchange moves from AQE-sized to parallelism-sized.
+      // Measured min-of-3 probe at sf0.1: join+verify 2.0-2.4 → 1.4 s;
+      // full q155 2.9 → ~1.9 s.
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("nk"), col("seg"), col("gram"))
     // NOTE (r14, measured and reverted): rewriting this self-join with
     // dataset aliases so the two sides share one ReusedExchange ran 3.20 →
     // 4.55 s (min-of-3, clean canaries). Mechanism: the shared exchange

@@ -191,7 +191,90 @@ object GraftStrings {
     * with |i − j| ≤ k are evaluated (a valid alignment with ≤ k edits cannot
     * leave that band), everything outside reads as k+1. Negative k is treated
     * as 0 (the only sensible clamp: equal strings → 0, anything else → 1). */
+  // Reused DP rows for [[boundedLev]] (thread-local, grown on demand —
+  // the same amortized-allocation discipline as graft_md5_prefix's
+  // thread-local digest): the verifier runs millions of times per query
+  // on candidate streams, and per-call row allocation was measurable GC
+  // traffic at q155's 2.4 M calls.
+  private val levPrev = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](64)
+  }
+  private val levCur = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](64)
+  }
+  private def levRow(tl: ThreadLocal[Array[Int]], n: Int): Array[Int] = {
+    var a = tl.get()
+    if (a.length < n) { a = new Array[Int](Integer.highestOneBit(n - 1) << 1); tl.set(a) }
+    a
+  }
+
   def boundedLev(ua: UTF8String, ub: UTF8String, bound: Int): Int = {
+    // ASCII fast path (r14 optimization pass): the char-array path below
+    // pays a UTF-8 decode plus 4-6 allocations per call — at q155's 2.4 M
+    // verifier calls that was ~2/3 of the query (probe: the lev filter
+    // added 1.6 s over the bare candidate join). For all-ASCII inputs
+    // bytes ARE chars, so the identical banded DP runs zero-copy over
+    // UTF8String.getByte with thread-local rows. Non-ASCII inputs take the
+    // original char path — bit-identical either way (PropertySpec pins
+    // graft_bounded_lev == least(levenshtein, k+1) on random strings
+    // including non-ASCII).
+    val na = ua.numBytes; val nb = ub.numBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < na) { if ((ua.getByte(i) & 0x80) != 0) ascii = false; i += 1 }
+    i = 0
+    while (ascii && i < nb) { if ((ub.getByte(i) & 0x80) != 0) ascii = false; i += 1 }
+    if (ascii) return boundedLevAscii(ua, ub, bound)
+    boundedLevChars(ua, ub, bound)
+  }
+
+  private def boundedLevAscii(ua: UTF8String, ub: UTF8String, bound: Int): Int = {
+    val k = math.max(bound, 0)
+    val swap = ua.numBytes > ub.numBytes
+    val s = if (swap) ub else ua
+    val t = if (swap) ua else ub
+    val n0 = s.numBytes
+    val m0 = t.numBytes
+    // common prefix/suffix trim — the r13 identity lev(p·x·q, p·y·q) = lev(x, y)
+    var pre = 0
+    while (pre < n0 && s.getByte(pre) == t.getByte(pre)) pre += 1
+    var se = n0; var te = m0
+    while (se > pre && te > pre && s.getByte(se - 1) == t.getByte(te - 1)) {
+      se -= 1; te -= 1
+    }
+    val n = se - pre
+    val m = te - pre
+    val inf = k + 1
+    if (m - n > k) return inf
+    val prev = levRow(levPrev, n + 1)
+    val cur = levRow(levCur, n + 1)
+    var i = 0
+    while (i <= n) { prev(i) = math.min(i, inf); i += 1 }
+    var j = 1
+    while (j <= m) {
+      cur(0) = math.min(j, inf)
+      val tj = t.getByte(pre + j - 1)
+      val lo = math.max(1, j - k)
+      val hi = math.min(n, j + k)
+      var x = 1
+      while (x < lo) { cur(x) = inf; x += 1 }
+      x = lo
+      while (x <= hi) {
+        val cost = if (s.getByte(pre + x - 1) == tj) 0 else 1
+        var v = prev(x - 1) + cost
+        if (prev(x) + 1 < v) v = prev(x) + 1
+        if (cur(x - 1) + 1 < v) v = cur(x - 1) + 1
+        cur(x) = math.min(v, inf)
+        x += 1
+      }
+      while (x <= n) { cur(x) = inf; x += 1 }
+      System.arraycopy(cur, 0, prev, 0, n + 1)
+      j += 1
+    }
+    math.min(prev(n), inf)
+  }
+
+  private def boundedLevChars(ua: UTF8String, ub: UTF8String, bound: Int): Int = {
     val k = math.max(bound, 0)
     var s = ua.toString.toCharArray
     var t = ub.toString.toCharArray

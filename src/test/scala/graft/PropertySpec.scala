@@ -115,6 +115,34 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("property: graft_bounded_lev ascii byte path == char path on mixed alphabets") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // mixed ASCII / non-ASCII (é is 2 UTF-8 bytes, 日 is 3): one non-ASCII
+    // char on either side must route the pair to the char path and still
+    // agree with Spark's reference — pins the r14 byte fast path's
+    // dispatch and both implementations' equality
+    val gen = Gen.zip(
+      Gen.listOf(Gen.oneOf('a', 'b', 'é', '日')).map(_.mkString),
+      Gen.listOf(Gen.oneOf('a', 'b', 'é', '日')).map(_.mkString),
+      Gen.choose(0, 4))
+    check(Prop.forAll(gen) { case (a, b, k) =>
+      val ref = UTF8String.fromString(a).levenshteinDistance(UTF8String.fromString(b))
+      graft.functions.GraftStrings.boundedLev(
+        UTF8String.fromString(a), UTF8String.fromString(b), k) == math.min(ref, k + 1)
+    })
+    // long ASCII inputs exercise the thread-local row growth past the
+    // 64-slot initial size
+    val a64 = "x" * 100 + "abc"
+    val b64 = "x" * 100 + "acd"
+    assert(graft.functions.GraftStrings.boundedLev(
+      UTF8String.fromString(a64), UTF8String.fromString(b64), 3) == 2)
+    val long1 = ("abcdefgh" * 20) + "q"
+    val long2 = "z" + ("abcdefgh" * 20)
+    val ref = UTF8String.fromString(long1).levenshteinDistance(UTF8String.fromString(long2))
+    assert(graft.functions.GraftStrings.boundedLev(
+      UTF8String.fromString(long1), UTF8String.fromString(long2), 200) == ref)
+  }
+
   test("property: Morton zValue is a bijection that preserves per-dimension order at fixed other") {
     val s = spark; import s.implicits._
     val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)))
