@@ -188,7 +188,14 @@ object Dedup {
     * cheaper than the candidate join it predicts, so it can run on every
     * data drop BEFORE the dedup pass commits to a plan. */
   def lshOccupancyAudit(spark: SparkSession, dir: String): DataFrame =
-    bandsUnordered(spark, dir)
+    // r14: the audit consumes the ZERO-EXCHANGE inline banding projection
+    // (graft_minhash_sig — oracle-identical to the groupBy form, the
+    // q150 == q28 equivalence) instead of bandsUnordered, so the only
+    // exchange left is the (band_idx, band_hash) occupancy aggregate
+    // itself — one corpus repartition removed at any scale. q28 keeps the
+    // explode + aggregate form deliberately: that IS the operator it
+    // declares.
+    bandsProjection(Tables.documents(spark, dir))
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("s"))
       .groupBy(col("band_idx"))

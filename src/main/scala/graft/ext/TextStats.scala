@@ -367,27 +367,30 @@ object TextStats {
     * so the oracle hash-matches. */
   def winnowingFingerprint(spark: SparkSession, dir: String, w: Int = 4): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
-    import org.apache.spark.sql.expressions.Window
-    val shingled = Tables.documents(spark, dir)
+    // IN-ROW sliding minima (r14 optimization pass — the q63/q150 round-10
+    // discipline applied here): a doc's window minima depend only on the
+    // doc's OWN shingle-hash array, so the previous posexplode + doc-keyed
+    // exchange + per-doc sort + window (a full corpus-shingle repartition
+    // at 100 TB, and the sort under it) collapses to a per-row projection:
+    // hash array → slice minima → distinct → count/checksum. Same hashes
+    // (md5-prefix-7 per positional shingle), same full-windows-only rule
+    // (positions 1..m−w+1, non-empty because the length gate keeps
+    // m = n_words−2 ≥ w), same distinct aggregation — the oracle is
+    // unchanged. Plan: window exchange+sort gone; only the determinism
+    // sort exchanges doc-level rows.
+    Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .filter(size(col("words")) >= 3 + (w - 1))
-      .select(col("doc_id"), size(col("words")).as("n_words"), posexplode(expr(
+      .select(col("doc_id"), expr(
         """transform(sequence(1, size(words)-2),
-          |  i -> concat_ws(' ', element_at(words, i), element_at(words, i+1), element_at(words, i+2)))""".stripMargin)))
-      .select(
-        col("doc_id"),
-        (col("n_words") - 2).as("m"),
-        (col("pos") + 1).as("p"), // 1-based to mirror DuckDB subscripts
-        call_function("graft_md5_prefix", col("col"), lit(7)).as("h"))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      .rowsBetween(Window.currentRow, w - 1)
-    shingled
-      .withColumn("win_min", min(col("h")).over(win))
-      .filter(col("p") <= col("m") - w + 1) // full windows only
-      .groupBy(col("doc_id"))
-      .agg(
-        countDistinct(col("win_min")).as("n_fingerprints"),
-        sum_distinct(col("win_min")).cast("long").as("fp_checksum"))
+          |  i -> graft_md5_prefix(concat_ws(' ', element_at(words, i), element_at(words, i+1), element_at(words, i+2)), 7))""".stripMargin)
+        .as("hs"))
+      .select(col("doc_id"), expr(
+        s"array_distinct(transform(sequence(1, size(hs) - $w + 1), i -> array_min(slice(hs, i, $w))))")
+        .as("dw"))
+      .select(col("doc_id"),
+        size(col("dw")).cast("long").as("n_fingerprints"),
+        expr("aggregate(dw, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("fp_checksum"))
       .orderBy("doc_id")
   }
 
