@@ -468,6 +468,29 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("HashAggregate"), s"no aggregate may appear:\n$p")
   }
 
+  test("q60 winnowing: in-row sliding minima — no window, only the determinism sort exchanges") {
+    // r14: a doc's window minima depend only on its own shingle-hash array,
+    // so the posexplode + doc-keyed exchange + sort + window must stay
+    // collapsed into a per-row projection
+    val p = plan("q60_winnowing")
+    assert(!p.contains("Window"), s"winnowing must not use a window:\n$p")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"only the determinism sort may exchange, got $exchanges:\n$p")
+  }
+
+  test("q230 lsh occupancy: consumes the inline banding projection — no doc-keyed aggregate") {
+    // r14: the audit rides graft_minhash_sig (oracle-identical to the
+    // explode + aggregate form), so the only exchanges are the occupancy
+    // aggregate and the determinism sort — the corpus repartition into a
+    // doc-keyed signature aggregate must stay gone
+    val p = plan("q230_lsh_occupancy")
+    assert(p.contains("graft_minhash_sig"),
+      s"occupancy must use the inline signature projection:\n$p")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected no doc-keyed exchange, got $exchanges:\n$p")
+  }
+
   test("q151 rrf: each signal trims per-partition before its bounded rank window") {
     val p = plan("q151_rrf_fusion")
     val takeOrdered = p.linesIterator.count(_.contains("TakeOrderedAndProject"))
